@@ -1,0 +1,43 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Table loaders for the driver-generated testdata (TESTDATA.md) and the
+  * reference point CSVs (/root/reference/data*.csv, schema in FIXTURES.md).
+  *
+  * All reads are schema-explicit parquet/CSV scans so Catalyst can prune
+  * columns and push filters down to the scan (`PushedFilters` in explain).
+  */
+object Tables {
+
+  /** Load one testdata table: `lineitem`, `orders`, `customer`, ... */
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  val lineitem = "lineitem"
+  val orders = "orders"
+  val customer = "customer"
+  val supplier = "supplier"
+  val part = "part"
+  val nation = "nation"
+  val region = "region"
+  val events = "events"
+  val documents = "documents"
+  val embeddings = "embeddings"
+
+  /** Schema of the reference point CSVs: `dimension` int quasi-identifier
+    * columns plus one preserved label column (DBSCAN.py:53, FIXTURES.md §1).
+    * Header-less; `int()` cast semantics → IntegerType, non-nullable data.
+    */
+  def pointCsvSchema(dimension: Int): StructType =
+    StructType(
+      (0 until dimension).map(i => StructField(s"x$i", IntegerType)) :+
+        StructField("label", IntegerType))
+
+  /** Read a reference-style points CSV (DBSCAN.py:53: split + int cast,
+    * cached by the caller when reused across a sweep).
+    */
+  def readPointsCsv(spark: SparkSession, path: String, dimension: Int): DataFrame =
+    spark.read.schema(pointCsvSchema(dimension)).csv(path)
+}

@@ -1,0 +1,178 @@
+package graft.queries
+
+import graft.core.Tables.table
+import graft.functions.Distances
+import graft.operators.NeighborJoin
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational operator surface (SURVEY §2.1-§2.6) exercised on the driver
+  * testdata, each with a DuckDB oracle. Aggregated doubles are rounded in
+  * BOTH engines so IEEE summation-order differences can't flip the hash.
+  *
+  * Every query ends with a deterministic ORDER BY and aliases every computed
+  * column identically in Spark and SQL (driver compares by column name).
+  */
+object BaseQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // S1/A1/A4: scan → filter → grouped agg (partial agg map-side for free).
+    "q1_agg" -> ((s, dir) => {
+      table(s, dir, "lineitem")
+        .where(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("sum_disc_price"),
+          round(avg("l_quantity"), 4).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // P1/P2: selective filter + projection, pushed to the parquet scan.
+    "q6_filter" -> ((s, dir) => {
+      table(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit("1995-01-01").cast("timestamp")
+          && col("l_shipdate") < lit("1996-01-01").cast("timestamp")
+          && col("l_discount").between(0.03, 0.07)
+          && col("l_quantity") < 24)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"))
+    }),
+
+    // J: two broadcast hash joins (dims are tiny at any SF) + agg.
+    "q2_join" -> ((s, dir) => {
+      val c = table(s, dir, "customer")
+      val n = broadcast(table(s, dir, "nation"))
+      val r = broadcast(table(s, dir, "region"))
+      c.join(n, col("c_nationkey") === col("n_nationkey"))
+        .join(r, col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(count(lit(1)).as("n_customers"),
+          round(avg("c_acctbal"), 2).as("avg_acctbal"))
+        .orderBy("r_name")
+    }),
+
+    // O1: group-wise top-k via window (k-means keep_pts/popup split shape,
+    // SURVEY §2.5). Deterministic tiebreak on the key.
+    "q3_topk" -> ((s, dir) => {
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      table(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 3)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice", "rn")
+        .orderBy("o_orderpriority", "rn")
+    }),
+
+    // Anti join: orders with no high-quantity line.
+    "q4_anti" -> ((s, dir) => {
+      val o = table(s, dir, "orders")
+      val l = table(s, dir, "lineitem").where(col("l_quantity") >= 45)
+      o.join(l, col("o_orderkey") === col("l_orderkey"), "left_anti")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // U1: bag-semantics union (reference noise ∪ clusters, DBSCAN.py:204).
+    "q5_union" -> ((s, dir) => {
+      val c = table(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+      val sp = table(s, dir, "supplier").select(col("s_nationkey").as("nationkey"))
+      c.unionAll(sp).groupBy("nationkey")
+        .agg(count(lit(1)).as("n")).orderBy("nationkey")
+    }),
+
+    // Semi join: orders having a big-quantity line.
+    "q7_semi" -> ((s, dir) => {
+      val o = table(s, dir, "orders")
+      val l = table(s, dir, "lineitem").where(col("l_quantity") >= 50)
+      o.join(l, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // J1 (the reference's one join, made scalable): grid-blocked ε-neighborhood
+    // self-join on (p_size, p_retailprice) points, exact L1 predicate — the
+    // DuckDB oracle is the reference-faithful cartesian θ-join.
+    "eps_neighbors" -> ((s, dir) => {
+      val pts = table(s, dir, "part")
+        .select(col("p_partkey"),
+          Distances.pack(col("p_size"), col("p_retailprice")).as("pt"))
+      NeighborJoin.neighborCounts(pts, "p_partkey", "pt", eps = 5.0)
+        .orderBy("p_partkey")
+    }),
+
+    // P3: DBSCAN core-point predicate (|N_eps(p)| >= minPts).
+    "core_points" -> ((s, dir) => {
+      val pts = table(s, dir, "part")
+        .select(col("p_partkey"),
+          Distances.pack(col("p_size"), col("p_retailprice")).as("pt"))
+      NeighborJoin.neighborCounts(pts, "p_partkey", "pt", eps = 5.0)
+        .where(col("n_neighbors") >= 10)
+        .orderBy("p_partkey")
+    }))
+
+  val oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity), 2) AS sum_qty,
+        | round(sum(l_extendedprice), 2) AS sum_base_price,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        | round(avg(l_quantity), 4) AS avg_qty,
+        | count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q6_filter" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+        |  AND l_shipdate < TIMESTAMP '1996-01-01'
+        |  AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24""".stripMargin,
+    "q2_join" ->
+      """SELECT r_name, count(*) AS n_customers,
+        | round(avg(c_acctbal), 2) AS avg_acctbal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "q3_topk" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice, rn FROM (
+        | SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |  row_number() OVER (PARTITION BY o_orderpriority
+        |    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        | FROM orders) WHERE rn <= 3
+        |ORDER BY o_orderpriority, rn""".stripMargin,
+    "q4_anti" ->
+      """SELECT o_orderpriority, count(*) AS n_orders FROM orders
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem
+        |  WHERE l_orderkey = o_orderkey AND l_quantity >= 45)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q5_union" ->
+      """SELECT nationkey, count(*) AS n FROM (
+        | SELECT c_nationkey AS nationkey FROM customer
+        | UNION ALL SELECT s_nationkey AS nationkey FROM supplier)
+        |GROUP BY nationkey ORDER BY nationkey""".stripMargin,
+    "q7_semi" ->
+      """SELECT o_orderstatus, count(*) AS n_orders FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |  WHERE l_orderkey = o_orderkey AND l_quantity >= 50)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "eps_neighbors" ->
+      """SELECT a.p_partkey AS p_partkey, count(*) AS n_neighbors
+        |FROM part a, part b
+        |WHERE abs(CAST(a.p_size AS DOUBLE) - CAST(b.p_size AS DOUBLE))
+        |    + abs(a.p_retailprice - b.p_retailprice) < 5.0
+        |GROUP BY a.p_partkey ORDER BY p_partkey""".stripMargin,
+    "core_points" ->
+      """SELECT a.p_partkey AS p_partkey, count(*) AS n_neighbors
+        |FROM part a, part b
+        |WHERE abs(CAST(a.p_size AS DOUBLE) - CAST(b.p_size AS DOUBLE))
+        |    + abs(a.p_retailprice - b.p_retailprice) < 5.0
+        |GROUP BY a.p_partkey HAVING count(*) >= 10
+        |ORDER BY p_partkey""".stripMargin)
+}
