@@ -1,0 +1,230 @@
+package graft.dbscan
+
+import graft.functions.Distances
+import graft.graph.{ConnectedComponents, GraphAlgs}
+import graft.operators.NeighborJoin
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Which graph-connectivity semantics clusters use (SURVEY §2.7 G2/G3):
+  * CC absorbs border points into the cluster of the core that reaches them;
+  * SCC leaves border points as singleton components (→ noise). `CcGraphX`
+  * is the Pregel implementation, kept as an independent cross-check.
+  */
+sealed trait ClusterMode
+case object Cc extends ClusterMode
+case object CcGraphX extends ClusterMode
+case class Scc(maxIter: Int = 10) extends ClusterMode
+
+/** One DBSCAN run's outputs. `assignments` is per input id:
+  * (id, qi, component nullable, is_noise, an_qi nullable) — `an_qi` is the
+  * cluster centroid for members and the nearest-cluster centroid for noise
+  * (the reference's anonymization, DBSCAN.py:103-117, 126-133).
+  */
+final case class DbscanModel(
+    assignments: DataFrame,
+    centroids: DataFrame, // component, centroid, n_members
+    nClusters: Long,
+    nNoise: Long,
+    clusterError: Double,
+    noiseError: Double) {
+  def totalError: Double = clusterError + noiseError
+  def unpersist(): Unit = assignments.unpersist()
+}
+
+/** Per-ε record of the sweep (DBSCAN.py eps_records, lines 135-143/198). */
+final case class SweepRecord(eps: Double, nClusters: Long, nNoise: Long,
+                             clusterError: Double, noiseError: Double,
+                             totalError: Double, seconds: Double)
+
+/** DBSCAN as declarative Spark dataflow.
+  *
+  * The reference pipeline (DBSCAN.py:157-205): cartesian θ-join → minPts
+  * filter → edges → GraphFrames connected components → cluster/noise split →
+  * centroid + L1 error per cluster → broadcast nearest-centroid for noise.
+  *
+  * Differences by design, not behavior: the O(n²) cartesian becomes the
+  * grid-blocked equi-join ([[NeighborJoin]]); GraphFrames CC becomes the
+  * DataFrame-native large-star/small-star ([[ConnectedComponents]]); every
+  * per-group Python UDF becomes a codegen'd aggregate.
+  */
+object Dbscan {
+
+  /** Run DBSCAN over points identified by a unique Long `idCol` with
+    * `array<double>` coordinates `qiCol`.
+    *
+    * @param weightCol multiplicity column: the reference runs its cartesian
+    *   over the raw (duplicate-bearing) rows, so duplicates count toward
+    *   minPts; value-collapsed callers pass the duplicate count here.
+    * @param k  k-anonymity parameter: components with fewer than k distinct
+    *   members are noise (DBSCAN.py:176-179). Usually == minPts.
+    */
+  def run(points: DataFrame, idCol: String, qiCol: String, eps: Double,
+          minPts: Int, k: Int, mode: ClusterMode = Cc,
+          weightCol: Option[String] = None, blockDims: Int = 2): DbscanModel = {
+    val spark = points.sparkSession
+    val dim = points.select(size(col(qiCol))).head().getInt(0)
+
+    val w = weightCol.map(col).getOrElse(lit(1L)).cast("long")
+    val pts = points.select(col(idCol).cast("long").as("id"),
+      col(qiCol).as("qi"), w.as("w"))
+
+    // ε-neighborhood pairs (self included) via grid blocking; reused by the
+    // core-point test and the edge list, so persist across those jobs.
+    val pairs = NeighborJoin
+      .epsJoinGrid(pts.select("id", "qi", "w"), "id", "qi", eps, blockDims)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // Core test: Σ weight of neighbors ≥ minPts (duplicates count).
+    val core = pairs.groupBy(col("a_id"))
+      .agg(sum("b_w").as("nw"))
+      .where(col("nw") >= minPts)
+      .select(col("a_id").as("core_id"))
+
+    // Directed edges core → neighbor (flattenPair, DBSCAN.py:119-124,162).
+    val edges = pairs
+      .join(core, pairs("a_id") === core("core_id"), "left_semi")
+      .select(col("a_id").as("src"), col("b_id").as("dst"))
+
+    val comp = mode match {
+      case Cc => ConnectedComponents.run(edges)
+      case CcGraphX => GraphAlgs.connectedComponents(spark, edges)
+      case Scc(n) => GraphAlgs.stronglyConnectedComponents(spark, edges, n)
+    }
+
+    // Every vertex in the edge graph has a component; isolated points do
+    // not and are immediately noise. Components with < k distinct members
+    // are dissolved into noise too (strictly-less, DBSCAN.py:176).
+    val withComp = pts.join(comp, pts("id") === comp("id"), "left")
+      .select(pts("id"), col("qi"), col("w"), col("component"))
+    val sizes = withComp.where(col("component").isNotNull)
+      .groupBy("component").agg(count(lit(1)).as("csize"))
+    val labeled = withComp.join(sizes, Seq("component"), "left")
+      .select(col("id"), col("qi"), col("w"),
+        when(col("csize") >= k, col("component")).as("component"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // Centroid = unweighted per-dimension mean over distinct members
+    // (calc_error, DBSCAN.py:86-100); one partial-aggregable pass.
+    val dimAvgs = (0 until dim).map(i =>
+      avg(element_at(col("qi"), i + 1)).as(s"c$i"))
+    val centroids = labeled.where(col("component").isNotNull)
+      .groupBy("component")
+      .agg(dimAvgs.head, dimAvgs.tail :+ count(lit(1)).as("n_members"): _*)
+      .select(col("component"),
+        array((0 until dim).map(i => col(s"c$i")): _*).as("centroid"),
+        col("n_members"))
+
+    val nClusters = centroids.count()
+    val members = labeled.where(col("component").isNotNull)
+    val noise = labeled.where(col("component").isNull)
+    val nNoise = noise.count()
+
+    val clusterError =
+      if (nClusters == 0) 0.0
+      else members.join(centroids, "component")
+        .agg(sum(Distances.l1(col("qi"), col("centroid"))))
+        .head().getDouble(0)
+
+    // Noise → nearest cluster centroid, L1, ties to the lowest component id
+    // (assign_nearest, DBSCAN.py:126-133; broadcast like centroidsBC :188).
+    val (noiseAssigned, noiseError) =
+      if (nClusters == 0) {
+        val na = noise.select(col("id"), col("qi"), col("component"),
+          lit(null).cast(centroids.schema("centroid").dataType).as("an_qi"),
+          lit(null).cast("double").as("an_err"))
+        (na, if (nNoise == 0) 0.0 else Double.PositiveInfinity)
+      } else {
+        val cand = noise.crossJoin(
+          broadcast(centroids.select(col("component").as("cc"), col("centroid"))))
+          .select(col("id"), col("qi"),
+            struct(Distances.l1(col("qi"), col("centroid")).as("d"),
+              col("cc"), col("centroid")).as("s"))
+        val na = cand.groupBy("id", "qi").agg(min("s").as("s"))
+          .select(col("id"), col("qi"), lit(null).cast("long").as("component"),
+            col("s.centroid").as("an_qi"), col("s.d").as("an_err"))
+        val err =
+          if (nNoise == 0) 0.0
+          else na.agg(sum("an_err")).head().getDouble(0)
+        (na, err)
+      }
+
+    val memberAssigned = members.join(centroids, "component")
+      .select(col("id"), col("qi"), col("component"),
+        col("centroid").as("an_qi"),
+        Distances.l1(col("qi"), col("centroid")).as("an_err"))
+
+    val assignments = memberAssigned.unionByName(noiseAssigned)
+      .withColumn("is_noise", col("component").isNull)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    pairs.unpersist()
+    labeled.unpersist()
+    DbscanModel(assignments, centroids, nClusters, nNoise, clusterError, noiseError)
+  }
+
+  /** Reference-faithful value-collapsed mode: rows are deduplicated into
+    * vertices keyed by their full value (qi + extra cols), duplicates
+    * counted as neighbor multiplicity but clusters/centroids computed over
+    * distinct values (SURVEY §2.7 G1 vertex collapse). Ids are assigned
+    * deterministically by sorted order.
+    */
+  def runCollapsed(points: DataFrame, qiCol: String, eps: Double, minPts: Int,
+                   k: Int, mode: ClusterMode = Cc, blockDims: Int = 2): DbscanModel = {
+    val spark = points.sparkSession
+    val keyCols = points.columns.toSeq
+    val verts = points.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("w"))
+    val sorted = verts.orderBy(keyCols.map(col): _*)
+    val schema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+
+        org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType))
+    val withId = spark.createDataFrame(
+      sorted.rdd.zipWithIndex().map { case (r, i) =>
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
+      }, schema)
+    run(withId, "id", qiCol, eps, minPts, k, mode, weightCol = Some("w"),
+      blockDims = blockDims)
+  }
+
+  /** ε sweep with argmin-by-total-error selection (DBSCAN.py:148-205).
+    * Returns all per-ε records plus the best model (reference keeps the
+    * output of the best ε only). Empty edge sets record
+    * [eps, 0, n, 0, ∞, ∞] and skip clustering (DBSCAN.py:163-167).
+    */
+  def sweep(points: DataFrame, idCol: String, qiCol: String,
+            epsRange: Seq[Double], minPts: Int, k: Int,
+            mode: ClusterMode = Cc, blockDims: Int = 2)
+  : (Seq[SweepRecord], Option[(Double, DbscanModel)]) = {
+    val n = points.count()
+    var best: Option[(Double, DbscanModel)] = None
+    var minCost = Double.PositiveInfinity
+    val records = epsRange.map { eps =>
+      val t0 = System.nanoTime()
+      val m = run(points, idCol, qiCol, eps, minPts, k, mode, None, blockDims)
+      val secs = (System.nanoTime() - t0) / 1e9
+      val rec =
+        if (m.nClusters == 0 && m.nNoise == n && m.clusterError == 0.0)
+          SweepRecord(eps, 0, n, 0.0, Double.PositiveInfinity,
+            Double.PositiveInfinity, secs)
+        else
+          SweepRecord(eps, m.nClusters, m.nNoise, m.clusterError,
+            m.noiseError, m.totalError, secs)
+      if (rec.totalError < minCost) {
+        best.foreach(_._2.unpersist())
+        minCost = rec.totalError
+        best = Some((eps, m))
+      } else m.unpersist()
+      rec
+    }
+    (records, best)
+  }
+
+  /** Sweep metrics as a DataFrame matching the reference's eps_record.csv
+    * columns (DBSCAN.py:137). */
+  def sweepMetrics(spark: org.apache.spark.sql.SparkSession,
+                   records: Seq[SweepRecord]): DataFrame = {
+    import spark.implicits._
+    records.toDF()
+  }
+}

@@ -1,0 +1,86 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** DataFrame-native connected components via the alternating
+  * large-star / small-star algorithm (Kiveris et al., "Connected Components
+  * in MapReduce and Beyond", SOCC'14) — O(log n) rounds, each round a pair
+  * of shuffle joins, so it scales to graphs that GraphX's Pregel CC would
+  * need a real cluster for, and it never materializes components on the
+  * driver.
+  *
+  * The reference delegates this step to GraphFrames `connectedComponents()`
+  * (DBSCAN.py:172) with a mandatory checkpoint dir (DBSCAN.py:171); we cut
+  * lineage the same way with `localCheckpoint` per round.
+  */
+object ConnectedComponents {
+
+  /** Connected components of an undirected graph.
+    *
+    * @param edges DataFrame with two Long-castable columns `src`, `dst`.
+    *              Duplicates and self-loops are tolerated.
+    * @return (id, component) for every id appearing in `edges`; `component`
+    *         is the minimum id of the containing component (deterministic).
+    *         Isolated vertices (absent from `edges`) are the caller's to
+    *         re-add (`coalesce(component, id)` after an outer join).
+    */
+  def run(edges: DataFrame, maxIter: Int = 64): DataFrame = {
+    var e = edges
+      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .where(col("src") =!= col("dst"))
+      .select(greatest(col("src"), col("dst")).as("src"),
+        least(col("src"), col("dst")).as("dst"))
+      .distinct()
+      .localCheckpoint()
+
+    var prev = checksum(e)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      // Large-star: for each node u, attach every strictly-larger neighbor
+      // to the minimum of Γ(u) ∪ {u}.
+      val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      val minsL = sym.groupBy("src").agg(min("dst").as("mn"))
+        .select(col("src"), least(col("mn"), col("src")).as("m"))
+      val large = sym.join(minsL, "src")
+        .where(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .where(col("src") =!= col("dst"))
+        .distinct()
+
+      // Small-star: orient edges larger→smaller, attach each node and its
+      // smaller neighbors to the minimum neighbor.
+      val oriented = large.select(greatest(col("src"), col("dst")).as("src"),
+        least(col("src"), col("dst")).as("dst"))
+      val minsS = oriented.groupBy("src").agg(min("dst").as("m"))
+      val small = oriented.join(minsS, "src")
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .union(minsS.select(col("src"), col("m").as("dst")))
+        .where(col("src") =!= col("dst"))
+        .distinct()
+        .localCheckpoint()
+
+      val cur = checksum(small)
+      converged = cur == prev
+      prev = cur
+      e = small
+      i += 1
+    }
+
+    // Fixed point is a star forest: edges (member, root).
+    e.select(col("src").as("id"), col("dst").as("component"))
+      .union(e.select(col("dst"), col("dst")).distinct()
+        .toDF("id", "component"))
+      .distinct()
+  }
+
+  /** Order-insensitive fingerprint of an edge set (count + hash sum; the
+    * sum is done in decimal so ANSI mode can't overflow). */
+  private def checksum(e: DataFrame): (Long, java.math.BigDecimal) = {
+    val r = e.agg(count(lit(1)),
+      coalesce(sum(xxhash64(col("src"), col("dst")).cast("decimal(38,0)")),
+        lit(java.math.BigDecimal.ZERO))).head()
+    (r.getLong(0), r.getDecimal(1))
+  }
+}

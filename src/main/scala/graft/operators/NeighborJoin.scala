@@ -37,31 +37,30 @@ object NeighborJoin {
   /** Pairs (a.*, b.*) with L1(a.pt, b.pt) < eps, via grid blocking.
     *
     * Input must have an id column `idCol` and an `array<double>` column
-    * `ptCol`. Output columns: `a_<idCol>`, `a_<ptCol>`, `b_<idCol>`,
-    * `b_<ptCol>`. Self-pairs (a == a) are included — the reference's
-    * neighborhood includes the point itself (dist(p,p)=0 < eps), which is
-    * what makes `|N_ε(p)| >= minPts` the classic DBSCAN core test.
+    * `ptCol`; every input column comes back twice, prefixed `a_` / `b_`.
+    * Self-pairs (a == a) are included — the reference's neighborhood
+    * includes the point itself (dist(p,p)=0 < eps), which is what makes
+    * `|N_ε(p)| >= minPts` the classic DBSCAN core test.
     */
   def epsJoinGrid(df: DataFrame, idCol: String, ptCol: String, eps: Double,
                   blockDims: Int = 2): DataFrame = {
     require(eps > 0, "eps must be positive")
     val dims = math.max(1, blockDims)
+    val cols = df.columns.toSeq
 
     val left = df.select(
-      col(idCol).as(s"a_$idCol"),
-      col(ptCol).as(s"a_$ptCol"),
-      array(cellCols(col(ptCol), eps, dims): _*).as("a_cell"))
+      cols.map(c => col(c).as(s"a_$c")) :+
+        array(cellCols(col(ptCol), eps, dims): _*).as("a_cell"): _*)
 
     // Replicate the right side into each of its 3^dims neighboring cells so
     // a plain equi-join on the shifted cell key finds every candidate pair.
     val offs = offsets(dims).map(o => array(o.map(lit(_)): _*))
     val right = df.select(
-      col(idCol).as(s"b_$idCol"),
-      col(ptCol).as(s"b_$ptCol"),
-      explode(array(offs: _*)).as("off"),
-      array(cellCols(col(ptCol), eps, dims): _*).as("cell0"))
-      .select(col(s"b_$idCol"), col(s"b_$ptCol"),
-        zip_with(col("cell0"), col("off"), (c, o) => c + o).as("b_cell"))
+      cols.map(c => col(c).as(s"b_$c")) :+
+        explode(array(offs: _*)).as("off") :+
+        array(cellCols(col(ptCol), eps, dims): _*).as("cell0"): _*)
+      .select(cols.map(c => col(s"b_$c")) :+
+        zip_with(col("cell0"), col("off"), (c, o) => c + o).as("b_cell"): _*)
 
     left.join(right, col("a_cell") === col("b_cell"))
       .where(Distances.l1(col(s"a_$ptCol"), col(s"b_$ptCol")) < eps)
@@ -72,8 +71,9 @@ object NeighborJoin {
     * Used only in tests to validate [[epsJoinGrid]] and at tiny scale.
     */
   def epsJoinCross(df: DataFrame, idCol: String, ptCol: String, eps: Double): DataFrame = {
-    val a = df.select(col(idCol).as(s"a_$idCol"), col(ptCol).as(s"a_$ptCol"))
-    val b = df.select(col(idCol).as(s"b_$idCol"), col(ptCol).as(s"b_$ptCol"))
+    val cols = df.columns.toSeq
+    val a = df.select(cols.map(c => col(c).as(s"a_$c")): _*)
+    val b = df.select(cols.map(c => col(c).as(s"b_$c")): _*)
     a.crossJoin(b).where(Distances.l1(col(s"a_$ptCol"), col(s"b_$ptCol")) < eps)
   }
 

@@ -1,0 +1,153 @@
+package graft.queries
+
+import graft.core.Tables.table
+import graft.dbscan.{Cc, Dbscan, Scc}
+import graft.functions.Distances
+import graft.graph.{ConnectedComponents, GraphAlgs}
+import graft.operators.NeighborJoin
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Clustering-operator gate queries. The DuckDB oracles reproduce the whole
+  * pipeline in SQL — the ε-graph as a cartesian θ-join and connected
+  * components as a recursive-CTE min-label propagation — so even the
+  * iterative graph step is oracle-checked, not just rows-counted.
+  *
+  * Points: (p_size, p_retailprice) from `part`, eps=2.0, minPts=k=4 (chosen
+  * so both sf0.001 and sf0.01 yield multi-cluster structure: 11 / 121
+  * components respectively).
+  */
+object ClusterQueries {
+  private val eps = 2.0
+  private val minPts = 4
+  private val kAnon = 4
+
+  private def pts(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "part").select(col("p_partkey").as("id"),
+      Distances.pack(col("p_size"), col("p_retailprice")).as("qi"))
+
+  /** Directed core→neighbor edge list of the ε-graph (DBSCAN.py:161-162). */
+  private def epsEdges(s: SparkSession, dir: String): DataFrame = {
+    val p = pts(s, dir)
+    val pairs = NeighborJoin.epsJoinGrid(p, "id", "qi", eps)
+    val core = pairs.groupBy("a_id").agg(count(lit(1)).as("n"))
+      .where(col("n") >= minPts).select(col("a_id").as("core_id"))
+    pairs.join(core, pairs("a_id") === core("core_id"), "left_semi")
+      .select(col("a_id").as("src"), col("b_id").as("dst"))
+  }
+
+  // Shared SQL prologue: ε-graph via cartesian θ-join (reference-faithful).
+  private val sqlGraph =
+    s"""pts AS (SELECT p_partkey AS id, CAST(p_size AS DOUBLE) AS x0,
+       |        p_retailprice AS x1 FROM part),
+       |nbr AS (SELECT a.id AS src, b.id AS dst FROM pts a, pts b
+       |        WHERE abs(a.x0-b.x0)+abs(a.x1-b.x1) < $eps),
+       |core AS (SELECT src AS id FROM nbr GROUP BY src
+       |         HAVING count(*) >= $minPts),
+       |edges AS (SELECT n.src, n.dst FROM nbr n JOIN core c ON n.src = c.id)""".stripMargin
+
+  // Undirected CC by recursive min-label propagation.
+  private val sqlCc =
+    s"""sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+       |verts AS (SELECT DISTINCT src AS id FROM sym),
+       |walk(id, reach) AS (
+       |  SELECT id, id FROM verts
+       |  UNION
+       |  SELECT s.dst, w.reach FROM walk w JOIN sym s ON s.src = w.id),
+       |comp AS (SELECT id, min(reach) AS component FROM walk GROUP BY id),
+       |sizes AS (SELECT component, count(*) AS csize FROM comp
+       |          GROUP BY component),
+       |labels AS (SELECT p.id AS id,
+       |    CASE WHEN s.csize >= $kAnon THEN c.component END AS component
+       |  FROM pts p LEFT JOIN comp c ON p.id = c.id
+       |  LEFT JOIN sizes s ON c.component = s.component)""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // G2: DataFrame-native large-star/small-star CC on the ε-graph.
+    "cc_components" -> ((s, dir) => {
+      ConnectedComponents.run(epsEdges(s, dir)).orderBy("id")
+    }),
+
+    // Same graph through GraphX Pregel — independent implementation,
+    // same oracle.
+    "cc_graphx" -> ((s, dir) => {
+      GraphAlgs.connectedComponents(s, epsEdges(s, dir)).orderBy("id")
+    }),
+
+    // Full DBSCAN labeling: per point, its cluster (= min member id) or
+    // NULL for noise.
+    "dbscan_labels" -> ((s, dir) => {
+      Dbscan.run(pts(s, dir), "id", "qi", eps, minPts, kAnon, Cc)
+        .assignments
+        .select(col("id"), col("component"), col("is_noise"))
+        .orderBy("id")
+    }),
+
+    // Scalar pipeline outputs: cluster/noise counts and L1 errors
+    // (the reference's eps_record row, DBSCAN.py:137).
+    "dbscan_errors" -> ((s, dir) => {
+      import s.implicits._
+      val m = Dbscan.run(pts(s, dir), "id", "qi", eps, minPts, kAnon, Cc)
+      Seq((m.nClusters, m.nNoise,
+        BigDecimal(m.clusterError).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        BigDecimal(m.noiseError).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble))
+        .toDF("n_clusters", "n_noise", "cluster_error", "noise_error")
+    }),
+
+    // G3: SCC mode (reference SCC.py:174) — border points become noise.
+    "scc_components" -> ((s, dir) => {
+      GraphAlgs.stronglyConnectedComponents(s, epsEdges(s, dir), 10)
+        .orderBy("id")
+    }))
+
+  val oracleSql: Map[String, String] = Map(
+    "cc_components" ->
+      s"""WITH RECURSIVE
+         |$sqlGraph,
+         |$sqlCc
+         |SELECT id, component FROM comp ORDER BY id""".stripMargin,
+    "cc_graphx" ->
+      s"""WITH RECURSIVE
+         |$sqlGraph,
+         |$sqlCc
+         |SELECT id, component FROM comp ORDER BY id""".stripMargin,
+    "dbscan_labels" ->
+      s"""WITH RECURSIVE
+         |$sqlGraph,
+         |$sqlCc
+         |SELECT id, component, component IS NULL AS is_noise
+         |FROM labels ORDER BY id""".stripMargin,
+    "dbscan_errors" ->
+      s"""WITH RECURSIVE
+         |$sqlGraph,
+         |$sqlCc,
+         |cents AS (SELECT l.component, avg(p.x0) AS c0, avg(p.x1) AS c1,
+         |    count(*) AS n
+         |  FROM labels l JOIN pts p ON l.id = p.id
+         |  WHERE l.component IS NOT NULL GROUP BY l.component),
+         |cerr AS (SELECT coalesce(sum(abs(p.x0-c.c0)+abs(p.x1-c.c1)), 0)
+         |    AS cluster_error
+         |  FROM labels l JOIN pts p ON l.id = p.id
+         |  JOIN cents c ON l.component = c.component),
+         |nerr AS (SELECT coalesce(sum(md), 0) AS noise_error FROM (
+         |  SELECT min(abs(p.x0-c.c0)+abs(p.x1-c.c1)) AS md
+         |  FROM labels l JOIN pts p ON l.id = p.id, cents c
+         |  WHERE l.component IS NULL GROUP BY l.id))
+         |SELECT (SELECT count(*) FROM cents) AS n_clusters,
+         |  (SELECT count(*) FROM labels WHERE component IS NULL) AS n_noise,
+         |  round((SELECT cluster_error FROM cerr), 2) AS cluster_error,
+         |  round((SELECT noise_error FROM nerr), 2) AS noise_error""".stripMargin,
+    "scc_components" ->
+      s"""WITH RECURSIVE
+         |$sqlGraph,
+         |everts AS (SELECT DISTINCT id FROM
+         |  (SELECT src AS id FROM edges UNION SELECT dst FROM edges)),
+         |reach(a, b) AS (
+         |  SELECT id, id FROM everts
+         |  UNION
+         |  SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b),
+         |scc AS (SELECT r1.a AS id, min(r1.b) AS component
+         |  FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
+         |  GROUP BY r1.a)
+         |SELECT id, component FROM scc ORDER BY id""".stripMargin)
+}

@@ -1,0 +1,40 @@
+package graft
+
+import graft.graph.{ConnectedComponents, GraphAlgs}
+
+class ConnectedComponentsSpec extends GraftSuite {
+  import spark.implicits._
+
+  private def cc(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    ConnectedComponents.run(edges.toDF("src", "dst"))
+      .as[(Long, Long)].collect().toMap
+
+  test("two components + chain") {
+    val got = cc(Seq((1L, 2L), (2L, 3L), (10L, 11L), (3L, 4L)))
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("self loops and duplicate edges are harmless") {
+    val got = cc(Seq((5L, 5L), (5L, 6L), (6L, 5L), (5L, 6L)))
+    assert(got == Map(5L -> 5L, 6L -> 5L))
+  }
+
+  test("long path converges (log-round star contraction)") {
+    val n = 200L
+    val got = cc((0L until n - 1).map(i => (i, i + 1)))
+    assert(got.size == n && got.values.forall(_ == 0L))
+  }
+
+  test("matches GraphX CC on random graphs") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val n = 150
+      val edges = Seq.fill(200)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+      val ours = cc(edges)
+      val theirs = GraphAlgs.connectedComponents(spark, edges.toDF("src", "dst"))
+        .as[(Long, Long)].collect().toMap
+      assert(ours == theirs, s"trial $trial")
+    }
+  }
+}
