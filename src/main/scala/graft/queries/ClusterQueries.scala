@@ -98,6 +98,17 @@ object ClusterQueries {
     "scc_components" -> ((s, dir) => {
       GraphAlgs.stronglyConnectedComponents(s, epsEdges(s, dir), 10)
         .orderBy("id")
+    }),
+
+    // E3: constrained k-means (k-means.ipynb) — iterative, so no SQL
+    // oracle; deterministic under the fixed seed, self-checked in
+    // ConstrainedKMeansSpec. Output: per-cluster member counts.
+    "kmeans_constrained" -> ((s, dir) => {
+      val m = graft.kmeans.ConstrainedKMeans.fit(
+        pts(s, dir), "id", "qi", nClusters = 8, kAnon = 4, seed = 42,
+        maxLloyd = 5)
+      m.assignment.groupBy("cluster").agg(count(lit(1)).as("n_members"))
+        .orderBy("cluster")
     }))
 
   val oracleSql: Map[String, String] = Map(

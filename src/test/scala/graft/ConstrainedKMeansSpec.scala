@@ -1,0 +1,75 @@
+package graft
+
+import graft.kmeans.ConstrainedKMeans
+import org.apache.spark.sql.functions._
+
+class ConstrainedKMeansSpec extends GraftSuite {
+  import spark.implicits._
+
+  private def blob(cx: Double, cy: Double, n: Int, idBase: Long) =
+    (0 until n).map(i => (idBase + i, Array(cx + (i % 3) * 0.1, cy + (i / 3) * 0.1)))
+
+  test("two well-separated blobs, nClusters=2: perfect split, k respected") {
+    val pts = (blob(0, 0, 8, 0L) ++ blob(100, 100, 8, 100L)).toDF("id", "qi")
+    val m = ConstrainedKMeans.fit(pts, "id", "qi", nClusters = 2, kAnon = 4, seed = 1)
+    val byCluster = m.assignment.groupBy("cluster").agg(count(lit(1)).as("n"))
+      .as[(Int, Long)].collect().toMap
+    assert(byCluster.size == 2 && byCluster.values.forall(_ == 8L))
+    // membership is exactly the blobs
+    val comp = m.assignment.select("id", "cluster").as[(Long, Int)].collect().toMap
+    assert(comp.filter(_._1 < 100).values.toSet.size == 1)
+    assert(comp.filter(_._1 >= 100).values.toSet.size == 1)
+    assert(m.cost > 0 && m.cost < 20)
+  }
+
+  test("k-member constraint: oversized cluster donates, deficient receives") {
+    // 12 points near origin, 4 points far away; nClusters=2, k=6:
+    // natural assignment gives (12, 4) → cluster 2 is deficient (4 < 6) and
+    // must receive the origin-cluster's farthest donations... but with only
+    // ONE deficient cluster the quirk (`count() > 1`) tolerates it.
+    val pts = (blob(0, 0, 12, 0L) ++ blob(50, 50, 4, 100L)).toDF("id", "qi")
+    val m = ConstrainedKMeans.fit(pts, "id", "qi", nClusters = 2, kAnon = 6, seed = 7)
+    val sizes = m.assignment.groupBy("cluster").agg(count(lit(1)).as("n"))
+      .as[(Int, Long)].collect().toMap
+    // the single-deficit tolerance: at most one cluster below k
+    assert(sizes.values.count(_ < 6) <= 1,
+      s"more than one deficient cluster: $sizes")
+    assert(sizes.values.sum == 16)
+  }
+
+  test("three clusters, k=5, forced redistribution") {
+    // 20 pts in one tight blob + 5 + 5 in two outliers; nClusters=3, k=5
+    val pts = (blob(0, 0, 20, 0L) ++ blob(60, 0, 5, 100L) ++ blob(0, 60, 5, 200L))
+      .toDF("id", "qi")
+    val m = ConstrainedKMeans.fit(pts, "id", "qi", nClusters = 3, kAnon = 5, seed = 3)
+    val sizes = m.assignment.groupBy("cluster").agg(count(lit(1)).as("n"))
+      .as[(Int, Long)].collect().toMap
+    assert(sizes.values.sum == 30)
+    assert(sizes.values.count(_ < 5) <= 1)
+  }
+
+  test("deterministic under fixed seed") {
+    val pts = blob(0, 0, 30, 0L).toDF("id", "qi")
+    val a = ConstrainedKMeans.fit(pts, "id", "qi", 3, 4, seed = 42, maxLloyd = 5)
+    val b = ConstrainedKMeans.fit(pts, "id", "qi", 3, 4, seed = 42, maxLloyd = 5)
+    assert(a.cost == b.cost)
+    assert(a.assignment.select("id", "cluster").as[(Long, Int)].collect().toMap
+      == b.assignment.select("id", "cluster").as[(Long, Int)].collect().toMap)
+  }
+
+  test("signed-drift convergence can cancel (quirk F4)") {
+    // centroid 0 moves +1 in dim 0, centroid 1 moves -1 → signed diff 0 →
+    // "converged" even though both moved
+    val oldC = Map(0 -> Array(10.0, 0.0), 1 -> Array(10.0, 0.0))
+    val newC = Map(0 -> Array(11.0, 0.0), 1 -> Array(9.0, 0.0))
+    assert(ConstrainedKMeans.isConverged(oldC, newC, 2))
+  }
+
+  test("sweep picks the lowest-cost configuration") {
+    val pts = (blob(0, 0, 10, 0L) ++ blob(40, 40, 10, 100L)).toDF("id", "qi")
+    val m = ConstrainedKMeans.sweep(pts, "id", "qi",
+      clusterRange = Seq(2, 3), restarts = 2, kAnon = 4, seed = 9, maxLloyd = 5)
+    assert(m.assignment.count() == 20)
+    assert(m.cost >= 0)
+  }
+}
