@@ -17,11 +17,19 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.BaseQueries.queries ++
-      graft.queries.ClusterQueries.queries
+      graft.queries.ClusterQueries.queries ++
+      graft.queries.TextQueries.queries ++
+      graft.queries.VectorQueries.queries ++
+      graft.queries.EventQueries.queries ++
+      graft.queries.MultimodalQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.BaseQueries.oracleSql ++
-      graft.queries.ClusterQueries.oracleSql
+      graft.queries.ClusterQueries.oracleSql ++
+      graft.queries.TextQueries.oracleSql ++
+      graft.queries.VectorQueries.oracleSql ++
+      graft.queries.EventQueries.oracleSql ++
+      graft.queries.MultimodalQueries.oracleSql
 }

@@ -1,6 +1,7 @@
 package graft.core
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
 import org.apache.spark.sql.types._
 
 /** Table loaders for the driver-generated testdata (TESTDATA.md) and the
@@ -11,9 +12,25 @@ import org.apache.spark.sql.types._
   */
 object Tables {
 
-  /** Load one testdata table: `lineitem`, `orders`, `customer`, ... */
-  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  /** Load one testdata table: `lineitem`, `orders`, `customer`, ...
+    *
+    * `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to read
+    * as a timestamp; sessions set `spark.sql.legacy.parquet.nanosAsLong`
+    * (see [[configure]]) so it arrives as nano-epoch Long, and we convert
+    * to a proper micro-precision timestamp here (truncating division —
+    * exactly what DuckDB's ns→us conversion does, keeping oracle parity).
+    */
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    // integer `div`, NOT `/`: nano epochs exceed double's 53-bit mantissa
+    if (name == "events")
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else df
+  }
+
+  /** Session settings every graft entrypoint needs. */
+  def configure(b: SparkSession.Builder): SparkSession.Builder =
+    b.config("spark.sql.legacy.parquet.nanosAsLong", "true")
 
   val lineitem = "lineitem"
   val orders = "orders"

@@ -15,7 +15,10 @@ import org.apache.spark.storage.StorageLevel
 sealed trait ClusterMode
 case object Cc extends ClusterMode
 case object CcGraphX extends ClusterMode
-case class Scc(maxIter: Int = 10) extends ClusterMode
+/** Exact SCC via the DBSCAN-graph specialization (GraphAlgs.dbscanScc). */
+case object Scc extends ClusterMode
+/** The reference's literal bounded-iteration GraphX SCC (SCC.py:174). */
+case class SccGraphX(maxIter: Int = 10) extends ClusterMode
 
 /** One DBSCAN run's outputs. `assignments` is per input id:
   * (id, qi, component nullable, is_noise, an_qi nullable) — `an_qi` is the
@@ -90,7 +93,8 @@ object Dbscan {
     val comp = mode match {
       case Cc => ConnectedComponents.run(edges)
       case CcGraphX => GraphAlgs.connectedComponents(spark, edges)
-      case Scc(n) => GraphAlgs.stronglyConnectedComponents(spark, edges, n)
+      case Scc => GraphAlgs.dbscanScc(edges)
+      case SccGraphX(n) => GraphAlgs.stronglyConnectedComponents(spark, edges, n)
     }
 
     // Every vertex in the edge graph has a component; isolated points do

@@ -10,16 +10,22 @@ import org.apache.spark.sql.functions._
   */
 object Distances {
 
-  /** L1 / Manhattan distance: Σ |a_i - b_i|. */
-  def l1(a: Column, b: Column): Column =
+  /** L1 / Manhattan distance: Σ |a_i - b_i| (native codegen kernel). */
+  def l1(a: Column, b: Column): Column = VecKernels.l1_dist(a, b)
+
+  /** Reference higher-order-function form of [[l1]] (spec cross-check). */
+  def l1Hof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => abs(x - y)), lit(0.0), (acc, v) => acc + v)
 
   /** Squared Euclidean distance: Σ (a_i - b_i)². */
   def l2sq(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v)
 
-  /** Dot product Σ a_i·b_i. */
-  def dot(a: Column, b: Column): Column =
+  /** Dot product Σ a_i·b_i (native codegen kernel). */
+  def dot(a: Column, b: Column): Column = VecKernels.dot_product(a, b)
+
+  /** Reference higher-order-function form of [[dot]] (spec cross-check). */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
   /** Euclidean norm of a vector column. */

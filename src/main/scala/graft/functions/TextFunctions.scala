@@ -1,0 +1,109 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis kernels for training-data pipelines, all pure Column
+  * expressions (codegen-able, no UDFs) with exact DuckDB-SQL counterparts
+  * so every operator built on them is value-level oracle-checkable.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens of trimmed text; empty text → empty array. */
+  def tokens(t: Column): Column =
+    when(length(trim(t)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(t), "\\s+"))
+
+  /** Whitespace-token count (the standard LLM-corpus budget unit's cheap
+    * proxy; a BPE-ish variant is [[bpeTokenCount]]). */
+  def tokenCount(t: Column): Column = size(tokens(t))
+
+  /** BPE-ish subword count: ceil(len/4) pieces per whitespace token — a
+    * deterministic approximation of byte-pair tokenizers' ~4 chars/token
+    * average, SQL-mirrorable (no lookaround regex, which RE2 lacks). */
+  def bpeTokenCount(t: Column): Column =
+    coalesce(aggregate(tokens(t), lit(0L),
+      (acc, w) => acc + ceil(length(w).cast("double") / 4.0).cast("long")), lit(0L))
+
+  /** Character n-gram shingles (positions 1..len-n+1); shorter text → []. */
+  def charShingles(t: Column, n: Int): Column =
+    when(length(t) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), length(t) - (n - 1)),
+        i => substring(t, i, lit(n))))
+
+  /** Word n-gram shingles over whitespace tokens, space-joined. */
+  def wordShingles(t: Column, n: Int): Column = {
+    val tk = tokens(t)
+    when(size(tk) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(tk) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(j => element_at(tk, i + j)): _*)))
+  }
+
+  /** Punctuation character ratio. */
+  def punctRatio(t: Column): Column =
+    ((length(t) - length(regexp_replace(t, "[.,;:!?'\"()\\[\\]{}]", ""))).cast("double")
+      / greatest(length(t), lit(1)))
+
+  /** Ratio of tokens found in `stopwords` (multiset: every occurrence
+    * counts, unlike an array_intersect). */
+  def stopwordRatio(t: Column, stopwords: Seq[String]): Column = {
+    val tk = tokens(t)
+    val sw = array(stopwords.map(lit(_)): _*)
+    (size(filter(tk, w => array_contains(sw, w))).cast("double")
+      / greatest(size(tk), lit(1)))
+  }
+
+  /** Mean token length (non-whitespace chars / tokens). */
+  def avgWordLen(t: Column): Column =
+    (length(regexp_replace(t, "\\s", "")).cast("double")
+      / greatest(tokenCount(t), lit(1)))
+
+  /** English stopwords used by [[qualityScore]]; kept tiny and literal so
+    * the oracle SQL can inline the identical list. */
+  val EnStopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "for", "on", "with", "as", "was", "at", "by", "be", "this")
+
+  /** Composite document quality score in [0,1]: length saturation,
+    * punctuation sanity, stopword presence, word-length sanity — the
+    * standard cheap heuristics of corpus filtering (C4/Gopher-style),
+    * deterministic and SQL-mirrorable.
+    */
+  def qualityScore(t: Column): Column = {
+    val lenScore = least(tokenCount(t).cast("double") / 50.0, lit(1.0))
+    val punctScore = lit(1.0) - least(punctRatio(t) * 5.0, lit(1.0))
+    val swScore = least(stopwordRatio(t, EnStopwords) * 5.0, lit(1.0))
+    val wl = avgWordLen(t)
+    val wlScore = when(wl.between(3.0, 10.0), 1.0).otherwise(0.0)
+    round(lenScore * 0.25 + punctScore * 0.25 + swScore * 0.25 + wlScore * 0.25, 6)
+  }
+
+  /** Per-language stopword marker lists for [[langId]]. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "auf"),
+    "en" -> Seq("the", "and", "is", "of", "to", "in", "that", "it", "for", "with"),
+    "es" -> Seq("el", "la", "los", "las", "y", "es", "en", "que", "de", "por"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "en", "que", "de", "pour", "dans"),
+    "zh" -> Seq("的", "了", "是", "在", "我", "有", "和", "就", "不", "人"))
+
+  /** N-gram-heuristic language id: the language whose marker-token hit
+    * count is highest wins (ties → alphabetically first; no hits → "und").
+    */
+  def langId(t: Column): Column = {
+    val tk = tokens(t)
+    val scored = LangMarkers.map { case (lang, words) =>
+      val sw = array(words.map(lit(_)): _*)
+      struct(size(filter(tk, w => array_contains(sw, w))).as("hits"),
+        lit(lang).as("lang"))
+    }
+    // argmax by hits, ties to alphabetically-first lang: sort by (-hits, lang)
+    val best = array_min(array(scored.map(s =>
+      struct((-s.getField("hits")).as("neg"), s.getField("lang").as("lang"))): _*))
+    when(best.getField("neg") === 0, "und").otherwise(best.getField("lang"))
+  }
+
+  /** Document fingerprint = [[PolyHash]] of the normalized text
+    * (lowercased, whitespace collapsed). */
+  def fingerprint(t: Column): Column =
+    PolyHash.poly_hash(regexp_replace(lower(trim(t)), "\\s+", " "))
+}

@@ -2,6 +2,7 @@ package graft.graph
 
 import org.apache.spark.graphx.{Edge, Graph}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{coalesce, col}
 
 /** GraphX-backed graph algorithms over edge DataFrames.
   *
@@ -34,5 +35,25 @@ object GraphAlgs {
     Graph.fromEdges(toEdgeRdd(edges), 0)
       .stronglyConnectedComponents(numIter).vertices
       .toDF("id", "component")
+  }
+
+  /** Exact SCC *specialized to DBSCAN ε-graphs* (edges only core→neighbor):
+    * a non-core vertex has no out-edges, so no cycle leaves the core set,
+    * and any core-core edge is mutual (each is in the other's
+    * ε-neighborhood) — hence SCC ≡ connected components of the core-core
+    * subgraph, with every other vertex a singleton. This replaces GraphX's
+    * iterative SCC (minutes at sf0.1) with two joins + large-star/small-star
+    * CC, and is exact (it matched the mutual-reachability SQL oracle that
+    * bounded-iteration SCC only happens to match on shallow graphs).
+    */
+  def dbscanScc(edges: DataFrame): DataFrame = {
+    val cores = edges.select(col("src")).distinct()
+    val mutual = edges.join(cores.withColumnRenamed("src", "c"),
+      edges("dst") === col("c"), "left_semi")
+    val cc = ConnectedComponents.run(mutual)
+    val verts = edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id"))).distinct()
+    verts.join(cc, Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("component"))
   }
 }

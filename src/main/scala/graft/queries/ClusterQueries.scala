@@ -95,9 +95,9 @@ object ClusterQueries {
     }),
 
     // G3: SCC mode (reference SCC.py:174) — border points become noise.
+    // Exact SCC via the DBSCAN-graph specialization (mutual-core CC).
     "scc_components" -> ((s, dir) => {
-      GraphAlgs.stronglyConnectedComponents(s, epsEdges(s, dir), 10)
-        .orderBy("id")
+      GraphAlgs.dbscanScc(epsEdges(s, dir)).orderBy("id")
     }),
 
     // E3: constrained k-means (k-means.ipynb) — iterative, so no SQL

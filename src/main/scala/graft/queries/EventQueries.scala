@@ -1,0 +1,69 @@
+package graft.queries
+
+import graft.core.Tables.table
+import graft.streaming.EventStreams
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Event-table gate queries: time windows, sessionization, JSON
+  * extraction. The same `windowedCounts` dataflow also runs as a
+  * Structured Streaming query (EventStreamsSpec asserts batch ≡ stream).
+  */
+object EventQueries {
+  private val GapMinutes = 60
+
+  private def events(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "events")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // tumbling time window aggregate (streaming-capable dataflow)
+    "events_window" -> ((s, dir) => {
+      EventStreams.windowedCounts(events(s, dir), "1 day")
+        .orderBy("window_start", "event_type")
+    }),
+
+    // gap-based sessionization via lag + running-sum windows
+    "events_sessions" -> ((s, dir) => {
+      EventStreams.sessionize(events(s, dir), GapMinutes)
+        .orderBy("user_id", "session_idx")
+    }),
+
+    // JSON field extraction + aggregate
+    "events_json" -> ((s, dir) => {
+      events(s, dir)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), round(avg("k"), 4).as("avg_k"))
+        .orderBy("event_type")
+    }))
+
+  val oracleSql: Map[String, String] = Map(
+    "events_window" ->
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+        |  event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "events_sessions" ->
+      s"""WITH g AS (SELECT user_id, epoch_us(ts) AS us,
+         |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts)
+         |      AS prev_us
+         |  FROM events),
+         |flagged AS (SELECT user_id, us,
+         |    CASE WHEN prev_us IS NULL
+         |      OR us - prev_us > ${GapMinutes * 60L * 1000000L}
+         |      THEN 1 ELSE 0 END AS new_session
+         |  FROM g),
+         |sess AS (SELECT user_id, us,
+         |    sum(new_session) OVER (PARTITION BY user_id ORDER BY us
+         |      ROWS UNBOUNDED PRECEDING) AS session_idx
+         |  FROM flagged)
+         |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+         |  count(*) AS n_events, min(us) AS start_us, max(us) AS end_us
+         |FROM sess GROUP BY user_id, session_idx
+         |ORDER BY user_id, session_idx""".stripMargin,
+    "events_json" ->
+      """SELECT event_type, count(*) AS n,
+        |  round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4)
+        |    AS avg_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+}

@@ -1,0 +1,42 @@
+package graft.queries
+
+import graft.multimodal.Multimodal
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-plumbing gate queries. The codec is a deterministic stub
+  * (bytes-as-pixels, see Multimodal.StubCodec), which makes even the
+  * mapPartitions decode path value-oracle-checkable in SQL: the synthetic
+  * payloads are ASCII document texts, so byte i == ord(char i).
+  */
+object MultimodalQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // decode + feature plumbing: per image, dims + mean intensity
+    "media_stats" -> ((s, dir) => {
+      Multimodal.mediaStats(s, dir).orderBy("media_id")
+    }),
+
+    // frame sampling: per video, how many frames survive the stride
+    "media_frames" -> ((s, dir) => {
+      val media = Multimodal.syntheticMedia(s, dir)
+      Multimodal.sampleFrames(media, frameBytes = 32, stride = 2)
+        .groupBy("media_id").agg(count(lit(1)).as("n_frames"))
+        .orderBy("media_id")
+    }))
+
+  val oracleSql: Map[String, String] = Map(
+    "media_stats" ->
+      """SELECT doc_id AS media_id, 16 AS width,
+        |  CAST(n_chars // 16 AS INT) AS height,
+        |  round(CAST(list_sum(list_transform(
+        |      range(1, 16 * CAST(n_chars // 16 AS INT) + 1),
+        |      i -> ord(substr(text, i, 1)))) AS DOUBLE)
+        |    / (16 * CAST(n_chars // 16 AS INT)), 4) AS mean_intensity
+        |FROM documents WHERE doc_id % 3 = 0 ORDER BY media_id""".stripMargin,
+    "media_frames" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(floor((ceil(n_chars / 32.0) - 1) / 2) + 1 AS BIGINT)
+        |    AS n_frames
+        |FROM documents WHERE doc_id % 3 = 2 ORDER BY media_id""".stripMargin)
+}

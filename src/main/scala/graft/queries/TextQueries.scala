@@ -1,0 +1,237 @@
+package graft.queries
+
+import graft.core.Tables.table
+import graft.functions.{PolyHash, TextFunctions => TF}
+import graft.operators.Dedup
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis + deduplication gate queries on the `documents` table.
+  *
+  * Every hashed operator builds on [[PolyHash]], whose DuckDB mirror is
+  * the `list_reduce` formula in [[sqlPolyHash]] — so MinHash/SimHash/
+  * fingerprint results are value-level oracle-checked, not rows-only.
+  * The oracle SQL is *generated from the same Scala constants* (permutation
+  * coefficients, band layout, stopword lists) to keep the two engines in
+  * lockstep by construction.
+  */
+object TextQueries {
+  private val ShingleN = 2
+  private val JaccardTau = 0.3
+  private val Bands = 16
+  private val Rows = 4
+  private val P = PolyHash.Prime
+
+  // ------------------------------------------------------- SQL fragments
+
+  /** DuckDB mirror of PolyHash.hash over an expression `e`. */
+  private def sqlPolyHash(e: String): String =
+    s"""CASE WHEN length($e) = 0 THEN 0 ELSE
+       | list_reduce(list_transform(range(1, length($e) + 1),
+       |   i -> CAST(ord(substr($e, i, 1)) AS BIGINT)),
+       |   (acc, c) -> (acc * 31 + c) % $P) END""".stripMargin
+
+  /** Tokens CTE fragment: doc_id, text, t (whitespace tokens). */
+  private val sqlToks =
+    """toks AS (SELECT doc_id, text,
+      |  CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+      |       ELSE string_split_regex(trim(text), '\s+') END AS t
+      |  FROM documents)""".stripMargin
+
+  /** Distinct word-bigram shingles: doc_id, s. */
+  private val sqlShingles =
+    s"""sh AS (SELECT DISTINCT doc_id, s FROM (
+       |  SELECT doc_id, unnest(CASE WHEN len(t) < $ShingleN
+       |      THEN CAST([] AS VARCHAR[])
+       |      ELSE list_transform(range(1, len(t) - ${ShingleN - 2}),
+       |        i -> t[i] || ' ' || t[i + 1]) END) AS s
+       |  FROM toks))""".stripMargin
+
+  /** Shingle hashes: doc_id, h. */
+  private def sqlShingleHashes =
+    s"""shh AS (SELECT doc_id, ${sqlPolyHash("s")} AS h FROM sh)""".stripMargin
+
+  // --------------------------------------------------------- the queries
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "documents")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // token counting (whitespace + BPE-ish), quality scoring, word stats
+    "text_stats" -> ((s, dir) => {
+      docs(s, dir).select(col("doc_id"),
+        TF.tokenCount(col("text")).cast("long").as("n_tokens"),
+        TF.bpeTokenCount(col("text")).as("bpe_tokens"),
+        TF.qualityScore(col("text")).as("quality"),
+        round(TF.avgWordLen(col("text")), 6).as("avg_wlen"))
+        .orderBy("doc_id")
+    }),
+
+    // language-ID heuristic (stopword-marker argmax)
+    "lang_id" -> ((s, dir) => {
+      docs(s, dir).select(col("doc_id"), TF.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id")
+    }),
+
+    // document fingerprint via the custom codegen PolyHash expression
+    "fingerprints" -> ((s, dir) => {
+      docs(s, dir).select(col("doc_id"), TF.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")
+    }),
+
+    // exact dedup: min-id survivor per distinct text
+    "dedup_exact" -> ((s, dir) => {
+      Dedup.exact(docs(s, dir), "doc_id", "text")
+        .select(col("keep_id"), col("n_copies")).orderBy("keep_id")
+    }),
+
+    // n-gram Jaccard near-dup pairs via inverted shingle index
+    "jaccard_pairs" -> ((s, dir) => {
+      Dedup.jaccardPairs(docs(s, dir), "doc_id", "text", ShingleN, JaccardTau)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // MinHash-LSH near-dup pairs (banded candidates, exact-Jaccard verify)
+    "minhash_pairs" -> ((s, dir) => {
+      Dedup.minhashPairs(docs(s, dir), "doc_id", "text", ShingleN, JaccardTau,
+        Bands, Rows).orderBy("id_a", "id_b")
+    }),
+
+    // SimHash fingerprints (60-bit)
+    "simhash_fp" -> ((s, dir) => {
+      docs(s, dir).select(col("doc_id"),
+        Dedup.simhash(col("text"), ShingleN).as("fp"))
+        .orderBy("doc_id")
+    }))
+
+  // ----------------------------------------------------------- oracles
+
+  private val sqlQuality: String = {
+    val stop = TF.EnStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""round(
+       | least(CAST(len(t) AS DOUBLE) / 50.0, 1.0) * 0.25
+       | + (1.0 - least(CAST(length(text) -
+       |     length(regexp_replace(text, '[.,;:!?''"()\\[\\]{}]', '', 'g'))
+       |     AS DOUBLE) / greatest(length(text), 1) * 5.0, 1.0)) * 0.25
+       | + least(CAST(len(list_filter(t, w -> list_contains($stop, w)))
+       |     AS DOUBLE) / greatest(len(t), 1) * 5.0, 1.0) * 0.25
+       | + (CASE WHEN CAST(length(regexp_replace(text, '\\s', '', 'g'))
+       |     AS DOUBLE) / greatest(len(t), 1) BETWEEN 3.0 AND 10.0
+       |     THEN 1.0 ELSE 0.0 END) * 0.25, 6)""".stripMargin
+  }
+
+  private val sqlLang: String = {
+    val scores = TF.LangMarkers.map { case (lang, words) =>
+      val lst = words.map(w => s"'$w'").mkString("[", ", ", "]")
+      lang -> s"len(list_filter(t, w -> list_contains($lst, w)))"
+    }
+    val names = scores.map(_._1)
+    val gmax = s"greatest(${scores.map(s => s"s_${s._1}").mkString(", ")})"
+    val cases = names.map(l => s"WHEN s_$l = mx THEN '$l'").mkString("\n  ")
+    s"""SELECT doc_id, CASE WHEN mx = 0 THEN 'und'
+       |  $cases END AS lang_pred
+       |FROM (SELECT doc_id,
+       |  ${scores.map { case (l, e) => s"$e AS s_$l" }.mkString(",\n  ")},
+       |  $gmax AS mx FROM (SELECT doc_id, t FROM toks))
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Per-permutation MinHash min columns + per-band folded keys, generated
+    * from [[Dedup.minhashPerms]] so Spark and the oracle share constants. */
+  private val sqlMinhash: String = {
+    val perms = Dedup.minhashPerms(Bands * Rows)
+    val mins = perms.zipWithIndex.map { case ((a, b), i) =>
+      s"min((h * $a + $b) % $P) AS m$i"
+    }.mkString(",\n  ")
+    val bandKeys = (0 until Bands).map { bd =>
+      val key = (0 until Rows).foldLeft("CAST(0 AS BIGINT)") { (acc, r) =>
+        s"(($acc * 31 + m${bd * Rows + r}) % $P)"
+      }
+      s"SELECT doc_id, $bd AS band, $key AS key FROM sig"
+    }.mkString("\nUNION ALL\n")
+    s"""sig AS (SELECT doc_id,
+       |  $mins
+       |  FROM shh GROUP BY doc_id),
+       |banded AS ($bandKeys),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM banded a JOIN banded b
+       |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)""".stripMargin
+  }
+
+  private val sqlSimhash: String = {
+    val bitSums = (0 until Dedup.SimhashBits).map(b =>
+      s"sum(CASE WHEN (h60 >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS b$b")
+      .mkString(",\n  ")
+    val fp = (0 until Dedup.SimhashBits).map(b =>
+      s"(CASE WHEN b$b > 0 THEN (CAST(1 AS BIGINT) << $b) ELSE 0 END)")
+      .mkString(" | ")
+    s"""shh2 AS (SELECT doc_id,
+       |  xor(${sqlPolyHash("s")},
+       |      (${sqlPolyHash("s || '#1'")}) << 30) AS h60
+       |  FROM sh),
+       |bits AS (SELECT doc_id, $bitSums FROM shh2 GROUP BY doc_id),
+       |fps AS (SELECT doc_id, $fp AS fp FROM bits)""".stripMargin
+  }
+
+  val oracleSql: Map[String, String] = Map(
+    "text_stats" ->
+      s"""WITH $sqlToks
+         |SELECT doc_id,
+         |  CAST(len(t) AS BIGINT) AS n_tokens,
+         |  CAST(coalesce(list_sum(list_transform(t,
+         |    w -> CAST(ceil(length(w) / 4.0) AS BIGINT))), 0) AS BIGINT)
+         |    AS bpe_tokens,
+         |  $sqlQuality AS quality,
+         |  round(CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
+         |    / greatest(len(t), 1), 6) AS avg_wlen
+         |FROM toks ORDER BY doc_id""".stripMargin,
+    "lang_id" ->
+      s"""WITH $sqlToks
+         |$sqlLang""".stripMargin,
+    "fingerprints" ->
+      s"""WITH norm AS (SELECT doc_id,
+         |  regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS nt
+         |  FROM documents)
+         |SELECT doc_id, ${sqlPolyHash("nt")} AS fp
+         |FROM norm ORDER BY doc_id""".stripMargin,
+    "dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+    "jaccard_pairs" ->
+      s"""WITH $sqlToks,
+         |$sqlShingles,
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b,
+         |  round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) AS jaccard
+         |FROM inter JOIN sizes sa ON id_a = sa.doc_id
+         |JOIN sizes sb ON id_b = sb.doc_id
+         |WHERE round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) >= $JaccardTau
+         |ORDER BY id_a, id_b""".stripMargin,
+    "minhash_pairs" ->
+      s"""WITH $sqlToks,
+         |$sqlShingles,
+         |$sqlShingleHashes,
+         |$sqlMinhash
+         |SELECT c.id_a, c.id_b,
+         |  round(CAST(i.c AS DOUBLE) / (sa.n + sb.n - i.c), 6) AS jaccard
+         |FROM cand c JOIN inter i ON c.id_a = i.id_a AND c.id_b = i.id_b
+         |JOIN sizes sa ON c.id_a = sa.doc_id
+         |JOIN sizes sb ON c.id_b = sb.doc_id
+         |WHERE round(CAST(i.c AS DOUBLE) / (sa.n + sb.n - i.c), 6)
+         |  >= $JaccardTau
+         |ORDER BY c.id_a, c.id_b""".stripMargin,
+    "simhash_fp" ->
+      s"""WITH $sqlToks,
+         |$sqlShingles,
+         |$sqlSimhash
+         |SELECT t.doc_id, coalesce(f.fp, 0) AS fp
+         |FROM toks t LEFT JOIN fps f ON t.doc_id = f.doc_id
+         |ORDER BY t.doc_id""".stripMargin)
+}

@@ -1,0 +1,69 @@
+package graft.queries
+
+import graft.core.Tables.table
+import graft.operators.SimilaritySearch
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity-search gate queries on the `embeddings` table. Cosine values
+  * are rounded to 6dp in BOTH engines and every ranking orders by the
+  * rounded value with an id tiebreak, so float associativity can't flip
+  * the comparison. The DuckDB oracle writes the cosine exactly as Spark
+  * computes it: dot / (sqrt(dot(a,a)) * sqrt(dot(b,b))).
+  */
+object VectorQueries {
+  private val CosTau = 0.4
+  private val TopK = 10
+  private val NQueries = 5
+
+  private def embs(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "embeddings")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // brute-force exact cosine top-k for the first NQueries vectors
+    "ann_topk" -> ((s, dir) => {
+      val e = embs(s, dir)
+      SimilaritySearch.cosineTopK(
+        e, e.where(col("vec_id") < NQueries), "vec_id", "embedding", TopK)
+        .orderBy("q_id", "rank")
+    }),
+
+    // exact all-pairs cosine >= tau (embedding near-dup baseline)
+    "cosine_pairs" -> ((s, dir) => {
+      SimilaritySearch.cosinePairs(embs(s, dir), "vec_id", "embedding", CosTau)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // IVF-bucketed ANN: same queries through the coarse quantizer
+    // (approximate — no SQL oracle; recall vs brute force is spec-checked)
+    "ann_ivf" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val idx = SimilaritySearch.ivfIndex(e, "vec_id", "embedding",
+        nlist = 8, seed = 42)
+      idx.search(e.where(col("vec_id") < NQueries), "vec_id", "embedding",
+        TopK, nprobe = 3).orderBy("q_id", "rank")
+    }))
+
+  private val sqlCos =
+    "list_dot_product(a.e, b.e) / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))"
+
+  val oracleSql: Map[String, String] = Map(
+    "ann_topk" ->
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+         |  FROM embeddings),
+         |scored AS (SELECT a.vec_id AS q_id, b.vec_id AS id,
+         |    round($sqlCos, 6) AS sim
+         |  FROM v a JOIN v b ON a.vec_id < $NQueries AND a.vec_id <> b.vec_id),
+         |ranked AS (SELECT q_id, id, sim, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY sim DESC, id) AS rank
+         |  FROM scored)
+         |SELECT q_id, id, sim, CAST(rank AS INT) AS rank FROM ranked
+         |WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin,
+    "cosine_pairs" ->
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+         |  FROM embeddings)
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b, round($sqlCos, 6) AS sim
+         |FROM v a JOIN v b ON a.vec_id < b.vec_id
+         |WHERE round($sqlCos, 6) >= $CosTau
+         |ORDER BY id_a, id_b""".stripMargin)
+}

@@ -1,0 +1,104 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Event-stream operators, written once and usable both batch and
+  * streaming (Structured Streaming's unified Dataset API): the windowed
+  * aggregation below runs identically over `spark.read` and
+  * `spark.readStream` inputs — the streaming spec asserts that equality.
+  *
+  * The reference is batch-only (SURVEY §2.9), so this module is part of
+  * the beyond-reference surface for continuous training-data ingestion.
+  */
+object EventStreams {
+
+  /** On-disk schema: `ts` is TIMESTAMP(NANOS), surfaced as nano-epoch Long
+    * under `spark.sql.legacy.parquet.nanosAsLong` (Tables.configure). */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Streaming scan of the events table (file source, schema-explicit),
+    * with ts converted to a micro-precision timestamp like Tables.table. */
+  def readEventStream(spark: SparkSession, sfDir: String): DataFrame =
+    spark.readStream.schema(eventSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+  /** Tumbling-window aggregate per event type; with a watermark so state
+    * is bounded when run as a stream. Works on batch DataFrames too. */
+  def windowedCounts(events: DataFrame, windowLen: String = "1 day",
+                     watermark: String = "1 hour"): DataFrame = {
+    val src = if (events.isStreaming) events.withWatermark("ts", watermark)
+      else events
+    src.groupBy(window(col("ts"), windowLen).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+  }
+
+  /** Batch sessionization: a new session starts when the gap to the
+    * previous event of the same user exceeds `gap`. Pure window functions
+    * (lag + running sum), fully SQL-mirrorable. */
+  def sessionize(events: DataFrame, gapMinutes: Int): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts")
+    val withGap = events
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > gapMinutes * 60L * 1000000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_idx",
+        sum("new_session").over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+    withGap.groupBy("user_id", "session_idx")
+      .agg(count(lit(1)).as("n_events"),
+        min(unix_micros(col("ts"))).as("start_us"),
+        max(unix_micros(col("ts"))).as("end_us"))
+  }
+
+  // ------------------------- stateful streaming sessionization ----------
+
+  case class Ev(user_id: Long, tsUs: Long, value: Double)
+  case class SessionState(start: Long, last: Long, n: Long)
+  case class SessionOut(user_id: Long, start_us: Long, end_us: Long,
+                        n_events: Long, open: Boolean)
+
+  /** Custom streaming state: per-user session tracking via
+    * flatMapGroupsWithState (the KeyValueGroupedDataset stateful API —
+    * SURVEY §2.9's beyond-parity streaming surface). Emits the current
+    * session per user each batch (update mode). */
+  def statefulSessions(events: Dataset[Ev], gapMinutes: Int): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, evs: Iterator[Ev], state: GroupState[SessionState]) =>
+          var cur = state.getOption.orNull
+          val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+          evs.toSeq.sortBy(_.tsUs).foreach { e =>
+            cur match {
+              case null =>
+                cur = SessionState(e.tsUs, e.tsUs, 1)
+              case s if e.tsUs - s.last > gapUs =>
+                closed += SessionOut(uid, s.start, s.last, s.n, open = false)
+                cur = SessionState(e.tsUs, e.tsUs, 1)
+              case s =>
+                cur = s.copy(last = math.max(s.last, e.tsUs), n = s.n + 1)
+            }
+          }
+          if (cur != null) state.update(cur)
+          (closed :+ SessionOut(uid, cur.start, cur.last, cur.n, open = true))
+            .iterator
+      }
+  }
+}

@@ -42,7 +42,7 @@ class DbscanSpec extends GraftSuite {
     ).toDF("id", "qi")
     val eps = 2.0; val minPts = 4
     val ccM = Dbscan.run(pts, "id", "qi", eps, minPts, k = 4, Cc, blockDims = 1)
-    val sccM = Dbscan.run(pts, "id", "qi", eps, minPts, k = 4, Scc(10), blockDims = 1)
+    val sccM = Dbscan.run(pts, "id", "qi", eps, minPts, k = 4, Scc, blockDims = 1)
     val ccComp = ccM.assignments.select("id", "component")
       .as[(Long, Option[Long])].collect().toMap
     val sccComp = sccM.assignments.select("id", "component")

@@ -1,0 +1,99 @@
+package graft
+
+import graft.streaming.EventStreams
+import org.apache.spark.sql.functions._
+
+class EventStreamsSpec extends GraftSuite {
+  import spark.implicits._
+
+  test("windowed counts: streaming result equals batch result") {
+    val batch = EventStreams.windowedCounts(
+      graft.core.Tables.table(spark, sf0001, "events"), "1 day")
+      .select("window_start", "event_type", "n_events", "sum_value")
+      .as[(java.sql.Timestamp, String, Long, Double)].collect().toSet
+
+    val stream = EventStreams.windowedCounts(
+      EventStreams.readEventStream(spark, sf0001), "1 day")
+    val q = stream.writeStream.outputMode("complete")
+      .format("memory").queryName("win_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("win_out")
+        .select("window_start", "event_type", "n_events", "sum_value")
+        .as[(java.sql.Timestamp, String, Long, Double)].collect().toSet
+      assert(got == batch, "stream ≠ batch on identical input")
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("batch sessionization invariants") {
+    val ev = graft.core.Tables.table(spark, sf0001, "events")
+    val sess = EventStreams.sessionize(ev, gapMinutes = 60).cache()
+    val total = sess.agg(sum("n_events")).head().getLong(0)
+    assert(total == ev.count(), "every event lands in exactly one session")
+    // sessions of one user don't overlap and are ordered
+    val rows = sess.orderBy("user_id", "session_idx")
+      .select("user_id", "start_us", "end_us")
+      .as[(Long, Long, Long)].collect()
+    rows.groupBy(_._1).foreach { case (_, ss) =>
+      ss.sliding(2).foreach {
+        case Array(a, b) => assert(a._3 < b._2, "sessions overlap")
+        case _ =>
+      }
+    }
+  }
+
+  test("stateful streaming sessionization emits per-user sessions") {
+    val evs = graft.core.Tables.table(spark, sf0001, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("tsUs"), col("value"))
+      .as[EventStreams.Ev]
+    // run the same stateful logic in batch mode via groupByKey+flatMapGroups
+    // equivalence: session count must match the window-function sessionizer
+    val stateful = EventStreams.statefulSessions(evs, gapMinutes = 60)
+    // statefulSessions targets streaming; in batch each group sees all
+    // events at once, so open+closed sessions == total sessions
+    val n = stateful.count()
+    val expected = EventStreams.sessionize(
+      graft.core.Tables.table(spark, sf0001, "events"), 60).count()
+    assert(n == expected, s"stateful $n vs window-based $expected")
+  }
+}
+
+class MultimodalSpec extends GraftSuite {
+  import graft.multimodal.Multimodal
+  import spark.implicits._
+
+  test("synthetic media: kinds partition the corpus, payloads non-empty") {
+    val m = Multimodal.syntheticMedia(spark, sf0001).cache()
+    val kinds = m.groupByKey(_.kind).count().collect().toMap
+    assert(kinds.keySet == Set("image", "audio", "video"))
+    assert(m.filter(_.payload.isEmpty).count() == 0)
+  }
+
+  test("decode pipeline: dims and features are consistent") {
+    val m = Multimodal.syntheticMedia(spark, sf0001)
+    val dec = Multimodal.decodeImages(m).cache()
+    val rows = dec.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { d =>
+      assert(d.width == 16 && d.height >= 1 && d.channels == 1)
+      assert(d.mean.head >= 0 && d.mean.head <= 255)
+      assert(d.embedding.length == 8)
+      assert(math.abs(d.embedding.sum - 1.0f) < 1e-3, "histogram normalized")
+    }
+  }
+
+  test("frame sampling: stride-2 keeps every other frame") {
+    val m = Multimodal.syntheticMedia(spark, sf0001)
+    val frames = Multimodal.sampleFrames(m, frameBytes = 32, stride = 2)
+    val idx = frames.select("frame_idx").as[Int].collect()
+    assert(idx.nonEmpty && idx.forall(_ % 2 == 0))
+  }
+
+  test("stub resize downsamples deterministically") {
+    val px = Array.tabulate(8, 8)((y, x) => y * 8 + x)
+    val out = Multimodal.StubCodec.resize(px, 4, 4)
+    assert(out.length == 4 && out.head.length == 4)
+    assert(out(0)(0) == 0 && out(3)(3) == px(6)(6))
+  }
+}

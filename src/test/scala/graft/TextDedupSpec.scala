@@ -1,0 +1,140 @@
+package graft
+
+import graft.functions.{PolyHash, TextFunctions => TF}
+import graft.operators.{Dedup, SimilaritySearch}
+import org.apache.spark.sql.functions._
+
+class TextDedupSpec extends GraftSuite {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"), // near-dup of 1
+    (3L, "completely different text about spark engines here"),
+    (4L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+    (5L, ""), // empty
+    (6L, "single")
+  ).toDF("doc_id", "text")
+
+  test("poly_hash matches the reference formula and handles unicode") {
+    val got = Seq("abc", "", "héllo", "日本語").toDF("s")
+      .select(PolyHash.poly_hash(col("s"))).as[Long].collect()
+    def ref(s: String): Long = {
+      var acc = 0L; var i = 0
+      while (i < s.length) {
+        val cp = s.codePointAt(i); acc = (acc * 31 + cp) % PolyHash.Prime
+        i += Character.charCount(cp)
+      }
+      acc
+    }
+    assert(got.toSeq == Seq("abc", "", "héllo", "日本語").map(ref))
+    assert(ref("abc") == ((('a' * 31 + 'b') % PolyHash.Prime) * 31 + 'c') % PolyHash.Prime)
+  }
+
+  test("tokens / shingles edge cases") {
+    val m = docs.select(col("doc_id"), TF.tokenCount(col("text")),
+      size(TF.wordShingles(col("text"), 2))).as[(Long, Int, Int)]
+      .collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(m(5L) == ((0, 0)), "empty text → no tokens, no shingles")
+    assert(m(6L) == ((1, 0)), "one token → no bigram shingles")
+    assert(m(1L) == ((9, 8)))
+  }
+
+  test("exact dedup keeps min id with copy count") {
+    val got = Dedup.exact(docs, "doc_id", "text")
+      .select("keep_id", "n_copies").as[(Long, Long)].collect().toSet
+    assert(got.contains((1L, 2L))) // docs 1 and 4
+    assert(got.count(_._2 == 1L) == 4)
+  }
+
+  test("jaccard pairs find the near-dup and the exact dup") {
+    val got = Dedup.jaccardPairs(docs, "doc_id", "text", 2, 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got.contains((1L, 4L)), "exact dup has jaccard 1.0")
+    assert(got.contains((1L, 2L)) && got.contains((2L, 4L)),
+      "near-dup shares 7 of 9 bigrams (jaccard ~0.78)")
+    assert(!got.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("minhash-LSH finds the same pairs as exact jaccard at tau=0.5") {
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 2, 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minhashPairs(docs, "doc_id", "text", 2, 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // LSH candidates are verified with exact jaccard → lsh ⊆ exact;
+    // at 16 bands × 4 rows recall at j>=0.5 is ~1 for these sizes
+    assert(lsh.subsetOf(exact))
+    assert(lsh == exact, s"recall miss: ${exact -- lsh}")
+  }
+
+  test("simhash: identical texts same fp; near-dups within small hamming") {
+    val fps = docs.where(length(col("text")) > 0)
+      .select(col("doc_id"), Dedup.simhash(col("text"), 2).as("fp"))
+      .as[(Long, Long)].collect().toMap
+    assert(fps(1L) == fps(4L), "identical text → identical fingerprint")
+    val ham12 = java.lang.Long.bitCount(fps(1L) ^ fps(2L))
+    val ham13 = java.lang.Long.bitCount(fps(1L) ^ fps(3L))
+    assert(ham12 < ham13, "near-dup closer in hamming space than unrelated")
+  }
+
+  test("quality score bounds and monotone-ish behavior") {
+    val r = docs.select(col("doc_id"), TF.qualityScore(col("text")).as("q"))
+      .as[(Long, Double)].collect().toMap
+    assert(r.values.forall(q => q >= 0.0 && q <= 1.0))
+    assert(r(1L) > r(5L), "real sentence beats empty text")
+  }
+
+  test("langId picks the marker language, und for no markers") {
+    val r = Seq(
+      (1L, "the cat is on the mat and it is happy"),
+      (2L, "der hund ist nicht auf der matte und er"),
+      (3L, "el perro es grande y la casa es azul"),
+      (4L, "zz yy xx ww vv")
+    ).toDF("doc_id", "text")
+      .select(col("doc_id"), TF.langId(col("text")).as("l"))
+      .as[(Long, String)].collect().toMap
+    assert(r(1L) == "en" && r(2L) == "de" && r(3L) == "es" && r(4L) == "und")
+  }
+}
+
+class SimilaritySearchSpec extends GraftSuite {
+  import spark.implicits._
+
+  private def vecs = {
+    val rnd = new scala.util.Random(5)
+    (0 until 100).map { i =>
+      val base = Array.fill(16)(rnd.nextGaussian())
+      (i.toLong, base)
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("brute-force topk is self-consistent and symmetric-sane") {
+    val res = SimilaritySearch.cosineTopK(vecs,
+      vecs.where(col("vec_id") < 3), "vec_id", "embedding", 5)
+    val rows = res.select("q_id", "id", "rank").as[(Long, Long, Int)].collect()
+    assert(rows.length == 15)
+    assert(rows.groupBy(_._1).forall(_._2.map(_._3).sorted.toSeq == Seq(1, 2, 3, 4, 5)))
+    assert(rows.forall(r => r._1 != r._2), "self excluded")
+  }
+
+  test("IVF search achieves high recall vs brute force") {
+    val q = vecs.where(col("vec_id") < 10)
+    val brute = SimilaritySearch.cosineTopK(vecs, q, "vec_id", "embedding", 5)
+      .select("q_id", "id").as[(Long, Long)].collect().toSet
+    val idx = SimilaritySearch.ivfIndex(vecs, "vec_id", "embedding",
+      nlist = 4, seed = 11)
+    val ivf = idx.search(q, "vec_id", "embedding", 5, nprobe = 3)
+      .select("q_id", "id").as[(Long, Long)].collect().toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall >= 0.8, s"IVF recall $recall too low")
+  }
+
+  test("cosinePairs strict threshold") {
+    val twins = Seq(
+      (1L, Array(1.0, 0.0, 0.0)), (2L, Array(0.999, 0.01, 0.0)),
+      (3L, Array(0.0, 1.0, 0.0))).toDF("vec_id", "embedding")
+    val got = SimilaritySearch.cosinePairs(twins, "vec_id", "embedding", 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L)))
+  }
+}
