@@ -159,8 +159,15 @@ object Dbscan {
         col("centroid").as("an_qi"),
         Distances.l1(col("qi"), col("centroid")).as("an_err"))
 
-    val assignments = memberAssigned.unionByName(noiseAssigned)
+    // carry any extra input columns (e.g. the preserved label) through
+    val extras = points.columns.toSeq
+      .filterNot(c => c == idCol || c == qiCol || weightCol.contains(c))
+    val base = memberAssigned.unionByName(noiseAssigned)
       .withColumn("is_noise", col("component").isNull)
+    val assignments = (if (extras.isEmpty) base
+      else base.join(
+        points.select((col(idCol).cast("long").as("id") +: extras.map(col)): _*),
+        "id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     pairs.unpersist()

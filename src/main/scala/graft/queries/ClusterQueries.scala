@@ -100,6 +100,16 @@ object ClusterQueries {
       GraphAlgs.dbscanScc(epsEdges(s, dir)).orderBy("id")
     }),
 
+    // Anonymization output (DBSCAN.py:103-133): members get their cluster
+    // centroid, noise gets the nearest centroid (lowest component on ties).
+    "dbscan_anonymize" -> ((s, dir) => {
+      val m = Dbscan.run(pts(s, dir), "id", "qi", eps, minPts, kAnon, Cc)
+      m.assignments.select(col("id"), col("component"),
+        round(element_at(col("an_qi"), 1), 4).as("an_x0"),
+        round(element_at(col("an_qi"), 2), 4).as("an_x1"))
+        .orderBy("id")
+    }),
+
     // E3: constrained k-means (k-means.ipynb) — iterative, so no SQL
     // oracle; deterministic under the fixed seed, self-checked in
     // ConstrainedKMeansSpec. Output: per-cluster member counts.
@@ -148,6 +158,27 @@ object ClusterQueries {
          |  (SELECT count(*) FROM labels WHERE component IS NULL) AS n_noise,
          |  round((SELECT cluster_error FROM cerr), 2) AS cluster_error,
          |  round((SELECT noise_error FROM nerr), 2) AS noise_error""".stripMargin,
+    "dbscan_anonymize" ->
+      s"""WITH RECURSIVE
+         |$sqlGraph,
+         |$sqlCc,
+         |cents AS (SELECT l.component, avg(p.x0) AS c0, avg(p.x1) AS c1
+         |  FROM labels l JOIN pts p ON l.id = p.id
+         |  WHERE l.component IS NOT NULL GROUP BY l.component),
+         |members AS (SELECT l.id, l.component,
+         |    round(c.c0, 4) AS an_x0, round(c.c1, 4) AS an_x1
+         |  FROM labels l JOIN cents c ON l.component = c.component),
+         |nn AS (SELECT l.id, c.component,
+         |    round(c.c0, 4) AS an_x0, round(c.c1, 4) AS an_x1,
+         |    row_number() OVER (PARTITION BY l.id
+         |      ORDER BY abs(p.x0 - c.c0) + abs(p.x1 - c.c1), c.component)
+         |      AS rn
+         |  FROM labels l JOIN pts p ON l.id = p.id, cents c
+         |  WHERE l.component IS NULL)
+         |SELECT id, component, an_x0, an_x1 FROM members
+         |UNION ALL
+         |SELECT id, NULL AS component, an_x0, an_x1 FROM nn WHERE rn = 1
+         |ORDER BY id""".stripMargin,
     "scc_components" ->
       s"""WITH RECURSIVE
          |$sqlGraph,
