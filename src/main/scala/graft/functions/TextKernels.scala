@@ -1,0 +1,120 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native codegen kernels for the text-dedup hot path.
+  *
+  * [[ShingleHashesExpr]] fuses tokenize → word-n-gram → PolyHash →
+  * distinct into ONE pass over the string (the declarative form is a
+  * 4-deep higher-order-function tree that falls back to interpreted eval);
+  * [[MinHashSigExpr]] folds all permutations over the hash array in a
+  * single loop. Both reproduce the exact arithmetic of the SQL oracles
+  * (PolyHash over ' '-joined token n-grams; (a·h+b) mod P minima), so
+  * results stay value-level oracle-checkable.
+  */
+object TextKernels {
+
+  /** Distinct PolyHash values of the whitespace-token n-grams of `s`,
+    * in first-occurrence order. */
+  def shingleHashes(s: String, n: Int): Array[Long] = {
+    val toks = s.trim.split("\\s+").filter(_.nonEmpty)
+    if (toks.length < n) return Array.emptyLongArray
+    val seen = new java.util.LinkedHashSet[Long]()
+    var i = 0
+    while (i + n <= toks.length) {
+      // PolyHash of the ' '-joined n-gram without materializing the string
+      var acc = 0L
+      var j = 0
+      while (j < n) {
+        if (j > 0) acc = (acc * 31 + ' ') % PolyHash.Prime
+        val w = toks(i + j)
+        var k = 0
+        while (k < w.length) {
+          val cp = w.codePointAt(k)
+          acc = (acc * 31 + cp) % PolyHash.Prime
+          k += Character.charCount(cp)
+        }
+        j += 1
+      }
+      seen.add(acc)
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = it.next(); o += 1 }
+    out
+  }
+
+  def shingleHashesArray(s: UTF8String, n: Int): ArrayData =
+    new GenericArrayData(shingleHashes(s.toString, n))
+
+  /** MinHash signature over a hash array: per permutation i,
+    * min((a_i·h + b_i) mod P); null-free, Long.MaxValue → null upstream
+    * is represented by an empty input producing an all-null signature
+    * marker (-1), which callers filter. */
+  def minhashSig(hashes: ArrayData, as: Array[Long], bs: Array[Long]): ArrayData = {
+    val m = hashes.numElements()
+    val sig = new Array[Long](as.length)
+    var i = 0
+    while (i < as.length) {
+      var best = Long.MaxValue
+      var j = 0
+      while (j < m) {
+        val v = (hashes.getLong(j) * as(i) + bs(i)) % PolyHash.Prime
+        if (v < best) best = v
+        j += 1
+      }
+      sig(i) = if (m == 0) -1L else best
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  def shingle_hashes(text: Column, n: Column): Column =
+    ColumnBridge.column(ShingleHashesExpr(
+      ColumnBridge.expression(text), ColumnBridge.expression(n)))
+
+  def minhash_sig(hashes: Column, numHashes: Int): Column = {
+    val perms = graft.operators.Dedup.minhashPerms(numHashes)
+    ColumnBridge.column(MinHashSigExpr(ColumnBridge.expression(hashes),
+      perms.map(_._1).toArray, perms.map(_._2).toArray))
+  }
+}
+
+case class ShingleHashesExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def toString: String = s"shingle_hashes($left, $right)"
+  protected override def nullSafeEval(s: Any, n: Any): Any =
+    TextKernels.shingleHashesArray(s.asInstanceOf[UTF8String], n.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (s, n) =>
+      s"graft.functions.TextKernels.shingleHashesArray($s, $n)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+case class MinHashSigExpr(child: Expression, as: Array[Long], bs: Array[Long])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def toString: String = s"minhash_sig($child, ${as.length})"
+
+  protected override def nullSafeEval(h: Any): Any =
+    TextKernels.minhashSig(h.asInstanceOf[ArrayData], as, bs)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("minhashA", as, "long[]")
+    val bRef = ctx.addReferenceObj("minhashB", bs, "long[]")
+    defineCodeGen(ctx, ev, h =>
+      s"graft.functions.TextKernels.minhashSig($h, $aRef, $bRef)")
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}

@@ -47,9 +47,10 @@ object TextQueries {
        |        i -> t[i] || ' ' || t[i + 1]) END) AS s
        |  FROM toks))""".stripMargin
 
-  /** Shingle hashes: doc_id, h. */
+  /** Distinct shingle hashes: doc_id, h (set semantics on the HASH —
+    * collisions collapse, exactly like the fused Spark kernel). */
   private def sqlShingleHashes =
-    s"""shh AS (SELECT doc_id, ${sqlPolyHash("s")} AS h FROM sh)""".stripMargin
+    s"""shh AS (SELECT DISTINCT doc_id, ${sqlPolyHash("s")} AS h FROM sh)""".stripMargin
 
   // --------------------------------------------------------- the queries
 
@@ -156,9 +157,9 @@ object TextQueries {
        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |  FROM banded a JOIN banded b
        |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
-       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id),
        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
-       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  FROM shh a JOIN shh b ON a.h = b.h AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2)""".stripMargin
   }
 
@@ -204,9 +205,10 @@ object TextQueries {
     "jaccard_pairs" ->
       s"""WITH $sqlToks,
          |$sqlShingles,
-         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |$sqlShingleHashes,
+         |sizes AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id),
          |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
-         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  FROM shh a JOIN shh b ON a.h = b.h AND a.doc_id < b.doc_id
          |  GROUP BY 1, 2)
          |SELECT id_a, id_b,
          |  round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) AS jaccard

@@ -1,0 +1,56 @@
+package graft
+
+/** Physical-plan hygiene (the 100 TB checklist): filters reach the parquet
+  * scan, projections prune the read schema, dimension joins broadcast.
+  * These assert on explain("formatted") output so a regression in plan
+  * shape fails loudly, not just slowly.
+  */
+class PlanHygieneSpec extends GraftSuite {
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf0001)
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+  }
+
+  test("q6 filter is pushed to the parquet scan") {
+    val p = plan("q6_filter")
+    assert(p.contains("PushedFilters:"), p.take(500))
+    assert(p.contains("IsNotNull(l_shipdate)") || p.contains("GreaterThanOrEqual(l_shipdate"),
+      "shipdate predicate must reach the scan")
+  }
+
+  test("q1 scan reads only the projected columns") {
+    val p = plan("q1_agg")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_returnflag") && readSchema.contains("l_quantity"))
+    assert(!readSchema.contains("l_orderkey") && !readSchema.contains("l_partkey"),
+      s"unprojected columns read: $readSchema")
+  }
+
+  test("q2 dimension joins are broadcast") {
+    val p = plan("q2_join")
+    assert(p.contains("BroadcastHashJoin"), "nation/region should broadcast")
+    assert(!p.contains("SortMergeJoin"), "no shuffle join for tiny dims")
+  }
+
+  test("whole-stage codegen covers the q1 aggregate") {
+    // AQE wraps the plan until execution, hiding codegen spans — check
+    // the plan shape with AQE off
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = SparkEntry.queries("q1_agg")(spark, sf0001)
+      // `*(n)` prefixes mark WholeStageCodegen spans in plan toString
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("*(1) HashAggregate") || p.contains("*(2) HashAggregate"),
+        s"agg must stay in codegen:\n${p.take(400)}")
+      assert(p.contains("partial_sum"), "map-side partial aggregation expected")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("grid eps-join plans as an equi hash join, not a cartesian") {
+    val p = plan("eps_neighbors")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "grid blocking must produce an equi-join plan")
+  }
+}
