@@ -95,6 +95,35 @@ object BaseQueries {
         .orderBy("o_orderstatus")
     }),
 
+    // Rollup (hierarchical grouping sets — beyond-reference relational op).
+    "q8_rollup" -> ((s, dir) => {
+      table(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+    }),
+
+    // Set difference: small parts that are not premium-priced.
+    "q9_except" -> ((s, dir) => {
+      val p = table(s, dir, "part")
+      p.where(col("p_size") <= 10).select("p_partkey")
+        .except(p.where(col("p_retailprice") > 1500).select("p_partkey"))
+        .orderBy("p_partkey")
+    }),
+
+    // Frame window: per-supplier running revenue over ship dates.
+    "q10_running" -> ((s, dir) => {
+      val w = Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      table(s, dir, "lineitem")
+        .where(col("l_suppkey") <= 5)
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          round(sum(col("l_extendedprice")).over(w), 2).as("running_rev"))
+        .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+    }),
+
     // J1 (the reference's one join, made scalable): grid-blocked ε-neighborhood
     // self-join on (p_size, p_retailprice) points, exact L1 predicate — the
     // DuckDB oracle is the reference-faithful cartesian θ-join.
@@ -162,6 +191,22 @@ object BaseQueries {
         |WHERE EXISTS (SELECT 1 FROM lineitem
         |  WHERE l_orderkey = o_orderkey AND l_quantity >= 50)
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q8_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q9_except" ->
+      """SELECT p_partkey FROM part WHERE p_size <= 10
+        |EXCEPT SELECT p_partkey FROM part WHERE p_retailprice > 1500
+        |ORDER BY p_partkey""".stripMargin,
+    "q10_running" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  round(sum(l_extendedprice) OVER (PARTITION BY l_suppkey
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ROWS UNBOUNDED PRECEDING), 2) AS running_rev
+        |FROM lineitem WHERE l_suppkey <= 5
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
     "eps_neighbors" ->
       """SELECT a.p_partkey AS p_partkey, count(*) AS n_neighbors
         |FROM part a, part b

@@ -119,6 +119,38 @@ object ClusterQueries {
         maxLloyd = 5)
       m.assignment.groupBy("cluster").agg(count(lit(1)).as("n_members"))
         .orderBy("cluster")
+    }),
+
+    // E1: the reference's whole entry point — ε sweep with argmin
+    // selection (DBSCAN.py:157-205). Deterministic metrics (seconds
+    // dropped); rows-only gate + sweep-shape specs.
+    "dbscan_sweep" -> ((s, dir) => {
+      import s.implicits._
+      val (recs, best) = Dbscan.sweep(pts(s, dir), "id", "qi",
+        epsRange = Seq(0.5, 2.0), minPts = minPts, k = kAnon)
+      best.foreach(_._2.unpersist())
+      recs.map(r => (r.eps, r.nClusters, r.nNoise,
+        BigDecimal(r.clusterError).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        if (r.noiseError.isPosInfinity) -1.0
+        else BigDecimal(r.noiseError).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble))
+        .toDF("eps", "n_clusters", "n_noise", "cluster_error", "noise_error")
+        .orderBy("eps")
+    }),
+
+    // MLlib pipeline interop (the BASELINE.json "DataFrame + MLlib"
+    // framing): assemble the same points into MLlib vectors and run
+    // spark.ml KMeans — demonstrates the engine coexists with MLlib.
+    "mllib_kmeans" -> ((s, dir) => {
+      import org.apache.spark.ml.clustering.KMeans
+      import org.apache.spark.ml.functions.array_to_vector
+      val data = pts(s, dir)
+        .select(col("id"), array_to_vector(col("qi")).as("features"))
+      val model = new KMeans().setK(8).setSeed(42L).setMaxIter(5)
+        .fit(data)
+      model.transform(data)
+        .groupBy(col("prediction"))
+        .agg(count(lit(1)).as("n_members"))
+        .orderBy("prediction")
     }))
 
   val oracleSql: Map[String, String] = Map(
