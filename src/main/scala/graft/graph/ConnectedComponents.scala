@@ -43,11 +43,12 @@ object ConnectedComponents {
       val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
       val minsL = sym.groupBy("src").agg(min("dst").as("mn"))
         .select(col("src"), least(col("mn"), col("src")).as("m"))
+      // no distinct here: duplicates don't change small-star's min-aggs
+      // and its final distinct dedups — saves one full shuffle per round
       val large = sym.join(minsL, "src")
         .where(col("dst") > col("src"))
         .select(col("dst").as("src"), col("m").as("dst"))
         .where(col("src") =!= col("dst"))
-        .distinct()
 
       // Small-star: orient edges larger→smaller, attach each node and its
       // smaller neighbors to the minimum neighbor.

@@ -23,6 +23,17 @@ object MultimodalQueries {
       Multimodal.sampleFrames(media, frameBytes = 32, stride = 2)
         .groupBy("media_id").agg(count(lit(1)).as("n_frames"))
         .orderBy("media_id")
+    }),
+
+    // cross-module integration: decode images -> histogram embeddings ->
+    // brute-force cosine top-k over them (the full multimodal-to-ANN
+    // pipeline; deterministic, rows-only gate + recall covered by specs)
+    "media_similar" -> ((s, dir) => {
+      val dec = Multimodal.decodeImages(Multimodal.syntheticMedia(s, dir))
+        .toDF().select(col("media_id"), col("embedding"))
+      graft.operators.SimilaritySearch.cosineTopK(
+        dec, dec.where(col("media_id") < 10), "media_id", "embedding", 5)
+        .orderBy("q_id", "rank")
     }))
 
   val oracleSql: Map[String, String] = Map(
