@@ -1,0 +1,55 @@
+package graft
+
+import graft.functions.{DotExpr, L1DistExpr, PolyHashExpr, ShingleHashesExpr}
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Spark session extension registering graft's native expressions as SQL
+  * functions, so `spark.sql("SELECT poly_hash(text) ...")` works next to
+  * the Column API:
+  *
+  * {{{
+  * SparkSession.builder()
+  *   .withExtensions(new GraftExtensions)   // or
+  *   .config("spark.sql.extensions", "graft.GraftExtensions")
+  * }}}
+  *
+  * This is the (b)-tier extension point of the custom-operator ladder
+  * (SURVEY §7): scalar kernels as injected functions; no custom
+  * LogicalPlan/Strategy is needed anywhere in the engine — every
+  * whole-operator semantic composes from built-ins.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach { case (name, usage, builder) =>
+      ext.injectFunction((FunctionIdentifier(name),
+        GraftExtensions.info(name, usage), builder))
+    }
+}
+
+object GraftExtensions {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[PolyHashExpr].getName, null, name, usage,
+      "", "", "", "", "", "", "scala_udf")
+
+  private val functions: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("poly_hash", "poly_hash(str) - rolling polynomial hash mod 1e9+7",
+      args => PolyHashExpr(args.head)),
+    ("l1_dist", "l1_dist(a, b) - Manhattan distance of double arrays",
+      args => L1DistExpr(args.head, args(1))),
+    ("dot_product", "dot_product(a, b) - dot product of double arrays",
+      args => DotExpr(args.head, args(1))),
+    ("shingle_hashes",
+      "shingle_hashes(text, n) - distinct poly-hashes of word n-grams",
+      args => ShingleHashesExpr(args.head, args(1))))
+
+  /** Register on an already-built session (temp functions) — the runtime
+    * alternative to `spark.sql.extensions` for sessions you don't build. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    functions.foreach { case (name, _, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
+}
