@@ -1,0 +1,38 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+/** Production write patterns for 100 TB corpora — the sink-side half of
+  * the scale story: partition pruning for downstream readers, bounded
+  * file counts, and deterministic layout.
+  */
+object CorpusWriter {
+
+  /** Hive-style partitioned parquet: downstream `WHERE lang = 'en'` scans
+    * prune to one directory (PartitionFilters, not data filters).
+    * `filesPerPartition` bounds small-file explosion: rows are
+    * repartitioned by (partition cols, bucket) before the write so each
+    * partition directory gets at most that many files.
+    */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String],
+                       filesPerPartition: Int = 4): Unit = {
+    val bucketed = df.repartition(
+      (partitionCols.map(col) :+
+        pmod(spark_partition_id() + monotonically_increasing_id(),
+          lit(filesPerPartition))): _*)
+    bucketed.write
+      .mode(SaveMode.Overwrite)
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+  }
+
+  /** Sorted-within-file layout: rows sorted inside each output file by
+    * `sortCols` so parquet min/max row-group stats prune range predicates
+    * (the poor-man's z-order for a single sort key). */
+  def writeSorted(df: DataFrame, path: String, sortCols: Seq[String],
+                  numFiles: Int): Unit =
+    df.repartitionByRange(numFiles, sortCols.map(col): _*)
+      .sortWithinPartitions(sortCols.map(col): _*)
+      .write.mode(SaveMode.Overwrite).parquet(path)
+}
