@@ -1,11 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.ColumnBridge
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 
 /** Native Catalyst expressions for the hot vector kernels (L1 distance,
   * dot product) over `array<double>` columns.
@@ -42,6 +42,66 @@ object VecKernels {
 
   def dot_product(a: Column, b: Column): Column =
     ColumnBridge.column(DotExpr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  // ------------------------------------------------ sign-band LSH kernel
+
+  /** Deterministic per-band plane seed: base golden-ratio constant scaled
+    * by band index (wrapping Long arithmetic). */
+  val SignBandBaseSeed = 0x9E3779B97F4A7C15L
+  def bandSeed(base: Long, band: Int): Long = base * (band + 1)
+
+  /** xorshift64* hyperplane matrix, flat [band][bit][dim] — the exact
+    * generator of [[graft.operators.SimilaritySearch.signBucket]], so the
+    * declarative single-band form cross-checks this kernel bit-for-bit. */
+  def planeMatrix(bands: Int, bits: Int, dim: Int, baseSeed: Long): Array[Double] = {
+    val out = new Array[Double](bands * bits * dim)
+    var b = 0
+    while (b < bands) {
+      var s = bandSeed(baseSeed, b)
+      var idx = b * bits * dim
+      val end = idx + bits * dim
+      while (idx < end) {
+        s ^= (s << 13); s ^= (s >>> 7); s ^= (s << 17)
+        out(idx) = s * 2.685821657736338e-19
+        idx += 1
+      }
+      b += 1
+    }
+    out
+  }
+
+  /** All `bands` sign-band keys of one vector in a single pass: band b's
+    * key packs `bits` sign bits of projections onto its hyperplanes.
+    * Summation order matches [[dot]] so signs are bit-identical to the
+    * declarative form. */
+  def signBands(vec: ArrayData, planes: Array[Double], bands: Int, bits: Int,
+                dim: Int): ArrayData = {
+    val n = math.min(vec.numElements(), dim)
+    val out = new Array[Long](bands)
+    var b = 0
+    var off = 0
+    while (b < bands) {
+      var key = 0L
+      var j = 0
+      while (j < bits) {
+        var acc = 0.0
+        var i = 0
+        while (i < n) { acc += vec.getDouble(i) * planes(off + i); i += 1 }
+        if (acc >= 0) key |= (1L << j)
+        off += dim
+        j += 1
+      }
+      out(b) = key
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Column of `array<long>` band keys (one element per band). */
+  def sign_bands(vec: Column, dim: Int, bits: Int, bands: Int,
+                 baseSeed: Long = SignBandBaseSeed): Column =
+    ColumnBridge.column(SignBandsExpr(ColumnBridge.expression(vec),
+      planeMatrix(bands, bits, dim, baseSeed), bands, bits, dim))
 }
 
 case class L1DistExpr(left: Expression, right: Expression) extends BinaryExpression {
@@ -53,6 +113,25 @@ case class L1DistExpr(left: Expression, right: Expression) extends BinaryExpress
     defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VecKernels.l1($a, $b)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =
     copy(left = l, right = r)
+}
+
+/** Sign-band LSH keys with the hyperplane matrix carried as a codegen
+  * reference object — expression-tree size stays O(1) regardless of
+  * bands×bits×dim (the literal-array form would inline thousands of
+  * doubles into the plan and fall out of codegen past the 64KB limit). */
+case class SignBandsExpr(child: Expression, planes: Array[Double],
+                         bands: Int, bits: Int, dim: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def toString: String = s"sign_bands($child, $bands x $bits)"
+  protected override def nullSafeEval(v: Any): Any =
+    VecKernels.signBands(v.asInstanceOf[ArrayData], planes, bands, bits, dim)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val pRef = ctx.addReferenceObj("signPlanes", planes, "double[]")
+    defineCodeGen(ctx, ev, v =>
+      s"graft.functions.VecKernels.signBands($v, $pRef, $bands, $bits, $dim)")
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
 case class DotExpr(left: Expression, right: Expression) extends BinaryExpression {

@@ -34,6 +34,15 @@ object VectorQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // LSH-pruned embedding near-dup: sign-band candidates + exact verify.
+    // The planes are deterministic, so the result is exactly the brute
+    // all-pairs set and shares its SQL oracle; the plan is asserted
+    // cartesian-free in SimilaritySearchSpec.
+    "embed_pairs_lsh" -> ((s, dir) => {
+      graft.operators.Dedup.embeddingPairs(embs(s, dir), "vec_id", "embedding", CosTau)
+        .orderBy("id_a", "id_b")
+    }),
+
     // IVF-bucketed ANN: same queries through the coarse quantizer
     // (approximate — no SQL oracle; recall vs brute force is spec-checked)
     "ann_ivf" -> ((s, dir) => {
@@ -60,6 +69,15 @@ object VectorQueries {
          |SELECT q_id, id, sim, CAST(rank AS INT) AS rank FROM ranked
          |WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin,
     "cosine_pairs" ->
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+         |  FROM embeddings)
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b, round($sqlCos, 6) AS sim
+         |FROM v a JOIN v b ON a.vec_id < b.vec_id
+         |WHERE round($sqlCos, 6) >= $CosTau
+         |ORDER BY id_a, id_b""".stripMargin,
+    // identical result set to cosine_pairs by construction (deterministic
+    // planes, full recall at the gate's tau/data) — same oracle
+    "embed_pairs_lsh" ->
       s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
          |  FROM embeddings)
          |SELECT a.vec_id AS id_a, b.vec_id AS id_b, round($sqlCos, 6) AS sim

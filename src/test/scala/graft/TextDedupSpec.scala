@@ -137,4 +137,37 @@ class SimilaritySearchSpec extends GraftSuite {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(got == Set((1L, 2L)))
   }
+
+  test("LSH pairs equal the brute-force set on real embeddings") {
+    val e = graft.core.Tables.table(spark, sf0001, "embeddings")
+    val brute = SimilaritySearch.cosinePairs(e, "vec_id", "embedding", 0.4)
+      .select("id_a", "id_b", "sim").as[(Long, Long, Double)].collect().toSet
+    val lsh = graft.operators.Dedup.embeddingPairs(e, "vec_id", "embedding", 0.4)
+      .select("id_a", "id_b", "sim").as[(Long, Long, Double)].collect().toSet
+    assert(lsh.subsetOf(brute), "exact verify → no false positives")
+    assert(lsh == brute, s"recall miss: ${brute -- lsh}")
+  }
+
+  test("LSH pairs plan is an equi-join — no cartesian, no nested loop") {
+    val e = graft.core.Tables.table(spark, sf0001, "embeddings")
+    val p = graft.operators.Dedup.embeddingPairs(e, "vec_id", "embedding", 0.4)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"LSH candidate generation must plan as an equi-join:\n${p.take(600)}")
+  }
+
+  test("native sign_bands kernel matches the declarative signBucket form") {
+    import graft.functions.VecKernels
+    val e = graft.core.Tables.table(spark, sf0001, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
+      .limit(50)
+    for (band <- Seq(0, 3, 63)) {
+      val mismatches = e.select(
+        element_at(VecKernels.sign_bands(col("vec"), 64, 5, 64), band + 1).as("k"),
+        SimilaritySearch.signBucket("vec", 64, 5,
+          VecKernels.bandSeed(VecKernels.SignBandBaseSeed, band)).as("d"))
+        .where(col("k") =!= col("d")).count()
+      assert(mismatches == 0, s"band $band diverges from declarative form")
+    }
+  }
 }
