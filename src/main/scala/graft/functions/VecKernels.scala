@@ -102,6 +102,82 @@ object VecKernels {
                  baseSeed: Long = SignBandBaseSeed): Column =
     ColumnBridge.column(SignBandsExpr(ColumnBridge.expression(vec),
       planeMatrix(bands, bits, dim, baseSeed), bands, bits, dim))
+
+  // ------------------------------------------- nearest-centroid kernel
+
+  /** Top-`k` centroids for one vector, ascending by (d, cluster) where d is
+    * the L1 distance or the negated cosine. Ties go to the lowest cluster
+    * id — the Python-2 dict-iteration quirk the fold form also preserves.
+    * Arithmetic orders match [[l1]] / [[dot]] exactly, so results are
+    * bit-equal to the declarative forms. */
+  def topCentroids(vec: ArrayData, ids: Array[Int], flat: Array[Double],
+                   dim: Int, cosine: Boolean, k: Int): ArrayData = {
+    val m = ids.length
+    val kk = math.min(k, m)
+    val bestD = new Array[Double](kk)
+    val bestC = new Array[Int](kk)
+    var cnt = 0
+    val n = math.min(vec.numElements(), dim)
+    var c = 0
+    while (c < m) {
+      val off = c * dim
+      var d = 0.0
+      if (cosine) {
+        var dab = 0.0; var daa = 0.0; var dbb = 0.0
+        var i = 0
+        while (i < n) {
+          val a = vec.getDouble(i); val b = flat(off + i)
+          dab += a * b; daa += a * a; dbb += b * b; i += 1
+        }
+        val denom = math.sqrt(daa) * math.sqrt(dbb)
+        d = if (denom == 0.0) 0.0 else -(dab / denom)
+      } else {
+        var i = 0
+        while (i < n) { d += math.abs(vec.getDouble(i) - flat(off + i)); i += 1 }
+      }
+      val cid = ids(c)
+      // insertion into the sorted top-k
+      var pos = cnt
+      while (pos > 0 && (d < bestD(pos - 1) ||
+          (d == bestD(pos - 1) && cid < bestC(pos - 1)))) pos -= 1
+      if (pos < kk) {
+        val last = math.min(cnt, kk - 1)
+        var j = last
+        while (j > pos) { bestD(j) = bestD(j - 1); bestC(j) = bestC(j - 1); j -= 1 }
+        bestD(pos) = d; bestC(pos) = cid
+        if (cnt < kk) cnt += 1
+      }
+      c += 1
+    }
+    val rows = new Array[Any](cnt)
+    var r = 0
+    while (r < cnt) {
+      rows(r) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](bestC(r), bestD(r)))
+      r += 1
+    }
+    new GenericArrayData(rows)
+  }
+
+  /** Column of the `k` nearest centroids as `array<struct<cluster,d>>`,
+    * ascending by (d, cluster). The centroid matrix rides along as a
+    * codegen reference object — expression-tree size is O(1) in the number
+    * of centroids, so nlist can be 64k without hitting the JVM 64KB
+    * codegen method limit that literal-folded centroids do. */
+  def nearest_centroids(vec: Column, cents: Seq[(Int, Array[Double])], k: Int,
+                        cosine: Boolean): Column = {
+    val sorted = cents.sortBy(_._1)
+    val ids = sorted.map(_._1).toArray
+    val dim = sorted.head._2.length
+    val flat = new Array[Double](ids.length * dim)
+    var c = 0
+    while (c < ids.length) {
+      System.arraycopy(sorted(c)._2, 0, flat, c * dim, dim)
+      c += 1
+    }
+    ColumnBridge.column(NearestCentroidsExpr(ColumnBridge.expression(vec),
+      ids, flat, dim, cosine, k))
+  }
 }
 
 case class L1DistExpr(left: Expression, right: Expression) extends BinaryExpression {
@@ -130,6 +206,30 @@ case class SignBandsExpr(child: Expression, planes: Array[Double],
     val pRef = ctx.addReferenceObj("signPlanes", planes, "double[]")
     defineCodeGen(ctx, ev, v =>
       s"graft.functions.VecKernels.signBands($v, $pRef, $bands, $bits, $dim)")
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** Top-k nearest centroids (L1 or cosine) with the centroid matrix as a
+  * codegen reference object; see [[VecKernels.nearest_centroids]]. */
+case class NearestCentroidsExpr(child: Expression, ids: Array[Int],
+                                flat: Array[Double], dim: Int,
+                                cosine: Boolean, k: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("cluster",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("d", DoubleType, nullable = false))),
+    containsNull = false)
+  override def toString: String = s"nearest_centroids($child, ${ids.length}, top$k)"
+  protected override def nullSafeEval(v: Any): Any =
+    VecKernels.topCentroids(v.asInstanceOf[ArrayData], ids, flat, dim, cosine, k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val idsRef = ctx.addReferenceObj("centroidIds", ids, "int[]")
+    val flatRef = ctx.addReferenceObj("centroidFlat", flat, "double[]")
+    defineCodeGen(ctx, ev, v =>
+      s"graft.functions.VecKernels.topCentroids($v, $idsRef, $flatRef, $dim, $cosine, $k)")
   }
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }

@@ -38,12 +38,22 @@ final case class KMeansModel(assignment: DataFrame,
   */
 object ConstrainedKMeans {
 
-  /** Nearest centroid as a pure Column expression: folds a broadcast-style
-    * literal array of (cluster, centroid) structs with `aggregate`, so
-    * assignment is a single narrow projection — no shuffle, no crossJoin,
-    * no UDF. Strict `<` keeps the first (lowest-index) centroid on ties.
-    */
-  private def nearestCentroid(qi: Column, cents: Seq[(Int, Array[Double])]): Column = {
+  /** Nearest centroid as a single narrow projection — no shuffle, no
+    * crossJoin, no UDF. The centroid matrix rides as a codegen reference
+    * object ([[graft.functions.VecKernels.nearest_centroids]]), so the
+    * plan stays O(1)-sized and codegen'd at any cluster count (the literal
+    * `aggregate` fold, kept below as the spec cross-check, hits the JVM
+    * 64KB codegen limit past a few hundred centroids). Ties keep the
+    * lowest cluster index in both forms. */
+  private def nearestCentroid(qi: Column, cents: Seq[(Int, Array[Double])]): Column =
+    element_at(
+      graft.functions.VecKernels.nearest_centroids(qi, cents, 1, cosine = false), 1)
+
+  /** The round-1 literal-fold form — bit-equal to [[nearestCentroid]]
+    * (asserted in ConstrainedKMeansSpec); retained as the declarative
+    * oracle of the native kernel. */
+  private[graft] def nearestCentroidFold(qi: Column,
+                                         cents: Seq[(Int, Array[Double])]): Column = {
     val centArr = array(cents.sortBy(_._1).map { case (cid, c) =>
       struct(lit(cid).as("cluster"), array(c.map(lit(_)): _*).as("centroid"))
     }: _*)
@@ -80,9 +90,16 @@ object ConstrainedKMeans {
 
       // ---- repair loop: every cluster ends with >= k members (modulo the
       // tolerated single deficit) ----
+      // Each round's assignment is persisted (it feeds the size count, the
+      // keep-k split, and the final union); rounds' caches are RELEASED as
+      // soon as the iteration's final assignment is materialized, and the
+      // accumulating `completed` union is lineage-cut every few rounds —
+      // without both, a long repair run leaks cached blocks and grows the
+      // plan a layer per round.
       var avail = pts
       var availCents = centroids
       var completed: DataFrame = null
+      var roundCaches = List.empty[DataFrame]
       var repairs = 0
       var repairing = true
       while (repairing && repairs < maxRepair) {
@@ -92,6 +109,7 @@ object ConstrainedKMeans {
           .select(col("id"), col("qi"),
             col("nc.cluster").as("cluster"), col("nc.d").as("d"))
           .persist(StorageLevel.MEMORY_AND_DISK)
+        roundCaches ::= assigned
 
         val sizesMap = assigned.groupBy("cluster").agg(count(lit(1)).as("n"))
           .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
@@ -106,19 +124,24 @@ object ConstrainedKMeans {
           val w = Window.partitionBy("cluster").orderBy(col("d"), col("id"))
           val ranked = assigned.withColumn("rn", row_number().over(w))
           val kept = ranked.where(col("rn") <= kAnon).select("cluster", "id", "qi")
-          completed = if (completed == null) kept
-            else completed.unionByName(kept).persist(StorageLevel.MEMORY_AND_DISK)
+          completed = if (completed == null) kept else completed.unionByName(kept)
+          if (repairs % 8 == 0) {
+            completed = completed.localCheckpoint()
+            roundCaches ::= completed
+          }
           avail = ranked.where(col("rn") > kAnon).select("id", "qi")
           availCents = availCents.view.filterKeys(deficient).toMap
         } else {
           val fin = assigned.select("cluster", "id", "qi")
           completed = if (completed == null) fin
-            else completed.unionByName(fin).persist(StorageLevel.MEMORY_AND_DISK)
+            else completed.unionByName(fin)
           repairing = false
         }
       }
 
-      val assignment = completed.persist(StorageLevel.MEMORY_AND_DISK)
+      // eager lineage cut — after this the per-round caches are dead
+      val assignment = completed.localCheckpoint()
+      roundCaches.foreach(_.unpersist())
 
       // new centroid = per-dimension mean over members (calculate_centroid)
       val dimAvgs = (0 until dim).map(i => avg(element_at(col("qi"), i + 1)).as(s"c$i"))

@@ -65,6 +65,39 @@ class ConstrainedKMeansSpec extends GraftSuite {
     assert(ConstrainedKMeans.isConverged(oldC, newC, 2))
   }
 
+  test("long repair runs keep plan depth bounded and leak no caches") {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.size
+    // near-uniform points with nClusters*k close to n force repeated
+    // donation rounds — enough to cross the every-8-rounds lineage cut
+    val rnd = new scala.util.Random(31)
+    val pts = (0 until 120).map(i =>
+      (i.toLong, Array(rnd.nextDouble(), rnd.nextDouble()))).toDF("id", "qi")
+    val m = ConstrainedKMeans.fit(pts, "id", "qi", nClusters = 12, kAnon = 9,
+      seed = 2, maxLloyd = 2, maxRepair = 20)
+    assert(m.assignment.count() > 0)
+    val depth = m.assignment.queryExecution.executedPlan.toString
+      .linesIterator.size
+    assert(depth < 30, s"plan depth $depth — repair lineage not cut")
+    m.unpersist()
+    assert(sc.getPersistentRDDs.size - before <= 1,
+      s"cached blocks leaked across the fit: before=$before after=${sc.getPersistentRDDs.size}")
+  }
+
+  test("native nearest-centroid kernel is bit-equal to the literal fold") {
+    val rnd = new scala.util.Random(17)
+    val pts = (0 until 200).map(i =>
+      (i.toLong, Array.fill(4)(rnd.nextGaussian() * 10))).toDF("id", "qi")
+    val cents = (0 until 37).map(c => c -> Array.fill(4)(rnd.nextGaussian() * 10))
+    val mismatches = pts.select(
+      element_at(graft.functions.VecKernels.nearest_centroids(
+        col("qi"), cents, 1, cosine = false), 1).as("k"),
+      ConstrainedKMeans.nearestCentroidFold(col("qi"), cents).as("f"))
+      .where(col("k.cluster") =!= col("f.cluster") || col("k.d") =!= col("f.d"))
+      .count()
+    assert(mismatches == 0)
+  }
+
   test("sweep picks the lowest-cost configuration") {
     val pts = (blob(0, 0, 10, 0L) ++ blob(40, 40, 10, 100L)).toDF("id", "qi")
     val m = ConstrainedKMeans.sweep(pts, "id", "qi",
