@@ -38,20 +38,71 @@ object Dedup {
     docs.select(col(idCol).as("id"),
       explode(graft.functions.TextKernels.shingle_hashes(col(textCol), lit(n))).as("h"))
 
-  /** Near-duplicate pairs with exact n-gram Jaccard >= tau, via an
-    * inverted shingle index: pairs sharing >= 1 shingle are generated by a
-    * shingle equi-join (shuffle keyed on shingle, never cartesian), then
-    * |A ∩ B| / (|A| + |B| - |A ∩ B|) filters exactly.
+  /** Near-duplicate pairs with exact n-gram Jaccard >= tau, via
+    * document-frequency-ordered PREFIX FILTERING (PPJoin-style, Bayardo et
+    * al. "Scaling Up All Pairs Similarity Search", WWW'07 — public
+    * literature, not the reference):
+    *
+    * J(A,B) >= tau implies |A∩B| >= ceil(tau·max(|A|,|B|)), so with any
+    * consistent global token order the two prefixes of length
+    * |x| - ceil(tau·|x|) + 1 must intersect. Ordering tokens by ascending
+    * global document frequency (ties by hash) puts the RAREST shingles in
+    * the prefixes — the stop-word-grade shingle that pairs every document
+    * lands in almost no prefix, which kills the hot-key join-output skew
+    * that an unfiltered inverted index suffers (its straggler task is the
+    * first thing to break at corpus scale). The candidate equi-join on
+    * prefix tokens also carries a size-compatibility predicate
+    * (tau·|B| <= |A| <= |B|/tau); survivors are verified exactly against
+    * the full precomputed shingle sets. Exact by construction — no recall
+    * knob. [[jaccardPairsIndex]] keeps the plain inverted-index form as
+    * the spec cross-check. */
+  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                   n: Int, tau: Double): DataFrame = {
+    // full shingle-hash set per doc, ordered by (global df, hash) — one
+    // narrow extraction, one df aggregation, one 1:N join back
+    val sh = shingleHashIndex(docs, idCol, textCol, n).localCheckpoint()
+    val df = sh.groupBy("h").agg(count(lit(1)).as("df"))
+    val sets = sh.join(df, "h")
+      .groupBy("id")
+      .agg(transform(sort_array(collect_list(struct(col("df"), col("h")))),
+        s => s.getField("h")).as("sh"))
+      .select(col("id"), col("sh"), size(col("sh")).as("nsh"))
+      .localCheckpoint() // feeds the prefix explode and both verify joins
+    val prefix = sets.select(col("id"), col("nsh"),
+      explode(slice(col("sh"), lit(1),
+        (col("nsh") - ceil(col("nsh") * tau) + 1).cast("int"))).as("h"))
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.h") === col("b.h") && col("a.id") < col("b.id")
+          && col("a.nsh") >= col("b.nsh") * tau
+          && col("b.nsh") >= col("a.nsh") * tau)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val inter = size(array_intersect(col("sh_a"), col("sh_b")))
+    cand
+      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a"),
+        col("nsh").as("na")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b"),
+        col("nsh").as("nb")), "id_b")
+      .withColumn("jaccard",
+        round(inter.cast("double") / (col("na") + col("nb") - inter), 6))
+      .where(col("jaccard") >= tau)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** The plain inverted-index form: every shared shingle generates a
+    * candidate row and the intersection is counted by the join itself.
+    * Correct and cartesian-free, but join OUTPUT is quadratic in hot-
+    * shingle frequency — kept as the cross-check for [[jaccardPairs]] and
+    * to exercise the salting knob.
     *
     * Stop-word-grade shingles ("the a") pair almost every document, and a
     * plain equi-join puts each such hot key in ONE task (AQE splits by
     * partition size, and the skew here is in join *output*, not input) —
     * so with `salt > 1` the left side is salted by id-hash and the right
     * side replicated across the `salt` buckets: identical output, hot keys
-    * spread over `salt` tasks. Off by default — replication costs more
-    * than it saves until a single key dominates a task. */
-  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-                   n: Int, tau: Double, salt: Int = 1): DataFrame = {
+    * spread over `salt` tasks. */
+  def jaccardPairsIndex(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int, tau: Double, salt: Int = 1): DataFrame = {
     // materialize the index once — it feeds both join sides and the size
     // table, and shingle extraction is the expensive projection here
     val sh = shingleHashIndex(docs, idCol, textCol, n).localCheckpoint()

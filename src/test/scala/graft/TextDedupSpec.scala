@@ -56,6 +56,18 @@ class TextDedupSpec extends GraftSuite {
     assert(!got.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("prefix-filtered jaccard == inverted index == salted index") {
+    val d = graft.core.Tables.table(spark, sf0001, "documents")
+    def collect(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    val prefix = collect(Dedup.jaccardPairs(d, "doc_id", "text", 2, 0.3))
+    val index = collect(Dedup.jaccardPairsIndex(d, "doc_id", "text", 2, 0.3))
+    val salted = collect(Dedup.jaccardPairsIndex(d, "doc_id", "text", 2, 0.3, salt = 4))
+    assert(prefix.nonEmpty, "test data must produce pairs")
+    assert(prefix == index, s"prefix vs index: ${(prefix diff index) ++ (index diff prefix)}")
+    assert(salted == index, s"salted vs index: ${(salted diff index) ++ (index diff salted)}")
+  }
+
   test("minhash-LSH finds the same pairs as exact jaccard at tau=0.5") {
     val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 2, 0.5)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
@@ -154,6 +166,42 @@ class SimilaritySearchSpec extends GraftSuite {
       .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"LSH candidate generation must plan as an equi-join:\n${p.take(600)}")
+  }
+
+  test("nearest_centroids at nlist=1024 stays in whole-stage codegen") {
+    // the centroid matrix rides as a reference object, so the projection
+    // must stay inside a WholeStageCodegen span (the literal fold would
+    // drop interpreted past the 64KB codegen method limit at this nlist);
+    // a parquet-backed input keeps ConvertToLocalRelation from folding
+    // the projection away at optimization time
+    val rnd = new scala.util.Random(23)
+    val cents = (0 until 1024).map(c => c -> Array.fill(64)(rnd.nextGaussian()))
+    val e = graft.core.Tables.table(spark, sf0001, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
+    val assigned = e.select(col("vec_id"),
+      element_at(graft.functions.VecKernels.nearest_centroids(
+        col("vec"), cents, 16, cosine = true), 1).getField("cluster").as("bucket"))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val planStr = assigned.queryExecution.executedPlan.toString
+      val line = planStr.linesIterator
+        .find(_.contains("nearest_centroids")).getOrElse("")
+      assert(line.trim.startsWith("*("),
+        s"bucket assignment fell out of codegen:\n${planStr.take(1500)}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert(assigned.where(col("bucket").between(0, 1023)).count() == 500)
+  }
+
+  test("IVF fit+search at nlist=1024 returns full result sets") {
+    val rnd = new scala.util.Random(23)
+    val pts = (0 until 2048).map(i =>
+      (i.toLong, Array.fill(8)(rnd.nextGaussian()))).toDF("vec_id", "embedding")
+    val idx = SimilaritySearch.ivfIndex(pts, "vec_id", "embedding",
+      nlist = 1024, seed = 5, lloydIters = 1)
+    val res = idx.search(pts.where(col("vec_id") < 3), "vec_id", "embedding",
+      k = 4, nprobe = 16)
+    val counts = res.groupBy("q_id").count().as[(Long, Long)].collect().toMap
+    assert(counts.size == 3 && counts.values.forall(_ == 4L), counts.toString)
   }
 
   test("native sign_bands kernel matches the declarative signBucket form") {
