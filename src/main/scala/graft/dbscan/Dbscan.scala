@@ -79,10 +79,13 @@ object Dbscan {
       .epsJoinGrid(pts.select("id", "qi", "w"), "id", "qi", eps, blockDims)
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    // Core test: Σ weight of neighbors ≥ minPts (duplicates count).
-    val core = pairs.groupBy(col("a_id"))
+    // Core test: the reference's cartesian keys pairs on the point VALUE,
+    // so a point with c duplicate copies sees each neighbor c times — its
+    // neighbor list is c·Σw_b long. Weighted mode reproduces that as
+    // a_w · Σ(b_w) ≥ minPts; unweighted rows have a_w = 1.
+    val core = pairs.groupBy(col("a_id"), col("a_w"))
       .agg(sum("b_w").as("nw"))
-      .where(col("nw") >= minPts)
+      .where(col("a_w") * col("nw") >= minPts)
       .select(col("a_id").as("core_id"))
 
     // Directed edges core → neighbor (flattenPair, DBSCAN.py:119-124,162).

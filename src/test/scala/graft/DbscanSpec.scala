@@ -66,6 +66,19 @@ class DbscanSpec extends GraftSuite {
     assert(m.nClusters == 0 && m.nNoise == 1)
   }
 
+  test("duplicated point's multiplicity multiplies its neighbor list (a_w * sum(b_w))") {
+    // P duplicated 2x with one neighbor Q: the value-keyed reference
+    // neighborhood of P has 2 * (2 + 1) = 6 entries, so with minPts=4
+    // P IS core (each copy contributes its full neighbor list), even
+    // though the distinct-neighbor weight sum is only 3
+    val rows = Seq(Array(0.0, 0.0), Array(0.0, 0.0), Array(0.5, 0.0))
+      .map(Tuple1(_)).toDF("qi")
+    val m = Dbscan.runCollapsed(rows, "qi", eps = 1.0, minPts = 4, k = 1)
+    assert(m.nClusters == 1,
+      s"P must be core via multiplicity: clusters=${m.nClusters} noise=${m.nNoise}")
+    assert(m.nNoise == 0, "Q is a border point absorbed by CC")
+  }
+
   test("all three modes agree on the two-blob data") {
     val a = Dbscan.run(twoBlobs, "id", "qi", 4.0, 3, 3, Cc)
     val b = Dbscan.run(twoBlobs, "id", "qi", 4.0, 3, 3, CcGraphX)
