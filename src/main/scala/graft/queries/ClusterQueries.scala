@@ -61,6 +61,15 @@ object ClusterQueries {
     dbscanCache.getOrElseUpdate((s, dir),
       Dbscan.run(pts(s, dir), "id", "qi", eps, minPts, kAnon, Cc))
 
+  /** One constrained-k-means fit shared by kmeans_constrained and
+    * sink_roundtrip, memoized like the DBSCAN model above. */
+  private val kmeansCache = TrieMap.empty[(SparkSession, String), graft.kmeans.KMeansModel]
+  private def sharedKmeans(s: SparkSession, dir: String): graft.kmeans.KMeansModel =
+    kmeansCache.getOrElseUpdate((s, dir),
+      graft.kmeans.ConstrainedKMeans.fit(
+        pts(s, dir), "id", "qi", nClusters = 8, kAnon = 4, seed = 42,
+        maxLloyd = 5))
+
   // Shared SQL prologue: ε-graph via cartesian θ-join (reference-faithful).
   private val sqlGraph =
     s"""pts AS (SELECT p_partkey AS id, CAST(p_size AS DOUBLE) AS x0,
@@ -112,9 +121,13 @@ object ClusterQueries {
     "dbscan_errors" -> ((s, dir) => {
       import s.implicits._
       val m = sharedModel(s, dir)
+      // no-cluster configs yield noiseError = +Inf (reference semantics);
+      // encode as the same -1 sentinel dbscan_sweep uses, mirrored in the
+      // oracle's CASE — BigDecimal would throw on the infinity otherwise
       Seq((m.nClusters, m.nNoise,
         BigDecimal(m.clusterError).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble,
-        BigDecimal(m.noiseError).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble))
+        if (m.noiseError.isPosInfinity) -1.0
+        else BigDecimal(m.noiseError).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble))
         .toDF("n_clusters", "n_noise", "cluster_error", "noise_error")
     }),
 
@@ -138,11 +151,40 @@ object ClusterQueries {
     // oracle; deterministic under the fixed seed, self-checked in
     // ConstrainedKMeansSpec. Output: per-cluster member counts.
     "kmeans_constrained" -> ((s, dir) => {
-      val m = graft.kmeans.ConstrainedKMeans.fit(
-        pts(s, dir), "id", "qi", nClusters = 8, kAnon = 4, seed = 42,
-        maxLloyd = 5)
+      sharedKmeans(s, dir).assignment
+        .groupBy("cluster").agg(count(lit(1)).as("n_members"))
+        .orderBy("cluster")
+    }),
+
+    // E3's outer loops (k-means.ipynb:86-97): cluster-count range x
+    // restarts, argmin-by-cost — iterative like kmeans_constrained, so
+    // rows-only; argmin selection + the single-deficit quirk are pinned
+    // in ConstrainedKMeansSpec.
+    "kmeans_sweep" -> ((s, dir) => {
+      val m = graft.kmeans.ConstrainedKMeans.sweep(
+        pts(s, dir), "id", "qi", clusterRange = Seq(4, 8), restarts = 2,
+        kAnon = 4, seed = 42, maxLloyd = 3)
       m.assignment.groupBy("cluster").agg(count(lit(1)).as("n_members"))
         .orderBy("cluster")
+    }),
+
+    // S2/S3 round-trip: write the anonymized-pairs JSON and the k-means
+    // parquet exactly as the reference does (DBSCAN.py:80-84,
+    // k-means.ipynb:80-82), read both back, aggregate — the sink shapes
+    // (_1.._n structs) go through the driver oracle, not just specs.
+    "sink_roundtrip" -> ((s, dir) => {
+      val m = sharedModel(s, dir)
+      val km = sharedKmeans(s, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_sink_").toString
+      graft.dbscan.Outputs.writeAnonymizedJson(m, dim = 2, s"$tmp/anon_json")
+      graft.dbscan.Outputs.writeKmeansParquet(km, Seq("x0", "x1"),
+        s"$tmp/kmeans_parquet")
+      val j = s.read.json(s"$tmp/anon_json")
+      val p = s.read.parquet(s"$tmp/kmeans_parquet")
+      j.agg(count(lit(1)).as("n_json"),
+          round(sum(col("pt._1")), 2).as("sum_pt_x0"),
+          round(sum(col("an_pt._1")), 2).as("sum_an_x0"))
+        .crossJoin(p.agg(count(lit(1)).as("n_kmeans")))
     }),
 
     // E1: the reference's whole entry point — ε sweep with argmin
@@ -213,7 +255,12 @@ object ClusterQueries {
          |SELECT (SELECT count(*) FROM cents) AS n_clusters,
          |  (SELECT count(*) FROM labels WHERE component IS NULL) AS n_noise,
          |  round((SELECT cluster_error FROM cerr), 2) AS cluster_error,
-         |  round((SELECT noise_error FROM nerr), 2) AS noise_error""".stripMargin,
+         |  CASE WHEN (SELECT count(*) FROM cents) = 0
+         |         AND (SELECT count(*) FROM labels
+         |              WHERE component IS NULL) > 0
+         |       THEN -1.0
+         |       ELSE round((SELECT noise_error FROM nerr), 2)
+         |  END AS noise_error""".stripMargin,
     "dbscan_anonymize" ->
       s"""WITH RECURSIVE
          |$sqlGraph,
@@ -235,6 +282,31 @@ object ClusterQueries {
          |UNION ALL
          |SELECT id, NULL AS component, an_x0, an_x1 FROM nn WHERE rn = 1
          |ORDER BY id""".stripMargin,
+    // reproduces the JSON sink's content (pt + anonymizing centroid per
+    // point, reference output/combine.json) and the k-means parquet's row
+    // count, aggregated — the round-trip is lossless (shortest-roundtrip
+    // double repr), so the sums equal the pipeline's own
+    "sink_roundtrip" ->
+      s"""WITH RECURSIVE
+         |$sqlGraph,
+         |$sqlCc,
+         |cents AS (SELECT l.component, avg(p.x0) AS c0, avg(p.x1) AS c1
+         |  FROM labels l JOIN pts p ON l.id = p.id
+         |  WHERE l.component IS NOT NULL GROUP BY l.component),
+         |members AS (SELECT c.c0 FROM labels l
+         |  JOIN cents c ON l.component = c.component),
+         |nn AS (SELECT l.id, c.c0,
+         |    row_number() OVER (PARTITION BY l.id
+         |      ORDER BY abs(p.x0 - c.c0) + abs(p.x1 - c.c1), c.component)
+         |      AS rn
+         |  FROM labels l JOIN pts p ON l.id = p.id, cents c
+         |  WHERE l.component IS NULL),
+         |an AS (SELECT c0 FROM members
+         |  UNION ALL SELECT c0 FROM nn WHERE rn = 1)
+         |SELECT (SELECT count(*) FROM pts) AS n_json,
+         |  round((SELECT sum(x0) FROM pts), 2) AS sum_pt_x0,
+         |  round((SELECT sum(c0) FROM an), 2) AS sum_an_x0,
+         |  (SELECT count(*) FROM pts) AS n_kmeans""".stripMargin,
     "scc_components" ->
       s"""WITH RECURSIVE
          |$sqlGraph,
