@@ -80,13 +80,16 @@ object Multimodal {
     * per partition, vectorized over the partition's rows. */
   def decodeImages(media: Dataset[MediaRow]): Dataset[DecodedImage] = {
     import media.sparkSession.implicits._
-    media.filter(_.kind == "image").mapPartitions { rows =>
+    // payloads below one scanline (height 0) are undecodable and skipped —
+    // a row-dropping codec policy both the SQL oracle and the stub share
+    // (the old max(height,1) clamp silently diverged from the oracle's
+    // n_chars//16 on sub-scanline docs)
+    media.filter(r => r.kind == "image" && r.height >= 1).mapPartitions { rows =>
       // real codec would init here, once per partition
       rows.map { r =>
-        val h = math.max(r.height, 1)
-        val px = StubCodec.decodeImage(r.payload, r.width, h)
-        val mean = Array(px.map(_.sum.toDouble).sum / (r.width * h))
-        DecodedImage(r.media_id, r.width, h, 1, mean, StubCodec.embed(px))
+        val px = StubCodec.decodeImage(r.payload, r.width, r.height)
+        val mean = Array(px.map(_.sum.toDouble).sum / (r.width * r.height))
+        DecodedImage(r.media_id, r.width, r.height, 1, mean, StubCodec.embed(px))
       }
     }
   }

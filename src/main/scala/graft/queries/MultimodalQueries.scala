@@ -44,7 +44,8 @@ object MultimodalQueries {
         |      range(1, 16 * CAST(n_chars // 16 AS INT) + 1),
         |      i -> ord(substr(text, i, 1)))) AS DOUBLE)
         |    / (16 * CAST(n_chars // 16 AS INT)), 4) AS mean_intensity
-        |FROM documents WHERE doc_id % 3 = 0 ORDER BY media_id""".stripMargin,
+        |FROM documents WHERE doc_id % 3 = 0 AND n_chars >= 16
+        |ORDER BY media_id""".stripMargin,
     "media_frames" ->
       """SELECT doc_id AS media_id,
         |  CAST(floor((ceil(n_chars / 32.0) - 1) / 2) + 1 AS BIGINT)
