@@ -103,6 +103,30 @@ object VecKernels {
     ColumnBridge.column(SignBandsExpr(ColumnBridge.expression(vec),
       planeMatrix(bands, bits, dim, baseSeed), bands, bits, dim))
 
+  // ------------------------------------------- sorted-set intersect kernel
+
+  /** |A ∩ B| for two ascending-sorted long arrays, by linear merge — no
+    * per-row hash-set allocation (Spark's array_intersect builds a boxed
+    * set per call, which dominates candidate-verify loops at millions of
+    * pairs). */
+  def sortedIntersectCount(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var c = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  /** Column form of [[sortedIntersectCount]]; both inputs MUST be sorted
+    * ascending (e.g. via sort_array). */
+  def sorted_intersect_count(a: Column, b: Column): Column =
+    ColumnBridge.column(SortedIntersectCountExpr(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
   // ------------------------------------------- nearest-centroid kernel
 
   /** Top-`k` centroids for one vector, ascending by (d, cluster) where d is
@@ -208,6 +232,19 @@ case class SignBandsExpr(child: Expression, planes: Array[Double],
       s"graft.functions.VecKernels.signBands($v, $pRef, $bands, $bits, $dim)")
   }
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+case class SortedIntersectCountExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def toString: String = s"sorted_intersect_count($left, $right)"
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    VecKernels.sortedIntersectCount(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.VecKernels.sortedIntersectCount($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
 }
 
 /** Top-k nearest centroids (L1 or cosine) with the centroid matrix as a
