@@ -205,17 +205,26 @@ object Dbscan {
     * Returns all per-ε records plus the best model (reference keeps the
     * output of the best ε only). Empty edge sets record
     * [eps, 0, n, 0, ∞, ∞] and skip clustering (DBSCAN.py:163-167).
+    *
+    * @param runner optional per-ε model source — lets callers with a
+    *   model cache (e.g. the gate registry, which memoizes one ε already)
+    *   serve that ε from the cache while the sweep still computes the
+    *   rest and does the argmin. Defaults to a fresh [[run]] per ε.
     */
   def sweep(points: DataFrame, idCol: String, qiCol: String,
             epsRange: Seq[Double], minPts: Int, k: Int,
-            mode: ClusterMode = Cc, blockDims: Int = 2)
+            mode: ClusterMode = Cc, blockDims: Int = 2,
+            runner: Double => DbscanModel = null)
   : (Seq[SweepRecord], Option[(Double, DbscanModel)]) = {
+    val doRun: Double => DbscanModel =
+      if (runner != null) runner
+      else eps => run(points, idCol, qiCol, eps, minPts, k, mode, None, blockDims)
     val n = points.count()
     var best: Option[(Double, DbscanModel)] = None
     var minCost = Double.PositiveInfinity
     val records = epsRange.map { eps =>
       val t0 = System.nanoTime()
-      val m = run(points, idCol, qiCol, eps, minPts, k, mode, None, blockDims)
+      val m = doRun(eps)
       val secs = (System.nanoTime() - t0) / 1e9
       val rec =
         if (m.nClusters == 0 && m.nNoise == n && m.clusterError == 0.0)

@@ -192,9 +192,14 @@ object ClusterQueries {
     // dropped); rows-only gate + sweep-shape specs.
     "dbscan_sweep" -> ((s, dir) => {
       import s.implicits._
-      val (recs, best) = Dbscan.sweep(pts(s, dir), "id", "qi",
-        epsRange = Seq(0.5, 2.0), minPts = minPts, k = kAnon)
-      best.foreach(_._2.unpersist())
+      // the ε=2.0 leg is served from the shared model cache (the sweep
+      // still computes ε=0.5 fresh and performs the argmin); the best
+      // model stays persisted — it IS the cache entry
+      val (recs, _) = Dbscan.sweep(pts(s, dir), "id", "qi",
+        epsRange = Seq(0.5, 2.0), minPts = minPts, k = kAnon,
+        runner = e =>
+          if (e == eps) sharedModel(s, dir)
+          else Dbscan.run(pts(s, dir), "id", "qi", e, minPts, kAnon, Cc))
       recs.map(r => (r.eps, r.nClusters, r.nNoise,
         BigDecimal(r.clusterError).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble,
         if (r.noiseError.isPosInfinity) -1.0
