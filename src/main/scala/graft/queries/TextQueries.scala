@@ -103,6 +103,23 @@ object TextQueries {
       docs(s, dir).select(col("doc_id"),
         Dedup.simhash(col("text"), ShingleN).as("fp"))
         .orderBy("doc_id")
+    }),
+
+    // the operator a dedup pipeline actually ends with: near-dup PAIRS →
+    // connected components → one group id (min member) per document;
+    // singletons are their own group. Composes Dedup.jaccardPairs with
+    // the DataFrame-native CC; oracle = recursive-CTE min-label
+    // propagation over the same SQL jaccard graph.
+    "dedup_groups" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val pairs = Dedup.jaccardPairs(d, "doc_id", "text", ShingleN, JaccardTau)
+      val comp = graft.graph.ConnectedComponents.run(
+        pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
+      d.select(col("doc_id"))
+        .join(comp, d("doc_id") === comp("id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("group_id"))
+        .orderBy("doc_id")
     }))
 
   // ----------------------------------------------------------- oracles
@@ -216,6 +233,30 @@ object TextQueries {
          |JOIN sizes sb ON id_b = sb.doc_id
          |WHERE round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) >= $JaccardTau
          |ORDER BY id_a, id_b""".stripMargin,
+    "dedup_groups" ->
+      s"""WITH RECURSIVE $sqlToks,
+         |$sqlShingles,
+         |$sqlShingleHashes,
+         |sizes AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+         |  FROM shh a JOIN shh b ON a.h = b.h AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |pairs AS (SELECT id_a, id_b FROM inter
+         |  JOIN sizes sa ON id_a = sa.doc_id
+         |  JOIN sizes sb ON id_b = sb.doc_id
+         |  WHERE round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6)
+         |    >= $JaccardTau),
+         |sym AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs),
+         |verts AS (SELECT DISTINCT src AS id FROM sym),
+         |walk(id, reach) AS (
+         |  SELECT id, id FROM verts
+         |  UNION
+         |  SELECT s.dst, w.reach FROM walk w JOIN sym s ON s.src = w.id),
+         |comp AS (SELECT id, min(reach) AS gid FROM walk GROUP BY id)
+         |SELECT d.doc_id, coalesce(c.gid, d.doc_id) AS group_id
+         |FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+         |ORDER BY doc_id""".stripMargin,
     "minhash_pairs" ->
       s"""WITH $sqlToks,
          |$sqlShingles,

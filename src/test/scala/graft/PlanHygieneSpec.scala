@@ -53,4 +53,10 @@ class PlanHygieneSpec extends GraftSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       "grid blocking must produce an equi-join plan")
   }
+
+  test("jaccard prefix join plans as an equi join, not a cartesian") {
+    val p = plan("jaccard_pairs")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "prefix filtering must produce an equi-join plan")
+  }
 }

@@ -68,6 +68,21 @@ class TextDedupSpec extends GraftSuite {
     assert(salted == index, s"salted vs index: ${(salted diff index) ++ (index diff salted)}")
   }
 
+  test("dedup groups: transitive closure of near-dup pairs, singletons kept") {
+    // 1~2 and 2~4 (and 1~4) → one group {1,2,4} labeled by min id; 3, 5, 6
+    // have no partners → own group
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 2, 0.5)
+    val comp = graft.graph.ConnectedComponents.run(
+      pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
+    val groups = docs.select(col("doc_id"))
+      .join(comp, docs("doc_id") === comp("id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("group_id"))
+      .as[(Long, Long)].collect().toMap
+    assert(groups(1L) == 1L && groups(2L) == 1L && groups(4L) == 1L)
+    assert(groups(3L) == 3L && groups(5L) == 5L && groups(6L) == 6L)
+  }
+
   test("minhash-LSH finds the same pairs as exact jaccard at tau=0.5") {
     val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 2, 0.5)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
