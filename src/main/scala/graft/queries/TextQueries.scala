@@ -21,6 +21,7 @@ object TextQueries {
   private val Bands = 16
   private val Rows = 4
   private val P = PolyHash.Prime
+  private val QualityMin = 0.5
 
   // ------------------------------------------------------- SQL fragments
 
@@ -105,6 +106,35 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // deterministic content-stable train/val/test splitting: split id =
+    // PolyHash(doc id) mod 10 — reproducible across runs and engines, the
+    // standard way to carve a corpus without a global shuffle or RNG state
+    "sample_split" -> ((s, dir) => {
+      docs(s, dir)
+        .select((PolyHash.poly_hash(col("doc_id").cast("string")) % 10)
+          .as("split_id"), col("n_chars"))
+        .groupBy("split_id")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("sum_chars"))
+        .orderBy("split_id")
+    }),
+
+    // end-to-end corpus curation — the composite a training-data run
+    // actually executes: language filter → quality threshold → exact-dedup
+    // survivors → corpus stats. Every stage is the already-oracle-checked
+    // operator; the composite itself is oracle-checked too.
+    "corpus_curate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val filtered = d.where(TF.langId(col("text")) === "en"
+        && TF.qualityScore(col("text")) >= QualityMin)
+      val kept = filtered.groupBy(col("text"))
+        .agg(min(col("doc_id")).as("keep_id"))
+      filtered.agg(count(lit(1)).as("n_filtered"),
+          round(avg(TF.qualityScore(col("text"))), 6).as("avg_quality"))
+        .crossJoin(kept.agg(count(lit(1)).as("n_kept"),
+          sum(TF.tokenCount(col("text")).cast("long")).as("kept_tokens")))
+    }),
+
     // the operator a dedup pipeline actually ends with: near-dup PAIRS →
     // connected components → one group id (min member) per document;
     // singletons are their own group. Composes Dedup.jaccardPairs with
@@ -150,8 +180,7 @@ object TextQueries {
        |  $cases END AS lang_pred
        |FROM (SELECT doc_id,
        |  ${scores.map { case (l, e) => s"$e AS s_$l" }.mkString(",\n  ")},
-       |  $gmax AS mx FROM (SELECT doc_id, t FROM toks))
-       |ORDER BY doc_id""".stripMargin
+       |  $gmax AS mx FROM (SELECT doc_id, t FROM toks))""".stripMargin
   }
 
   /** Per-permutation MinHash min columns + per-band folded keys, generated
@@ -209,7 +238,8 @@ object TextQueries {
          |FROM toks ORDER BY doc_id""".stripMargin,
     "lang_id" ->
       s"""WITH $sqlToks
-         |$sqlLang""".stripMargin,
+         |$sqlLang
+         |ORDER BY doc_id""".stripMargin,
     "fingerprints" ->
       s"""WITH norm AS (SELECT doc_id,
          |  regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS nt
@@ -219,6 +249,25 @@ object TextQueries {
     "dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+    "sample_split" ->
+      s"""SELECT ${sqlPolyHash("CAST(doc_id AS VARCHAR)")} % 10 AS split_id,
+         |  count(*) AS n_docs, sum(n_chars) AS sum_chars
+         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "corpus_curate" ->
+      s"""WITH $sqlToks,
+         |lang AS ($sqlLang),
+         |scored AS (SELECT doc_id, text, $sqlQuality AS q FROM toks),
+         |filtered AS (SELECT s.doc_id, s.text, s.q FROM scored s
+         |  JOIN lang l ON s.doc_id = l.doc_id
+         |  WHERE l.lang_pred = 'en' AND s.q >= $QualityMin),
+         |kept AS (SELECT min(doc_id) AS keep_id FROM filtered
+         |  GROUP BY text),
+         |ktoks AS (SELECT tk.t FROM kept k JOIN toks tk
+         |  ON tk.doc_id = k.keep_id)
+         |SELECT (SELECT count(*) FROM filtered) AS n_filtered,
+         |  round((SELECT avg(q) FROM filtered), 6) AS avg_quality,
+         |  (SELECT count(*) FROM kept) AS n_kept,
+         |  (SELECT sum(CAST(len(t) AS BIGINT)) FROM ktoks) AS kept_tokens""".stripMargin,
     "jaccard_pairs" ->
       s"""WITH $sqlToks,
          |$sqlShingles,
