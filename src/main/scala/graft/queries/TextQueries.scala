@@ -58,6 +58,15 @@ object TextQueries {
   private def docs(s: SparkSession, dir: String): DataFrame =
     table(s, dir, "documents")
 
+  /** jaccard_pairs and dedup_groups walk the same near-dup pair set —
+    * computed once per (session, dir), eagerly checkpointed, shared. */
+  private val pairsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def sharedJaccardPairs(s: SparkSession, dir: String): DataFrame =
+    pairsCache.getOrElseUpdate((s, dir),
+      Dedup.jaccardPairs(docs(s, dir), "doc_id", "text", ShingleN, JaccardTau)
+        .localCheckpoint())
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // token counting (whitespace + BPE-ish), quality scoring, word stats
     "text_stats" -> ((s, dir) => {
@@ -87,10 +96,10 @@ object TextQueries {
         .select(col("keep_id"), col("n_copies")).orderBy("keep_id")
     }),
 
-    // n-gram Jaccard near-dup pairs via inverted shingle index
+    // n-gram Jaccard near-dup pairs (df-ordered prefix filter + exact
+    // merge-intersect verify)
     "jaccard_pairs" -> ((s, dir) => {
-      Dedup.jaccardPairs(docs(s, dir), "doc_id", "text", ShingleN, JaccardTau)
-        .orderBy("id_a", "id_b")
+      sharedJaccardPairs(s, dir).orderBy("id_a", "id_b")
     }),
 
     // MinHash-LSH near-dup pairs (banded candidates, exact-Jaccard verify)
@@ -142,7 +151,7 @@ object TextQueries {
     // propagation over the same SQL jaccard graph.
     "dedup_groups" -> ((s, dir) => {
       val d = docs(s, dir)
-      val pairs = Dedup.jaccardPairs(d, "doc_id", "text", ShingleN, JaccardTau)
+      val pairs = sharedJaccardPairs(s, dir)
       val comp = graft.graph.ConnectedComponents.run(
         pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
       d.select(col("doc_id"))
