@@ -62,10 +62,15 @@ object Dbscan {
     *   minPts; value-collapsed callers pass the duplicate count here.
     * @param k  k-anonymity parameter: components with fewer than k distinct
     *   members are noise (DBSCAN.py:176-179). Usually == minPts.
+    * @param pairsOpt optional precomputed ε-pair set (the epsJoinGrid
+    *   output over (id, qi, w) for the SAME points and eps) — callers that
+    *   already hold the ε-graph (e.g. the gate registry's per-dir cache)
+    *   pass it here so the join isn't rebuilt; it is NOT unpersisted.
     */
   def run(points: DataFrame, idCol: String, qiCol: String, eps: Double,
           minPts: Int, k: Int, mode: ClusterMode = Cc,
-          weightCol: Option[String] = None, blockDims: Int = 2): DbscanModel = {
+          weightCol: Option[String] = None, blockDims: Int = 2,
+          pairsOpt: Option[DataFrame] = None): DbscanModel = {
     val spark = points.sparkSession
     val dim = points.select(size(col(qiCol))).head().getInt(0)
 
@@ -75,9 +80,10 @@ object Dbscan {
 
     // ε-neighborhood pairs (self included) via grid blocking; reused by the
     // core-point test and the edge list, so persist across those jobs.
-    val pairs = NeighborJoin
+    val ownPairs = pairsOpt.isEmpty
+    val pairs = pairsOpt.getOrElse(NeighborJoin
       .epsJoinGrid(pts.select("id", "qi", "w"), "id", "qi", eps, blockDims)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .persist(StorageLevel.MEMORY_AND_DISK))
 
     // Core test: the reference's cartesian keys pairs on the point VALUE,
     // so a point with c duplicate copies sees each neighbor c times — its
@@ -173,7 +179,7 @@ object Dbscan {
         "id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    pairs.unpersist()
+    if (ownPairs) pairs.unpersist()
     labeled.unpersist()
     DbscanModel(assignments, centroids, nClusters, nNoise, clusterError, noiseError)
   }
