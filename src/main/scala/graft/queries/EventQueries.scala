@@ -28,6 +28,28 @@ object EventQueries {
         .orderBy("user_id", "session_idx")
     }),
 
+    // as-of join: each click gets the user's most recent view at or
+    // before it (the training-feature primitive); oracle is DuckDB's
+    // native ASOF JOIN over the same deduped streams
+    "events_asof" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = events(s, dir).withColumn("us", unix_micros(col("ts")))
+      val clicks = e.where(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("us"))
+      // right side unique per (user, ts): keep the max-event_id view
+      val views = e.where(col("event_type") === "view")
+        .select(col("user_id"), col("us"), col("event_id"), col("value"))
+        .withColumn("rn", row_number().over(Window
+          .partitionBy("user_id", "us").orderBy(col("event_id").desc)))
+        .where(col("rn") === 1)
+      graft.operators.AsofJoin.lastPrior(clicks, views, "user_id", "us",
+          payloadCols = Seq("us", "value"))
+        .select(col("event_id"), col("user_id"),
+          col("asof.us").as("view_us"), col("asof.value").as("view_value"),
+          (col("us") - col("asof.us")).as("gap_us"))
+        .orderBy("event_id")
+    }),
+
     // JSON field extraction + aggregate
     "events_json" -> ((s, dir) => {
       events(s, dir)
@@ -61,6 +83,20 @@ object EventQueries {
          |  count(*) AS n_events, min(us) AS start_us, max(us) AS end_us
          |FROM sess GROUP BY user_id, session_idx
          |ORDER BY user_id, session_idx""".stripMargin,
+    "events_asof" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, value,
+        |    epoch_us(ts) AS us FROM events),
+        |clicks AS (SELECT event_id, user_id, us FROM e
+        |  WHERE event_type = 'click'),
+        |views AS (SELECT user_id, us, value FROM (
+        |    SELECT user_id, us, value, row_number() OVER (
+        |      PARTITION BY user_id, us ORDER BY event_id DESC) AS rn
+        |    FROM e WHERE event_type = 'view') WHERE rn = 1)
+        |SELECT c.event_id, c.user_id, v.us AS view_us,
+        |  v.value AS view_value, c.us - v.us AS gap_us
+        |FROM clicks c ASOF LEFT JOIN views v
+        |  ON c.user_id = v.user_id AND v.us <= c.us
+        |ORDER BY c.event_id""".stripMargin,
     "events_json" ->
       """SELECT event_type, count(*) AS n,
         |  round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4)

@@ -26,6 +26,20 @@ class EventStreamsSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("asof lastPrior: inclusive at-or-before, latest wins, null if none") {
+    val clicks = Seq((1L, 1L, 4L), (2L, 1L, 10L), (3L, 1L, 20L), (4L, 2L, 10L))
+      .toDF("event_id", "user", "ts")
+    val views = Seq((1L, 10L, 1.0), (1L, 15L, 2.0)).toDF("user", "ts", "v")
+    val out = graft.operators.AsofJoin
+      .lastPrior(clicks, views, "user", "ts", Seq("ts", "v"))
+      .select(col("event_id"), col("asof.v"))
+      .as[(Long, Option[Double])].collect().toMap
+    assert(out(1L).isEmpty, "no view at or before ts=4")
+    assert(out(2L).contains(1.0), "boundary is inclusive (view AT ts=10)")
+    assert(out(3L).contains(2.0), "latest prior view wins")
+    assert(out(4L).isEmpty, "keys don't leak across users")
+  }
+
   test("batch sessionization invariants") {
     val ev = graft.core.Tables.table(spark, sf0001, "events")
     val sess = EventStreams.sessionize(ev, gapMinutes = 60).cache()
