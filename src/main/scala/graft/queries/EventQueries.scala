@@ -11,6 +11,9 @@ import org.apache.spark.sql.functions._
   */
 object EventQueries {
   private val GapMinutes = 60
+  // precomputed Long (an inline 3600*1000000 would overflow INT32 in the
+  // oracle engine's literal arithmetic)
+  private val HourUs = 3600L * 1000000L
 
   private def events(s: SparkSession, dir: String): DataFrame =
     table(s, dir, "events")
@@ -47,6 +50,23 @@ object EventQueries {
         .select(col("event_id"), col("user_id"),
           col("asof.us").as("view_us"), col("asof.value").as("view_value"),
           (col("us") - col("asof.us")).as("gap_us"))
+        .orderBy("event_id")
+    }),
+
+    // range join: sliding-lookback aggregate — per click, the count/sum
+    // of the user's views in the preceding hour (bucketed-interval plan,
+    // the 1-D grid blocking; oracle is the plain inequality join)
+    "events_lookback" -> ((s, dir) => {
+      val e = events(s, dir).withColumn("us", unix_micros(col("ts")))
+      val clicks = e.where(col("event_type") === "click")
+        .select("event_id", "user_id", "us")
+      val views = e.where(col("event_type") === "view")
+        .select("user_id", "us", "value")
+      graft.operators.RangeJoin.lookbackAgg(clicks, views, "user_id", "us",
+          windowLen = HourUs,
+          aggs = Seq(count(col("r_us")).as("n_views_1h"),
+            round(coalesce(sum(col("r_value")), lit(0.0)), 2).as("sum_value_1h")))
+        .select("event_id", "user_id", "n_views_1h", "sum_value_1h")
         .orderBy("event_id")
     }),
 
@@ -97,6 +117,21 @@ object EventQueries {
         |FROM clicks c ASOF LEFT JOIN views v
         |  ON c.user_id = v.user_id AND v.us <= c.us
         |ORDER BY c.event_id""".stripMargin,
+    "events_lookback" ->
+      s"""WITH e AS (SELECT event_id, user_id, event_type, value,
+         |    epoch_us(ts) AS us FROM events),
+         |clicks AS (SELECT event_id, user_id, us FROM e
+         |  WHERE event_type = 'click'),
+         |views AS (SELECT user_id, us, value FROM e
+         |  WHERE event_type = 'view')
+         |SELECT c.event_id, c.user_id,
+         |  count(v.us) AS n_views_1h,
+         |  round(coalesce(sum(v.value), 0), 2) AS sum_value_1h
+         |FROM clicks c LEFT JOIN views v
+         |  ON c.user_id = v.user_id
+         |  AND v.us >= c.us - $HourUs AND v.us <= c.us
+         |GROUP BY c.event_id, c.user_id
+         |ORDER BY c.event_id""".stripMargin,
     "events_json" ->
       """SELECT event_type, count(*) AS n,
         |  round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4)

@@ -40,6 +40,22 @@ class EventStreamsSpec extends GraftSuite {
     assert(out(4L).isEmpty, "keys don't leak across users")
   }
 
+  test("range lookbackAgg: inclusive bounds, zero when empty, no double count") {
+    val clicks = Seq((1L, 1L, 100L), (2L, 1L, 250L), (3L, 2L, 100L))
+      .toDF("event_id", "user", "ts")
+    val views = Seq((1L, 0L, 1.0), (1L, 100L, 2.0), (1L, 151L, 4.0))
+      .toDF("user", "ts", "v")
+    val out = graft.operators.RangeJoin
+      .lookbackAgg(clicks, views, "user", "ts", windowLen = 100L,
+        aggs = Seq(count(col("r_ts")).as("n"),
+          coalesce(sum(col("r_v")), lit(0.0)).as("sv")))
+      .select(col("event_id"), col("n"), col("sv"))
+      .as[(Long, Long, Double)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(out(1L) == ((2L, 3.0)), "ts 0 and 100 both inside [0, 100]")
+    assert(out(2L) == ((1L, 4.0)), "only ts 151 inside [150, 250]")
+    assert(out(3L) == ((0L, 0.0)), "no views for user 2")
+  }
+
   test("batch sessionization invariants") {
     val ev = graft.core.Tables.table(spark, sf0001, "events")
     val sess = EventStreams.sessionize(ev, gapMinutes = 60).cache()
