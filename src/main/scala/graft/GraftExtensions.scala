@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{DotExpr, L1DistExpr, PolyHashExpr, ShingleHashesExpr}
+import graft.functions.{DotExpr, L1DistExpr, PolyHashExpr, ShingleHashesExpr, SortedIntersectCountExpr}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -43,7 +43,10 @@ object GraftExtensions {
       args => DotExpr(args.head, args(1))),
     ("shingle_hashes",
       "shingle_hashes(text, n) - distinct poly-hashes of word n-grams",
-      args => ShingleHashesExpr(args.head, args(1))))
+      args => ShingleHashesExpr(args.head, args(1))),
+    ("sorted_intersect_count",
+      "sorted_intersect_count(a, b) - |A∩B| of ascending-sorted long arrays",
+      args => SortedIntersectCountExpr(args.head, args(1))))
 
   /** Register on an already-built session (temp functions) — the runtime
     * alternative to `spark.sql.extensions` for sessions you don't build. */

@@ -94,6 +94,29 @@ object Multimodal {
     }
   }
 
+  /** Decoded audio: per-payload waveform summary. */
+  case class DecodedAudio(media_id: Long, sample_rate: Int, n_samples: Long,
+                          mean_amplitude: Double)
+
+  /** Batch audio decode via mapPartitions (same codec-init-amortizing
+    * shape as [[decodeImages]]): bytes as unsigned 8-bit samples — the
+    * stub's deterministic stand-in for a PCM decoder. Empty payloads are
+    * undecodable and skipped. */
+  def decodeAudio(media: Dataset[MediaRow]): Dataset[DecodedAudio] = {
+    import media.sparkSession.implicits._
+    media.filter(r => r.kind == "audio" && r.payload.nonEmpty)
+      .mapPartitions { rows =>
+        // real codec would init here, once per partition
+        rows.map { r =>
+          val n = r.payload.length
+          var s = 0L
+          var i = 0
+          while (i < n) { s += java.lang.Byte.toUnsignedInt(r.payload(i)); i += 1 }
+          DecodedAudio(r.media_id, r.sample_rate, n.toLong, s.toDouble / n)
+        }
+      }
+  }
+
   /** Frame sampling for video rows: every `stride`-th "frame" (payload
     * slice) becomes a row — the explode-shaped op of video pipelines. */
   def sampleFrames(media: Dataset[MediaRow], frameBytes: Int, stride: Int): DataFrame = {

@@ -17,6 +17,18 @@ object MultimodalQueries {
       Multimodal.mediaStats(s, dir).orderBy("media_id")
     }),
 
+    // audio decode plumbing: per clip, sample count, mean amplitude,
+    // duration at the sidecar sample rate (stub codec is deterministic
+    // bytes-as-PCM, so this is value-oracle-checked like media_stats)
+    "media_audio" -> ((s, dir) => {
+      Multimodal.decodeAudio(Multimodal.syntheticMedia(s, dir))
+        .toDF().select(col("media_id"), col("n_samples"),
+          round(col("mean_amplitude"), 4).as("mean_amplitude"),
+          round(col("n_samples").cast("double") / col("sample_rate"), 6)
+            .as("duration_s"))
+        .orderBy("media_id")
+    }),
+
     // frame sampling: per video, how many frames survive the stride
     "media_frames" -> ((s, dir) => {
       val media = Multimodal.syntheticMedia(s, dir)
@@ -45,6 +57,14 @@ object MultimodalQueries {
         |      i -> ord(substr(text, i, 1)))) AS DOUBLE)
         |    / (16 * CAST(n_chars // 16 AS INT)), 4) AS mean_intensity
         |FROM documents WHERE doc_id % 3 = 0 AND n_chars >= 16
+        |ORDER BY media_id""".stripMargin,
+    "media_audio" ->
+      """SELECT doc_id AS media_id, CAST(n_chars AS BIGINT) AS n_samples,
+        |  round(CAST(list_sum(list_transform(range(1, n_chars + 1),
+        |      i -> ord(substr(text, i, 1)))) AS DOUBLE) / n_chars, 4)
+        |    AS mean_amplitude,
+        |  round(CAST(n_chars AS DOUBLE) / 16000, 6) AS duration_s
+        |FROM documents WHERE doc_id % 3 = 1 AND n_chars >= 1
         |ORDER BY media_id""".stripMargin,
     "media_frames" ->
       """SELECT doc_id AS media_id,

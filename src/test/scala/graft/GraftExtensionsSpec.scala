@@ -34,6 +34,13 @@ class GraftExtensionsSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(n == 3)
   }
 
+  test("sorted_intersect_count callable from SQL") {
+    val n = sql.sql(
+      """SELECT sorted_intersect_count(array(1L, 3L, 5L, 9L),
+        |  array(3L, 4L, 9L)) AS n""".stripMargin).head().getInt(0)
+    assert(n == 2)
+  }
+
   test("wrong arity fails analysis, not execution") {
     val e = intercept[Exception] {
       sql.sql("SELECT l1_dist(array(1.0d))").collect()

@@ -59,4 +59,12 @@ class PlanHygieneSpec extends GraftSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       "prefix filtering must produce an equi-join plan")
   }
+
+  test("temporal joins (asof, lookback) plan without cartesians") {
+    for (q <- Seq("events_asof", "events_lookback")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q must not plan a cartesian/nested-loop join")
+    }
+  }
 }

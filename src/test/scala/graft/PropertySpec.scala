@@ -36,6 +36,25 @@ class PropertySpec extends GraftSuite {
     }
   }
 
+  test("sorted merge-intersect equals array_intersect size (property)") {
+    val gen = for {
+      na <- Gen.choose(0, 40)
+      nb <- Gen.choose(0, 40)
+      seed <- Gen.choose(0L, 9999L)
+    } yield (na, nb, seed)
+    samples(gen, 10).foreach { case (na, nb, seed) =>
+      val rnd = new scala.util.Random(seed)
+      // distinct sorted draws from a small universe → real overlaps
+      val a = rnd.shuffle((0L until 60L).toList).take(na).sorted.toArray
+      val b = rnd.shuffle((0L until 60L).toList).take(nb).sorted.toArray
+      val got = Seq((a, b)).toDF("a", "b").select(
+        graft.functions.VecKernels.sorted_intersect_count(col("a"), col("b")),
+        size(array_intersect(col("a"), col("b"))))
+        .as[(Int, Int)].head()
+      assert(got._1 == got._2, s"na=$na nb=$nb seed=$seed")
+    }
+  }
+
   test("native L1/dot kernels equal the higher-order-function forms (property)") {
     val gen = for {
       dims <- Gen.choose(1, 32)
