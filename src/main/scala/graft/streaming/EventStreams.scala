@@ -65,6 +65,19 @@ object EventStreams {
         max(unix_micros(col("ts"))).as("end_us"))
   }
 
+  /** Streaming exact-dedup by id: keeps the first occurrence of each
+    * `idCols` combination; the watermark bounds the dedup state (ids older
+    * than the watermark are dropped from state — the only way exact dedup
+    * runs forever on an unbounded stream). Batch inputs get a plain
+    * dropDuplicates, so the one dataflow serves both modes — the
+    * batch ≡ stream equality is spec-asserted like windowedCounts. */
+  def dedupStream(events: DataFrame, idCols: Seq[String],
+                  watermark: String = "1 hour"): DataFrame =
+    if (events.isStreaming)
+      events.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(idCols)
+    else events.dropDuplicates(idCols)
+
   // ------------------------- stateful streaming sessionization ----------
 
   case class Ev(user_id: Long, tsUs: Long, value: Double)

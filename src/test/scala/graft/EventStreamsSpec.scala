@@ -26,6 +26,28 @@ class EventStreamsSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup equals batch distinct on a duplicated stream") {
+    val batchEvents = graft.core.Tables.table(spark, sf0001, "events")
+    // duplicate every event, then dedup by id: stream result == batch
+    val dupBatch = batchEvents.unionByName(batchEvents)
+    val expected = EventStreams.dedupStream(dupBatch, Seq("event_id"))
+      .groupBy("event_type").count()
+      .as[(String, Long)].collect().toMap
+
+    val s = EventStreams.readEventStream(spark, sf0001)
+    val dupStream = s.unionByName(s)
+    val q = EventStreams.dedupStream(dupStream, Seq("event_id"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("dedup_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("dedup_out").groupBy("event_type").count()
+        .as[(String, Long)].collect().toMap
+      assert(got == expected, "stream dedup ≠ batch distinct")
+      assert(got.values.sum == batchEvents.count())
+    } finally q.stop()
+  }
+
   test("asof lastPrior: inclusive at-or-before, latest wins, null if none") {
     val clicks = Seq((1L, 1L, 4L), (2L, 1L, 10L), (3L, 1L, 20L), (4L, 2L, 10L))
       .toDF("event_id", "user", "ts")
