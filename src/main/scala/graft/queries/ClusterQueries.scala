@@ -73,15 +73,17 @@ object ClusterQueries {
         pts(s, dir), "id", "qi", nClusters = 8, kAnon = 4, seed = 42,
         maxLloyd = 5))
 
-  // Shared SQL prologue: ε-graph via cartesian θ-join (reference-faithful).
-  private val sqlGraph =
+  // Shared SQL prologue: ε-graph via cartesian θ-join (reference-faithful),
+  // parameterized by ε so the sweep oracle can instantiate several legs.
+  private def sqlGraphFor(e: Double) =
     s"""pts AS (SELECT p_partkey AS id, CAST(p_size AS DOUBLE) AS x0,
        |        p_retailprice AS x1 FROM part),
        |nbr AS (SELECT a.id AS src, b.id AS dst FROM pts a, pts b
-       |        WHERE abs(a.x0-b.x0)+abs(a.x1-b.x1) < $eps),
+       |        WHERE abs(a.x0-b.x0)+abs(a.x1-b.x1) < $e),
        |core AS (SELECT src AS id FROM nbr GROUP BY src
        |         HAVING count(*) >= $minPts),
        |edges AS (SELECT n.src, n.dst FROM nbr n JOIN core c ON n.src = c.id)""".stripMargin
+  private val sqlGraph = sqlGraphFor(eps)
 
   // Undirected CC by recursive min-label propagation.
   private val sqlCc =
@@ -227,7 +229,42 @@ object ClusterQueries {
         .orderBy("prediction")
     }))
 
+  /** One sweep leg as a self-contained derived table: the dbscan_errors
+    * pipeline at a given ε plus the eps column and the sweep's -1
+    * noise-infinity sentinel. */
+  private def sweepLegSql(e: Double): String =
+    s"""(WITH RECURSIVE
+       |${sqlGraphFor(e)},
+       |$sqlCc,
+       |cents AS (SELECT l.component, avg(p.x0) AS c0, avg(p.x1) AS c1
+       |  FROM labels l JOIN pts p ON l.id = p.id
+       |  WHERE l.component IS NOT NULL GROUP BY l.component),
+       |cerr AS (SELECT coalesce(sum(abs(p.x0-c.c0)+abs(p.x1-c.c1)), 0)
+       |    AS cluster_error
+       |  FROM labels l JOIN pts p ON l.id = p.id
+       |  JOIN cents c ON l.component = c.component),
+       |nerr AS (SELECT coalesce(sum(md), 0) AS noise_error FROM (
+       |  SELECT min(abs(p.x0-c.c0)+abs(p.x1-c.c1)) AS md
+       |  FROM labels l JOIN pts p ON l.id = p.id, cents c
+       |  WHERE l.component IS NULL GROUP BY l.id))
+       |SELECT CAST($e AS DOUBLE) AS eps,
+       |  (SELECT count(*) FROM cents) AS n_clusters,
+       |  (SELECT count(*) FROM labels WHERE component IS NULL) AS n_noise,
+       |  round((SELECT cluster_error FROM cerr), 2) AS cluster_error,
+       |  CASE WHEN (SELECT count(*) FROM cents) = 0
+       |         AND (SELECT count(*) FROM labels
+       |              WHERE component IS NULL) > 0
+       |       THEN -1.0
+       |       ELSE round((SELECT noise_error FROM nerr), 2)
+       |  END AS noise_error)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    // E1's whole sweep, value-checked: one derived-table leg per ε,
+    // UNION ALL'd — upgraded from rows-only once the per-ε pipeline SQL
+    // existed for dbscan_errors
+    "dbscan_sweep" -> Seq(0.5, 2.0).map(sweepLegSql)
+      .mkString("SELECT * FROM ", "\nUNION ALL\nSELECT * FROM ",
+        "\nORDER BY eps"),
     "cc_components" ->
       s"""WITH RECURSIVE
          |$sqlGraph,
