@@ -219,6 +219,28 @@ class SimilaritySearchSpec extends GraftSuite {
     assert(counts.size == 3 && counts.values.forall(_ == 4L), counts.toString)
   }
 
+  test("partial top-k aggregate equals the window-rank form") {
+    import graft.functions.Distances
+    val e = graft.core.Tables.table(spark, sf0001, "embeddings")
+    val agg = SimilaritySearch.cosineTopK(
+      e, e.where(col("vec_id") < 7), "vec_id", "embedding", 9)
+      .select("q_id", "id", "sim", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val base = e.select(col("vec_id").as("id"),
+      col("embedding").cast("array<double>").as("vec"))
+    val q = e.where(col("vec_id") < 7).select(col("vec_id").as("q_id"),
+      col("embedding").cast("array<double>").as("q_vec"))
+    val scored = base.crossJoin(broadcast(q))
+      .where(col("id") =!= col("q_id"))
+      .select(col("q_id"), col("id"),
+        round(Distances.cosine(col("q_vec"), col("vec")), 6).as("sim"))
+    val win = SimilaritySearch.rankTopKWindow(scored, 9)
+      .select("q_id", "id", "sim", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(agg == win, s"diff: ${(agg diff win) ++ (win diff agg)}")
+    assert(agg.nonEmpty)
+  }
+
   test("native sign_bands kernel matches the declarative signBucket form") {
     import graft.functions.VecKernels
     val e = graft.core.Tables.table(spark, sf0001, "embeddings")
