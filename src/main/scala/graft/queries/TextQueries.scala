@@ -22,6 +22,7 @@ object TextQueries {
   private val Rows = 4
   private val P = PolyHash.Prime
   private val QualityMin = 0.5
+  private val SeqLen = 2048
 
   // ------------------------------------------------------- SQL fragments
 
@@ -144,6 +145,25 @@ object TextQueries {
           sum(TF.tokenCount(col("text")).cast("long")).as("kept_tokens")))
     }),
 
+    // sequence packing: per shard (the sample_split id), docs in doc_id
+    // order fill fixed token-budget bins via an exclusive running sum —
+    // the coarse packing pass before tokenized training. The window
+    // partitions by shard, so packing parallelizes across shards (a
+    // single global cumsum would be one sequential task at scale).
+    "pack_sequences" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = docs(s, dir).select(col("doc_id"),
+        (PolyHash.poly_hash(col("doc_id").cast("string")) % 10).as("split_id"),
+        TF.bpeTokenCount(col("text")).as("toks"))
+      val w = Window.partitionBy("split_id").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      d.withColumn("cum", coalesce(sum("toks").over(w), lit(0L)))
+        .withColumn("seq_id", expr(s"cum div $SeqLen"))
+        .groupBy("split_id", "seq_id")
+        .agg(count(lit(1)).as("n_docs"), sum("toks").as("sum_tokens"))
+        .orderBy("split_id", "seq_id")
+    }),
+
     // the operator a dedup pipeline actually ends with: near-dup PAIRS →
     // connected components → one group id (min member) per document;
     // singletons are their own group. Composes Dedup.jaccardPairs with
@@ -262,6 +282,21 @@ object TextQueries {
       s"""SELECT ${sqlPolyHash("CAST(doc_id AS VARCHAR)")} % 10 AS split_id,
          |  count(*) AS n_docs, sum(n_chars) AS sum_chars
          |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "pack_sequences" ->
+      s"""WITH $sqlToks,
+         |tk AS (SELECT doc_id,
+         |  ${sqlPolyHash("CAST(doc_id AS VARCHAR)")} % 10 AS split_id,
+         |  CAST(coalesce(list_sum(list_transform(t,
+         |    w -> CAST(ceil(length(w) / 4.0) AS BIGINT))), 0) AS BIGINT)
+         |    AS toks
+         |  FROM toks),
+         |c AS (SELECT split_id, doc_id, toks,
+         |  coalesce(sum(toks) OVER (PARTITION BY split_id ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+         |  FROM tk)
+         |SELECT split_id, cum // $SeqLen AS seq_id,
+         |  count(*) AS n_docs, sum(toks) AS sum_tokens
+         |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "corpus_curate" ->
       s"""WITH $sqlToks,
          |lang AS ($sqlLang),
