@@ -190,9 +190,12 @@ object Dedup {
     * band key: the whole operator is shuffle-bounded, no cartesian. */
   def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    n: Int, tau: Double, bands: Int = 16, rows: Int = 4): DataFrame = {
+    // `sh` stays in kernel (first-occurrence) order for the signature;
+    // `shs` is the hash-sorted view the merge-intersect verify needs
     val shingleSets = docs.select(col(idCol).as("id"),
       graft.functions.TextKernels.shingle_hashes(col(textCol), lit(n)).as("sh"))
       .where(size(col("sh")) > 0)
+      .withColumn("shs", sort_array(col("sh")))
 
     val sigs = shingleSets.select(col("id"),
       graft.functions.TextKernels.minhash_sig(col("sh"), bands * rows).as("sig"))
@@ -212,11 +215,13 @@ object Dedup {
       .distinct()
 
     // exact-Jaccard verification of the candidates only, against the
-    // precomputed shingle sets
-    val inter = size(array_intersect(col("sh_a"), col("sh_b")))
+    // precomputed hash-sorted shingle sets (native merge-count — no
+    // per-pair hash-set allocation)
+    val inter = graft.functions.VecKernels
+      .sorted_intersect_count(col("sh_a"), col("sh_b"))
     cand
-      .join(shingleSets.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(shingleSets.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .join(shingleSets.select(col("id").as("id_a"), col("shs").as("sh_a")), "id_a")
+      .join(shingleSets.select(col("id").as("id_b"), col("shs").as("sh_b")), "id_b")
       .withColumn("jaccard",
         round(inter.cast("double") / (size(col("sh_a")) + size(col("sh_b")) - inter), 6))
       .where(col("jaccard") >= tau)
