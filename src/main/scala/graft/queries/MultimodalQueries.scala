@@ -39,7 +39,9 @@ object MultimodalQueries {
 
     // cross-module integration: decode images -> histogram embeddings ->
     // brute-force cosine top-k over them (the full multimodal-to-ANN
-    // pipeline; deterministic, rows-only gate + recall covered by specs)
+    // pipeline). The stub codec is deterministic and its float histogram
+    // arithmetic is exactly reproducible in SQL (exact-int operands, one
+    // REAL division), so even this composite is value-oracle-checked.
     "media_similar" -> ((s, dir) => {
       val dec = Multimodal.decodeImages(Multimodal.syntheticMedia(s, dir))
         .toDF().select(col("media_id"), col("embedding"))
@@ -49,6 +51,30 @@ object MultimodalQueries {
     }))
 
   val oracleSql: Map[String, String] = Map(
+    // image docs -> 8-bin intensity histogram (count/npix in REAL, the
+    // codec's float division, then DOUBLE like Spark's float->double
+    // cast) -> pairwise cosine -> top-5 by (round(sim,6) desc, id)
+    "media_similar" ->
+      """WITH img AS (SELECT doc_id AS media_id,
+        |    16 * CAST(n_chars // 16 AS INT) AS npix, text
+        |  FROM documents WHERE doc_id % 3 = 0 AND n_chars >= 16),
+        |emb AS (SELECT media_id,
+        |    list_transform(range(0, 8), b -> CAST(CAST(
+        |      len(list_filter(list_transform(range(1, npix + 1),
+        |        i -> ord(substr(text, i, 1))), p -> p // 32 = b))
+        |      AS REAL) / CAST(npix AS REAL) AS DOUBLE)) AS e
+        |  FROM img),
+        |scored AS (SELECT a.media_id AS q_id, b.media_id AS id,
+        |    round(list_dot_product(a.e, b.e) /
+        |      (sqrt(list_dot_product(a.e, a.e)) *
+        |       sqrt(list_dot_product(b.e, b.e))), 6) AS sim
+        |  FROM emb a JOIN emb b
+        |  ON a.media_id < 10 AND a.media_id <> b.media_id),
+        |ranked AS (SELECT q_id, id, sim, row_number() OVER (
+        |    PARTITION BY q_id ORDER BY sim DESC, id) AS rank
+        |  FROM scored)
+        |SELECT q_id, id, sim, CAST(rank AS INT) AS rank FROM ranked
+        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
     "media_stats" ->
       """SELECT doc_id AS media_id, 16 AS width,
         |  CAST(n_chars // 16 AS INT) AS height,
