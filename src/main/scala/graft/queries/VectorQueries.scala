@@ -43,6 +43,20 @@ object VectorQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // chunk->document mean pooling: vectors grouped into synthetic docs
+    // (vec_id mod 50), element-wise averaged, summarized by the pooled
+    // vector's norm and first component
+    "embed_pool" -> ((s, dir) => {
+      val e = embs(s, dir).select((col("vec_id") % 50).as("group_id"),
+        col("embedding"))
+      SimilaritySearch.meanPool(e, "group_id", "embedding", dim = 64)
+        .select(col("group_id"),
+          round(graft.functions.Distances.norm(col("pooled")), 6)
+            .as("pooled_norm"),
+          round(element_at(col("pooled"), 1), 6).as("pooled_x0"))
+        .orderBy("group_id")
+    }),
+
     // IVF-bucketed ANN: same queries through the coarse quantizer
     // (approximate — no SQL oracle; recall vs brute force is spec-checked)
     "ann_ivf" -> ((s, dir) => {
@@ -75,6 +89,17 @@ object VectorQueries {
          |FROM v a JOIN v b ON a.vec_id < b.vec_id
          |WHERE round($sqlCos, 6) >= $CosTau
          |ORDER BY id_a, id_b""".stripMargin,
+    "embed_pool" ->
+      s"""WITH v AS (SELECT vec_id % 50 AS group_id,
+         |    CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |u AS (SELECT group_id, i, avg(e[i]) AS m
+         |  FROM v, range(1, 65) t(i) GROUP BY group_id, i),
+         |p AS (SELECT group_id, list(m ORDER BY i) AS pooled
+         |  FROM u GROUP BY group_id)
+         |SELECT group_id,
+         |  round(sqrt(list_dot_product(pooled, pooled)), 6) AS pooled_norm,
+         |  round(pooled[1], 6) AS pooled_x0
+         |FROM p ORDER BY group_id""".stripMargin,
     // identical result set to cosine_pairs by construction (deterministic
     // planes, full recall at the gate's tau/data) — same oracle
     "embed_pairs_lsh" ->
