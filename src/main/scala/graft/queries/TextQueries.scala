@@ -145,6 +145,23 @@ object TextQueries {
           sum(TF.tokenCount(col("text")).cast("long")).as("kept_tokens")))
     }),
 
+    // corpus write round-trip: the partitioned production layout
+    // (CorpusWriter.writePartitioned) written to disk, read back through
+    // partition discovery, re-aggregated — same result as sample_split by
+    // construction, so the disk layout itself is under the oracle
+    "corpus_write" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("n_chars"),
+        (PolyHash.poly_hash(col("doc_id").cast("string")) % 10).as("split_id"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_corpus_").toString
+      graft.core.CorpusWriter.writePartitioned(d, s"$tmp/by_split",
+        Seq("split_id"), filesPerPartition = 2)
+      s.read.parquet(s"$tmp/by_split")
+        .groupBy("split_id")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("sum_chars"))
+        .orderBy("split_id")
+    }),
+
     // sequence packing: per shard (the sample_split id), docs in doc_id
     // order fill fixed token-budget bins via an exclusive running sum —
     // the coarse packing pass before tokenized training. The window
@@ -279,6 +296,12 @@ object TextQueries {
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
     "sample_split" ->
+      s"""SELECT ${sqlPolyHash("CAST(doc_id AS VARCHAR)")} % 10 AS split_id,
+         |  count(*) AS n_docs, sum(n_chars) AS sum_chars
+         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    // identical to sample_split by construction — the round-trip must be
+    // lossless for this to hash-match
+    "corpus_write" ->
       s"""SELECT ${sqlPolyHash("CAST(doc_id AS VARCHAR)")} % 10 AS split_id,
          |  count(*) AS n_docs, sum(n_chars) AS sum_chars
          |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
