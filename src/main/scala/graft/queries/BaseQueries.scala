@@ -170,7 +170,7 @@ object BaseQueries {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name ORDER BY r_name""".stripMargin,
     "q3_topk" ->
-      """SELECT o_orderpriority, o_orderkey, o_totalprice, rn FROM (
+      """SELECT o_orderpriority, o_orderkey, o_totalprice, CAST(rn AS INT) AS rn FROM (
         | SELECT o_orderpriority, o_orderkey, o_totalprice,
         |  row_number() OVER (PARTITION BY o_orderpriority
         |    ORDER BY o_totalprice DESC, o_orderkey) AS rn

@@ -156,6 +156,9 @@ object TextQueries {
       graft.core.CorpusWriter.writePartitioned(d, s"$tmp/by_split",
         Seq("split_id"), filesPerPartition = 2)
       s.read.parquet(s"$tmp/by_split")
+        // partition discovery infers the directory key as int32; the oracle
+        // (and sample_split) emit int64 — normalize before aggregating
+        .withColumn("split_id", col("split_id").cast("long"))
         .groupBy("split_id")
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_chars")).cast("long").as("sum_chars"))
@@ -295,15 +298,17 @@ object TextQueries {
     "dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+    // DuckDB sum(BIGINT) returns HUGEINT; the driver hashes the serialized
+    // value, so every aggregate is CAST to the Spark output type (BIGINT)
     "sample_split" ->
       s"""SELECT ${sqlPolyHash("CAST(doc_id AS VARCHAR)")} % 10 AS split_id,
-         |  count(*) AS n_docs, sum(n_chars) AS sum_chars
+         |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
          |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     // identical to sample_split by construction — the round-trip must be
     // lossless for this to hash-match
     "corpus_write" ->
       s"""SELECT ${sqlPolyHash("CAST(doc_id AS VARCHAR)")} % 10 AS split_id,
-         |  count(*) AS n_docs, sum(n_chars) AS sum_chars
+         |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
          |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "pack_sequences" ->
       s"""WITH $sqlToks,
@@ -317,8 +322,8 @@ object TextQueries {
          |  coalesce(sum(toks) OVER (PARTITION BY split_id ORDER BY doc_id
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
          |  FROM tk)
-         |SELECT split_id, cum // $SeqLen AS seq_id,
-         |  count(*) AS n_docs, sum(toks) AS sum_tokens
+         |SELECT split_id, CAST(cum // $SeqLen AS BIGINT) AS seq_id,
+         |  count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS sum_tokens
          |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "corpus_curate" ->
       s"""WITH $sqlToks,
@@ -334,7 +339,8 @@ object TextQueries {
          |SELECT (SELECT count(*) FROM filtered) AS n_filtered,
          |  round((SELECT avg(q) FROM filtered), 6) AS avg_quality,
          |  (SELECT count(*) FROM kept) AS n_kept,
-         |  (SELECT sum(CAST(len(t) AS BIGINT)) FROM ktoks) AS kept_tokens""".stripMargin,
+         |  (SELECT CAST(sum(CAST(len(t) AS BIGINT)) AS BIGINT)
+         |   FROM ktoks) AS kept_tokens""".stripMargin,
     "jaccard_pairs" ->
       s"""WITH $sqlToks,
          |$sqlShingles,

@@ -7,9 +7,34 @@ For each <name>/ parquet dir in verify_outdir, runs oracle_sql.json[name]
 in DuckDB (tables registered as views over sf_dir parquet) and compares:
 row count, column names (sorted), and values (rows sorted, column-name
 order) — both exactly and with 1e-9 tolerance for floats.
+
+Typed-exact mode (always on): the driver hashes the SERIALIZED oracle
+values, so a DuckDB HUGEINT (sum of BIGINT) vs a Spark BIGINT is a hash
+mismatch even when the Python ints compare equal. We compare the arrow
+schemas of both sides and fail on any physical-type divergence.
 """
 import json, sys, math
 import duckdb
+
+def arrow_types(reader_result):
+    """Arrow schema as {col: type-string}, order-independent."""
+    tbl = reader_result.arrow()
+    return {f.name: str(f.type) for f in tbl.schema}
+
+# DuckDB->arrow types the driver serializes identically to these Spark
+# parquet types (timestamps differ only in tz annotation, which the
+# driver's value hash does not carry).
+EQUIV = [({"int64"}, {"int64"}),
+         ({"timestamp[us]", "timestamp[us, tz=UTC]"},
+          {"timestamp[us]", "timestamp[us, tz=UTC]"})]
+
+def types_equal(a, b):
+    if a == b:
+        return True
+    for sa, sb in EQUIV:
+        if a in sa and b in sb or a in sb and b in sa:
+            return True
+    return False
 
 def canon(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
@@ -28,9 +53,13 @@ def main():
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         try:
+            res = con.execute(
+                f"SELECT * FROM read_parquet('{outdir}/{name}/*.parquet')")
+            gtypes = arrow_types(res)
             got = con.execute(
                 f"SELECT * FROM read_parquet('{outdir}/{name}/*.parquet')").fetchall()
             gcols = [d[0] for d in con.description]
+            etypes = arrow_types(con.execute(sql))
             exp = con.execute(sql).fetchall()
             ecols = [d[0] for d in con.description]
         except Exception as e:
@@ -41,6 +70,12 @@ def main():
         e, ec = canon(exp, ecols)
         if gc != ec:
             print(f"FAIL {name}: cols {gc} vs {ec}")
+            n_fail += 1
+            continue
+        tbad = [(c, gtypes.get(c), etypes.get(c)) for c in gc
+                if not types_equal(str(gtypes.get(c)), str(etypes.get(c)))]
+        if tbad:
+            print(f"FAIL {name}: types differ (spark vs oracle): {tbad}")
             n_fail += 1
             continue
         if len(g) != len(e):
