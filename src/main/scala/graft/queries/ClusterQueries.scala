@@ -73,6 +73,31 @@ object ClusterQueries {
         pts(s, dir), "id", "qi", nClusters = 8, kAnon = 4, seed = 42,
         maxLloyd = 5))
 
+  /** The seed-42 sf0.001 fit's centroids frozen as literals
+    * (tools/FreezeCentroids) — [[queries kmeans_assign]] runs the
+    * nearest-centroid assignment kernel the iterative fits stand on
+    * (k-means.ipynb assignment step; DBSCAN.py:126-133 for the noise
+    * analogue) against FIXED centroids, so the kernel itself is under the
+    * driver oracle even though the end-to-end fits are seeded-iterative. */
+  private val FrozenCentroids: Seq[(Int, Array[Double])] = Seq(
+    0 -> Array(13.472222222222221, 907.6333333333332),
+    1 -> Array(23.136363636363637, 915.6818181818181),
+    2 -> Array(43.94117647058823, 912.4647058823529),
+    3 -> Array(4.808510638297872, 910.4574468085108),
+    4 -> Array(44.0625, 903.50625),
+    5 -> Array(24.892857142857142, 904.6357142857144),
+    6 -> Array(48.714285714285715, 916.4857142857143),
+    7 -> Array(34.888888888888886, 913.5370370370371))
+
+  /** DuckDB literal table for [[FrozenCentroids]] — generated from the same
+    * constants so the two engines share bits by construction (VARCHAR→
+    * DOUBLE cast = strtod, identical to the JVM's parse). */
+  private def sqlFrozenCents: String =
+    FrozenCentroids.map { case (cid, c) =>
+      s"($cid, CAST('${c(0)}' AS DOUBLE), CAST('${c(1)}' AS DOUBLE))"
+    }.mkString("cents0 AS (SELECT * FROM (VALUES\n  ", ",\n  ",
+      ") t(cluster, c0, c1))")
+
   // Shared SQL prologue: ε-graph via cartesian θ-join (reference-faithful),
   // parameterized by ε so the sweep oracle can instantiate several legs.
   private def sqlGraphFor(e: Double) =
@@ -213,6 +238,19 @@ object ClusterQueries {
         .orderBy("eps")
     }),
 
+    // The assignment kernel of every iterative fit, isolated under the
+    // oracle: fixed frozen centroids → NearestCentroidsExpr → per-cluster
+    // membership and L1 cost. Non-iterative, so SQL-expressible exactly.
+    "kmeans_assign" -> ((s, dir) => {
+      pts(s, dir).withColumn("nc", element_at(
+          graft.functions.VecKernels.nearest_centroids(
+            col("qi"), FrozenCentroids, 1, cosine = false), 1))
+        .select(col("id"), col("nc.cluster").as("cluster"), col("nc.d").as("d"))
+        .groupBy("cluster")
+        .agg(count(lit(1)).as("n_members"), round(sum("d"), 2).as("cost"))
+        .orderBy("cluster")
+    }),
+
     // MLlib pipeline interop (the BASELINE.json "DataFrame + MLlib"
     // framing): assemble the same points into MLlib vectors and run
     // spark.ml KMeans — demonstrates the engine coexists with MLlib.
@@ -259,6 +297,22 @@ object ClusterQueries {
        |  END AS noise_error)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // assignment = argmin L1 distance, ties to the lowest cluster id —
+    // the row_number tiebreak mirrors the kernel's (d, cluster) order;
+    // the distance expression is written in the kernel's summation order
+    // so the doubles are bit-equal
+    "kmeans_assign" ->
+      s"""WITH pts AS (SELECT p_partkey AS id, CAST(p_size AS DOUBLE) AS x0,
+         |    p_retailprice AS x1 FROM part),
+         |$sqlFrozenCents,
+         |asg AS (SELECT p.id, c.cluster,
+         |    abs(p.x0 - c.c0) + abs(p.x1 - c.c1) AS d,
+         |    row_number() OVER (PARTITION BY p.id
+         |      ORDER BY abs(p.x0 - c.c0) + abs(p.x1 - c.c1), c.cluster)
+         |      AS rn
+         |  FROM pts p CROSS JOIN cents0 c)
+         |SELECT cluster, count(*) AS n_members, round(sum(d), 2) AS cost
+         |FROM asg WHERE rn = 1 GROUP BY cluster ORDER BY cluster""".stripMargin,
     // E1's whole sweep, value-checked: one derived-table leg per ε,
     // UNION ALL'd — upgraded from rows-only once the per-ε pipeline SQL
     // existed for dbscan_errors

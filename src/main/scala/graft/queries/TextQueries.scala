@@ -167,17 +167,17 @@ object TextQueries {
 
     // sequence packing: per shard (the sample_split id), docs in doc_id
     // order fill fixed token-budget bins via an exclusive running sum —
-    // the coarse packing pass before tokenized training. The window
-    // partitions by shard, so packing parallelizes across shards (a
-    // single global cumsum would be one sequential task at scale).
+    // the coarse packing pass before tokenized training. The running sum
+    // is the two-phase PrefixScan, so parallelism follows the cluster
+    // (numParts) instead of being capped at the 10 split ids — the values
+    // are identical to a per-split window cumsum by construction
+    // (PrefixScanSpec pins the equality and the partitioning).
     "pack_sequences" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val d = docs(s, dir).select(col("doc_id"),
         (PolyHash.poly_hash(col("doc_id").cast("string")) % 10).as("split_id"),
         TF.bpeTokenCount(col("text")).as("toks"))
-      val w = Window.partitionBy("split_id").orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      d.withColumn("cum", coalesce(sum("toks").over(w), lit(0L)))
+      graft.operators.PrefixScan.exclusiveCumsum(d, "split_id", "doc_id",
+          "toks", "cum", numParts = s.sparkContext.defaultParallelism)
         .withColumn("seq_id", expr(s"cum div $SeqLen"))
         .groupBy("split_id", "seq_id")
         .agg(count(lit(1)).as("n_docs"), sum("toks").as("sum_tokens"))

@@ -15,6 +15,8 @@ object VectorQueries {
   private val CosTau = 0.4
   private val TopK = 10
   private val NQueries = 5
+  private val NList = 8
+  private val NProbe = 3
 
   private def embs(s: SparkSession, dir: String): DataFrame =
     table(s, dir, "embeddings")
@@ -64,7 +66,25 @@ object VectorQueries {
       val idx = SimilaritySearch.ivfIndex(e, "vec_id", "embedding",
         nlist = 8, seed = 42)
       idx.search(e.where(col("vec_id") < NQueries), "vec_id", "embedding",
-        TopK, nprobe = 3).orderBy("q_id", "rank")
+        TopK, nprobe = NProbe).orderBy("q_id", "rank")
+    }),
+
+    // The IVF probe→score→rank machinery under the oracle: centroids are
+    // FIXED (the first NList embedding vectors — deterministic and
+    // SQL-expressible at any SF), so bucket assignment, probing, and
+    // ranking are all pure. The collect is NList rows (O(nlist·dim), the
+    // same driver-scalar shape as the quantizer fit). ann_ivf stays as the
+    // recall-spec'd Lloyd end-to-end.
+    "ann_ivf_fixed" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val cents = e.where(col("vec_id") < NList)
+        .select(col("vec_id").cast("int"),
+          col("embedding").cast("array<double>"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+      val idx = SimilaritySearch.ivfIndexFixed(e, "vec_id", "embedding", cents)
+      idx.search(e.where(col("vec_id") < NQueries), "vec_id", "embedding",
+        TopK, nprobe = NProbe).orderBy("q_id", "rank")
     }))
 
   private val sqlCos =
@@ -100,6 +120,42 @@ object VectorQueries {
          |  round(sqrt(list_dot_product(pooled, pooled)), 6) AS pooled_norm,
          |  round(pooled[1], 6) AS pooled_x0
          |FROM p ORDER BY group_id""".stripMargin,
+    // the whole fixed-centroid IVF pipeline in SQL: bucket = argmax cosine
+    // vs the first NList vectors (tie → lowest cluster, the kernel's
+    // (-cos, cluster) order), probes = top NProbe buckets per query,
+    // candidates = bucket equi-join, rank = (sim desc, id). The negated
+    // ORDER BY mirrors the kernel's d = -(cos) exactly.
+    "ann_ivf_fixed" -> {
+      val cos = (x: String, y: String) =>
+        s"list_dot_product($x, $y) / (sqrt(list_dot_product($x, $x)) * sqrt(list_dot_product($y, $y)))"
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+         |  FROM embeddings),
+         |cents AS (SELECT vec_id AS cluster, e AS c FROM v
+         |  WHERE vec_id < $NList),
+         |vb AS (SELECT vec_id, cluster AS bucket FROM (
+         |    SELECT a.vec_id, c.cluster,
+         |      row_number() OVER (PARTITION BY a.vec_id
+         |        ORDER BY -(${cos("a.e", "c.c")}), c.cluster) AS rn
+         |    FROM v a CROSS JOIN cents c) WHERE rn = 1),
+         |qp AS (SELECT q_id, cluster AS bucket FROM (
+         |    SELECT a.vec_id AS q_id, c.cluster,
+         |      row_number() OVER (PARTITION BY a.vec_id
+         |        ORDER BY -(${cos("a.e", "c.c")}), c.cluster) AS rn
+         |    FROM v a CROSS JOIN cents c WHERE a.vec_id < $NQueries)
+         |  WHERE rn <= $NProbe),
+         |scored AS (SELECT qp.q_id, vb.vec_id AS id,
+         |    round(${cos("qa.e", "b.e")}, 6) AS sim
+         |  FROM qp JOIN vb ON qp.bucket = vb.bucket
+         |  JOIN v qa ON qa.vec_id = qp.q_id
+         |  JOIN v b ON b.vec_id = vb.vec_id
+         |  WHERE vb.vec_id <> qp.q_id),
+         |ranked AS (SELECT q_id, id, sim,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, id)
+         |      AS rank
+         |  FROM scored)
+         |SELECT q_id, id, sim, CAST(rank AS INT) AS rank FROM ranked
+         |WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin
+    },
     // identical result set to cosine_pairs by construction (deterministic
     // planes, full recall at the gate's tau/data) — same oracle
     "embed_pairs_lsh" ->
