@@ -87,7 +87,8 @@ object Bench {
         f"[bench] $name%-20s ${secs}%8.2fs ${if (ok) "" else "FAILED"}%s")
       (name, secs, ok, sr, sw, pm)
     }
-    val qs = results.map { case (k, v, _, _, _, _) => "\"" + k + "\":" + v }
+    def r3(v: Double): String = f"$v%.3f"
+    val qs = results.map { case (k, v, _, _, _, _) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val sh = results.map { case (k, _, _, sr, sw, pm) =>
       "\"" + k + s"""":{"shuffle_read":$sr,"shuffle_write":$sw,"peak_mem":$pm}"""
@@ -95,7 +96,11 @@ object Bench {
     val failed = results.collect { case (k, _, false, _, _, _) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true, _, _, _) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"stage_metrics":$sh,"failed":$failed,"sf":"$sfDir"}""")
+    // stage metrics first (their own parseable line), the compact headline
+    // JSON LAST — the driver keeps a bounded tail of stdout, and the line it
+    // must parse has to survive that truncation with per-query times intact
+    println(s"""{"metric":"stage_metrics","stage_metrics":$sh,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

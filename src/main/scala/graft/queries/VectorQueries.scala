@@ -18,13 +18,19 @@ object VectorQueries {
   private val NList = 8
   private val NProbe = 3
 
+  /** The two brute-force gates exist as correctness BASELINES — their scale
+    * stories are embed_pairs_lsh and ann_ivf. Cap their input so a larger
+    * gate SF can't go quadratic/linear-per-query on them: a no-op at every
+    * current SF (max vec_id is 1999 at sf0.1), mirrored in the oracles. */
+  private val BruteCap = 2000
+
   private def embs(s: SparkSession, dir: String): DataFrame =
     table(s, dir, "embeddings")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // brute-force exact cosine top-k for the first NQueries vectors
     "ann_topk" -> ((s, dir) => {
-      val e = embs(s, dir)
+      val e = embs(s, dir).where(col("vec_id") < BruteCap)
       SimilaritySearch.cosineTopK(
         e, e.where(col("vec_id") < NQueries), "vec_id", "embedding", TopK)
         .orderBy("q_id", "rank")
@@ -32,7 +38,9 @@ object VectorQueries {
 
     // exact all-pairs cosine >= tau (embedding near-dup baseline)
     "cosine_pairs" -> ((s, dir) => {
-      SimilaritySearch.cosinePairs(embs(s, dir), "vec_id", "embedding", CosTau)
+      SimilaritySearch.cosinePairs(
+        embs(s, dir).where(col("vec_id") < BruteCap),
+        "vec_id", "embedding", CosTau)
         .orderBy("id_a", "id_b")
     }),
 
@@ -93,7 +101,7 @@ object VectorQueries {
   val oracleSql: Map[String, String] = Map(
     "ann_topk" ->
       s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
-         |  FROM embeddings),
+         |  FROM embeddings WHERE vec_id < $BruteCap),
          |scored AS (SELECT a.vec_id AS q_id, b.vec_id AS id,
          |    round($sqlCos, 6) AS sim
          |  FROM v a JOIN v b ON a.vec_id < $NQueries AND a.vec_id <> b.vec_id),
@@ -104,7 +112,7 @@ object VectorQueries {
          |WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin,
     "cosine_pairs" ->
       s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
-         |  FROM embeddings)
+         |  FROM embeddings WHERE vec_id < $BruteCap)
          |SELECT a.vec_id AS id_a, b.vec_id AS id_b, round($sqlCos, 6) AS sim
          |FROM v a JOIN v b ON a.vec_id < b.vec_id
          |WHERE round($sqlCos, 6) >= $CosTau

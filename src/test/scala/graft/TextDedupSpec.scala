@@ -255,4 +255,29 @@ class SimilaritySearchSpec extends GraftSuite {
       assert(mismatches == 0, s"band $band diverges from declarative form")
     }
   }
+
+  test("wide-dim meanPool path equals the columnar path") {
+    // the columnar plan carries dim agg columns — the wide (posexplode)
+    // plan is the 2-4k-dim alternative; same math, row-oriented shuffle.
+    // Float sums may reassociate across the two groupings, so compare at
+    // 9dp (the gates round to 6).
+    val e = graft.core.Tables.table(spark, sf0001, "embeddings")
+      .select((col("vec_id") % 50).as("group_id"), col("embedding"))
+    def rounded(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("group_id"), posexplode(col("pooled")))
+      .select(col("group_id"), col("pos"), round(col("col"), 9).as("m"))
+      .as[(Long, Int, Double)].collect().toSet
+    val colForm = rounded(
+      SimilaritySearch.meanPool(e, "group_id", "embedding", dim = 64))
+    val wideForm = rounded(
+      SimilaritySearch.meanPoolWide(e, "group_id", "embedding"))
+    assert(colForm == wideForm)
+    assert(colForm.size == 50 * 64)
+    // and the dispatch: dim >= wideDim routes to the wide plan (no
+    // per-dimension agg columns in it)
+    val widePlan = SimilaritySearch
+      .meanPool(e, "group_id", "embedding", dim = 64, wideDim = 64)
+      .queryExecution.analyzed.toString
+    assert(widePlan.contains("posexplode"), widePlan.take(400))
+  }
 }
