@@ -195,14 +195,11 @@ object Dbscan {
     val spark = points.sparkSession
     val keyCols = points.columns.toSeq
     val verts = points.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("w"))
-    val sorted = verts.orderBy(keyCols.map(col): _*)
-    val schema = org.apache.spark.sql.types.StructType(
-      sorted.schema.fields :+
-        org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType))
-    val withId = spark.createDataFrame(
-      sorted.rdd.zipWithIndex().map { case (r, i) =>
-        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
-      }, schema)
+    // dense ids in sorted-key order via the two-phase scan — stays in
+    // Catalyst and scales with numParts, unlike the old sortBy +
+    // rdd.zipWithIndex round-trip (same ids: the key set is unique)
+    val withId = graft.operators.PrefixScan.denseIds(
+      verts, keyCols, "id", spark.sparkContext.defaultParallelism)
     run(withId, "id", qiCol, eps, minPts, k, mode, weightCol = Some("w"),
       blockDims = blockDims)
   }

@@ -27,22 +27,41 @@ import org.apache.spark.storage.StorageLevel
   */
 object PrefixScan {
 
+  /** Single-order-column convenience form of [[exclusiveCumsum]]. */
+  def exclusiveCumsum(df: DataFrame, groupCol: String, orderCol: String,
+                      valCol: String, cumCol: String,
+                      numParts: Int): DataFrame =
+    exclusiveCumsum(df, groupCol, Seq(orderCol), valCol, cumCol, numParts)
+
+  /** Dense 0-based row ids in the total sort order of `orderCols` — the
+    * Catalyst-native, data-scaled replacement for `sortBy + rdd.
+    * zipWithIndex` (a driver-coordinated round-trip) and for a global
+    * `row_number()` window (a single sequential task): counting rows is
+    * just the two-phase scan with a unit value and one global group.
+    * `orderCols` must be a unique key. */
+  def denseIds(df: DataFrame, orderCols: Seq[String], idCol: String,
+               numParts: Int): DataFrame =
+    exclusiveCumsum(
+      df.withColumn("__one", lit(1L)).withColumn("__all", lit(1)),
+      "__all", orderCols, "__one", idCol, numParts)
+      .drop("__one", "__all")
+
   /** Adds `cumCol` = exclusive running sum of `valCol` over rows ordered by
-    * `orderCol` within each `groupCol` (first row of a group gets 0).
+    * `orderCols` within each `groupCol` (first row of a group gets 0).
     *
-    * `orderCol` must be unique within a group (it is a row identity, not a
+    * `orderCols` must be unique within a group (a row identity, not a
     * sort preference). The scan materializes the range-partitioned input
     * (persisted: partition ids must be IDENTICAL across the totals pass
     * and the scan pass — range boundaries are re-sampled per action on an
     * unpersisted plan); callers running inside a gate registry keep it
     * cached like every other shared intermediate.
     */
-  def exclusiveCumsum(df: DataFrame, groupCol: String, orderCol: String,
+  def exclusiveCumsum(df: DataFrame, groupCol: String, orderCols: Seq[String],
                       valCol: String, cumCol: String,
                       numParts: Int): DataFrame = {
     val spark = df.sparkSession
     val parted = df
-      .repartitionByRange(numParts, col(groupCol), col(orderCol))
+      .repartitionByRange(numParts, (groupCol +: orderCols).map(col): _*)
       .withColumn("__pid", spark_partition_id())
       .persist(StorageLevel.MEMORY_AND_DISK)
 
@@ -72,7 +91,7 @@ object PrefixScan {
     // pass 2: scan each contiguous slice independently; the broadcast
     // offset re-anchors it to the group-global running sum
     val w = Window.partitionBy(col("__pid"), col(groupCol))
-      .orderBy(col(orderCol))
+      .orderBy(orderCols.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, -1)
     parted
       .join(broadcast(offDf),

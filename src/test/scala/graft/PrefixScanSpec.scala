@@ -40,6 +40,18 @@ class PrefixScanSpec extends GraftSuite {
     assert(nSlices > 1, s"scan collapsed to $nSlices partition(s)")
   }
 
+  test("denseIds equals row_number over the sort, 0-based") {
+    val d = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "n_chars")
+    val ids = PrefixScan.denseIds(d, Seq("n_chars", "doc_id"), "id",
+        numParts = 8)
+      .select("doc_id", "id")
+    val ref = d.withColumn("id",
+        row_number().over(Window.orderBy("n_chars", "doc_id")) - 1)
+      .select(col("doc_id"), col("id").cast("long"))
+    assert(ids.exceptAll(ref).isEmpty && ref.exceptAll(ids).isEmpty)
+  }
+
   test("first row of every group gets 0 and sums telescope") {
     val scan = PrefixScan
       .exclusiveCumsum(input, "split_id", "doc_id", "v", "cum", numParts = 8)
