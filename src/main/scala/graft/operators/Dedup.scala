@@ -38,6 +38,27 @@ object Dedup {
     docs.select(col(idCol).as("id"),
       explode(graft.functions.TextKernels.shingle_hashes(col(textCol), lit(n))).as("h"))
 
+  /** Benchmark decontamination: corpus documents sharing at least
+    * `minShared` distinct word-`n`-gram shingle hashes with an evaluation
+    * set, with the overlap count (the pipeline step that excludes
+    * eval-set leakage from training data — an OVERLAP test against a
+    * small fixed set, not the all-pairs problem [[jaccardPairs]] solves).
+    *
+    * Scale shape: the eval side is tiny by nature (a benchmark), so its
+    * distinct hash set broadcasts; the corpus side is one narrow
+    * projection → hash semi-join → partial-aggregated count, no shuffle
+    * of text and no corpus self-join anywhere. */
+  def contamination(docs: DataFrame, evalDocs: DataFrame, idCol: String,
+                    textCol: String, n: Int, minShared: Long = 1L): DataFrame = {
+    val corpus = shingleHashIndex(docs, idCol, textCol, n)
+    val evals = shingleHashIndex(evalDocs, idCol, textCol, n)
+      .select(col("h")).distinct()
+    corpus.join(broadcast(evals), "h")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+
   /** Near-duplicate pairs with exact n-gram Jaccard >= tau, via
     * document-frequency-ordered PREFIX FILTERING (PPJoin-style, Bayardo et
     * al. "Scaling Up All Pairs Similarity Search", WWW'07 — public

@@ -23,6 +23,10 @@ object TextQueries {
   private val P = PolyHash.Prime
   private val QualityMin = 0.5
   private val SeqLen = 2048
+  private val Bm25Terms = Seq("spark", "merge", "window")
+  private val Bm25K1 = 1.2
+  private val Bm25B = 0.75
+  private val Bm25TopN = 15
 
   // ------------------------------------------------------- SQL fragments
 
@@ -184,6 +188,29 @@ object TextQueries {
         .orderBy("split_id", "seq_id")
     }),
 
+    // benchmark decontamination: corpus docs (doc_id >= 5) sharing any
+    // word-bigram shingle hash with the "eval set" (doc_id < 5), with the
+    // distinct-overlap count — the leakage-exclusion pass of a training
+    // run; eval hashes broadcast, corpus side never self-joins
+    "decontam" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.contamination(d.where(col("doc_id") >= 5),
+          d.where(col("doc_id") < 5), "doc_id", "text", ShingleN)
+        .select(col("id").as("doc_id"), col("n_shared"))
+        .orderBy("doc_id")
+    }),
+
+    // BM25 lexical ranking for a fixed query-term bag — the corpus
+    // selection / retrieval-decontamination scorer; per-term weights are
+    // 6dp-rounded and combined in literal term order so the score doubles
+    // are bit-identical across engines (LexicalRank scaladoc)
+    "bm25_rank" -> ((s, dir) => {
+      graft.operators.LexicalRank.bm25TopK(docs(s, dir), "doc_id", "text",
+          Bm25Terms, Bm25TopN, Bm25K1, Bm25B)
+        .select(col("doc_id"), col("score"), col("rank"))
+        .orderBy("rank")
+    }),
+
     // the operator a dedup pipeline actually ends with: near-dup PAIRS →
     // connected components → one group id (min member) per document;
     // singletons are their own group. Composes Dedup.jaccardPairs with
@@ -341,6 +368,44 @@ object TextQueries {
          |  (SELECT count(*) FROM kept) AS n_kept,
          |  (SELECT CAST(sum(CAST(len(t) AS BIGINT)) AS BIGINT)
          |   FROM ktoks) AS kept_tokens""".stripMargin,
+    "decontam" ->
+      s"""WITH $sqlToks,
+         |$sqlShingles,
+         |$sqlShingleHashes,
+         |ev AS (SELECT DISTINCT h FROM shh WHERE doc_id < 5)
+         |SELECT s.doc_id, count(*) AS n_shared
+         |FROM shh s JOIN ev ON s.h = ev.h
+         |WHERE s.doc_id >= 5
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // arithmetic mirrored subexpression-for-subexpression from
+    // LexicalRank.bm25 (literal constants interpolated from the SAME
+    // Scala values, so both engines parse identical doubles)
+    "bm25_rank" -> {
+      val tfs = Bm25Terms.indices.map { i =>
+        s"CAST(len(list_filter(t, w -> w = '${Bm25Terms(i)}')) AS DOUBLE) AS tf$i"
+      }.mkString(",\n  ")
+      val dfs = Bm25Terms.indices.map { i =>
+        s"sum(CASE WHEN tf$i > 0 THEN 1.0 ELSE 0.0 END) AS df$i"
+      }.mkString(",\n  ")
+      val ws = Bm25Terms.indices.map { i =>
+        s"round(round(ln(1.0 + (n - df$i + 0.5) / (df$i + 0.5)), 6) * " +
+          s"((tf$i * ${Bm25K1 + 1}) / (tf$i + $Bm25K1 * " +
+          s"(${1.0 - Bm25B} + $Bm25B * dl / avgdl))), 6)"
+      }
+      val scoreExpr = ws.reduceLeft((a, b) => s"($a + $b)")
+      s"""WITH $sqlToks,
+         |st AS (SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl,
+         |  $tfs
+         |  FROM toks),
+         |g AS (SELECT avg(dl) AS avgdl, CAST(count(*) AS DOUBLE) AS n,
+         |  $dfs FROM st),
+         |sc AS (SELECT doc_id, round($scoreExpr, 6) AS score FROM st, g),
+         |ranked AS (SELECT doc_id, score,
+         |    row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+         |  FROM sc WHERE score > 0)
+         |SELECT doc_id, score, CAST(rank AS INT) AS rank FROM ranked
+         |WHERE rank <= $Bm25TopN ORDER BY rank""".stripMargin
+    },
     "jaccard_pairs" ->
       s"""WITH $sqlToks,
          |$sqlShingles,

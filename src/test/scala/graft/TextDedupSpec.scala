@@ -256,6 +256,26 @@ class SimilaritySearchSpec extends GraftSuite {
     }
   }
 
+  test("bm25 ranks multi-term matches above single-term, respects length norm") {
+    import graft.operators.LexicalRank
+    val docs = Seq(
+      (1L, "spark merge window"),            // all three terms, short
+      (2L, "spark spark spark"),             // one term repeated
+      (3L, "spark merge window " + ("filler " * 50).trim), // all terms, long
+      (4L, "table scan join"),               // no terms
+      (5L, "")                               // empty
+    ).toDF("doc_id", "text")
+    val terms = Seq("spark", "merge", "window")
+    val scores = LexicalRank.bm25(docs, "doc_id", "text", terms)
+      .as[(Long, Double)].collect().toMap
+    assert(scores(1L) > scores(2L), "coverage beats repetition")
+    assert(scores(1L) > scores(3L), "length normalization penalizes padding")
+    assert(scores(4L) == 0.0 && scores(5L) == 0.0)
+    val top = LexicalRank.bm25TopK(docs, "doc_id", "text", terms, 2)
+      .select("doc_id", "rank").as[(Long, Int)].collect().toMap
+    assert(top(1L) == 1 && top.size == 2)
+  }
+
   test("wide-dim meanPool path equals the columnar path") {
     // the columnar plan carries dim agg columns — the wide (posexplode)
     // plan is the 2-4k-dim alternative; same math, row-oriented shuffle.
