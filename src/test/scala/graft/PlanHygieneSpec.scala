@@ -67,4 +67,28 @@ class PlanHygieneSpec extends GraftSuite {
         s"$q must not plan a cartesian/nested-loop join")
     }
   }
+
+  test("decontam broadcasts the eval hash set; corpus never self-joins") {
+    val p = plan("decontam")
+    assert(p.contains("BroadcastHashJoin"),
+      "eval shingle hashes must broadcast into the semi-join")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      "the corpus side must not shuffle-join")
+  }
+
+  test("bm25 broadcasts the one-row global stats; no corpus shuffle join") {
+    val p = plan("bm25_rank")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "the scalar stats row must broadcast")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      "scoring must not shuffle-join the corpus")
+  }
+
+  test("kmeans_assign and ann_ivf_fixed plan without cartesians") {
+    for (q <- Seq("kmeans_assign", "ann_ivf_fixed")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"),
+        s"$q must not plan a cartesian (centroids ride as reference objects)")
+    }
+  }
 }
