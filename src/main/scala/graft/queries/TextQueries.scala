@@ -188,6 +188,20 @@ object TextQueries {
         .orderBy("split_id", "seq_id")
     }),
 
+    // stratified deterministic downsampling: English docs kept at 50%,
+    // German at 25%, everything else whole — membership is a pure function
+    // of doc_id (PolyHash threshold), so the sample is reproducible across
+    // runs/clusters and join-consistent across tables
+    "sample_strata" -> ((s, dir) => {
+      val d = docs(s, dir).withColumn("lang_pred", TF.langId(col("text")))
+      graft.operators.Sampling.stratified(d, "doc_id", col("lang_pred"),
+          Seq("en" -> 0.5, "de" -> 0.25), default = 1.0)
+        .groupBy("lang_pred")
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("n_chars")).cast("long").as("sum_chars"))
+        .orderBy("lang_pred")
+    }),
+
     // benchmark decontamination: corpus docs (doc_id >= 5) sharing any
     // word-bigram shingle hash with the "eval set" (doc_id < 5), with the
     // distinct-overlap count — the leakage-exclusion pass of a training
@@ -368,6 +382,18 @@ object TextQueries {
          |  (SELECT count(*) FROM kept) AS n_kept,
          |  (SELECT CAST(sum(CAST(len(t) AS BIGINT)) AS BIGINT)
          |   FROM ktoks) AS kept_tokens""".stripMargin,
+    "sample_strata" ->
+      s"""WITH $sqlToks,
+         |lang AS ($sqlLang),
+         |s AS (SELECT d.doc_id, d.n_chars, l.lang_pred,
+         |    ${sqlPolyHash("CAST(d.doc_id AS VARCHAR)")} % 10000 AS h
+         |  FROM documents d JOIN lang l ON d.doc_id = l.doc_id)
+         |SELECT lang_pred, count(*) AS n_kept,
+         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         |FROM s
+         |WHERE h < CASE lang_pred WHEN 'en' THEN 5000 WHEN 'de' THEN 2500
+         |          ELSE 10000 END
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "decontam" ->
       s"""WITH $sqlToks,
          |$sqlShingles,

@@ -256,6 +256,28 @@ class SimilaritySearchSpec extends GraftSuite {
     }
   }
 
+  test("hash sampling is deterministic, rate-accurate, join-consistent") {
+    import graft.operators.Sampling
+    val d = graft.core.Tables.table(spark, sf0001, "documents")
+    val s1 = Sampling.hashSample(d, "doc_id", 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    val s2 = Sampling.hashSample(d, "doc_id", 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(s1 == s2, "same key set must survive every run")
+    assert(math.abs(s1.size - 250) < 60, s"rate off: ${s1.size}/500")
+    // nested rates: a 0.25 sample is a subset of the 0.5 sample (hash
+    // thresholding, not independent coins)
+    val s3 = Sampling.hashSample(d, "doc_id", 0.25)
+      .select("doc_id").as[Long].collect().toSet
+    assert(s3.subsetOf(s1), "threshold samples must nest")
+    // stratified with default 1.0 keeps unlisted strata whole
+    val strat = Sampling.stratified(
+      d.withColumn("st", (col("doc_id") % 2 === 0).cast("string")),
+      "doc_id", col("st"), Seq("true" -> 0.0), default = 1.0)
+      .select("doc_id").as[Long].collect().toSet
+    assert(strat.forall(_ % 2 == 1) && strat.size > 200)
+  }
+
   test("bm25 ranks multi-term matches above single-term, respects length norm") {
     import graft.operators.LexicalRank
     val docs = Seq(
