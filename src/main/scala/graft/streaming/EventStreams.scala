@@ -78,6 +78,29 @@ object EventStreams {
         .dropDuplicatesWithinWatermark(idCols)
     else events.dropDuplicates(idCols)
 
+  /** Watermarked stream-stream interval join: each `right` event picks up
+    * the `left` events of the same user with ts in [r_ts - lookback, r_ts].
+    * Both sides carry event-time watermarks and the join condition is
+    * time-bounded, which is exactly what lets Structured Streaming AGE OUT
+    * join state (a left row is dropped once the right watermark passes
+    * l_ts + lookback) — the unbounded-state trap of naive stream joins.
+    * Batch inputs run the identical condition, so batch ≡ stream is
+    * spec-asserted like the other dual-mode operators. The batch analogue
+    * with aggregation is [[graft.operators.RangeJoin.lookbackAgg]] (grid
+    * bucketing); this is the continuous-ingestion form. */
+  def lookbackJoin(left: DataFrame, right: DataFrame, lookbackMinutes: Int,
+                   watermark: String = "2 hours"): DataFrame = {
+    def wm(df: DataFrame) =
+      if (df.isStreaming) df.withWatermark("ts", watermark) else df
+    val l = wm(left).select(col("user_id").as("l_user"), col("ts").as("l_ts"),
+      col("event_id").as("l_id"), col("value").as("l_value"))
+    val r = wm(right).select(col("user_id").as("r_user"), col("ts").as("r_ts"),
+      col("event_id").as("r_id"))
+    r.join(l, col("l_user") === col("r_user")
+      && col("l_ts") <= col("r_ts")
+      && col("l_ts") >= col("r_ts") - expr(s"INTERVAL $lookbackMinutes MINUTES"))
+  }
+
   // ------------------------- stateful streaming sessionization ----------
 
   case class Ev(user_id: Long, tsUs: Long, value: Double)

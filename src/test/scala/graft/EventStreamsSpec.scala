@@ -78,6 +78,27 @@ class EventStreamsSpec extends GraftSuite {
     assert(out(3L) == ((0L, 0.0)), "no views for user 2")
   }
 
+  test("stream-stream lookback join equals the batch join") {
+    def split(df: org.apache.spark.sql.DataFrame) =
+      (df.where(col("event_type") === "view"),
+        df.where(col("event_type") === "click"))
+    val (bv, bc) = split(graft.core.Tables.table(spark, sf0001, "events"))
+    val batch = EventStreams.lookbackJoin(bv, bc, lookbackMinutes = 30)
+      .select("r_id", "l_id").as[(Long, Long)].collect().toSet
+
+    val (sv, sc) = split(EventStreams.readEventStream(spark, sf0001))
+    val q = EventStreams.lookbackJoin(sv, sc, lookbackMinutes = 30)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("lbj_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("lbj_out")
+        .select("r_id", "l_id").as[(Long, Long)].collect().toSet
+      assert(got == batch, "stream join ≠ batch join on identical input")
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("batch sessionization invariants") {
     val ev = graft.core.Tables.table(spark, sf0001, "events")
     val sess = EventStreams.sessionize(ev, gapMinutes = 60).cache()
