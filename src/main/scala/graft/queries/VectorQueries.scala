@@ -67,6 +67,26 @@ object VectorQueries {
         .orderBy("group_id")
     }),
 
+    // int8 embedding quantization: per-vector scale, quantized-code sum
+    // (integer-exact), and the L1 reconstruction error — the float32→int8
+    // storage compression step of an embedding pipeline, value-hash-exact
+    // against the oracle (see VecQuant float-determinism notes)
+    "embed_quant" -> ((s, dir) => {
+      import graft.operators.VecQuant
+      val e = embs(s, dir).select(col("vec_id"),
+        col("embedding").cast("array<double>").as("vec"))
+      val withScale = e.withColumn("scale", VecQuant.quantScale(col("vec")))
+      val withQ = withScale.withColumn("q",
+        VecQuant.quantize(col("vec"), col("scale")))
+      withQ.select(col("vec_id"),
+        round(col("scale"), 6).as("scale6"),
+        aggregate(col("q"), lit(0L), (acc, qi) => acc + qi.cast("long"))
+          .as("qsum"),
+        round(VecQuant.reconstructionError(col("vec"), col("q"), col("scale")), 6)
+          .as("err6"))
+        .orderBy("vec_id")
+    }),
+
     // IVF-bucketed ANN: same queries through the coarse quantizer
     // (approximate — no SQL oracle; recall vs brute force is spec-checked)
     "ann_ivf" -> ((s, dir) => {
@@ -128,6 +148,30 @@ object VectorQueries {
          |  round(sqrt(list_dot_product(pooled, pooled)), 6) AS pooled_norm,
          |  round(pooled[1], 6) AS pooled_x0
          |FROM p ORDER BY group_id""".stripMargin,
+    // list_reduce without an init seeds from the FIRST element —
+    // f(f(e1,e2),e3)... — which equals Spark's aggregate fold seeded with
+    // 0 (0.0 + x == x for the non-negative summands here), so the error
+    // fold associates identically on both engines
+    "embed_quant" ->
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+         |  FROM embeddings),
+         |s AS (SELECT vec_id, e,
+         |    coalesce(list_max(list_transform(e, x -> abs(x))), 0.0) / 127.0
+         |      AS scale
+         |  FROM v),
+         |q AS (SELECT vec_id, e, scale,
+         |    CASE WHEN scale = 0 THEN list_transform(e, x -> 0)
+         |         ELSE list_transform(e, x -> CAST(round(x / scale) AS INT))
+         |    END AS qc
+         |  FROM s)
+         |SELECT vec_id,
+         |  round(scale, 6) AS scale6,
+         |  list_reduce(list_transform(qc, x -> CAST(x AS BIGINT)),
+         |    (acc, x) -> acc + x) AS qsum,
+         |  round(list_reduce(list_transform(range(1, len(e) + 1),
+         |      i -> abs(e[i] - CAST(qc[i] AS DOUBLE) * scale)),
+         |    (acc, x) -> acc + x), 6) AS err6
+         |FROM q ORDER BY vec_id""".stripMargin,
     // the whole fixed-centroid IVF pipeline in SQL: bucket = argmax cosine
     // vs the first NList vectors (tie → lowest cluster, the kernel's
     // (-cos, cluster) order), probes = top NProbe buckets per query,

@@ -256,6 +256,27 @@ class SimilaritySearchSpec extends GraftSuite {
     }
   }
 
+  test("int8 quantization bounds error and survives zero vectors") {
+    import graft.operators.VecQuant
+    val d = Seq((1L, Array(1.0, -0.5, 0.25, 127.0)),
+        (2L, Array(0.0, 0.0, 0.0, 0.0)))
+      .toDF("vec_id", "vec")
+      .withColumn("scale", VecQuant.quantScale(col("vec")))
+      .withColumn("q", VecQuant.quantize(col("vec"), col("scale")))
+      .withColumn("err",
+        VecQuant.reconstructionError(col("vec"), col("q"), col("scale")))
+      .select("vec_id", "scale", "q", "err")
+      .as[(Long, Double, Array[Int], Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val (_, s1, q1, e1) = d(1L)
+    assert(q1(3) == 127, "max component maps to 127")
+    assert(q1.forall(v => v >= -127 && v <= 127))
+    // per-element error bounded by scale/2 (round-to-nearest)
+    assert(e1 <= s1 / 2 * 4 + 1e-12)
+    val (_, s2, q2, e2) = d(2L)
+    assert(s2 == 0.0 && q2.forall(_ == 0) && e2 == 0.0, "zero vector safe")
+  }
+
   test("hash sampling is deterministic, rate-accurate, join-consistent") {
     import graft.operators.Sampling
     val d = graft.core.Tables.table(spark, sf0001, "documents")
