@@ -35,4 +35,21 @@ object CorpusWriter {
     df.repartitionByRange(numFiles, sortCols.map(col): _*)
       .sortWithinPartitions(sortCols.map(col): _*)
       .write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** Bucketed + sorted table (`bucketBy`/`sortBy` via the session
+    * catalog): every table written with the same bucket spec on the join
+    * key co-locates — downstream equi-joins and aggregations on
+    * `bucketCols` plan with ZERO Exchange (asserted in CorpusWriterSpec),
+    * which at 100 TB is the difference between a metadata-only join and
+    * re-shuffling both fact tables every query. Buckets also bound
+    * per-task input size deterministically (numBuckets sized to the
+    * cluster, not the data). */
+  def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
+                    numBuckets: Int): Unit =
+    df.write
+      .mode(SaveMode.Overwrite)
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
 }

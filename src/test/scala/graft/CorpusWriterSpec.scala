@@ -24,6 +24,36 @@ class CorpusWriterSpec extends GraftSuite {
     assert(enFiles <= 2, s"$enFiles files in lang=en")
   }
 
+  test("bucketed tables: co-located equi-join and agg plan with zero Exchange") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_wh").toString
+    spark.conf.set("spark.sql.warehouse.dir", wh)
+    val docs = Tables.table(spark, sf0001, "documents")
+      .select("doc_id", "n_chars")
+    val embs = Tables.table(spark, sf0001, "embeddings")
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+    CorpusWriter.writeBucketed(docs, "b_docs", Seq("doc_id"), numBuckets = 4)
+    CorpusWriter.writeBucketed(embs, "b_embs", Seq("doc_id"), numBuckets = 4)
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("b_docs").join(spark.table("b_embs"), "doc_id")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must not shuffle:\n${plan.take(900)}")
+      assert(joined.count() == 500)
+      // aggregation on the bucket key also skips the shuffle
+      val agg = spark.table("b_docs").groupBy("doc_id")
+        .agg(sum("n_chars").as("s"))
+      assert(!agg.queryExecution.executedPlan.toString.contains("Exchange"),
+        "bucket-key agg must not shuffle")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS b_docs")
+      spark.sql("DROP TABLE IF EXISTS b_embs")
+    }
+  }
+
   test("sorted write: range-partitioned files, rows sorted within") {
     val li = Tables.table(spark, sf0001, "lineitem")
       .select("l_orderkey", "l_extendedprice")
