@@ -45,11 +45,14 @@ object CorpusWriter {
     * per-task input size deterministically (numBuckets sized to the
     * cluster, not the data). */
   def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
-                    numBuckets: Int): Unit =
-    df.write
+                    numBuckets: Int, path: Option[String] = None): Unit = {
+    val w = df.write
       .mode(SaveMode.Overwrite)
       .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .format("parquet")
-      .saveAsTable(table)
+    // explicit location = external table; avoids depending on the session's
+    // warehouse dir (a static conf that cannot be set on a live session)
+    path.fold(w)(p => w.option("path", p)).saveAsTable(table)
+  }
 }

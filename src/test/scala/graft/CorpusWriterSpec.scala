@@ -26,13 +26,14 @@ class CorpusWriterSpec extends GraftSuite {
 
   test("bucketed tables: co-located equi-join and agg plan with zero Exchange") {
     val wh = java.nio.file.Files.createTempDirectory("graft_wh").toString
-    spark.conf.set("spark.sql.warehouse.dir", wh)
     val docs = Tables.table(spark, sf0001, "documents")
       .select("doc_id", "n_chars")
     val embs = Tables.table(spark, sf0001, "embeddings")
       .select(col("vec_id").as("doc_id"), col("embedding"))
-    CorpusWriter.writeBucketed(docs, "b_docs", Seq("doc_id"), numBuckets = 4)
-    CorpusWriter.writeBucketed(embs, "b_embs", Seq("doc_id"), numBuckets = 4)
+    CorpusWriter.writeBucketed(docs, "b_docs", Seq("doc_id"), numBuckets = 4,
+      path = Some(s"$wh/b_docs"))
+    CorpusWriter.writeBucketed(embs, "b_embs", Seq("doc_id"), numBuckets = 4,
+      path = Some(s"$wh/b_embs"))
     try {
       spark.conf.set("spark.sql.adaptive.enabled", "false")
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
