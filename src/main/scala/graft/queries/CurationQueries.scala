@@ -1,0 +1,227 @@
+package graft.queries
+
+import graft.core.Tables.table
+import graft.functions.{PolyHash, TextFunctions => TF}
+import graft.operators.SkewJoin
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation gate queries a large-scale training-data pipeline
+  * needs beyond dedup/similarity: repetition signals (Gopher-style
+  * filters), vocabulary heavy-hitters, per-source curation dashboards,
+  * length histograms, PII scanning/redaction, and a salted skew join.
+  *
+  * All are plain relational plans (explode → groupBy → agg) with
+  * map-side partial aggregation — per-doc or per-token keyed, so they
+  * scale linearly with corpus size and never collect to the driver.
+  * The synthetic-PII injection in [[queries pii_scan]] is mirrored
+  * expression-for-expression in the oracle so the regex kernels are
+  * value-checked even though the base corpus contains no PII.
+  */
+object CurationQueries {
+  private val VocabK = 100
+  private val HistBucket = 64
+  private val SaltBuckets = 8
+
+  /** Email/phone detection regexes — deliberately restricted to syntax
+    * with identical semantics in Java regex (Spark codegen) and RE2
+    * (oracle): no lookaround, no backrefs, no possessive quantifiers. */
+  private val EmailRe = "[a-z0-9._]+@[a-z0-9.]+\\.[a-z]{2,}"
+  private val PhoneRe = "\\+1-\\d{3}-\\d{4}"
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "documents")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Gopher-style repetition signals: duplicate-token fraction and the
+    // mass of the single most frequent word bigram. Relational shape
+    // (explode → per-doc count → per-doc max/sum) keeps the partial
+    // aggregation map-side; no per-doc quadratic work.
+    "rep_signals" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val tk = TF.tokens(col("text"))
+      val stats = d.select(col("doc_id"),
+        size(tk).cast("long").as("n_tokens"),
+        size(array_distinct(tk)).cast("long").as("n_distinct"))
+      val top = d.select(col("doc_id"),
+          explode(TF.wordShingles(col("text"), 2)).as("g"))
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(max("c").as("mx"), sum("c").as("nb"))
+      stats.join(top, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          when(col("n_tokens") === 0, 0.0)
+            .otherwise(round(lit(1.0)
+              - col("n_distinct").cast("double") / col("n_tokens"), 6))
+            .as("dup_token_frac"),
+          round(coalesce(col("mx").cast("double") / col("nb"), lit(0.0)), 6)
+            .as("top_bigram_frac"))
+        .orderBy("doc_id")
+    }),
+
+    // Vocabulary heavy-hitters: top-K tokens by corpus frequency with
+    // document frequency — the tokenizer-vocab / stopword-mining pass.
+    // groupBy(token) partial-aggregates map-side; the top-K is a
+    // TakeOrdered (no full sort), and the rank window runs on K rows.
+    "vocab_topk" -> ((s, dir) => {
+      val top = docs(s, dir)
+        .select(col("doc_id"), explode(TF.tokens(col("text"))).as("token"))
+        .groupBy("token")
+        .agg(count(lit(1)).as("tf"), countDistinct("doc_id").as("df"))
+        .orderBy(col("tf").desc, col("token")).limit(VocabK)
+      top.withColumn("rank",
+          row_number().over(Window.orderBy(col("tf").desc, col("token"))))
+        .orderBy("rank")
+    }),
+
+    // Per-source curation dashboard: doc/char/token volume, mean quality,
+    // language spread — the "which sources do we keep" aggregation.
+    "source_stats" -> ((s, dir) => {
+      docs(s, dir).groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum("n_chars").cast("long").as("sum_chars"),
+          sum(TF.tokenCount(col("text")).cast("long")).cast("long")
+            .as("sum_tokens"),
+          round(avg(TF.qualityScore(col("text"))), 6).as("avg_quality"),
+          countDistinct("lang").as("n_langs"))
+        .orderBy("source")
+    }),
+
+    // Document-length histogram with a running total — the sequence-length
+    // planning input for packing/batching.
+    "len_hist" -> ((s, dir) => {
+      docs(s, dir)
+        .select(expr(s"n_chars div $HistBucket").as("bucket"), col("n_chars"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").cast("long").as("sum_chars"))
+        .withColumn("cum_docs", sum("n_docs").over(Window.orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("long"))
+        .orderBy("bucket")
+    }),
+
+    // PII scan + redaction: count email/phone matches and fingerprint the
+    // redacted text. The corpus has no PII, so a deterministic synthetic
+    // injection (mirrored in the oracle) makes the hit paths non-trivial.
+    "pii_scan" -> ((s, dir) => {
+      val inj = concat(col("text"),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" contact user"), col("doc_id"), lit("@example.com")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 11 === 0,
+          concat(lit(" call +1-555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(lit("")))
+      docs(s, dir).select(col("doc_id"), inj.as("itext"))
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("itext"), lit(EmailRe), lit(0)))
+            .cast("long").as("n_emails"),
+          size(regexp_extract_all(col("itext"), lit(PhoneRe), lit(0)))
+            .cast("long").as("n_phones"),
+          PolyHash.poly_hash(
+            regexp_replace(regexp_replace(col("itext"), EmailRe, "[EMAIL]"),
+              PhoneRe, "[PHONE]")).as("red_fp"))
+        .orderBy("doc_id")
+    }),
+
+    // Salted skew join: events fact joined to a tiny per-type dim on the
+    // massively skewed event_type key via SkewJoin (row-identical to the
+    // plain join, spec + oracle checked). Money amounts are integerized
+    // (floor(value*100)) BEFORE summing so the aggregate is exact across
+    // engines and summation orders.
+    "skew_join" -> ((s, dir) => {
+      val e = table(s, dir, "events").select(col("user_id"), col("event_type"),
+        floor(col("value") * 100).cast("long").as("cents"))
+      val dim = e.select("event_type").distinct()
+        .withColumn("weight", (length(col("event_type")) % 5 + 1).cast("long"))
+      SkewJoin.saltedJoin(e, dim, "event_type", SaltBuckets)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("cents") * col("weight")).as("weighted_cents"))
+        .orderBy("user_id")
+    }))
+
+  // ----------------------------------------------------------- oracles
+
+  import TextQueries.{sqlPolyHash, sqlQuality, sqlToks}
+
+  val oracleSql: Map[String, String] = Map(
+    "rep_signals" ->
+      s"""WITH $sqlToks,
+         |bi AS (SELECT doc_id, unnest(list_transform(range(1, len(t)),
+         |    i -> t[i] || ' ' || t[i + 1])) AS g
+         |  FROM toks WHERE len(t) >= 2),
+         |bc AS (SELECT doc_id, g, count(*) AS c FROM bi GROUP BY 1, 2),
+         |bt AS (SELECT doc_id, max(c) AS mx, sum(c) AS nb FROM bc GROUP BY 1),
+         |ts AS (SELECT doc_id, len(t) AS nt, len(list_distinct(t)) AS nd
+         |  FROM toks)
+         |SELECT ts.doc_id, CAST(nt AS BIGINT) AS n_tokens,
+         |  CASE WHEN nt = 0 THEN 0.0
+         |       ELSE round(1.0 - CAST(nd AS DOUBLE) / nt, 6) END
+         |    AS dup_token_frac,
+         |  round(coalesce(CAST(mx AS DOUBLE) / nb, 0.0), 6)
+         |    AS top_bigram_frac
+         |FROM ts LEFT JOIN bt ON ts.doc_id = bt.doc_id
+         |ORDER BY ts.doc_id""".stripMargin,
+    "vocab_topk" ->
+      s"""WITH $sqlToks,
+         |tok AS (SELECT doc_id, unnest(t) AS token FROM toks),
+         |agg AS (SELECT token, CAST(count(*) AS BIGINT) AS tf,
+         |    CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+         |  FROM tok GROUP BY 1),
+         |r AS (SELECT token, tf, df,
+         |    row_number() OVER (ORDER BY tf DESC, token) AS rank FROM agg)
+         |SELECT token, tf, df, CAST(rank AS INT) AS rank FROM r
+         |WHERE rank <= $VocabK ORDER BY rank""".stripMargin,
+    "source_stats" ->
+      s"""WITH $sqlToks,
+         |q AS (SELECT doc_id, len(t) AS nt, $sqlQuality AS quality
+         |  FROM toks)
+         |SELECT d.source AS source, count(*) AS n_docs,
+         |  CAST(sum(d.n_chars) AS BIGINT) AS sum_chars,
+         |  CAST(sum(q.nt) AS BIGINT) AS sum_tokens,
+         |  round(avg(q.quality), 6) AS avg_quality,
+         |  CAST(count(DISTINCT d.lang) AS BIGINT) AS n_langs
+         |FROM documents d JOIN q ON d.doc_id = q.doc_id
+         |GROUP BY d.source ORDER BY source""".stripMargin,
+    "len_hist" ->
+      s"""WITH h AS (SELECT n_chars // $HistBucket AS bucket,
+         |    count(*) AS n_docs,
+         |    CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         |  FROM documents GROUP BY 1)
+         |SELECT bucket, n_docs, sum_chars,
+         |  CAST(sum(n_docs) OVER (ORDER BY bucket
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |    AS cum_docs
+         |FROM h ORDER BY bucket""".stripMargin,
+    "pii_scan" ->
+      s"""WITH inj AS (SELECT doc_id, text ||
+         |    CASE WHEN doc_id % 7 = 0 THEN ' contact user'
+         |      || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END ||
+         |    CASE WHEN doc_id % 11 = 0 THEN ' call +1-555-'
+         |      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+         |    AS itext
+         |  FROM documents),
+         |red AS (SELECT doc_id, itext,
+         |    regexp_replace(regexp_replace(itext,
+         |      '$EmailRe', '[EMAIL]', 'g'), '$PhoneRe', '[PHONE]', 'g')
+         |    AS rtext
+         |  FROM inj)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(itext, '$EmailRe')) AS BIGINT)
+         |    AS n_emails,
+         |  CAST(len(regexp_extract_all(itext, '$PhoneRe')) AS BIGINT)
+         |    AS n_phones,
+         |  ${sqlPolyHash("rtext")} AS red_fp
+         |FROM red ORDER BY doc_id""".stripMargin,
+    "skew_join" ->
+      s"""WITH e AS (SELECT user_id, event_type,
+         |    CAST(floor(value * 100) AS BIGINT) AS cents FROM events),
+         |dim AS (SELECT DISTINCT event_type,
+         |    CAST(length(event_type) % 5 + 1 AS BIGINT) AS weight FROM e)
+         |SELECT user_id, count(*) AS n_events,
+         |  CAST(sum(cents * weight) AS BIGINT) AS weighted_cents
+         |FROM e JOIN dim USING (event_type)
+         |GROUP BY user_id ORDER BY user_id""".stripMargin)
+}

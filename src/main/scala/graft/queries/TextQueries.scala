@@ -31,14 +31,14 @@ object TextQueries {
   // ------------------------------------------------------- SQL fragments
 
   /** DuckDB mirror of PolyHash.hash over an expression `e`. */
-  private def sqlPolyHash(e: String): String =
+  private[queries] def sqlPolyHash(e: String): String =
     s"""CASE WHEN length($e) = 0 THEN 0 ELSE
        | list_reduce(list_transform(range(1, length($e) + 1),
        |   i -> CAST(ord(substr($e, i, 1)) AS BIGINT)),
        |   (acc, c) -> (acc * 31 + c) % $P) END""".stripMargin
 
   /** Tokens CTE fragment: doc_id, text, t (whitespace tokens). */
-  private val sqlToks =
+  private[queries] val sqlToks =
     """toks AS (SELECT doc_id, text,
       |  CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
       |       ELSE string_split_regex(trim(text), '\s+') END AS t
@@ -244,7 +244,7 @@ object TextQueries {
 
   // ----------------------------------------------------------- oracles
 
-  private val sqlQuality: String = {
+  private[queries] val sqlQuality: String = {
     val stop = TF.EnStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
     s"""round(
        | least(CAST(len(t) AS DOUBLE) / 50.0, 1.0) * 0.25
