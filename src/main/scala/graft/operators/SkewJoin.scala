@@ -20,21 +20,37 @@ import org.apache.spark.sql.functions._
   */
 object SkewJoin {
 
-  /** Inner/left equi-join of `large` with `small` on `key`, salted
+  /** Join types for which small-side replication is semantics-preserving:
+    * every result row (or large-side probe, for semi/anti) still matches
+    * exactly one salt replica. Right/full-outer are excluded — an
+    * unmatched small-side row would surface once per replica.
+    */
+  private val SupportedJoinTypes = Set(
+    "inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi",
+    "left_anti", "leftanti")
+
+  /** Inner/left-family equi-join of `large` with `small` on `key`, salted
     * `saltBuckets` ways. Both inputs must not already contain the
-    * internal salt column. The salt is content-derived (xxhash64 of the
-    * large row), so the operator stays deterministic end-to-end —
-    * duplicate rows land in the same bucket, which only matters if a
-    * single VALUE (not key) dominates.
+    * internal salt column. The salt is content-derived (xxhash64 of
+    * `saltCols` — default: every large-side column), so the operator stays
+    * deterministic end-to-end — duplicate rows land in the same bucket,
+    * which only matters if a single VALUE (not key) dominates. Pass an
+    * explicit `saltCols` when the large side carries columns `xxhash64`
+    * cannot hash (MapType) — the analyzer rejects those at plan time.
     */
   def saltedJoin(large: DataFrame, small: DataFrame, key: String,
-                 saltBuckets: Int, joinType: String = "inner"): DataFrame = {
+                 saltBuckets: Int, joinType: String = "inner",
+                 saltCols: Seq[String] = Nil): DataFrame = {
     require(saltBuckets > 0, "saltBuckets must be positive")
+    require(SupportedJoinTypes.contains(joinType.toLowerCase),
+      s"saltedJoin supports inner/left-family joins only, got '$joinType': " +
+        "right/full outer would emit unmatched small-side rows once per salt replica")
     val saltCol = "__graft_salt"
     require(!large.columns.contains(saltCol) && !small.columns.contains(saltCol),
       s"inputs must not contain $saltCol")
+    val hashed = if (saltCols.nonEmpty) saltCols else large.columns.toSeq
     val salted = large.withColumn(saltCol,
-      pmod(xxhash64(struct(large.columns.map(col).toSeq: _*)),
+      pmod(xxhash64(struct(hashed.map(col): _*)),
         lit(saltBuckets)).cast("int"))
     val replicated = small.withColumn(saltCol,
       explode(sequence(lit(0), lit(saltBuckets - 1))))
