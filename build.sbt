@@ -28,3 +28,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// The per-round bench harness parses the LAST stdout line of
+// `sbt "runMain graft.Bench"` as JSON. Forked-run output therefore goes
+// straight to stdout (no `[info] ` prefix) and the `[success] Total time`
+// trailer is suppressed, so Bench's compact JSON line survives as-is.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+ThisBuild / showSuccess := false
