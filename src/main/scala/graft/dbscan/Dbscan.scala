@@ -209,19 +209,37 @@ object Dbscan {
     * output of the best ε only). Empty edge sets record
     * [eps, 0, n, 0, ∞, ∞] and skip clustering (DBSCAN.py:163-167).
     *
+    * The ε-join — the sweep's dominant cost — runs ONCE, at max(epsRange)
+    * with the L1 distance materialized; each ε's pair set is the
+    * `d < ε` slice of that superset (L1 < ε ⟹ L1 < ε_max), so the sweep
+    * pays one shuffle instead of |epsRange|. The reference hoists only the
+    * vertices DF out of its loop (DBSCAN.py:157); this hoists the join too.
+    *
     * @param runner optional per-ε model source — lets callers with a
     *   model cache (e.g. the gate registry, which memoizes one ε already)
     *   serve that ε from the cache while the sweep still computes the
-    *   rest and does the argmin. Defaults to a fresh [[run]] per ε.
+    *   rest and does the argmin. Defaults to [[run]] over the shared
+    *   ε_max pair set.
     */
   def sweep(points: DataFrame, idCol: String, qiCol: String,
             epsRange: Seq[Double], minPts: Int, k: Int,
             mode: ClusterMode = Cc, blockDims: Int = 2,
             runner: Double => DbscanModel = null)
   : (Seq[SweepRecord], Option[(Double, DbscanModel)]) = {
+    if (epsRange.isEmpty) return (Seq.empty, None)
+    var sharedMax: DataFrame = null
     val doRun: Double => DbscanModel =
       if (runner != null) runner
-      else eps => run(points, idCol, qiCol, eps, minPts, k, mode, None, blockDims)
+      else {
+        val p = points.select(col(idCol).cast("long").as("id"),
+          col(qiCol).as("qi"), lit(1L).as("w"))
+        sharedMax = NeighborJoin
+          .epsJoinGrid(p, "id", "qi", epsRange.max, blockDims,
+            distCol = Some("d"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        eps => run(points, idCol, qiCol, eps, minPts, k, mode, None,
+          blockDims, pairsOpt = Some(sharedMax.where(col("d") < eps)))
+      }
     val n = points.count()
     var best: Option[(Double, DbscanModel)] = None
     var minCost = Double.PositiveInfinity
@@ -243,6 +261,7 @@ object Dbscan {
       } else m.unpersist()
       rec
     }
+    if (sharedMax != null) sharedMax.unpersist()
     (records, best)
   }
 

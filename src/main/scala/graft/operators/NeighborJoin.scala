@@ -41,9 +41,15 @@ object NeighborJoin {
     * Self-pairs (a == a) are included — the reference's neighborhood
     * includes the point itself (dist(p,p)=0 < eps), which is what makes
     * `|N_ε(p)| >= minPts` the classic DBSCAN core test.
+    *
+    * @param distCol when set, the exact L1 distance is kept as this output
+    *   column. Because L1 < ε' ⟹ L1 < ε for every ε' ≤ ε, the ε-pair set
+    *   of ANY smaller radius is a `where(distCol < ε')` filter over this
+    *   result — sweeps compute the join once at max(ε) and slice it per ε
+    *   instead of re-shuffling per radius.
     */
   def epsJoinGrid(df: DataFrame, idCol: String, ptCol: String, eps: Double,
-                  blockDims: Int = 2): DataFrame = {
+                  blockDims: Int = 2, distCol: Option[String] = None): DataFrame = {
     require(eps > 0, "eps must be positive")
     val dims = math.max(1, blockDims)
     val cols = df.columns.toSeq
@@ -62,9 +68,13 @@ object NeighborJoin {
       .select(cols.map(c => col(s"b_$c")) :+
         zip_with(col("cell0"), col("off"), (c, o) => c + o).as("b_cell"): _*)
 
-    left.join(right, col("a_cell") === col("b_cell"))
-      .where(Distances.l1(col(s"a_$ptCol"), col(s"b_$ptCol")) < eps)
-      .drop("a_cell", "b_cell")
+    val joined = left.join(right, col("a_cell") === col("b_cell"))
+    val d = Distances.l1(col(s"a_$ptCol"), col(s"b_$ptCol"))
+    distCol match {
+      case None => joined.where(d < eps).drop("a_cell", "b_cell")
+      case Some(dc) => joined.withColumn(dc, d)
+        .where(col(dc) < eps).drop("a_cell", "b_cell")
+    }
   }
 
   /** Reference-faithful O(n²) oracle: crossJoin + θ-filter (DBSCAN.py:161).
