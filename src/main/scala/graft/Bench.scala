@@ -94,6 +94,14 @@ object Bench {
         else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
       }
       def min: Double = if (times.isEmpty) cold else times.min
+      /** population stddev of the timed reps — 0 when reps < 2, so a
+        * noisy query is visibly noisy in bench_detail at a glance */
+      def stddev: Double =
+        if (times.length < 2) 0.0
+        else {
+          val m = times.sum / times.length
+          math.sqrt(times.map(t => (t - m) * (t - m)).sum / times.length)
+        }
     }
 
     def timed(fn: (SparkSession, String) => DataFrame): Double = {
@@ -141,7 +149,7 @@ object Bench {
     // headline LAST — the driver keeps a bounded tail of stdout, and the
     // line it must parse has to survive truncation with medians intact
     println(s"""{"metric":"stage_metrics","stage_metrics":$sh,"sf":"$sfDir"}""")
-    println(s"""{"metric":"bench_detail","reps":$reps,"cold":${jmap(_.cold)},"min":${jmap(_.min)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"bench_detail","reps":$reps,"cold":${jmap(_.cold)},"min":${jmap(_.min)},"stddev":${jmap(_.stddev)},"sf":"$sfDir"}""")
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${jmap(_.median)},"failed":$failed,"reps":$reps,"cold_total":${r3(coldTotal)},"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -223,7 +223,8 @@ object Dbscan {
     */
   def sweep(points: DataFrame, idCol: String, qiCol: String,
             epsRange: Seq[Double], minPts: Int, k: Int,
-            mode: ClusterMode = Cc, blockDims: Int = 2,
+            mode: ClusterMode = Cc, weightCol: Option[String] = None,
+            blockDims: Int = 2,
             runner: Double => DbscanModel = null)
   : (Seq[SweepRecord], Option[(Double, DbscanModel)]) = {
     if (epsRange.isEmpty) return (Seq.empty, None)
@@ -231,13 +232,18 @@ object Dbscan {
     val doRun: Double => DbscanModel =
       if (runner != null) runner
       else {
+        val w = weightCol.map(col).getOrElse(lit(1L)).cast("long")
         val p = points.select(col(idCol).cast("long").as("id"),
-          col(qiCol).as("qi"), lit(1L).as("w"))
+          col(qiCol).as("qi"), w.as("w"))
+        // only the columns [[run]] reads survive the persist — the qi
+        // arrays (the wide part of the join output) are re-joined from
+        // `points` inside run, not carried pair-wise
         sharedMax = NeighborJoin
           .epsJoinGrid(p, "id", "qi", epsRange.max, blockDims,
             distCol = Some("d"))
+          .select("a_id", "a_w", "b_id", "b_w", "d")
           .persist(StorageLevel.MEMORY_AND_DISK)
-        eps => run(points, idCol, qiCol, eps, minPts, k, mode, None,
+        eps => run(points, idCol, qiCol, eps, minPts, k, mode, weightCol,
           blockDims, pairsOpt = Some(sharedMax.where(col("d") < eps)))
       }
     val n = points.count()

@@ -42,15 +42,15 @@ object ReferenceScale {
       }, schema).cache()
     withId.count()
 
-    epsRange.foreach { eps =>
-      val t = System.nanoTime()
-      val m = Dbscan.run(withId, "id", "qi", eps, minPts = 10, k = 10, Cc,
-        weightCol = Some("w"), blockDims = 3)
-      val secs = (System.nanoTime() - t) / 1e9
-      println(f"eps=$eps%5.1f clusters=${m.nClusters}%4d noise=${m.nNoise}%5d " +
-        f"clusterErr=${m.clusterError}%12.2f noiseErr=${m.noiseError}%12.2f ${secs}%7.1fs")
-      m.unpersist()
+    // the production sweep path: the ε-join runs ONCE at max(ε) and each
+    // radius slices the persisted distance-carrying superset
+    val (recs, best) = Dbscan.sweep(withId, "id", "qi", epsRange,
+      minPts = 10, k = 10, Cc, weightCol = Some("w"), blockDims = 3)
+    recs.foreach { r =>
+      println(f"eps=${r.eps}%5.1f clusters=${r.nClusters}%4d noise=${r.nNoise}%5d " +
+        f"clusterErr=${r.clusterError}%12.2f noiseErr=${r.noiseError}%12.2f ${r.seconds}%7.1fs")
     }
+    best.foreach(_._2.unpersist())
     println(f"TOTAL ${(System.nanoTime() - t0) / 1e9}%.1fs")
     spark.stop()
   }

@@ -97,6 +97,55 @@ class DbscanSpec extends GraftSuite {
     assert(best.exists(_._1 == 4.0))
   }
 
+  test("hoisted sweep slices equal fresh per-eps runs (subset property)") {
+    // the sweep's default runner computes pairs ONCE at max(eps) and
+    // slices d < eps per radius; every record must match an independent
+    // full run at that radius exactly
+    val epsRange = Seq(0.5, 1.5, 4.0)
+    val (recs, _) = Dbscan.sweep(twoBlobs, "id", "qi",
+      epsRange = epsRange, minPts = 3, k = 3)
+    for ((eps, rec) <- epsRange.zip(recs)) {
+      val m = Dbscan.run(twoBlobs, "id", "qi", eps, minPts = 3, k = 3)
+      val fresh =
+        if (m.nClusters == 0 && m.nNoise == 10 && m.clusterError == 0.0)
+          (0L, 10L, 0.0, Double.PositiveInfinity)
+        else (m.nClusters, m.nNoise, m.clusterError, m.noiseError)
+      assert((rec.nClusters, rec.nNoise, rec.clusterError, rec.noiseError)
+        == fresh, s"eps=$eps sliced sweep != fresh run")
+      m.unpersist()
+    }
+  }
+
+  test("weighted sweep over collapsed rows equals sweep over duplicates") {
+    // 3 copies of (0,0) + 2 singletons nearby: multiplicity must flow
+    // through the hoisted pair set's a_w/b_w exactly as through the
+    // expanded rows
+    val expanded = Seq(
+      (1L, Array(0.0, 0.0)), (2L, Array(0.0, 0.0)), (3L, Array(0.0, 0.0)),
+      (4L, Array(1.0, 0.0)), (5L, Array(0.0, 1.0)),
+      (21L, Array(50.0, 50.0))
+    ).toDF("id", "qi")
+    val collapsed = Seq(
+      (1L, Array(0.0, 0.0), 3L), (4L, Array(1.0, 0.0), 1L),
+      (5L, Array(0.0, 1.0), 1L), (21L, Array(50.0, 50.0), 1L)
+    ).toDF("id", "qi", "w")
+    val epsRange = Seq(0.5, 2.0)
+    val (expRecs, _) = Dbscan.sweep(expanded, "id", "qi",
+      epsRange = epsRange, minPts = 4, k = 1)
+    val (colRecs, _) = Dbscan.sweep(collapsed, "id", "qi",
+      epsRange = epsRange, minPts = 4, k = 1, weightCol = Some("w"))
+    // same clusters form (multiplicity makes (0,0) core at eps=2.0).
+    // Errors are NOT compared: centroids are the unweighted mean over
+    // DISTINCT members (calc_error, DBSCAN.py:86-100), so expanded
+    // duplicates legitimately shift them — collapsing first is the
+    // reference-faithful form.
+    for ((e, c) <- expRecs.zip(colRecs))
+      assert(e.nClusters == c.nClusters, s"eps=${e.eps} cluster counts")
+    assert(colRecs.last.nClusters == 1,
+      "multiplicity must make the duplicated point core through the " +
+        "hoisted weighted pair set")
+  }
+
   test("reference data.csv golden run (1000 pts, dim=2, eps=6, minPts=10)") {
     val raw = graft.core.Tables.readPointsCsv(spark, "/root/reference/data.csv", 2)
     val pts = raw.select(
