@@ -101,7 +101,7 @@ object VecKernels {
   def sign_bands(vec: Column, dim: Int, bits: Int, bands: Int,
                  baseSeed: Long = SignBandBaseSeed): Column =
     ColumnBridge.column(SignBandsExpr(ColumnBridge.expression(vec),
-      planeMatrix(bands, bits, dim, baseSeed), bands, bits, dim))
+      baseSeed, bands, bits, dim))
 
   // ------------------------------------------- sorted-set intersect kernel
 
@@ -218,10 +218,25 @@ case class L1DistExpr(left: Expression, right: Expression) extends BinaryExpress
 /** Sign-band LSH keys with the hyperplane matrix carried as a codegen
   * reference object — expression-tree size stays O(1) regardless of
   * bands×bits×dim (the literal-array form would inline thousands of
-  * doubles into the plan and fall out of codegen past the 64KB limit). */
-case class SignBandsExpr(child: Expression, planes: Array[Double],
+  * doubles into the plan and fall out of codegen past the 64KB limit).
+  *
+  * The case class carries only the deterministic GENERATOR parameters
+  * (seed, bands, bits, dim), not the matrix itself: an `Array[Double]`
+  * field compares by REFERENCE, so canonicalization-based
+  * `ReuseExchange` on the (band, key) self-join only held while both
+  * join sides shared one in-memory instance (true inside
+  * [[graft.operators.SimilaritySearch.cosinePairsLsh]], fragile
+  * everywhere else — two independently built `sign_bands` columns, or
+  * an instance cloned through serialization, compared unequal and would
+  * re-run the banding scan + shuffle). Scalar fields make the equality
+  * structural, so the exchange is built once in every composition. The
+  * matrix is re-derived lazily per (de)serialized instance — ~20 KB of
+  * xorshift output, negligible once per executor. */
+case class SignBandsExpr(child: Expression, baseSeed: Long,
                          bands: Int, bits: Int, dim: Int)
     extends UnaryExpression {
+  @transient private lazy val planes: Array[Double] =
+    VecKernels.planeMatrix(bands, bits, dim, baseSeed)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def toString: String = s"sign_bands($child, $bands x $bits)"
   protected override def nullSafeEval(v: Any): Any =
