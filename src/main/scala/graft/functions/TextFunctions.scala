@@ -88,18 +88,21 @@ object TextFunctions {
 
   /** N-gram-heuristic language id: the language whose marker-token hit
     * count is highest wins (ties → alphabetically first; no hits → "und").
-    */
+    *
+    * Single argmin pass: hit counts are doubled so a (-1, "und") sentinel
+    * sits strictly between "no hits" (neg = 0) and "any hit" (neg ≤ -2) —
+    * the fallback rides the same array_min instead of a `when(best…)`
+    * wrapper that would reference (and after predicate pushdown, re-inline
+    * and re-evaluate) the whole scoring tree twice per occurrence. */
   def langId(t: Column): Column = {
     val tk = tokens(t)
     val scored = LangMarkers.map { case (lang, words) =>
       val sw = array(words.map(lit(_)): _*)
-      struct(size(filter(tk, w => array_contains(sw, w))).as("hits"),
+      struct((-size(filter(tk, w => array_contains(sw, w))) * 2).as("neg"),
         lit(lang).as("lang"))
     }
-    // argmax by hits, ties to alphabetically-first lang: sort by (-hits, lang)
-    val best = array_min(array(scored.map(s =>
-      struct((-s.getField("hits")).as("neg"), s.getField("lang").as("lang"))): _*))
-    when(best.getField("neg") === 0, "und").otherwise(best.getField("lang"))
+    val sentinel = struct(lit(-1).as("neg"), lit("und").as("lang"))
+    array_min(array((scored :+ sentinel): _*)).getField("lang")
   }
 
   /** Document fingerprint = [[PolyHash]] of the normalized text

@@ -81,11 +81,9 @@ object TextKernels {
     ColumnBridge.column(ShingleHashesExpr(
       ColumnBridge.expression(text), ColumnBridge.expression(n)))
 
-  def minhash_sig(hashes: Column, numHashes: Int): Column = {
-    val perms = graft.operators.Dedup.minhashPerms(numHashes)
+  def minhash_sig(hashes: Column, numHashes: Int): Column =
     ColumnBridge.column(MinHashSigExpr(ColumnBridge.expression(hashes),
-      perms.map(_._1).toArray, perms.map(_._2).toArray))
-  }
+      numHashes))
 }
 
 case class ShingleHashesExpr(left: Expression, right: Expression)
@@ -101,10 +99,19 @@ case class ShingleHashesExpr(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
-case class MinHashSigExpr(child: Expression, as: Array[Long], bs: Array[Long])
+/** Carries only `numHashes` — the permutation constants are re-derived
+  * lazily from [[graft.operators.Dedup.minhashPerms]] (deterministic),
+  * so case-class equality is structural and canonicalization-based plan
+  * reuse works across independently built instances (an `Array` field
+  * compares by reference; see [[graft.functions.SignBandsExpr]]). */
+case class MinHashSigExpr(child: Expression, numHashes: Int)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  @transient private lazy val (as, bs): (Array[Long], Array[Long]) = {
+    val perms = graft.operators.Dedup.minhashPerms(numHashes)
+    (perms.map(_._1).toArray, perms.map(_._2).toArray)
+  }
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def toString: String = s"minhash_sig($child, ${as.length})"
+  override def toString: String = s"minhash_sig($child, $numHashes)"
 
   protected override def nullSafeEval(h: Any): Any =
     TextKernels.minhashSig(h.asInstanceOf[ArrayData], as, bs)

@@ -263,11 +263,34 @@ case class SortedIntersectCountExpr(left: Expression, right: Expression)
 }
 
 /** Top-k nearest centroids (L1 or cosine) with the centroid matrix as a
-  * codegen reference object; see [[VecKernels.nearest_centroids]]. */
+  * codegen reference object; see [[VecKernels.nearest_centroids]].
+  *
+  * The centroid matrix is TRAINED data (not derivable from a seed like
+  * [[SignBandsExpr]]), so the arrays stay as fields — but case-class
+  * equality on `Array` fields is by reference, which defeats
+  * canonicalization (`semanticEquals`, `ReuseExchange`, subexpression
+  * elimination) across analyzer-cloned or independently built instances.
+  * Equality and hashCode are overridden to compare array CONTENTS via
+  * `java.util.Arrays` (primitive-fast, no boxing). */
 case class NearestCentroidsExpr(child: Expression, ids: Array[Int],
                                 flat: Array[Double], dim: Int,
                                 cosine: Boolean, k: Int)
     extends UnaryExpression {
+  override def equals(other: Any): Boolean = other match {
+    case o: NearestCentroidsExpr =>
+      child == o.child && dim == o.dim && cosine == o.cosine && k == o.k &&
+        java.util.Arrays.equals(ids, o.ids) &&
+        java.util.Arrays.equals(flat, o.flat)
+    case _ => false
+  }
+  override def hashCode(): Int = {
+    var h = child.hashCode()
+    h = h * 31 + java.util.Arrays.hashCode(ids)
+    h = h * 31 + java.util.Arrays.hashCode(flat)
+    h = h * 31 + dim
+    h = h * 31 + (if (cosine) 1 else 0)
+    h * 31 + k
+  }
   override def dataType: DataType = ArrayType(
     org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("cluster",

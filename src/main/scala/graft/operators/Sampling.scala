@@ -30,15 +30,18 @@ object Sampling {
     df.where(keepHash(col(keyCol), rate))
 
   /** Stratified deterministic sample: per-stratum rates with a default for
-    * unlisted strata. The rate lookup is a literal CASE chain — strata
-    * maps are small by nature (domains, languages, buckets). */
+    * unlisted strata. The rate lookup is a literal map + coalesce, which
+    * references `strataCol` exactly ONCE — a CASE chain references it per
+    * branch, and when the predicate is pushed through the projection that
+    * computes the stratum (e.g. a langId over full text), every reference
+    * re-inlines and re-evaluates the whole derivation per row. */
   def stratified(df: DataFrame, keyCol: String, strataCol: Column,
                  rates: Seq[(String, Double)], default: Double): DataFrame = {
     val denom = Denom
-    val threshold = rates.foldRight(
-        lit(math.round(default * denom).toInt): Column) { case ((s, r), acc) =>
-      when(strataCol === s, lit(math.round(r * denom).toInt)).otherwise(acc)
-    }
+    val m = map(rates.flatMap { case (s, r) =>
+      Seq(lit(s), lit(math.round(r * denom).toInt)) }: _*)
+    val threshold = coalesce(element_at(m, strataCol),
+      lit(math.round(default * denom).toInt))
     df.where((PolyHash.poly_hash(col(keyCol).cast("string")) % denom) < threshold)
   }
 }
