@@ -91,4 +91,41 @@ class PlanHygieneSpec extends GraftSuite {
         s"$q must not plan a cartesian (centroids ride as reference objects)")
     }
   }
+
+  test("stratified sampling evaluates the derived stratum once per operator") {
+    // Predicate pushdown inlines lang_pred's langId tree into the filter:
+    // one langId = one marker-list scan per language (5 array_contains).
+    // A CASE-chain threshold or a two-reference fallback in langId
+    // re-inlines the whole tree per reference — this pins the fixed shape
+    // of exactly one langId in the Filter and one in the Project (10
+    // total), so per-row text scoring can't silently multiply again.
+    val p = plan("sample_strata")
+    val n = "array_contains".r.findAllIn(p).length
+    assert(n == 2 * graft.functions.TextFunctions.LangMarkers.length,
+      s"expected one langId inlining in Filter and one in Project " +
+        s"(${2 * graft.functions.TextFunctions.LangMarkers.length} " +
+        s"array_contains), saw $n — a threshold or fallback is " +
+        "re-referencing the derived stratum")
+  }
+
+  test("sign-band and minhash kernel expressions compare structurally") {
+    // Reference-compared Array fields defeat canonicalization-based
+    // ReuseExchange and subexpression elimination across analyzer-cloned
+    // instances; these kernels must stay value-comparable.
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.graft.ColumnBridge.expression
+    val v = col("v")
+    assert(expression(graft.functions.VecKernels.sign_bands(v, 8, 5, 4)) ==
+      expression(graft.functions.VecKernels.sign_bands(v, 8, 5, 4)),
+      "independently built sign_bands must be equal")
+    assert(expression(graft.functions.TextKernels.minhash_sig(v, 16)) ==
+      expression(graft.functions.TextKernels.minhash_sig(v, 16)),
+      "independently built minhash_sig must be equal")
+    val cents = Seq(0 -> Array(1.0, 2.0), 1 -> Array(3.0, 4.0))
+    assert(expression(graft.functions.VecKernels.nearest_centroids(
+        v, cents, 1, cosine = false)) ==
+      expression(graft.functions.VecKernels.nearest_centroids(
+        v, Seq(0 -> Array(1.0, 2.0), 1 -> Array(3.0, 4.0)), 1, cosine = false)),
+      "nearest_centroids with equal centroid values must be equal")
+  }
 }
