@@ -215,11 +215,18 @@ object Dbscan {
     * pays one shuffle instead of |epsRange|. The reference hoists only the
     * vertices DF out of its loop (DBSCAN.py:157); this hoists the join too.
     *
+    * In the default CC mode the per-ε RECORDS are additionally computed in
+    * one batched pass ([[sweepRecordsBatched]]): every radius's graph is
+    * clustered in a single connected-components fixpoint over the disjoint
+    * union of the ε-graphs, so the sweep pays one set of CC rounds instead
+    * of |epsRange| — and only the winning ε's full model is built.
+    *
     * @param runner optional per-ε model source — lets callers with a
     *   model cache (e.g. the gate registry, which memoizes one ε already)
     *   serve that ε from the cache while the sweep still computes the
     *   rest and does the argmin. Defaults to [[run]] over the shared
-    *   ε_max pair set.
+    *   ε_max pair set; passing a runner also disables record batching
+    *   (the runner IS the per-ε path).
     */
   def sweep(points: DataFrame, idCol: String, qiCol: String,
             epsRange: Seq[Double], minPts: Int, k: Int,
@@ -229,20 +236,50 @@ object Dbscan {
   : (Seq[SweepRecord], Option[(Double, DbscanModel)]) = {
     if (epsRange.isEmpty) return (Seq.empty, None)
     var sharedMax: DataFrame = null
+    def buildSharedMax(): DataFrame = {
+      val w = weightCol.map(col).getOrElse(lit(1L)).cast("long")
+      val p = points.select(col(idCol).cast("long").as("id"),
+        col(qiCol).as("qi"), w.as("w"))
+      // only the columns [[run]] reads survive the persist — the qi
+      // arrays (the wide part of the join output) are re-joined from
+      // `points` inside run, not carried pair-wise
+      NeighborJoin
+        .epsJoinGrid(p, "id", "qi", epsRange.max, blockDims,
+          distCol = Some("d"))
+        .select("a_id", "a_w", "b_id", "b_w", "d")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    }
+
+    if (runner == null && mode == Cc) {
+      // batched path: records from ONE union-CC pass, then one model build
+      sharedMax = buildSharedMax()
+      val t0 = System.nanoTime()
+      val records = try sweepRecordsBatched(points, idCol, qiCol, sharedMax,
+        epsRange, minPts, k)
+      catch { case _: BatchedSweepUnsupported =>
+        null // ids unsuitable for namespacing — fall through to the loop
+      }
+      if (records != null) {
+        val secs = (System.nanoTime() - t0) / 1e9
+        val recs = records.map(_.copy(seconds = secs / epsRange.length))
+        var best: Option[(Double, DbscanModel)] = None
+        var minCost = Double.PositiveInfinity
+        for (r <- recs if r.totalError < minCost) {
+          minCost = r.totalError; best = Some((r.eps, null))
+        }
+        val bestModel = best.map { case (eps, _) =>
+          (eps, run(points, idCol, qiCol, eps, minPts, k, mode, weightCol,
+            blockDims, pairsOpt = Some(sharedMax.where(col("d") < eps))))
+        }
+        sharedMax.unpersist()
+        return (recs, bestModel)
+      }
+    }
+
     val doRun: Double => DbscanModel =
       if (runner != null) runner
       else {
-        val w = weightCol.map(col).getOrElse(lit(1L)).cast("long")
-        val p = points.select(col(idCol).cast("long").as("id"),
-          col(qiCol).as("qi"), w.as("w"))
-        // only the columns [[run]] reads survive the persist — the qi
-        // arrays (the wide part of the join output) are re-joined from
-        // `points` inside run, not carried pair-wise
-        sharedMax = NeighborJoin
-          .epsJoinGrid(p, "id", "qi", epsRange.max, blockDims,
-            distCol = Some("d"))
-          .select("a_id", "a_w", "b_id", "b_w", "d")
-          .persist(StorageLevel.MEMORY_AND_DISK)
+        if (sharedMax == null) sharedMax = buildSharedMax()
         eps => run(points, idCol, qiCol, eps, minPts, k, mode, weightCol,
           blockDims, pairsOpt = Some(sharedMax.where(col("d") < eps)))
       }
@@ -269,6 +306,130 @@ object Dbscan {
     }
     if (sharedMax != null) sharedMax.unpersist()
     (records, best)
+  }
+
+  private final class BatchedSweepUnsupported extends RuntimeException
+
+  /** Per-ε sweep records from ONE connected-components fixpoint.
+    *
+    * Every ε's graph is embedded in a disjoint union by namespacing vertex
+    * ids as `epsIdx·(maxId+1) + id`: no edge crosses an ε-block, so the
+    * components of the union restricted to a block are exactly that ε's
+    * components, and the component representative (min namespaced id)
+    * decodes back to that ε's min member id. The union graph does the work
+    * of |epsRange| graphs in one set of large-star/small-star rounds —
+    * rounds are the sweep's barrier cost, identical per ε at gate scale
+    * and dominated by stragglers at cluster scale, so sharing them is a
+    * win at every SF (same total bytes, ~|epsRange|× fewer barriers).
+    *
+    * Replicates [[run]]'s stats per ε exactly (DbscanSpec pins
+    * record-equality against fresh per-ε runs): weighted core rule
+    * a_w·Σb_w ≥ minPts, k-anonymity over DISTINCT-member counts,
+    * unweighted centroids, noise→nearest-centroid L1, and the
+    * [eps, 0, n, 0, ∞, ∞] record shape for clusterless radii.
+    */
+  private def sweepRecordsBatched(points: DataFrame, idCol: String,
+                                  qiCol: String, sharedMax: DataFrame,
+                                  epsRange: Seq[Double], minPts: Int, k: Int)
+  : Seq[SweepRecord] = {
+    val spark = points.sparkSession
+    val dim = points.select(size(col(qiCol))).head().getInt(0)
+    val pts = points.select(col(idCol).cast("long").as("id"),
+      col(qiCol).as("qi"))
+    val idRow = pts.agg(min("id"), max("id"), count(lit(1))).head()
+    if (idRow.isNullAt(0)) return epsRange.map(e =>
+      SweepRecord(e, 0, 0, 0.0, 0.0, 0.0, 0.0))
+    val (minId, maxId, n) = (idRow.getLong(0), idRow.getLong(1), idRow.getLong(2))
+    val off = maxId + 1
+    val nEps = epsRange.length
+    // namespacing needs nonnegative ids and epsIdx·off within Long range
+    if (minId < 0 || off <= 0 || off > Long.MaxValue / nEps)
+      throw new BatchedSweepUnsupported
+    val epsLit = array(epsRange.map(lit(_)): _*)
+
+    // tag each pair with every ε-index whose radius admits it (strict <)
+    val tagged = sharedMax
+      .select(col("a_id"), col("a_w"), col("b_id"), col("b_w"), col("d"),
+        posexplode(epsLit).as(Seq("ei", "epsv")))
+      .where(col("d") < col("epsv"))
+      .select(col("ei"), col("a_id"), col("a_w"), col("b_id"), col("b_w"))
+
+    // weighted core rule per (ε, point), as in [[run]]
+    val core = tagged.groupBy(col("ei"), col("a_id"), col("a_w"))
+      .agg(sum("b_w").as("nw"))
+      .where(col("a_w") * col("nw") >= minPts)
+      .select(col("ei").as("cei"), col("a_id").as("core_id"))
+
+    // namespaced directed edges core → neighbor across all ε at once
+    val edges = tagged.join(core,
+        tagged("ei") === core("cei") && tagged("a_id") === core("core_id"),
+        "left_semi")
+      .select((col("ei") * off + col("a_id")).as("src"),
+        (col("ei") * off + col("b_id")).as("dst"))
+
+    // `/` on longs is double division in Spark SQL — decode with DIV so
+    // the quotient stays exact at any id magnitude
+    val comp = ConnectedComponents.run(edges)
+      .select((col("id") % off).as("id"),
+        expr(s"CAST(id DIV ${off}L AS INT)").as("ei"),
+        (col("component") % off).as("component"))
+
+    // every point appears in every ε-block; unmatched ⇒ immediate noise
+    val verts = pts.select(col("id"), col("qi"),
+      explode(sequence(lit(0), lit(nEps - 1))).as("ei"))
+    val withComp = verts.join(comp, Seq("ei", "id"), "left")
+    val sizes = withComp.where(col("component").isNotNull)
+      .groupBy("ei", "component").agg(count(lit(1)).as("csize"))
+    val labeled = withComp.join(sizes, Seq("ei", "component"), "left")
+      .select(col("ei"), col("id"), col("qi"),
+        when(col("csize") >= k, col("component")).as("component"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val dimAvgs = (0 until dim).map(i =>
+      avg(element_at(col("qi"), i + 1)).as(s"c$i"))
+    val centroids = labeled.where(col("component").isNotNull)
+      .groupBy("ei", "component")
+      .agg(dimAvgs.head, dimAvgs.tail: _*)
+      .select(col("ei"), col("component"),
+        array((0 until dim).map(i => col(s"c$i")): _*).as("centroid"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val nClustersByEi = centroids.groupBy("ei")
+      .agg(count(lit(1)).as("ncl"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val clusterErrByEi = labeled.where(col("component").isNotNull)
+      .join(centroids, Seq("ei", "component"))
+      .groupBy("ei").agg(sum(Distances.l1(col("qi"), col("centroid"))).as("e"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val noise = labeled.where(col("component").isNull)
+    val noiseStatsByEi = noise
+      .join(broadcast(centroids.select(col("ei"), col("centroid"))), Seq("ei"))
+      .select(col("ei"), col("id"),
+        Distances.l1(col("qi"), col("centroid")).as("d"))
+      .groupBy("ei", "id").agg(min("d").as("d"))
+      .groupBy("ei").agg(sum("d").as("e"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val nNoiseByEi = noise.groupBy("ei").agg(count(lit(1)).as("nn"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+
+    labeled.unpersist()
+    centroids.unpersist()
+
+    epsRange.indices.map { ei =>
+      val nClusters = nClustersByEi.getOrElse(ei, 0L)
+      val nNoise = nNoiseByEi.getOrElse(ei, 0L)
+      if (nClusters == 0)
+        // no clusters ⇒ every point is noise: the reference's
+        // [eps, 0, n, 0, ∞, ∞] empty record (DBSCAN.py:163-167)
+        SweepRecord(epsRange(ei), 0, n, 0.0,
+          if (nNoise == 0) 0.0 else Double.PositiveInfinity,
+          if (nNoise == 0) 0.0 else Double.PositiveInfinity, 0.0)
+      else {
+        val ce = clusterErrByEi.getOrElse(ei, 0.0)
+        val ne = if (nNoise == 0) 0.0 else noiseStatsByEi.getOrElse(ei, 0.0)
+        SweepRecord(epsRange(ei), nClusters, nNoise, ce, ne, ce + ne, 0.0)
+      }
+    }
   }
 
   /** Sweep metrics as a DataFrame matching the reference's eps_record.csv
