@@ -65,6 +65,10 @@ object ConnectedComponents {
       val cur = checksum(small)
       converged = cur == prev
       prev = cur
+      // `small` is materialized (eager checkpoint + checksum job), so the
+      // previous round's checkpoint blocks are dead — drop them now rather
+      // than stranding one edge-set copy per round until driver GC.
+      graft.core.LineageCut.release(e)
       e = small
       i += 1
     }

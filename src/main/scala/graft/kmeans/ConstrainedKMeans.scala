@@ -14,7 +14,9 @@ import org.apache.spark.storage.StorageLevel
 final case class KMeansModel(assignment: DataFrame,
                              centroids: Map[Int, Array[Double]],
                              cost: Double, lloydIters: Int) {
-  def unpersist(): Unit = assignment.unpersist()
+  // `assignment` is localCheckpoint'd — Dataset.unpersist can't see its
+  // cache, so drop the backing RDD's blocks directly.
+  def unpersist(): Unit = graft.core.LineageCut.release(assignment)
 }
 
 /** K-member-constrained k-means (reference k-means.ipynb, single cell):
@@ -140,8 +142,13 @@ object ConstrainedKMeans {
       }
 
       // eager lineage cut — after this the per-round caches are dead
+      // (roundCaches mixes persist()'d assignments, which unpersist()
+      // handles, and intermediate checkpoints, which need the RDD release)
       val assignment = completed.localCheckpoint()
-      roundCaches.foreach(_.unpersist())
+      roundCaches.foreach { df =>
+        df.unpersist()
+        graft.core.LineageCut.release(df)
+      }
 
       // new centroid = per-dimension mean over members (calculate_centroid)
       val dimAvgs = (0 until dim).map(i => avg(element_at(col("qi"), i + 1)).as(s"c$i"))
@@ -163,7 +170,7 @@ object ConstrainedKMeans {
       if (model == null || cost < model.cost) {
         if (model != null) model.unpersist()
         model = KMeansModel(assignment, newCentroids, cost, iters)
-      } else assignment.unpersist()
+      } else graft.core.LineageCut.release(assignment)
 
       done = isConverged(centroids, newCentroids, dim)
       centroids = newCentroids

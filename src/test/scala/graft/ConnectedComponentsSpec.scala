@@ -25,6 +25,19 @@ class ConnectedComponentsSpec extends GraftSuite {
     assert(got.size == n && got.values.forall(_ == 0L))
   }
 
+  test("superseded per-round checkpoints are released eagerly") {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    // a 300-node path needs several large-star/small-star rounds — without
+    // per-round release each round would strand one checkpointed edge set
+    val result = ConnectedComponents.run(
+      (0L until 299L).map(i => (i, i + 1)).toDF("src", "dst"))
+    assert(result.count() == 300)
+    val leaked = sc.getPersistentRDDs.keySet -- before
+    // only the final fixpoint's checkpoint (which backs `result`) may live
+    assert(leaked.size <= 1, s"per-round checkpoints leaked: $leaked")
+  }
+
   test("matches GraphX CC on random graphs") {
     val rnd = new scala.util.Random(42)
     for (trial <- 1 to 3) {
