@@ -142,6 +142,17 @@ object Dbscan {
 
     // Noise → nearest cluster centroid, L1, ties to the lowest component id
     // (assign_nearest, DBSCAN.py:126-133; broadcast like centroidsBC :188).
+    // The argmin is the native [[graft.functions.VecKernels.nearest_centroids]]
+    // projection — one pass over the noise rows with the centroid matrix as
+    // a codegen reference object, instead of a crossJoin that shuffles
+    // |noise|·|clusters| candidate rows through a group-min (at sf0.1 /
+    // ε=0.5 that was 30M rows for an 18k-row answer). Components are Longs,
+    // so centroids are indexed 0..n-1 ascending-by-component for the kernel
+    // (kernel ties → lowest index = lowest component id, same tiebreak as
+    // the min-struct form) and an_qi is re-joined by component, exactly
+    // like the members' path. Past ~8k clusters the component-decode
+    // literal would bloat the plan, so the broadcast-join form survives as
+    // the fallback (that regime really wants an IVF-pruned assign anyway).
     val (noiseAssigned, noiseError) =
       if (nClusters == 0) {
         val na = noise.select(col("id"), col("qi"), col("component"),
@@ -149,14 +160,35 @@ object Dbscan {
           lit(null).cast("double").as("an_err"))
         (na, if (nNoise == 0) 0.0 else Double.PositiveInfinity)
       } else {
-        val cand = noise.crossJoin(
-          broadcast(centroids.select(col("component").as("cc"), col("centroid"))))
-          .select(col("id"), col("qi"),
-            struct(Distances.l1(col("qi"), col("centroid")).as("d"),
-              col("cc"), col("centroid")).as("s"))
-        val na = cand.groupBy("id", "qi").agg(min("s").as("s"))
-          .select(col("id"), col("qi"), lit(null).cast("long").as("component"),
-            col("s.centroid").as("an_qi"), col("s.d").as("an_err"))
+        val na =
+          if (nClusters <= 8192) {
+            val sorted = centroids.select(col("component"), col("centroid"))
+              .collect()
+              .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+              .sortBy(_._1)
+            val idxCents = sorted.indices.map(i => i -> sorted(i)._2)
+            val compArr = array(sorted.map(s => lit(s._1)): _*)
+            noise.withColumn("nc", element_at(
+                graft.functions.VecKernels.nearest_centroids(
+                  col("qi"), idxCents, 1, cosine = false), 1))
+              .select(col("id"), col("qi"),
+                element_at(compArr, col("nc.cluster") + 1).as("cc"),
+                col("nc.d").as("an_err"))
+              .join(broadcast(centroids
+                .select(col("component").as("cc"), col("centroid"))), "cc")
+              .select(col("id"), col("qi"),
+                lit(null).cast("long").as("component"),
+                col("centroid").as("an_qi"), col("an_err"))
+          } else {
+            val cand = noise.crossJoin(
+              broadcast(centroids.select(col("component").as("cc"), col("centroid"))))
+              .select(col("id"), col("qi"),
+                struct(Distances.l1(col("qi"), col("centroid")).as("d"),
+                  col("cc"), col("centroid")).as("s"))
+            cand.groupBy("id", "qi").agg(min("s").as("s"))
+              .select(col("id"), col("qi"), lit(null).cast("long").as("component"),
+                col("s.centroid").as("an_qi"), col("s.d").as("an_err"))
+          }
         val err =
           if (nNoise == 0) 0.0
           else na.agg(sum("an_err")).head().getDouble(0)
@@ -402,13 +434,36 @@ object Dbscan {
       .groupBy("ei").agg(sum(Distances.l1(col("qi"), col("centroid"))).as("e"))
       .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
     val noise = labeled.where(col("component").isNull)
-    val noiseStatsByEi = noise
-      .join(broadcast(centroids.select(col("ei"), col("centroid"))), Seq("ei"))
-      .select(col("ei"), col("id"),
-        Distances.l1(col("qi"), col("centroid")).as("d"))
-      .groupBy("ei", "id").agg(min("d").as("d"))
-      .groupBy("ei").agg(sum("d").as("e"))
-      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    // noise error per ε: min-L1 to that ε's centroids. Like [[run]]'s noise
+    // assign, the argmin is the native kernel per ε-block (each block has
+    // its own centroid matrix), all blocks unioned into ONE aggregation job
+    // over the cached noise rows — not a join that explodes
+    // |noise|·|centroids| candidate rows. Falls back to the broadcast join
+    // when the total centroid count is too large to ride as literals.
+    val totalClusters = nClustersByEi.values.sum
+    val noiseStatsByEi = (if (totalClusters > 0 && totalClusters <= 8192) {
+      val centsByEi = centroids.select(col("ei"), col("centroid")).collect()
+        .groupBy(_.getInt(0))
+        .map { case (ei, rows) =>
+          ei -> rows.map(_.getSeq[Double](1).toArray).zipWithIndex
+            .map { case (c, i) => i -> c }.toSeq
+        }
+      centsByEi.toSeq.map { case (ei, idxCents) =>
+        noise.where(col("ei") === ei)
+          .select(lit(ei).as("ei"), element_at(
+            graft.functions.VecKernels.nearest_centroids(
+              col("qi"), idxCents, 1, cosine = false), 1)
+            .getField("d").as("d"))
+      }.reduce(_ unionByName _)
+        .groupBy("ei").agg(sum("d").as("e"))
+    } else {
+      noise
+        .join(broadcast(centroids.select(col("ei"), col("centroid"))), Seq("ei"))
+        .select(col("ei"), col("id"),
+          Distances.l1(col("qi"), col("centroid")).as("d"))
+        .groupBy("ei", "id").agg(min("d").as("d"))
+        .groupBy("ei").agg(sum("d").as("e"))
+    }).collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
     val nNoiseByEi = noise.groupBy("ei").agg(count(lit(1)).as("nn"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
 

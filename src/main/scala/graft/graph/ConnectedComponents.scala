@@ -26,13 +26,17 @@ object ConnectedComponents {
     *         re-add (`coalesce(component, id)` after an outer join).
     */
   def run(edges: DataFrame, maxIter: Int = 64): DataFrame = {
+    // checkpoints are LAZY: the checksum that every round needs anyway is
+    // the action that materializes them, so each round schedules ONE job
+    // (checkpoint-fill + checksum fused) instead of two — rounds are pure
+    // barrier latency at gate scale, so job count is the cost that matters
     var e = edges
       .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
       .where(col("src") =!= col("dst"))
       .select(greatest(col("src"), col("dst")).as("src"),
         least(col("src"), col("dst")).as("dst"))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
 
     var prev = checksum(e)
     var converged = false
@@ -60,14 +64,15 @@ object ConnectedComponents {
         .union(minsS.select(col("src"), col("m").as("dst")))
         .where(col("src") =!= col("dst"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
 
+      // the checksum materializes the lazy checkpoint — one fused job
       val cur = checksum(small)
       converged = cur == prev
       prev = cur
-      // `small` is materialized (eager checkpoint + checksum job), so the
-      // previous round's checkpoint blocks are dead — drop them now rather
-      // than stranding one edge-set copy per round until driver GC.
+      // `small` is now materialized, so the previous round's checkpoint
+      // blocks are dead — drop them rather than stranding one edge-set
+      // copy per round until driver GC.
       graft.core.LineageCut.release(e)
       e = small
       i += 1
