@@ -141,14 +141,10 @@ object ConstrainedKMeans {
         }
       }
 
-      // eager lineage cut — after this the per-round caches are dead
-      // (roundCaches mixes persist()'d assignments, which unpersist()
-      // handles, and intermediate checkpoints, which need the RDD release)
-      val assignment = completed.localCheckpoint()
-      roundCaches.foreach { df =>
-        df.unpersist()
-        graft.core.LineageCut.release(df)
-      }
+      // lineage cut: the checkpoint is LAZY — the centroid aggregation
+      // right below is the action that materializes it, so the iteration
+      // schedules one job for both instead of two
+      val assignment = completed.localCheckpoint(eager = false)
 
       // new centroid = per-dimension mean over members (calculate_centroid)
       val dimAvgs = (0 until dim).map(i => avg(element_at(col("qi"), i + 1)).as(s"c$i"))
@@ -157,6 +153,14 @@ object ConstrainedKMeans {
         .collect()
         .map(r => r.getInt(0) -> (0 until dim).map(i => r.getDouble(i + 1)).toArray)
         .toMap
+
+      // the agg materialized the checkpoint, so the per-round caches are
+      // dead (roundCaches mixes persist()'d assignments, which unpersist()
+      // handles, and intermediate checkpoints, which need the RDD release)
+      roundCaches.foreach { df =>
+        df.unpersist()
+        graft.core.LineageCut.release(df)
+      }
 
       // cost vs NEW centroids (distance to the OWN cluster's centroid, not
       // the nearest one), in one declarative pass over a literal map
