@@ -1,14 +1,15 @@
 package graft.graph
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** DataFrame-native connected components via the alternating
   * large-star / small-star algorithm (Kiveris et al., "Connected Components
-  * in MapReduce and Beyond", SOCC'14) — O(log n) rounds, each round a pair
-  * of shuffle joins, so it scales to graphs that GraphX's Pregel CC would
-  * need a real cluster for, and it never materializes components on the
-  * driver.
+  * in MapReduce and Beyond", SOCC'14) — O(log n) rounds, each round two
+  * window-min passes over the edge list (one shuffle each), so it scales to
+  * graphs that GraphX's Pregel CC would need a real cluster for, and it
+  * never materializes components on the driver.
   *
   * The reference delegates this step to GraphFrames `connectedComponents()`
   * (DBSCAN.py:172) with a mandatory checkpoint dir (DBSCAN.py:171); we cut
@@ -42,14 +43,21 @@ object ConnectedComponents {
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
+      // Per-source minima come from a window over the edge partition, not
+      // a groupBy + self-join: the min-agg form exchanged the edge list
+      // twice per star phase (once into the aggregate, once to co-locate
+      // the join), the window form once (plus an in-partition sort) —
+      // with two phases per round that's 2 shuffles instead of 4 of the
+      // full edge set.
+      val perSrcMin = Window.partitionBy("src")
+
       // Large-star: for each node u, attach every strictly-larger neighbor
       // to the minimum of Γ(u) ∪ {u}.
       val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
-      val minsL = sym.groupBy("src").agg(min("dst").as("mn"))
-        .select(col("src"), least(col("mn"), col("src")).as("m"))
-      // no distinct here: duplicates don't change small-star's min-aggs
-      // and its final distinct dedups — saves one full shuffle per round
-      val large = sym.join(minsL, "src")
+      // no distinct here: duplicates don't change small-star's minima and
+      // its final distinct dedups — saves one full shuffle per round
+      val large = sym
+        .withColumn("m", least(min("dst").over(perSrcMin), col("src")))
         .where(col("dst") > col("src"))
         .select(col("dst").as("src"), col("m").as("dst"))
         .where(col("src") =!= col("dst"))
@@ -58,10 +66,10 @@ object ConnectedComponents {
       // smaller neighbors to the minimum neighbor.
       val oriented = large.select(greatest(col("src"), col("dst")).as("src"),
         least(col("src"), col("dst")).as("dst"))
-      val minsS = oriented.groupBy("src").agg(min("dst").as("m"))
-      val small = oriented.join(minsS, "src")
+      val withMin = oriented.withColumn("m", min("dst").over(perSrcMin))
+      val small = withMin
         .select(col("dst").as("src"), col("m").as("dst"))
-        .union(minsS.select(col("src"), col("m").as("dst")))
+        .union(withMin.select(col("src"), col("m").as("dst")))
         .where(col("src") =!= col("dst"))
         .distinct()
         .localCheckpoint(eager = false)
