@@ -83,7 +83,10 @@ object Bench {
     // warmup: JIT + parquet footer reads off the timed path
     spark.read.parquet(s"$sfDir/nation.parquet").count()
 
-    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt.max(1)
+    // tolerate junk in the env var — a crashed bench emits no headline
+    // JSON and costs the whole round's measurement
+    val reps = scala.util.Try(sys.env.getOrElse("SPARK_GRAFT_REPS", "3").trim.toInt)
+      .getOrElse(3).max(1)
 
     final case class QResult(name: String, cold: Double, times: Seq[Double],
                              ok: Boolean, sr: Long, sw: Long, pm: Long) {

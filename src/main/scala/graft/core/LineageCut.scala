@@ -23,16 +23,23 @@ import org.apache.spark.sql.execution.LogicalRDD
   */
 object LineageCut {
 
-  /** The persisted RDD backing a `localCheckpoint()`'d Dataset, if the plan
-    * exposes one (a Dataset that was never checkpointed returns None). */
+  /** The RDD backing a Dataset whose analyzed plan is an RDD leaf.
+    *
+    * NOTE this matches ANY [[LogicalRDD]], not just checkpoints — a
+    * Dataset built straight over an RDD (`spark.createDataFrame(rdd, _)`)
+    * has the same leaf, and unpersisting ITS RDD would drop a cache that
+    * may still be live. Only call [[release]] on Datasets you know came
+    * from `localCheckpoint()` and will never be read again. */
   def backingRdd(df: Dataset[_]): Option[RDD[_]] =
     df.queryExecution.analyzed match {
       case r: LogicalRDD => Some(r.rdd)
       case _             => None
     }
 
-  /** Eagerly free the cached blocks behind a checkpointed Dataset. Safe to
-    * call on non-checkpointed Datasets (no-op) and to call twice. */
+  /** Eagerly free the cached blocks behind a checkpointed Dataset — see
+    * the caveat on [[backingRdd]]. A no-op on Datasets whose plan is not
+    * an RDD leaf (anything derived: projections, joins, aggregations);
+    * idempotent. */
   def release(df: Dataset[_]): Unit =
     backingRdd(df).foreach(_.unpersist(blocking = false))
 }

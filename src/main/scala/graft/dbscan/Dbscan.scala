@@ -54,6 +54,12 @@ final case class SweepRecord(eps: Double, nClusters: Long, nNoise: Long,
   */
 object Dbscan {
 
+  /** Above this many clusters the kernel noise-assign's component-decode
+    * literal array would bloat the plan, so [[run]] and
+    * [[sweepRecordsBatched]] fall back to the broadcast-join argmin
+    * (a regime that really wants an IVF-pruned assign anyway). */
+  private val KernelAssignMaxClusters = 8192
+
   /** Run DBSCAN over points identified by a unique Long `idCol` with
     * `array<double>` coordinates `qiCol`.
     *
@@ -161,13 +167,16 @@ object Dbscan {
         (na, if (nNoise == 0) 0.0 else Double.PositiveInfinity)
       } else {
         val na =
-          if (nClusters <= 8192) {
+          if (nClusters <= KernelAssignMaxClusters) {
             val sorted = centroids.select(col("component"), col("centroid"))
               .collect()
               .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
               .sortBy(_._1)
             val idxCents = sorted.indices.map(i => i -> sorted(i)._2)
             val compArr = array(sorted.map(s => lit(s._1)): _*)
+            // LEFT join: a null qi yields a null kernel result and must
+            // keep its row (with null an_qi/an_err), exactly like the
+            // broadcast-join fallback keeps it
             noise.withColumn("nc", element_at(
                 graft.functions.VecKernels.nearest_centroids(
                   col("qi"), idxCents, 1, cosine = false), 1))
@@ -175,7 +184,8 @@ object Dbscan {
                 element_at(compArr, col("nc.cluster") + 1).as("cc"),
                 col("nc.d").as("an_err"))
               .join(broadcast(centroids
-                .select(col("component").as("cc"), col("centroid"))), "cc")
+                .select(col("component").as("cc"), col("centroid"))),
+                Seq("cc"), "left")
               .select(col("id"), col("qi"),
                 lit(null).cast("long").as("component"),
                 col("centroid").as("an_qi"), col("an_err"))
@@ -267,6 +277,8 @@ object Dbscan {
             runner: Double => DbscanModel = null)
   : (Seq[SweepRecord], Option[(Double, DbscanModel)]) = {
     if (epsRange.isEmpty) return (Seq.empty, None)
+    // released in the finally below — also on failure partway through the
+    // sweep, so an aborted sweep can't strand its largest intermediate
     var sharedMax: DataFrame = null
     def buildSharedMax(): DataFrame = {
       val w = weightCol.map(col).getOrElse(lit(1L)).cast("long")
@@ -282,62 +294,64 @@ object Dbscan {
         .persist(StorageLevel.MEMORY_AND_DISK)
     }
 
-    if (runner == null && mode == Cc) {
-      // batched path: records from ONE union-CC pass, then one model build
-      sharedMax = buildSharedMax()
-      val t0 = System.nanoTime()
-      val records = try sweepRecordsBatched(points, idCol, qiCol, sharedMax,
-        epsRange, minPts, k)
-      catch { case _: BatchedSweepUnsupported =>
-        null // ids unsuitable for namespacing — fall through to the loop
-      }
-      if (records != null) {
-        val secs = (System.nanoTime() - t0) / 1e9
-        val recs = records.map(_.copy(seconds = secs / epsRange.length))
-        var best: Option[(Double, DbscanModel)] = None
-        var minCost = Double.PositiveInfinity
-        for (r <- recs if r.totalError < minCost) {
-          minCost = r.totalError; best = Some((r.eps, null))
+    try {
+      if (runner == null && mode == Cc) {
+        // batched path: records from ONE union-CC pass, then one model build
+        sharedMax = buildSharedMax()
+        val t0 = System.nanoTime()
+        val records = try sweepRecordsBatched(points, idCol, qiCol, sharedMax,
+          epsRange, minPts, k)
+        catch { case _: BatchedSweepUnsupported =>
+          null // ids unsuitable for namespacing — fall through to the loop
         }
-        val bestModel = best.map { case (eps, _) =>
-          (eps, run(points, idCol, qiCol, eps, minPts, k, mode, weightCol,
-            blockDims, pairsOpt = Some(sharedMax.where(col("d") < eps))))
+        if (records != null) {
+          val secs = (System.nanoTime() - t0) / 1e9
+          val recs = records.map(_.copy(seconds = secs / epsRange.length))
+          var best: Option[(Double, DbscanModel)] = None
+          var minCost = Double.PositiveInfinity
+          for (r <- recs if r.totalError < minCost) {
+            minCost = r.totalError; best = Some((r.eps, null))
+          }
+          val bestModel = best.map { case (eps, _) =>
+            (eps, run(points, idCol, qiCol, eps, minPts, k, mode, weightCol,
+              blockDims, pairsOpt = Some(sharedMax.where(col("d") < eps))))
+          }
+          return (recs, bestModel)
         }
-        sharedMax.unpersist()
-        return (recs, bestModel)
       }
-    }
 
-    val doRun: Double => DbscanModel =
-      if (runner != null) runner
-      else {
-        if (sharedMax == null) sharedMax = buildSharedMax()
-        eps => run(points, idCol, qiCol, eps, minPts, k, mode, weightCol,
-          blockDims, pairsOpt = Some(sharedMax.where(col("d") < eps)))
+      val doRun: Double => DbscanModel =
+        if (runner != null) runner
+        else {
+          if (sharedMax == null) sharedMax = buildSharedMax()
+          eps => run(points, idCol, qiCol, eps, minPts, k, mode, weightCol,
+            blockDims, pairsOpt = Some(sharedMax.where(col("d") < eps)))
+        }
+      val n = points.count()
+      var best: Option[(Double, DbscanModel)] = None
+      var minCost = Double.PositiveInfinity
+      val records = epsRange.map { eps =>
+        val t0 = System.nanoTime()
+        val m = doRun(eps)
+        val secs = (System.nanoTime() - t0) / 1e9
+        val rec =
+          if (m.nClusters == 0 && m.nNoise == n && m.clusterError == 0.0)
+            SweepRecord(eps, 0, n, 0.0, Double.PositiveInfinity,
+              Double.PositiveInfinity, secs)
+          else
+            SweepRecord(eps, m.nClusters, m.nNoise, m.clusterError,
+              m.noiseError, m.totalError, secs)
+        if (rec.totalError < minCost) {
+          best.foreach(_._2.unpersist())
+          minCost = rec.totalError
+          best = Some((eps, m))
+        } else m.unpersist()
+        rec
       }
-    val n = points.count()
-    var best: Option[(Double, DbscanModel)] = None
-    var minCost = Double.PositiveInfinity
-    val records = epsRange.map { eps =>
-      val t0 = System.nanoTime()
-      val m = doRun(eps)
-      val secs = (System.nanoTime() - t0) / 1e9
-      val rec =
-        if (m.nClusters == 0 && m.nNoise == n && m.clusterError == 0.0)
-          SweepRecord(eps, 0, n, 0.0, Double.PositiveInfinity,
-            Double.PositiveInfinity, secs)
-        else
-          SweepRecord(eps, m.nClusters, m.nNoise, m.clusterError,
-            m.noiseError, m.totalError, secs)
-      if (rec.totalError < minCost) {
-        best.foreach(_._2.unpersist())
-        minCost = rec.totalError
-        best = Some((eps, m))
-      } else m.unpersist()
-      rec
+      (records, best)
+    } finally {
+      if (sharedMax != null) sharedMax.unpersist()
     }
-    if (sharedMax != null) sharedMax.unpersist()
-    (records, best)
   }
 
   private final class BatchedSweepUnsupported extends RuntimeException
@@ -441,7 +455,7 @@ object Dbscan {
     // |noise|·|centroids| candidate rows. Falls back to the broadcast join
     // when the total centroid count is too large to ride as literals.
     val totalClusters = nClustersByEi.values.sum
-    val noiseStatsByEi = (if (totalClusters > 0 && totalClusters <= 8192) {
+    val noiseStatsByEi = (if (totalClusters > 0 && totalClusters <= KernelAssignMaxClusters) {
       val centsByEi = centroids.select(col("ei"), col("centroid")).collect()
         .groupBy(_.getInt(0))
         .map { case (ei, rows) =>

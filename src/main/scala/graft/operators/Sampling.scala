@@ -38,7 +38,10 @@ object Sampling {
   def stratified(df: DataFrame, keyCol: String, strataCol: Column,
                  rates: Seq[(String, Double)], default: Double): DataFrame = {
     val denom = Denom
-    val m = map(rates.flatMap { case (s, r) =>
+    // first occurrence wins on duplicate strata (the CASE-chain semantics
+    // this replaced) — CreateMap would otherwise throw at runtime under
+    // spark.sql.mapKeyDedupPolicy=EXCEPTION
+    val m = map(rates.distinctBy(_._1).flatMap { case (s, r) =>
       Seq(lit(s), lit(math.round(r * denom).toInt)) }: _*)
     val threshold = coalesce(element_at(m, strataCol),
       lit(math.round(default * denom).toInt))

@@ -121,7 +121,12 @@ object VectorQueries {
     // blind nprobe/nlist probing would recall 0.375 — measured macro
     // recall is a stable 0.56-0.58 at sf0.001/0.01/0.1.
     "ann_ivf" -> ((s, dir) => {
-      val e = embs(s, dir)
+      // the recall cross-check needs the exact brute top-k, so the gate
+      // corpus is BruteCap'd like the other brute baselines (a no-op at
+      // every current SF); IVF's own uncapped scale path — equi-join
+      // probes, candidate work independent of corpus size — is the
+      // oracle-exact ann_ivf_fixed
+      val e = embs(s, dir).where(col("vec_id") < BruteCap)
       val q = e.where(col("vec_id") < NQueries)
       val idx = SimilaritySearch.ivfIndex(e, "vec_id", "embedding",
         nlist = 8, seed = 42)

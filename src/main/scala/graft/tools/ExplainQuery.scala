@@ -25,7 +25,10 @@ object ExplainQuery {
       .config("spark.ui.enabled", "false")
     sys.env.get("SPARK_GRAFT_EXPLAIN_CONF").toSeq
       .flatMap(_.split(',')).map(_.split("=", 2))
-      .foreach { case Array(k, v) => builder.config(k, v) }
+      .foreach {
+        case Array(k, v) if k.nonEmpty => builder.config(k, v)
+        case _ => () // tolerate empty/valueless entries (trailing comma)
+      }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { name =>

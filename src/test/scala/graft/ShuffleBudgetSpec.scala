@@ -29,25 +29,27 @@ class ShuffleBudgetSpec extends GraftSuite {
       }
   }
 
-  /** gate -> (floor, budget) in shuffle-write bytes. Measured r7 (post
-    * ε-join hoist + kernel noise-assign): dbscan_sweep 769,620;
-    * dedup_groups 1,027,713; embed_pairs_lsh 745,133. Budget = measured
-    * × 1.5; floor ≈ ⅓.
+  /** gate -> (floor, budget) in shuffle-write bytes, for the STEADY-STATE
+    * plan: each gate runs once unmeasured first, so per-(session, dir)
+    * memoized builds (shared pair set, edge list, models) land outside
+    * the measurement and the pin is independent of which tests ran
+    * before. Budget = measured × 1.5; floor ≈ ⅓ — measured r7:
+    * dbscan_sweep 86,112; dedup_groups 11,048; embed_pairs_lsh 745,133;
+    * cc_components 533,975; scc_components 392,217;
+    * dbscan_anonymize 463.
     */
   private val budgets: Seq[(String, (Long, Long))] = Seq(
-    "dbscan_sweep" -> (255000L, 1155000L),
-    "dedup_groups" -> (340000L, 1550000L),
+    "dbscan_sweep" -> (28000L, 130000L),
+    "dedup_groups" -> (3600L, 17000L),
     "embed_pairs_lsh" -> (250000L, 1120000L),
-    // the CC-family gates are the remaining top cost centers under the
-    // median bench; order matters — dbscan_sweep above has already
-    // memoized sharedPairs, so these measure edge build + rounds only
-    // (measured r7: 627,198 / 400,489 / 129,340)
-    "cc_components" -> (200000L, 945000L),
-    "scc_components" -> (130000L, 605000L),
-    "dbscan_anonymize" -> (43000L, 195000L))
+    "cc_components" -> (175000L, 805000L),
+    "scc_components" -> (130000L, 590000L),
+    "dbscan_anonymize" -> (150L, 700L))
 
   for ((q, (lo, hi)) <- budgets)
     test(s"$q shuffle-write volume stays within budget at sf0.01") {
+      // warm pass: memoized builds + codegen land here, outside the pin
+      SparkEntry.queries(q)(spark, sf001).count()
       val l = new ShuffleBytes
       spark.sparkContext.addSparkListener(l)
       try {
