@@ -109,4 +109,12 @@ object TextFunctions {
     * (lowercased, whitespace collapsed). */
   def fingerprint(t: Column): Column =
     PolyHash.poly_hash(regexp_replace(lower(trim(t)), "\\s+", " "))
+
+  /** C4-style intra-document line dedup: drop every repeat of a line,
+    * keeping first occurrences in order (`array_distinct` preserves
+    * first-occurrence order). A pure projection — the per-doc transform
+    * needs no shuffle at any corpus size. Boilerplate lines (headers,
+    * cookie banners) are the usual casualty. */
+  def dedupLines(t: Column): Column =
+    array_join(array_distinct(split(t, "\n")), "\n")
 }

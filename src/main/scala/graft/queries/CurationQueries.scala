@@ -34,6 +34,27 @@ object CurationQueries {
     table(s, dir, "documents")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // C4-style intra-document line dedup (TextFunctions.dedupLines): a
+    // pure per-row projection — no shuffle at any corpus size. The
+    // synthetic documents are single-line, so the gate builds a
+    // multiline doc with REAL duplicate lines from each doc's own text
+    // (text, text, its 20-char prefix, text — both engines assemble it
+    // identically), then value-checks the transform via
+    // order-insensitive stats (line counts before/after + cleaned
+    // length), since DuckDB's list_distinct doesn't share Spark's
+    // first-occurrence order; the order itself is pinned in
+    // TextDedupSpec.
+    "line_dedup" -> ((s, dir) => {
+      val synth = concat_ws("\n", col("text"), col("text"),
+        substring(col("text"), 1, 20), col("text"))
+      val lines = split(synth, "\n")
+      docs(s, dir).select(col("doc_id"),
+          size(lines).cast("long").as("n_lines"),
+          size(array_distinct(lines)).cast("long").as("n_kept"),
+          length(TF.dedupLines(synth)).cast("long").as("kept_len"))
+        .orderBy("doc_id")
+    }),
+
     // Gopher-style repetition signals: duplicate-token fraction and the
     // mass of the single most frequent word bigram. Relational shape
     // (explode → per-doc count → per-doc max/sum) keeps the partial
@@ -147,6 +168,25 @@ object CurationQueries {
   import TextQueries.{sqlPolyHash, sqlQuality, sqlToks}
 
   val oracleSql: Map[String, String] = Map(
+    // line counts before/after dedup + cleaned length; kept_len is
+    // reconstructed as sum(distinct-line lengths) + (n_kept - 1)
+    // newline separators, exactly array_join's arithmetic
+    "line_dedup" ->
+      """WITH synth AS (SELECT doc_id,
+        |    concat_ws(chr(10), text, text, substr(text, 1, 20), text) AS text
+        |  FROM documents),
+        |l AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+        |  FROM synth),
+        |d AS (SELECT DISTINCT doc_id, line FROM l),
+        |a AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines
+        |  FROM l GROUP BY doc_id),
+        |b AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |    CAST(sum(length(line)) AS BIGINT) AS chars
+        |  FROM d GROUP BY doc_id)
+        |SELECT a.doc_id, a.n_lines, b.n_kept,
+        |  CAST(b.chars + b.n_kept - 1 AS BIGINT) AS kept_len
+        |FROM a JOIN b ON a.doc_id = b.doc_id
+        |ORDER BY a.doc_id""".stripMargin,
     "rep_signals" ->
       s"""WITH $sqlToks,
          |bi AS (SELECT doc_id, unnest(list_transform(range(1, len(t)),

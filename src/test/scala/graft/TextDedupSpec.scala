@@ -343,4 +343,16 @@ class SimilaritySearchSpec extends GraftSuite {
       .queryExecution.analyzed.toString
     assert(widePlan.contains("posexplode"), widePlan.take(400))
   }
+
+  test("dedupLines keeps first occurrences in order") {
+    val got = Seq(
+      "a\nb\na\nc\nb",  // repeats dropped, first-seen order kept
+      "a",              // single line unchanged
+      "",               // empty text -> one empty line
+      "x\nx\nx")        // all-same collapses to one
+      .toDF("text")
+      .select(graft.functions.TextFunctions.dedupLines(col("text")))
+      .as[String].collect().toSeq
+    assert(got == Seq("a\nb\nc", "a", "", "x"))
+  }
 }
