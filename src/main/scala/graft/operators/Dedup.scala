@@ -23,6 +23,37 @@ object Dedup {
     docs.groupBy(col(textCol))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Corpus-level boilerplate-line removal (the RefinedWeb/Falcon
+    * curation pass): any line appearing in more than `maxDocs` DISTINCT
+    * documents (headers, nav bars, cookie banners) is stripped from every
+    * document; surviving lines keep their in-document order. Returns
+    * (id, text) with cleaned text — a fully-stripped document becomes "".
+    *
+    * Scale shape: lines explode to (id, pos, line) rows; the hot-line set
+    * is a line-keyed groupBy (countDistinct = two partial-aggregable
+    * levels), removal is a left-anti equi-join on the line, and
+    * reassembly is one groupBy on the doc id with an in-group sort by
+    * position — every shuffle is keyed, nothing is quadratic, and the
+    * intra-doc counterpart ([[TextFunctions.dedupLines]]) stays a pure
+    * projection. */
+  def stripBoilerplateLines(docs: DataFrame, idCol: String, textCol: String,
+                            maxDocs: Int): DataFrame = {
+    val lines = docs.select(col(idCol).as("id"),
+      posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+    val hot = lines.groupBy("line")
+      .agg(countDistinct("id").as("nd"))
+      .where(col("nd") > maxDocs)
+      .select(col("line").as("hline"))
+    val kept = lines.join(hot, lines("line") === col("hline"), "left_anti")
+      .groupBy("id")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+          x => x.getField("line")), "\n").as("text"))
+    docs.select(col(idCol).as("id"))
+      .join(kept, Seq("id"), "left")
+      .select(col("id"), coalesce(col("text"), lit("")).as("text"))
+  }
+
   // ------------------------------------------------------- n-gram Jaccard
 
   /** Distinct word-`n`-gram shingle set per doc: (id, shingle). */

@@ -55,6 +55,27 @@ object CurationQueries {
         .orderBy("doc_id")
     }),
 
+    // RefinedWeb/Falcon-style CROSS-document boilerplate removal
+    // (Dedup.stripBoilerplateLines): lines appearing in >1 distinct docs
+    // are stripped from every doc. Same synthesized multiline docs as
+    // line_dedup — exact-duplicate texts and shared 20-char prefixes
+    // produce real cross-doc hot lines. Value-checked through the
+    // reassembled text's length and line count (order-insensitive; the
+    // in-order reassembly itself is pinned in TextDedupSpec).
+    "boilerplate_lines" -> ((s, dir) => {
+      val synth = concat_ws("\n", col("text"), col("text"),
+        substring(col("text"), 1, 20), col("text"))
+      val cleaned = graft.operators.Dedup.stripBoilerplateLines(
+        docs(s, dir).select(col("doc_id"), synth.as("text")),
+        "doc_id", "text", maxDocs = 1)
+      cleaned.select(col("id").as("doc_id"),
+          length(col("text")).cast("long").as("kept_len"),
+          when(length(col("text")) === 0, 0L)
+            .otherwise(size(split(col("text"), "\n")).cast("long"))
+            .as("n_kept"))
+        .orderBy("doc_id")
+    }),
+
     // Gopher-style repetition signals: duplicate-token fraction and the
     // mass of the single most frequent word bigram. Relational shape
     // (explode → per-doc count → per-doc max/sum) keeps the partial
@@ -187,6 +208,27 @@ object CurationQueries {
         |  CAST(b.chars + b.n_kept - 1 AS BIGINT) AS kept_len
         |FROM a JOIN b ON a.doc_id = b.doc_id
         |ORDER BY a.doc_id""".stripMargin,
+    // the kept_len/n_kept pair mirrors array_join arithmetic: assembled
+    // length = Σ line lengths + (n-1) separators; a fully-stripped doc
+    // (or one whose only survivor is the empty line) reassembles to ""
+    "boilerplate_lines" ->
+      """WITH synth AS (SELECT doc_id,
+        |    concat_ws(chr(10), text, text, substr(text, 1, 20), text) AS text
+        |  FROM documents),
+        |l AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+        |  FROM synth),
+        |hot AS (SELECT line FROM l GROUP BY line
+        |  HAVING count(DISTINCT doc_id) > 1),
+        |kept AS (SELECT doc_id, line FROM l ANTI JOIN hot USING (line)),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(sum(length(line)) + count(*) - 1 AS BIGINT) AS klen
+        |  FROM kept GROUP BY doc_id)
+        |SELECT s.doc_id,
+        |  CAST(coalesce(a.klen, 0) AS BIGINT) AS kept_len,
+        |  CAST(CASE WHEN coalesce(a.klen, 0) = 0 THEN 0 ELSE a.n_rows END
+        |    AS BIGINT) AS n_kept
+        |FROM synth s LEFT JOIN agg a ON s.doc_id = a.doc_id
+        |ORDER BY s.doc_id""".stripMargin,
     "rep_signals" ->
       s"""WITH $sqlToks,
          |bi AS (SELECT doc_id, unnest(list_transform(range(1, len(t)),

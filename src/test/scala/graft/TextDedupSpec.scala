@@ -122,6 +122,45 @@ class TextDedupSpec extends GraftSuite {
       .as[(Long, String)].collect().toMap
     assert(r(1L) == "en" && r(2L) == "de" && r(3L) == "es" && r(4L) == "und")
   }
+
+  test("stripBoilerplateLines drops corpus-hot lines, keeps order") {
+    val docs = Seq(
+      (1L, "BANNER\nunique one\nBANNER\nalso unique"),
+      (2L, "BANNER\nother text"),
+      (3L, "solo doc")).toDF("doc_id", "text")
+    val got = graft.operators.Dedup
+      .stripBoilerplateLines(docs, "doc_id", "text", maxDocs = 1)
+      .as[(Long, String)].collect().toMap
+    // BANNER is in 2 distinct docs -> stripped everywhere (both copies in
+    // doc 1); unique lines survive in original order
+    assert(got == Map(
+      1L -> "unique one\nalso unique",
+      2L -> "other text",
+      3L -> "solo doc"))
+    // maxDocs=2 tolerates the two-doc banner
+    val loose = graft.operators.Dedup
+      .stripBoilerplateLines(docs, "doc_id", "text", maxDocs = 2)
+      .as[(Long, String)].collect().toMap
+    assert(loose(1L) == "BANNER\nunique one\nBANNER\nalso unique")
+    // a fully-stripped doc comes back as ""
+    val wiped = graft.operators.Dedup.stripBoilerplateLines(
+      Seq((1L, "X"), (2L, "X")).toDF("doc_id", "text"),
+      "doc_id", "text", maxDocs = 1)
+      .as[(Long, String)].collect().toMap
+    assert(wiped == Map(1L -> "", 2L -> ""))
+  }
+
+  test("dedupLines keeps first occurrences in order") {
+    val got = Seq(
+      "a\nb\na\nc\nb",  // repeats dropped, first-seen order kept
+      "a",              // single line unchanged
+      "",               // empty text -> one empty line
+      "x\nx\nx")        // all-same collapses to one
+      .toDF("text")
+      .select(graft.functions.TextFunctions.dedupLines(col("text")))
+      .as[String].collect().toSeq
+    assert(got == Seq("a\nb\nc", "a", "", "x"))
+  }
 }
 
 class SimilaritySearchSpec extends GraftSuite {
@@ -344,15 +383,4 @@ class SimilaritySearchSpec extends GraftSuite {
     assert(widePlan.contains("posexplode"), widePlan.take(400))
   }
 
-  test("dedupLines keeps first occurrences in order") {
-    val got = Seq(
-      "a\nb\na\nc\nb",  // repeats dropped, first-seen order kept
-      "a",              // single line unchanged
-      "",               // empty text -> one empty line
-      "x\nx\nx")        // all-same collapses to one
-      .toDF("text")
-      .select(graft.functions.TextFunctions.dedupLines(col("text")))
-      .as[String].collect().toSeq
-    assert(got == Seq("a\nb\nc", "a", "", "x"))
-  }
 }
