@@ -52,13 +52,16 @@ object Bench {
     private def snapshot(): (Long, Long, Long) =
       synchronized((shuffleRead, shuffleWrite, peakMem))
     def settle(): (Long, Long, Long) = {
+      // require THREE consecutive stable reads — a single quiet 50ms
+      // window can fall inside a listener-bus stall on a loaded box and
+      // return a partial sum
       var prev = snapshot()
+      var stable = 0
       var i = 0
-      while (i < 20) {
+      while (i < 60 && stable < 3) {
         Thread.sleep(50)
         val cur = snapshot()
-        if (cur == prev) return cur
-        prev = cur
+        if (cur == prev) stable += 1 else { stable = 0; prev = cur }
         i += 1
       }
       prev

@@ -60,6 +60,29 @@ object Dbscan {
     * (a regime that really wants an IVF-pruned assign anyway). */
   private val KernelAssignMaxClusters = 8192
 
+  /** Adds (`ccName`, `dName`) = (nearest centroid's component id, its L1
+    * distance) via the [[graft.functions.VecKernels.nearest_centroids]]
+    * argmin — one narrow projection, the centroid matrix riding as a
+    * codegen reference object. Components are Longs, so the kernel runs
+    * over indices 0..n-1 in ascending-component order (kernel ties →
+    * lowest index = lowest component id, the min-struct tiebreak) and the
+    * index is decoded through a sorted literal array. A null vector yields
+    * null in both columns. Shared by [[run]]'s noise assign and
+    * [[sweepRecordsBatched]]'s per-ε noise stats so the two paths cannot
+    * drift. `sorted` MUST be ascending by component id. */
+  private def withKernelNearest(df: DataFrame, qiCol: String,
+                                sorted: IndexedSeq[(Long, Array[Double])],
+                                ccName: String, dName: String): DataFrame = {
+    val idxCents = sorted.indices.map(i => i -> sorted(i)._2)
+    val compArr = array(sorted.map(s => lit(s._1)): _*)
+    df.withColumn("__nc", element_at(
+        graft.functions.VecKernels.nearest_centroids(
+          col(qiCol), idxCents, 1, cosine = false), 1))
+      .withColumn(ccName, element_at(compArr, col("__nc.cluster") + 1))
+      .withColumn(dName, col("__nc.d"))
+      .drop("__nc")
+  }
+
   /** Run DBSCAN over points identified by a unique Long `idCol` with
     * `array<double>` coordinates `qiCol`.
     *
@@ -168,21 +191,15 @@ object Dbscan {
       } else {
         val na =
           if (nClusters <= KernelAssignMaxClusters) {
-            val sorted = centroids.select(col("component"), col("centroid"))
-              .collect()
-              .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-              .sortBy(_._1)
-            val idxCents = sorted.indices.map(i => i -> sorted(i)._2)
-            val compArr = array(sorted.map(s => lit(s._1)): _*)
             // LEFT join: a null qi yields a null kernel result and must
-            // keep its row (with null an_qi/an_err), exactly like the
-            // broadcast-join fallback keeps it
-            noise.withColumn("nc", element_at(
-                graft.functions.VecKernels.nearest_centroids(
-                  col("qi"), idxCents, 1, cosine = false), 1))
-              .select(col("id"), col("qi"),
-                element_at(compArr, col("nc.cluster") + 1).as("cc"),
-                col("nc.d").as("an_err"))
+            // keep its row, with null an_qi/an_err
+            withKernelNearest(noise,
+                "qi", centroids.select(col("component"), col("centroid"))
+                  .collect()
+                  .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+                  .sortBy(_._1).toIndexedSeq,
+                "cc", "an_err")
+              .select(col("id"), col("qi"), col("cc"), col("an_err"))
               .join(broadcast(centroids
                 .select(col("component").as("cc"), col("centroid"))),
                 Seq("cc"), "left")
@@ -195,9 +212,12 @@ object Dbscan {
               .select(col("id"), col("qi"),
                 struct(Distances.l1(col("qi"), col("centroid")).as("d"),
                   col("cc"), col("centroid")).as("s"))
+            // null qi ⇒ every d is null and min() keeps a (null, lowest-cc)
+            // struct — mask the centroid so both paths emit null an_qi
             cand.groupBy("id", "qi").agg(min("s").as("s"))
               .select(col("id"), col("qi"), lit(null).cast("long").as("component"),
-                col("s.centroid").as("an_qi"), col("s.d").as("an_err"))
+                when(col("s.d").isNotNull, col("s.centroid")).as("an_qi"),
+                col("s.d").as("an_err"))
           }
         val err =
           if (nNoise == 0) 0.0
@@ -305,6 +325,10 @@ object Dbscan {
           null // ids unsuitable for namespacing — fall through to the loop
         }
         if (records != null) {
+          // the batched pass is shared work — per-ε attribution is an
+          // even split; the winning ε's record additionally carries its
+          // (only) full model build, approximating the reference's
+          // per-ε timing semantics
           val secs = (System.nanoTime() - t0) / 1e9
           val recs = records.map(_.copy(seconds = secs / epsRange.length))
           var best: Option[(Double, DbscanModel)] = None
@@ -312,11 +336,15 @@ object Dbscan {
           for (r <- recs if r.totalError < minCost) {
             minCost = r.totalError; best = Some((r.eps, null))
           }
+          val t1 = System.nanoTime()
           val bestModel = best.map { case (eps, _) =>
             (eps, run(points, idCol, qiCol, eps, minPts, k, mode, weightCol,
               blockDims, pairsOpt = Some(sharedMax.where(col("d") < eps))))
           }
-          return (recs, bestModel)
+          val buildSecs = (System.nanoTime() - t1) / 1e9
+          return (recs.map(r =>
+            if (best.exists(_._1 == r.eps)) r.copy(seconds = r.seconds + buildSecs)
+            else r), bestModel)
         }
       }
 
@@ -378,13 +406,14 @@ object Dbscan {
                                   qiCol: String, sharedMax: DataFrame,
                                   epsRange: Seq[Double], minPts: Int, k: Int)
   : Seq[SweepRecord] = {
-    val spark = points.sparkSession
-    val dim = points.select(size(col(qiCol))).head().getInt(0)
     val pts = points.select(col(idCol).cast("long").as("id"),
       col(qiCol).as("qi"))
+    // empty-input check BEFORE the dim head() — head() on an empty
+    // Dataset throws, the agg below always returns one row
     val idRow = pts.agg(min("id"), max("id"), count(lit(1))).head()
     if (idRow.isNullAt(0)) return epsRange.map(e =>
       SweepRecord(e, 0, 0, 0.0, 0.0, 0.0, 0.0))
+    val dim = points.select(size(col(qiCol))).head().getInt(0)
     val (minId, maxId, n) = (idRow.getLong(0), idRow.getLong(1), idRow.getLong(2))
     val off = maxId + 1
     val nEps = epsRange.length
@@ -431,6 +460,9 @@ object Dbscan {
         when(col("csize") >= k, col("component")).as("component"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
+    // unpersisted in the finally: a failed stat job must not strand the
+    // two caches for the session's lifetime (same hardening as sweep()'s
+    // sharedMax)
     val dimAvgs = (0 until dim).map(i =>
       avg(element_at(col("qi"), i + 1)).as(s"c$i"))
     val centroids = labeled.where(col("component").isNotNull)
@@ -440,49 +472,51 @@ object Dbscan {
         array((0 until dim).map(i => col(s"c$i")): _*).as("centroid"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    val nClustersByEi = centroids.groupBy("ei")
-      .agg(count(lit(1)).as("ncl"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val clusterErrByEi = labeled.where(col("component").isNotNull)
-      .join(centroids, Seq("ei", "component"))
-      .groupBy("ei").agg(sum(Distances.l1(col("qi"), col("centroid"))).as("e"))
-      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
-    val noise = labeled.where(col("component").isNull)
-    // noise error per ε: min-L1 to that ε's centroids. Like [[run]]'s noise
-    // assign, the argmin is the native kernel per ε-block (each block has
-    // its own centroid matrix), all blocks unioned into ONE aggregation job
-    // over the cached noise rows — not a join that explodes
-    // |noise|·|centroids| candidate rows. Falls back to the broadcast join
-    // when the total centroid count is too large to ride as literals.
-    val totalClusters = nClustersByEi.values.sum
-    val noiseStatsByEi = (if (totalClusters > 0 && totalClusters <= KernelAssignMaxClusters) {
-      val centsByEi = centroids.select(col("ei"), col("centroid")).collect()
-        .groupBy(_.getInt(0))
-        .map { case (ei, rows) =>
-          ei -> rows.map(_.getSeq[Double](1).toArray).zipWithIndex
-            .map { case (c, i) => i -> c }.toSeq
-        }
-      centsByEi.toSeq.map { case (ei, idxCents) =>
-        noise.where(col("ei") === ei)
-          .select(lit(ei).as("ei"), element_at(
-            graft.functions.VecKernels.nearest_centroids(
-              col("qi"), idxCents, 1, cosine = false), 1)
-            .getField("d").as("d"))
-      }.reduce(_ unionByName _)
-        .groupBy("ei").agg(sum("d").as("e"))
-    } else {
-      noise
-        .join(broadcast(centroids.select(col("ei"), col("centroid"))), Seq("ei"))
-        .select(col("ei"), col("id"),
-          Distances.l1(col("qi"), col("centroid")).as("d"))
-        .groupBy("ei", "id").agg(min("d").as("d"))
-        .groupBy("ei").agg(sum("d").as("e"))
-    }).collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
-    val nNoiseByEi = noise.groupBy("ei").agg(count(lit(1)).as("nn"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-
-    labeled.unpersist()
-    centroids.unpersist()
+    val (nClustersByEi, clusterErrByEi, noiseStatsByEi, nNoiseByEi) = try {
+      val nClustersByEi = centroids.groupBy("ei")
+        .agg(count(lit(1)).as("ncl"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val clusterErrByEi = labeled.where(col("component").isNotNull)
+        .join(centroids, Seq("ei", "component"))
+        .groupBy("ei").agg(sum(Distances.l1(col("qi"), col("centroid"))).as("e"))
+        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      val noise = labeled.where(col("component").isNull)
+      // noise error per ε: min-L1 to that ε's centroids. Like [[run]]'s
+      // noise assign, the argmin is the shared kernel helper per ε-block
+      // (each block has its own centroid matrix), all blocks unioned into
+      // ONE aggregation job over the cached noise rows — not a join that
+      // explodes |noise|·|centroids| candidate rows. Falls back to the
+      // broadcast join when the total centroid count is too large to ride
+      // as literals.
+      val totalClusters = nClustersByEi.values.sum
+      val noiseStatsByEi = (if (totalClusters > 0 && totalClusters <= KernelAssignMaxClusters) {
+        val centsByEi = centroids.select(col("ei"), col("centroid")).collect()
+          .groupBy(_.getInt(0))
+          .map { case (ei, rows) =>
+            ei -> rows.map(_.getSeq[Double](1).toArray).zipWithIndex
+              .map { case (c, i) => (i.toLong, c) }.toIndexedSeq
+          }
+        centsByEi.toSeq.map { case (ei, sorted) =>
+          withKernelNearest(noise.where(col("ei") === ei), "qi", sorted,
+            "__cc", "d")
+            .select(lit(ei).as("ei"), col("d"))
+        }.reduce(_ unionByName _)
+          .groupBy("ei").agg(sum("d").as("e"))
+      } else {
+        noise
+          .join(broadcast(centroids.select(col("ei"), col("centroid"))), Seq("ei"))
+          .select(col("ei"), col("id"),
+            Distances.l1(col("qi"), col("centroid")).as("d"))
+          .groupBy("ei", "id").agg(min("d").as("d"))
+          .groupBy("ei").agg(sum("d").as("e"))
+      }).collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      val nNoiseByEi = noise.groupBy("ei").agg(count(lit(1)).as("nn"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      (nClustersByEi, clusterErrByEi, noiseStatsByEi, nNoiseByEi)
+    } finally {
+      labeled.unpersist()
+      centroids.unpersist()
+    }
 
     epsRange.indices.map { ei =>
       val nClusters = nClustersByEi.getOrElse(ei, 0L)

@@ -54,11 +54,15 @@ class ShuffleBudgetSpec extends GraftSuite {
       spark.sparkContext.addSparkListener(l)
       try {
         SparkEntry.queries(q)(spark, sf001).count()
-        // listener delivery is async: poll until two reads agree
+        // listener delivery is async: poll until THREE consecutive reads
+        // agree — one quiet 50ms window can fall inside a bus stall and
+        // undercount
         var prev = -1L
+        var stable = 0
         var i = 0
-        while (i < 40 && prev != l.write) {
-          prev = l.write; Thread.sleep(50); i += 1
+        while (i < 80 && stable < 3) {
+          if (l.write == prev) stable += 1 else { stable = 0; prev = l.write }
+          Thread.sleep(50); i += 1
         }
         info(s"$q shuffle_write=${l.write}")
         assert(l.write >= lo,
