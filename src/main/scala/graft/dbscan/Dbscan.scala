@@ -336,8 +336,12 @@ object Dbscan {
           for (r <- recs if r.totalError < minCost) {
             minCost = r.totalError; best = Some((r.eps, null))
           }
+          // empty input yields all-zero records (the guard in
+          // sweepRecordsBatched) — there is no model to build, and run()
+          // would throw on the empty points
+          val emptyInput = recs.forall(r => r.nClusters == 0 && r.nNoise == 0)
           val t1 = System.nanoTime()
-          val bestModel = best.map { case (eps, _) =>
+          val bestModel = if (emptyInput) None else best.map { case (eps, _) =>
             (eps, run(points, idCol, qiCol, eps, minPts, k, mode, weightCol,
               blockDims, pairsOpt = Some(sharedMax.where(col("d") < eps))))
           }

@@ -161,4 +161,15 @@ class DbscanSpec extends GraftSuite {
     assert(total == distinctRows, "one output row per distinct input row")
     assert(m.clusterError > 0 && !m.totalError.isNaN)
   }
+
+  test("sweep on empty input returns zero records, no exception") {
+    val empty = Seq.empty[(Long, Array[Double])].toDF("id", "qi")
+    // batched CC path (runner == null): the empty guard must fire before
+    // any head() on the empty points
+    val (recs, best) = Dbscan.sweep(empty, "id", "qi",
+      epsRange = Seq(1.0, 2.0), minPts = 2, k = 2)
+    assert(best.isEmpty, "no model to build from empty input")
+    assert(recs.map(r => (r.eps, r.nClusters, r.nNoise, r.totalError))
+      == Seq((1.0, 0L, 0L, 0.0), (2.0, 0L, 0L, 0.0)))
+  }
 }
