@@ -10,7 +10,8 @@ import org.apache.spark.sql.functions._
 /** Corpus-curation gate queries a large-scale training-data pipeline
   * needs beyond dedup/similarity: repetition signals (Gopher-style
   * filters), vocabulary heavy-hitters, per-source curation dashboards,
-  * length histograms, PII scanning/redaction, and a salted skew join.
+  * temperature-based domain mixture weights, length histograms, PII
+  * scanning/redaction, and a salted skew join.
   *
   * All are plain relational plans (explode → groupBy → agg) with
   * map-side partial aggregation — per-doc or per-token keyed, so they
@@ -126,6 +127,36 @@ object CurationQueries {
             .as("sum_tokens"),
           round(avg(TF.qualityScore(col("text"))), 6).as("avg_quality"),
           countDistinct("lang").as("n_langs"))
+        .orderBy("source")
+    }),
+
+    // Temperature-based domain mixture: the corpus-mixing step that turns
+    // per-source token volumes into sampling weights w_s ∝ n_s^α
+    // (Pile/LLaMA-style reweighting — α < 1 flattens the mix toward small
+    // sources) plus per-source epochs at a constant total token budget,
+    // epochs_s = w_s·N/n_s. α is fixed at 0.5 so the power is sqrt —
+    // IEEE-correctly-rounded, hence bit-identical between the JVM and the
+    // oracle; the |sources|-term normalizer is the only order-sensitive
+    // double sum and is round-6'd like every double agg on the board.
+    // Plan: map-side-combined groupBy on the tiny source key, then a
+    // 1-row broadcast scalar attach — candidate work independent of
+    // corpus size past the first agg.
+    "domain_mix" -> ((s, dir) => {
+      val perSrc = docs(s, dir).groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum(TF.tokenCount(col("text")).cast("long")).cast("long")
+            .as("n_tokens"))
+      val glob = perSrc.agg(
+        sum(sqrt(col("n_tokens").cast("double"))).as("z"),
+        sum("n_tokens").cast("long").as("tot"))
+      perSrc.crossJoin(broadcast(glob))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          round(sqrt(col("n_tokens").cast("double")) / col("z"), 6)
+            .as("weight"),
+          when(col("n_tokens") === 0, lit(0.0))
+            .otherwise(round(col("tot").cast("double") /
+              (col("z") * sqrt(col("n_tokens").cast("double"))), 6))
+            .as("epochs"))
         .orderBy("source")
     }),
 
@@ -267,6 +298,23 @@ object CurationQueries {
          |  CAST(count(DISTINCT d.lang) AS BIGINT) AS n_langs
          |FROM documents d JOIN q ON d.doc_id = q.doc_id
          |GROUP BY d.source ORDER BY source""".stripMargin,
+    // mirrors the Spark expressions op-for-op: z·sqrt(n) grouping before
+    // the division, CASE guard on n_tokens = 0, round-6 at the end
+    "domain_mix" ->
+      s"""WITH $sqlToks,
+         |q AS (SELECT doc_id, len(t) AS nt FROM toks),
+         |s AS (SELECT d.source AS source, count(*) AS n_docs,
+         |    CAST(sum(q.nt) AS BIGINT) AS n_tokens
+         |  FROM documents d JOIN q ON d.doc_id = q.doc_id
+         |  GROUP BY d.source),
+         |g AS (SELECT sum(sqrt(CAST(n_tokens AS DOUBLE))) AS z,
+         |    CAST(sum(n_tokens) AS BIGINT) AS tot FROM s)
+         |SELECT source, n_docs, n_tokens,
+         |  round(sqrt(CAST(n_tokens AS DOUBLE)) / z, 6) AS weight,
+         |  CASE WHEN n_tokens = 0 THEN 0.0
+         |       ELSE round(CAST(tot AS DOUBLE) /
+         |         (z * sqrt(CAST(n_tokens AS DOUBLE))), 6) END AS epochs
+         |FROM s, g ORDER BY source""".stripMargin,
     "len_hist" ->
       s"""WITH h AS (SELECT n_chars // $HistBucket AS bucket,
          |    count(*) AS n_docs,

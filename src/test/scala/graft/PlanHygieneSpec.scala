@@ -84,6 +84,24 @@ class PlanHygieneSpec extends GraftSuite {
       "scoring must not shuffle-join the corpus")
   }
 
+  test("domain_mix broadcasts the one-row normalizer; weights sum to 1") {
+    val p = plan("domain_mix")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "the (z, tot) scalar row must broadcast into the per-source attach")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      "mixture weighting must not shuffle-join")
+    val rows = SparkEntry.queries("domain_mix")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val wsum = rows.map(_.getAs[Double]("weight")).sum
+    assert(math.abs(wsum - 1.0) < 1e-4, s"weights must normalize, got $wsum")
+    // epochs conserve the token budget: Σ epochs_s · n_s = Σ n_s
+    val tot = rows.map(_.getAs[Long]("n_tokens")).sum.toDouble
+    val spent = rows.map(r =>
+      r.getAs[Double]("epochs") * r.getAs[Long]("n_tokens")).sum
+    assert(math.abs(spent / tot - 1.0) < 1e-4,
+      s"epochs must conserve the budget: spent $spent of $tot")
+  }
+
   test("kmeans_assign and ann_ivf_fixed plan without cartesians") {
     for (q <- Seq("kmeans_assign", "ann_ivf_fixed")) {
       val p = plan(q)
