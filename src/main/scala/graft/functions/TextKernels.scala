@@ -77,6 +77,23 @@ object TextKernels {
     new GenericArrayData(sig)
   }
 
+  /** Unicode NFC normalization (canonical composition) — the text-cleanup
+    * pass that collapses decomposed sequences (e + U+0301 → é) so
+    * fingerprints/dedup keys are stable across byte-level encodings of
+    * the same text. Fast path: `Normalizer.isNormalized` is a cheap scan
+    * that returns the INPUT buffer untouched for already-NFC text (the
+    * overwhelmingly common case in a mostly-ASCII corpus), so the
+    * String round-trip is only paid on rows that actually change. */
+  def nfc(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+
+  def nfc_normalize(text: Column): Column =
+    ColumnBridge.column(NfcNormalizeExpr(ColumnBridge.expression(text)))
+
   def shingle_hashes(text: Column, n: Column): Column =
     ColumnBridge.column(ShingleHashesExpr(
       ColumnBridge.expression(text), ColumnBridge.expression(n)))
@@ -84,6 +101,20 @@ object TextKernels {
   def minhash_sig(hashes: Column, numHashes: Int): Column =
     ColumnBridge.column(MinHashSigExpr(ColumnBridge.expression(hashes),
       numHashes))
+}
+
+/** Codegen NFC normalization over a string column (DuckDB mirror:
+  * `nfc_normalize`). Null in → null out; the kernel's fast path makes
+  * already-normalized rows allocation-free. */
+case class NfcNormalizeExpr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = StringType
+  override def toString: String = s"nfc_normalize($child)"
+  protected override def nullSafeEval(s: Any): Any =
+    TextKernels.nfc(s.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.functions.TextKernels.nfc($s)")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
 case class ShingleHashesExpr(left: Expression, right: Expression)

@@ -90,6 +90,39 @@ object Dedup {
       .where(col("n_shared") >= minShared)
   }
 
+  /** Span-level contamination FRACTION per document — the thresholdable
+    * form of [[contamination]] (Lee et al. "Deduplicating Training Data
+    * Makes Language Models Better", ACL'22 report overlap fractions, not
+    * just hit counts): for EVERY corpus document, the share of its
+    * distinct word-`n`-gram shingle hashes that appear anywhere in the
+    * eval set. Unlike [[contamination]] (which emits only contaminated
+    * docs), zero-overlap and shingle-less documents are kept with
+    * fraction 0 so the output joins 1:1 against the corpus for filtering.
+    *
+    * Scale shape: same as [[contamination]] — the eval hash set
+    * broadcasts, the per-doc totals and overlap counts come from ONE
+    * doc-keyed aggregation over the semi-annotated shingle stream (a left
+    * broadcast join marks hits; no second corpus pass, no self-join). */
+  def contaminationStats(docs: DataFrame, evalDocs: DataFrame, idCol: String,
+                         textCol: String, n: Int): DataFrame = {
+    val corpus = shingleHashIndex(docs, idCol, textCol, n)
+    val evals = shingleHashIndex(evalDocs, idCol, textCol, n)
+      .select(col("h")).distinct()
+    val agg = corpus
+      .join(broadcast(evals.withColumn("hit", lit(1L))), Seq("h"), "left")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_shingles"),
+        coalesce(sum("hit"), lit(0L)).as("n_shared"))
+    docs.select(col(idCol).as("id"))
+      .join(agg, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        when(coalesce(col("n_shingles"), lit(0L)) === 0, lit(0.0))
+          .otherwise(round(col("n_shared").cast("double") / col("n_shingles"), 6))
+          .as("contam_frac"))
+  }
+
   /** Near-duplicate pairs with exact n-gram Jaccard >= tau, via
     * document-frequency-ordered PREFIX FILTERING (PPJoin-style, Bayardo et
     * al. "Scaling Up All Pairs Similarity Search", WWW'07 — public

@@ -62,6 +62,49 @@ object LexicalRank {
       round(weights.reduceLeft(_ + _), 6).as("score"))
   }
 
+  /** Unigram-surprisal document scoring — the CCNet-style "how surprising
+    * is this text under a corpus language model" quality signal, with the
+    * LM reduced to the corpus's own unigram distribution and the log
+    * reduced to EXACT integer bit counts so the score is value-level
+    * oracle-checkable: a token with corpus count c out of N total carries
+    * floor(log2(N div c)) bits — computed as length(bin(N div c)) - 1,
+    * pure integer arithmetic identical in every engine — and a document
+    * scores round(Σ bits / n_tokens, 6): one exact integer sum, one IEEE
+    * division, one 6dp round. High surprisal ⇒ rare vocabulary (often
+    * gibberish or genuinely novel text); low ⇒ boilerplate-common tokens.
+    *
+    * Scale shape: the per-(doc, token) pre-count caps every Zipf-hot
+    * token at ONE row per document before the vocabulary join, so the
+    * token-keyed equi-join's skew is bounded by document count, not
+    * occurrence count (AQE splits what remains); occurrence counts are a
+    * two-level map-side-combined groupBy; the corpus total is a 1-row
+    * broadcast. Nothing collects, nothing is quadratic in the corpus.
+    *
+    * Returns one row per input document: (id, n_tokens, sum_bits,
+    * surprisal); tokenless documents score 0. */
+  def unigramSurprisal(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val dt = docs
+      .select(col(idCol).as("id"), explode(TF.tokens(col(textCol))).as("w"))
+      .groupBy("id", "w").agg(count(lit(1)).as("c"))
+    val vocab = dt.groupBy("w").agg(sum("c").as("vc"))
+    val tot = vocab.agg(sum("vc").as("tot"))
+    val perDoc = dt.join(vocab, "w")
+      .crossJoin(broadcast(tot))
+      .select(col("id"), col("c"),
+        (length(bin(expr("tot div vc"))) - 1).cast("long").as("bits"))
+      .groupBy("id")
+      .agg(sum(col("c") * col("bits")).as("sum_bits"),
+        sum("c").as("n_tokens"))
+    docs.select(col(idCol).as("id"))
+      .join(perDoc, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("sum_bits"), lit(0L)).as("sum_bits"),
+        when(coalesce(col("n_tokens"), lit(0L)) === 0, lit(0.0))
+          .otherwise(round(col("sum_bits").cast("double") / col("n_tokens"), 6))
+          .as("surprisal"))
+  }
+
   /** Top-`k` documents by BM25 for the fixed `terms` bag, positive scores
     * only, ranked (score desc, doc_id asc). The final top-k window is
     * global but runs over the already-score-filtered stream. */

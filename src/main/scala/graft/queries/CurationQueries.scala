@@ -24,6 +24,7 @@ object CurationQueries {
   private val VocabK = 100
   private val HistBucket = 64
   private val SaltBuckets = 8
+  private val SelectBudget = 10000L
 
   /** Email/phone detection regexes — deliberately restricted to syntax
     * with identical semantics in Java regex (Spark codegen) and RE2
@@ -158,6 +159,38 @@ object CurationQueries {
               (col("z") * sqrt(col("n_tokens").cast("double"))), 6))
             .as("epochs"))
         .orderBy("source")
+    }),
+
+    // Unigram-surprisal quality scoring (LexicalRank.unigramSurprisal):
+    // rare-vocabulary documents score high, boilerplate-common ones low —
+    // the CCNet-style corpus-LM filter with the log made integer-exact
+    // (floor(log2(N div c)) bits per token via length(bin(...))-1) so the
+    // whole score is value-level oracle-checkable, not just rows-checked.
+    "surprisal_score" -> ((s, dir) =>
+      graft.operators.LexicalRank.unigramSurprisal(docs(s, dir), "doc_id", "text")
+        .select(col("id").as("doc_id"), col("n_tokens"), col("sum_bits"),
+          col("surprisal"))
+        .orderBy("doc_id")),
+
+    // Token-budget corpus selection: rank by (quality desc, doc_id) and
+    // greedily keep documents that fit ENTIRELY within a fixed token
+    // budget (cum + toks <= budget, cum = exclusive running sum in rank
+    // order) — the "best data under a compute budget" selection step.
+    // The running sum is the two-phase PrefixScan over a (-quality,
+    // doc_id) range partitioning, so parallelism follows numParts instead
+    // of collapsing into one global-window task; values are identical to
+    // the single-window form by construction.
+    "budget_select" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"),
+        TF.qualityScore(col("text")).as("quality"),
+        TF.bpeTokenCount(col("text")).as("toks"))
+        .withColumn("negq", -col("quality"))
+      graft.operators.PrefixScan.exclusiveCumsum(
+          d.withColumn("__all", lit(1)), "__all", Seq("negq", "doc_id"),
+          "toks", "cum", numParts = s.sparkContext.defaultParallelism)
+        .where(col("cum") + col("toks") <= SelectBudget)
+        .select(col("doc_id"), col("quality"), col("toks"), col("cum"))
+        .orderBy(col("quality").desc, col("doc_id"))
     }),
 
     // Document-length histogram with a running total — the sequence-length
@@ -315,6 +348,45 @@ object CurationQueries {
          |       ELSE round(CAST(tot AS DOUBLE) /
          |         (z * sqrt(CAST(n_tokens AS DOUBLE))), 6) END AS epochs
          |FROM s, g ORDER BY source""".stripMargin,
+    // bit counts via length(bin(tot // vc)) - 1 — pure integer arithmetic
+    // mirrored from the Spark plan; the only double op is the final
+    // division of two exact integers, 6dp-rounded in both engines
+    "surprisal_score" ->
+      s"""WITH $sqlToks,
+         |occ AS (SELECT doc_id, unnest(t) AS w FROM toks),
+         |dt AS (SELECT doc_id, w, count(*) AS c FROM occ GROUP BY 1, 2),
+         |v AS (SELECT w, CAST(sum(c) AS BIGINT) AS vc FROM dt GROUP BY 1),
+         |g AS (SELECT CAST(sum(vc) AS BIGINT) AS tot FROM v),
+         |sc AS (SELECT dt.doc_id,
+         |    CAST(sum(dt.c * (length(bin(g.tot // v.vc)) - 1)) AS BIGINT)
+         |      AS sb,
+         |    CAST(sum(dt.c) AS BIGINT) AS nt
+         |  FROM dt JOIN v USING (w), g GROUP BY 1)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(sc.nt, 0) AS BIGINT) AS n_tokens,
+         |  CAST(coalesce(sc.sb, 0) AS BIGINT) AS sum_bits,
+         |  CASE WHEN coalesce(sc.nt, 0) = 0 THEN 0.0
+         |       ELSE round(CAST(sc.sb AS DOUBLE) / sc.nt, 6) END AS surprisal
+         |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+    // the greedy fill in rank order: exclusive window cumsum over
+    // (-quality, doc_id) — quality is already 6dp-rounded in both
+    // engines, so the rank order (and hence the integer cumsum) is
+    // engine-independent
+    "budget_select" ->
+      s"""WITH $sqlToks,
+         |q AS (SELECT doc_id, $sqlQuality AS quality,
+         |    CAST(coalesce(list_sum(list_transform(t,
+         |      w -> CAST(ceil(length(w) / 4.0) AS BIGINT))), 0) AS BIGINT)
+         |      AS toks
+         |  FROM toks),
+         |c AS (SELECT doc_id, quality, toks,
+         |    coalesce(sum(toks) OVER (ORDER BY -quality, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+         |  FROM q)
+         |SELECT doc_id, quality, toks, CAST(cum AS BIGINT) AS cum
+         |FROM c WHERE cum + toks <= $SelectBudget
+         |ORDER BY -quality, doc_id""".stripMargin,
     "len_hist" ->
       s"""WITH h AS (SELECT n_chars // $HistBucket AS bucket,
          |    count(*) AS n_docs,

@@ -27,6 +27,7 @@ object TextQueries {
   private val Bm25K1 = 1.2
   private val Bm25B = 0.75
   private val Bm25TopN = 15
+  private val ContamTau = 0.05
 
   // ------------------------------------------------------- SQL fragments
 
@@ -211,6 +212,40 @@ object TextQueries {
       Dedup.contamination(d.where(col("doc_id") >= 5),
           d.where(col("doc_id") < 5), "doc_id", "text", ShingleN)
         .select(col("id").as("doc_id"), col("n_shared"))
+        .orderBy("doc_id")
+    }),
+
+    // span-level contamination fractions: for EVERY corpus doc, the share
+    // of its distinct word-bigram shingle hashes found in the eval set
+    // (doc_id < 5), plus a thresholded flag — the filterable form of
+    // decontam (which emits hit counts for contaminated docs only). The
+    // flag compares the 6dp-ROUNDED fraction so the boundary behavior is
+    // engine-independent.
+    "decontam_frac" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.contaminationStats(d.where(col("doc_id") >= 5),
+          d.where(col("doc_id") < 5), "doc_id", "text", ShingleN)
+        .select(col("id").as("doc_id"), col("n_shingles"), col("n_shared"),
+          col("contam_frac"),
+          (col("contam_frac") >= ContamTau).as("contaminated"))
+        .orderBy("doc_id")
+    }),
+
+    // unicode NFC normalization through the native codegen kernel
+    // (TextKernels.nfc_normalize). The synthetic corpus is pure ASCII
+    // (NFC-invariant), so the gate first DECOMPOSES the real text —
+    // every 'e' becomes e + U+0301 combining acute — and normalization
+    // must recompose each pair back to é: len_nfc < len_deco by exactly
+    // the number of 'e's, and the fingerprint runs over the recomposed
+    // codepoints. Both engines build the decomposed text from the same
+    // documents rows.
+    "text_nfc" -> ((s, dir) => {
+      val deco = regexp_replace(col("text"), "e", "e" + "\u0301")
+      val nfc = graft.functions.TextKernels.nfc_normalize(deco)
+      docs(s, dir).select(col("doc_id"),
+          length(deco).cast("long").as("len_deco"),
+          length(nfc).cast("long").as("len_nfc"),
+          PolyHash.poly_hash(nfc).as("nfc_fp"))
         .orderBy("doc_id")
     }),
 
@@ -403,6 +438,40 @@ object TextQueries {
          |FROM shh s JOIN ev ON s.h = ev.h
          |WHERE s.doc_id >= 5
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // same CTEs as decontam, but driven from ALL corpus docs (left joins
+    // keep zero-overlap and shingle-less rows); the flag thresholds the
+    // 6dp-rounded fraction in both engines
+    "decontam_frac" ->
+      s"""WITH $sqlToks,
+         |$sqlShingles,
+         |$sqlShingleHashes,
+         |ev AS (SELECT DISTINCT h FROM shh WHERE doc_id < 5),
+         |tot AS (SELECT doc_id, count(*) AS ns FROM shh
+         |  WHERE doc_id >= 5 GROUP BY 1),
+         |ovl AS (SELECT s.doc_id, count(*) AS c FROM shh s JOIN ev USING (h)
+         |  WHERE s.doc_id >= 5 GROUP BY 1),
+         |f AS (SELECT d.doc_id,
+         |    CAST(coalesce(t.ns, 0) AS BIGINT) AS n_shingles,
+         |    CAST(coalesce(o.c, 0) AS BIGINT) AS n_shared,
+         |    CASE WHEN coalesce(t.ns, 0) = 0 THEN 0.0
+         |         ELSE round(CAST(coalesce(o.c, 0) AS DOUBLE) / t.ns, 6) END
+         |      AS contam_frac
+         |  FROM documents d LEFT JOIN tot t ON d.doc_id = t.doc_id
+         |  LEFT JOIN ovl o ON d.doc_id = o.doc_id
+         |  WHERE d.doc_id >= 5)
+         |SELECT doc_id, n_shingles, n_shared, contam_frac,
+         |  contam_frac >= $ContamTau AS contaminated
+         |FROM f ORDER BY doc_id""".stripMargin,
+    // chr(769) is U+0301 combining acute — the same decomposition the
+    // Spark gate applies; nfc_normalize must recompose every e+◌́ to é
+    "text_nfc" ->
+      s"""WITH deco AS (SELECT doc_id,
+         |    replace(text, 'e', 'e' || chr(769)) AS dt FROM documents),
+         |n AS (SELECT doc_id, dt, nfc_normalize(dt) AS nt FROM deco)
+         |SELECT doc_id, CAST(length(dt) AS BIGINT) AS len_deco,
+         |  CAST(length(nt) AS BIGINT) AS len_nfc,
+         |  ${sqlPolyHash("nt")} AS nfc_fp
+         |FROM n ORDER BY doc_id""".stripMargin,
     // arithmetic mirrored subexpression-for-subexpression from
     // LexicalRank.bm25 (literal constants interpolated from the SAME
     // Scala values, so both engines parse identical doubles)

@@ -27,6 +27,16 @@ object VectorQueries {
   private def embs(s: SparkSession, dir: String): DataFrame =
     table(s, dir, "embeddings")
 
+  /** embed_pairs_lsh and embed_dedup walk the same near-dup pair graph —
+    * computed once per (session, dir), eagerly checkpointed, shared
+    * (the TextQueries.sharedJaccardPairs pattern). */
+  private val embPairsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def sharedEmbedPairs(s: SparkSession, dir: String): DataFrame =
+    embPairsCache.getOrElseUpdate((s, dir),
+      graft.operators.Dedup.embeddingPairs(embs(s, dir), "vec_id", "embedding",
+        CosTau).localCheckpoint())
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // brute-force exact cosine top-k for the first NQueries vectors
     "ann_topk" -> ((s, dir) => {
@@ -49,8 +59,7 @@ object VectorQueries {
     // all-pairs set and shares its SQL oracle; the plan is asserted
     // cartesian-free in SimilaritySearchSpec.
     "embed_pairs_lsh" -> ((s, dir) => {
-      graft.operators.Dedup.embeddingPairs(embs(s, dir), "vec_id", "embedding", CosTau)
-        .orderBy("id_a", "id_b")
+      sharedEmbedPairs(s, dir).orderBy("id_a", "id_b")
     }),
 
     // chunk->document mean pooling: vectors grouped into synthetic docs
@@ -87,6 +96,25 @@ object VectorQueries {
           round(element_at(col("pooled"), 1), 6).as("pooled_x0"),
           round(element_at(col("pooled"), 512), 6).as("pooled_x511"))
         .orderBy("group_id")
+    }),
+
+    // SemDeDup-style semantic dedup endpoint: embedding near-dup pairs
+    // (sign-band LSH candidates + exact cosine verify — the same
+    // cartesian-free graph embed_pairs_lsh certifies) → connected
+    // components → one group id (min member) per vector, with the
+    // keep/drop flag a dedup pass acts on. Oracle = recursive-CTE
+    // min-label propagation over the same cosine pair graph.
+    "embed_dedup" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val pairs = sharedEmbedPairs(s, dir)
+      val comp = graft.graph.ConnectedComponents.run(
+        pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
+      e.select(col("vec_id"))
+        .join(comp, e("vec_id") === comp("id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("component"), col("vec_id")).as("group_id"))
+        .withColumn("is_kept", col("vec_id") === col("group_id"))
+        .orderBy("vec_id")
     }),
 
     // int8 embedding quantization: per-vector scale, quantized-code sum
@@ -282,6 +310,27 @@ object VectorQueries {
          |  CAST(count(*) * $TopK AS BIGINT) AS n_results,
          |  CAST(1 AS INT) AS recall_ge_half
          |FROM embeddings WHERE vec_id < $NQueries""".stripMargin,
+    // min-label propagation to a fixpoint over the symmetric closure of
+    // the cosine near-dup graph — the group id every member converges to
+    // is the component minimum, exactly the large-star/small-star result
+    "embed_dedup" ->
+      s"""WITH RECURSIVE v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+         |  FROM embeddings),
+         |pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM v a JOIN v b ON a.vec_id < b.vec_id
+         |  WHERE round($sqlCos, 6) >= $CosTau),
+         |sym AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs),
+         |verts AS (SELECT DISTINCT src AS id FROM sym),
+         |walk(id, reach) AS (
+         |  SELECT id, id FROM verts
+         |  UNION
+         |  SELECT s.dst, w.reach FROM walk w JOIN sym s ON s.src = w.id),
+         |comp AS (SELECT id, min(reach) AS gid FROM walk GROUP BY id)
+         |SELECT e.vec_id, coalesce(c.gid, e.vec_id) AS group_id,
+         |  e.vec_id = coalesce(c.gid, e.vec_id) AS is_kept
+         |FROM embeddings e LEFT JOIN comp c ON e.vec_id = c.id
+         |ORDER BY e.vec_id""".stripMargin,
     // identical result set to cosine_pairs by construction (deterministic
     // planes, full recall at the gate's tau/data) — same oracle
     "embed_pairs_lsh" ->

@@ -102,6 +102,22 @@ class PlanHygieneSpec extends GraftSuite {
       s"epochs must conserve the budget: spent $spent of $tot")
   }
 
+  test("decontam_frac broadcasts the eval set; corpus never self-joins") {
+    val p = plan("decontam_frac")
+    assert(p.contains("BroadcastHashJoin"),
+      "eval shingle hashes must broadcast into the hit-marking join")
+    assert(!p.contains("CartesianProduct"),
+      "the corpus side must not cross-join")
+  }
+
+  test("surprisal_score: token-keyed equi-joins plus a 1-row broadcast only") {
+    val p = plan("surprisal_score")
+    assert(!p.contains("CartesianProduct"),
+      "the vocabulary join must stay an equi-join")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "the corpus-total scalar row must broadcast")
+  }
+
   test("kmeans_assign and ann_ivf_fixed plan without cartesians") {
     for (q <- Seq("kmeans_assign", "ann_ivf_fixed")) {
       val p = plan(q)

@@ -150,6 +150,69 @@ class TextDedupSpec extends GraftSuite {
     assert(wiped == Map(1L -> "", 2L -> ""))
   }
 
+  test("nfc_normalize recomposes, is idempotent, fast-paths ASCII and null") {
+    import graft.functions.TextKernels
+    val rows = Seq(
+      (1L, "caf" + "é"), // decomposed e + combining acute
+      (2L, "plain ascii"),
+      (3L, "café"), // already composed
+      (4L, "")).toDF("id", "s")
+      .select(col("id"), TextKernels.nfc_normalize(col("s")).as("n"))
+      .as[(Long, String)].collect().toMap
+    assert(rows(1L) == "café" && rows(1L).length == 4,
+      "decomposed pair must recompose to one codepoint")
+    assert(rows(2L) == "plain ascii" && rows(4L) == "")
+    assert(rows(3L) == "café", "already-NFC text unchanged (idempotent)")
+    val n = Seq((1L, null: String)).toDF("id", "s")
+      .select(TextKernels.nfc_normalize(col("s"))).collect()(0)
+    assert(n.isNullAt(0), "null in, null out")
+  }
+
+  test("contaminationStats: fractions, zero-overlap and shingle-less rows kept") {
+    val eval = Seq((0L, "x y z")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (5L, "x y q r"), // shares bigram "x y" of its 3 → 1/3
+      (6L, "no overlap here at all"), // 4 shingles, 0 shared
+      (7L, "w") // shingle-less
+    ).toDF("doc_id", "text")
+    val got = Dedup.contaminationStats(corpus, eval, "doc_id", "text", 2)
+      .select("id", "n_shingles", "n_shared", "contam_frac")
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got(5L) == ((5L, 3L, 1L, 0.333333)))
+    assert(got(6L) == ((6L, 4L, 0L, 0.0)))
+    assert(got(7L) == ((7L, 0L, 0L, 0.0)))
+  }
+
+  test("unigramSurprisal: exact bit arithmetic on a hand-computed corpus") {
+    import graft.operators.LexicalRank
+    // vocab: a:3, b:1, c:1, N=5 → bits(a)=len(bin(5 div 3))-1=0,
+    // bits(b)=bits(c)=len(bin(5))-1=2
+    val d = Seq((1L, "a a b"), (2L, "a c"), (3L, "")).toDF("doc_id", "text")
+    val got = LexicalRank.unigramSurprisal(d, "doc_id", "text")
+      .select("id", "n_tokens", "sum_bits", "surprisal")
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 3L, 2L, 0.666667)), s"got ${got(1L)}")
+    assert(got(2L) == ((2L, 2L, 2L, 1.0)))
+    assert(got(3L) == ((3L, 0L, 0L, 0.0)), "tokenless doc scores 0")
+  }
+
+  test("budget_select: greedy fill is prefix-closed in rank order") {
+    val rows = SparkEntry.queries("budget_select")(spark, sf0001)
+      .select("doc_id", "quality", "toks", "cum")
+      .as[(Long, Double, Long, Long)].collect()
+    assert(rows.nonEmpty, "budget must admit some documents")
+    assert(rows.map(_._3).sum <= 10000L, "selection must fit the budget")
+    // cum is the exclusive running sum in (quality desc, doc_id) order
+    val sorted = rows.sortBy(r => (-r._2, r._1))
+    assert(sorted.toSeq == rows.toSeq, "output ordered by rank")
+    var acc = 0L
+    for (r <- sorted) {
+      assert(r._4 == acc, s"cum mismatch at doc ${r._1}: ${r._4} vs $acc")
+      acc += r._3
+      assert(acc <= 10000L, "every kept doc fits entirely")
+    }
+  }
+
   test("dedupLines keeps first occurrences in order") {
     val got = Seq(
       "a\nb\na\nc\nb",  // repeats dropped, first-seen order kept
