@@ -156,7 +156,11 @@ object Bench {
     // line it must parse has to survive truncation with medians intact
     println(s"""{"metric":"stage_metrics","stage_metrics":$sh,"sf":"$sfDir"}""")
     println(s"""{"metric":"bench_detail","reps":$reps,"cold":${jmap(_.cold)},"min":${jmap(_.min)},"stddev":${jmap(_.stddev)},"sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${jmap(_.median)},"failed":$failed,"reps":$reps,"cold_total":${r3(coldTotal)},"sf":"$sfDir"}""")
+    // per-query cold seconds ride on the headline too: memoized shared
+    // builds (ε-pair set, DBSCAN model, LSH pair graph) land in the cold
+    // pass, and a regression in a build cost must be attributable to its
+    // query, not just visible in cold_total
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${jmap(_.median)},"min":${jmap(_.min)},"cold":${jmap(_.cold)},"failed":$failed,"reps":$reps,"cold_total":${r3(coldTotal)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -106,16 +106,25 @@ object LexicalRank {
   }
 
   /** Top-`k` documents by BM25 for the fixed `terms` bag, positive scores
-    * only, ranked (score desc, doc_id asc). The final top-k window is
-    * global but runs over the already-score-filtered stream. */
+    * only, ranked (score desc, doc_id asc).
+    *
+    * Scale shape: the top-k is `orderBy(...).limit(k)` — a TakeOrdered,
+    * where every partition keeps its own k candidates and only k·|parts|
+    * rows reach the driver-side merge — and the rank window then runs
+    * over exactly k rows. The previous form (`row_number` over an
+    * unpartitioned window on the score-filtered stream, then
+    * `rank <= k`) funneled EVERY positive-scoring document through one
+    * window task; with common query terms at corpus scale that is
+    * nearly every document containing any term, a single-task sort. */
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
                terms: Seq[String], k: Int,
                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val top = bm25(docs, idCol, textCol, terms, k1, b)
+      .where(col("score") > 0)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("score").desc, col("doc_id"))
-    bm25(docs, idCol, textCol, terms, k1, b)
-      .where(col("score") > 0)
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
+    top.withColumn("rank", row_number().over(w))
   }
 }

@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.core.QueryCache
 import graft.core.Tables.table
 import graft.dbscan.{Cc, Dbscan, Scc}
 import graft.functions.Distances
@@ -7,7 +8,6 @@ import graft.graph.{ConnectedComponents, GraphAlgs}
 import graft.operators.NeighborJoin
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import scala.collection.concurrent.TrieMap
 
 /** Clustering-operator gate queries. The DuckDB oracles reproduce the whole
   * pipeline in SQL — the ε-graph as a cartesian θ-join and connected
@@ -32,21 +32,21 @@ object ClusterQueries {
     * computed once per (session, dir), eagerly checkpointed. The exact L1
     * distance is kept as `d` so smaller-ε consumers (the sweep's ε=0.5
     * leg) are a filter over this set, not a second join. */
-  private val pairsCache = TrieMap.empty[(SparkSession, String), DataFrame]
+  private[graft] val PairsKey = "cluster.pairs"
   private def sharedPairs(s: SparkSession, dir: String): DataFrame =
-    pairsCache.getOrElseUpdate((s, dir), {
+    QueryCache.shared(PairsKey, s, dir) {
       val p = pts(s, dir).withColumn("w", lit(1L))
       NeighborJoin.epsJoinGrid(p, "id", "qi", eps, distCol = Some("d"))
         .localCheckpoint()
-    })
+    }
 
   /** Directed core→neighbor edge list of the ε-graph (DBSCAN.py:161-162),
     * derived from [[sharedPairs]]; three gate queries (cc_components,
     * cc_graphx, scc_components) walk the same graph, so the finished edge
     * list is eagerly localCheckpoint'd once per (session, dir) too. */
-  private val edgeCache = TrieMap.empty[(SparkSession, String), DataFrame]
+  private[graft] val EdgesKey = "cluster.epsEdges"
   private def epsEdges(s: SparkSession, dir: String): DataFrame =
-    edgeCache.getOrElseUpdate((s, dir), {
+    QueryCache.shared(EdgesKey, s, dir) {
       val pairs = sharedPairs(s, dir)
       val core = pairs.groupBy("a_id").agg(count(lit(1)).as("n"))
         .where(col("n") >= minPts).select(col("a_id").as("core_id"))
@@ -54,27 +54,29 @@ object ClusterQueries {
         .join(core, pairs("a_id") === core("core_id"), "left_semi")
         .select(col("a_id").as("src"), col("b_id").as("dst"))
         .localCheckpoint()
-    })
+    }
 
   /** The ε=2.0 DBSCAN model shared by dbscan_labels / dbscan_errors /
     * dbscan_anonymize: the driver times each gate query independently, but
     * a real user computes the model once and reads three outputs from it —
     * memoizing per (session, dir) makes the gate reflect that. The model
     * run reuses [[sharedPairs]] instead of rebuilding the ε-join. */
-  private val dbscanCache = TrieMap.empty[(SparkSession, String), graft.dbscan.DbscanModel]
+  private[graft] val ModelKey = "cluster.dbscanModel"
   private def sharedModel(s: SparkSession, dir: String): graft.dbscan.DbscanModel =
-    dbscanCache.getOrElseUpdate((s, dir),
+    QueryCache.shared(ModelKey, s, dir) {
       Dbscan.run(pts(s, dir), "id", "qi", eps, minPts, kAnon, Cc,
-        pairsOpt = Some(sharedPairs(s, dir))))
+        pairsOpt = Some(sharedPairs(s, dir)))
+    }
 
   /** One constrained-k-means fit shared by kmeans_constrained and
     * sink_roundtrip, memoized like the DBSCAN model above. */
-  private val kmeansCache = TrieMap.empty[(SparkSession, String), graft.kmeans.KMeansModel]
+  private[graft] val KmeansKey = "cluster.kmeansModel"
   private def sharedKmeans(s: SparkSession, dir: String): graft.kmeans.KMeansModel =
-    kmeansCache.getOrElseUpdate((s, dir),
+    QueryCache.shared(KmeansKey, s, dir) {
       graft.kmeans.ConstrainedKMeans.fit(
         pts(s, dir), "id", "qi", nClusters = 8, kAnon = 4, seed = 42,
-        maxLloyd = 5))
+        maxLloyd = 5)
+    }
 
   /** The seed-42 sf0.001 fit's centroids frozen as literals
     * (tools/FreezeCentroids) — [[queries kmeans_assign]] runs the

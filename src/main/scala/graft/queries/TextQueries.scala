@@ -65,13 +65,14 @@ object TextQueries {
     table(s, dir, "documents")
 
   /** jaccard_pairs and dedup_groups walk the same near-dup pair set —
-    * computed once per (session, dir), eagerly checkpointed, shared. */
-  private val pairsCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    * computed once per (session, dir), eagerly checkpointed, shared via
+    * [[graft.core.QueryCache]]. */
+  private[graft] val JaccardPairsKey = "text.jaccardPairs"
   private def sharedJaccardPairs(s: SparkSession, dir: String): DataFrame =
-    pairsCache.getOrElseUpdate((s, dir),
+    graft.core.QueryCache.shared(JaccardPairsKey, s, dir) {
       Dedup.jaccardPairs(docs(s, dir), "doc_id", "text", ShingleN, JaccardTau)
-        .localCheckpoint())
+        .localCheckpoint()
+    }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // token counting (whitespace + BPE-ish), quality scoring, word stats

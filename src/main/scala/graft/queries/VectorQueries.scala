@@ -28,14 +28,15 @@ object VectorQueries {
     table(s, dir, "embeddings")
 
   /** embed_pairs_lsh and embed_dedup walk the same near-dup pair graph —
-    * computed once per (session, dir), eagerly checkpointed, shared
-    * (the TextQueries.sharedJaccardPairs pattern). */
-  private val embPairsCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    * computed once per (session, dir), eagerly checkpointed, shared via
+    * [[graft.core.QueryCache]] (key exposed so the shuffle-budget spec
+    * can evict and measure the build plan). */
+  private[graft] val EmbPairsKey = "vector.embedPairs"
   private def sharedEmbedPairs(s: SparkSession, dir: String): DataFrame =
-    embPairsCache.getOrElseUpdate((s, dir),
+    graft.core.QueryCache.shared(EmbPairsKey, s, dir) {
       graft.operators.Dedup.embeddingPairs(embs(s, dir), "vec_id", "embedding",
-        CosTau).localCheckpoint())
+        CosTau).localCheckpoint()
+    }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // brute-force exact cosine top-k for the first NQueries vectors

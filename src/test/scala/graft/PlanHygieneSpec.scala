@@ -84,6 +84,14 @@ class PlanHygieneSpec extends GraftSuite {
       "scoring must not shuffle-join the corpus")
   }
 
+  test("bm25 top-k is a TakeOrdered, not an unpartitioned corpus window") {
+    // the rank window must run over the k limited rows, never the full
+    // score-filtered stream (a single-task sort at corpus scale)
+    val p = plan("bm25_rank")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k must plan as TakeOrderedAndProject:\n${p.take(800)}")
+  }
+
   test("domain_mix broadcasts the one-row normalizer; weights sum to 1") {
     val p = plan("domain_mix")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),

@@ -37,6 +37,12 @@ class ShuffleBudgetSpec extends GraftSuite {
     * dbscan_sweep 86,112; dedup_groups 11,048; embed_pairs_lsh 745,133;
     * cc_components 533,975; scc_components 392,217;
     * dbscan_anonymize 463.
+    *
+    * embed_pairs_lsh's steady state became a pure checkpoint read when
+    * round 7 memoized the shared pair graph, so for that gate the thing
+    * worth guarding is the BUILD plan: its memo entry is evicted between
+    * the warm and measured pass (QueryCache.evict), making the measured
+    * pass re-run the banded LSH join the pin was taken from.
     */
   private val budgets: Seq[(String, (Long, Long))] = Seq(
     "dbscan_sweep" -> (28000L, 130000L),
@@ -46,10 +52,17 @@ class ShuffleBudgetSpec extends GraftSuite {
     "scc_components" -> (130000L, 590000L),
     "dbscan_anonymize" -> (150L, 700L))
 
+  /** Memo keys to evict after the warm pass so the measured pass runs the
+    * gate's build plan instead of reading a checkpoint. */
+  private val evictBeforeMeasure: Map[String, String] =
+    Map("embed_pairs_lsh" -> graft.queries.VectorQueries.EmbPairsKey)
+
   for ((q, (lo, hi)) <- budgets)
     test(s"$q shuffle-write volume stays within budget at sf0.01") {
       // warm pass: memoized builds + codegen land here, outside the pin
       SparkEntry.queries(q)(spark, sf001).count()
+      evictBeforeMeasure.get(q)
+        .foreach(graft.core.QueryCache.evict(_, spark, sf001))
       val l = new ShuffleBytes
       spark.sparkContext.addSparkListener(l)
       try {
