@@ -15,9 +15,9 @@ import org.apache.spark.sql.functions._
   * length come from ONE scalar aggregate that broadcasts back into a
   * per-document projection. At 100 TB the corpus is scanned twice (once
   * for the global stats, once to score) and shuffles only the one stats
-  * row — for ad-hoc many-term workloads an inverted-index (explode →
-  * df join) variant would amortize differently, but for the fixed-bag
-  * scoring this plan is optimal.
+  * row — for ad-hoc many-term workloads the inverted-index variant
+  * [[bm25Inverted]] amortizes differently (postings rows instead of tf
+  * columns), but for the fixed-bag scoring this plan is optimal.
   *
   * Float determinism (the gate is hash-compared against DuckDB):
   *  - idf is rounded to 6dp straight out of `ln` — JVM StrictMath.log and
@@ -103,6 +103,74 @@ object LexicalRank {
         when(coalesce(col("n_tokens"), lit(0L)) === 0, lit(0.0))
           .otherwise(round(col("sum_bits").cast("double") / col("n_tokens"), 6))
           .as("surprisal"))
+  }
+
+  /** Inverted-index BM25 — the ad-hoc/many-term shape of [[bm25]]. Where
+    * the fixed-bag form carries one tf COLUMN per term (plan width grows
+    * with |terms|), this one explodes to postings ROWS and keeps the plan
+    * O(1) in term count: tokenize → keep postings whose token is in the
+    * query bag (an `isin` literal filter — no corpus self-join, nothing
+    * like a terms-table shuffle) → per-(doc, term) tf via a map-side-
+    * combined groupBy → per-term document frequencies (≤ |terms| rows,
+    * broadcast back) → per-posting weight → per-doc sum. Only documents
+    * containing ≥1 query term appear (inverted-index semantics; [[bm25]]
+    * keeps zero-scoring docs).
+    *
+    * Scale shape: the only corpus-sized shuffles are keyed by
+    * (doc, term) then doc; the df table and the 1-row global stats are
+    * broadcast. Zipf-hot query terms cap at one row per (doc, term)
+    * after the first combine, so no hot-key blowup.
+    *
+    * Float determinism: idf and per-posting weights follow [[bm25]]'s 6dp
+    * discipline, but the per-doc combine is a GROUPED sum whose order
+    * Spark doesn't fix — so each 6dp weight is lifted to an exact integer
+    * (round(w·10⁶) as long), summed exactly, and divided back once:
+    * associativity-free, mirrored verbatim in the SQL oracle. (Scores can
+    * therefore differ from [[bm25]]'s literal-order float fold by 1 ulp
+    * at a 6dp rounding boundary — each form matches its own oracle.) */
+  def bm25Inverted(docs: DataFrame, idCol: String, textCol: String,
+                   terms: Seq[String], k1: Double = 1.2,
+                   b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25Inverted needs at least one query term")
+    val base = docs.select(col(idCol).as("doc_id"),
+      TF.tokens(col(textCol)).as("tk"))
+      .select(col("doc_id"), size(col("tk")).cast("double").as("dl"),
+        col("tk"))
+    val glob = base.agg(avg(col("dl")).as("avgdl"),
+      count(lit(1)).cast("double").as("n"))
+    val postings = base
+      .select(col("doc_id"), col("dl"), explode(col("tk")).as("term"))
+      .where(col("term").isin(terms: _*))
+    val tf = postings.groupBy("doc_id", "dl", "term")
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val dft = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    val weighted = tf
+      .join(broadcast(dft), "term")
+      .crossJoin(broadcast(glob))
+      .select(col("doc_id"), {
+        val idf6 = round(log(lit(1.0)
+          + (col("n") - col("df") + 0.5) / (col("df") + 0.5)), 6)
+        val norm = (col("tf") * lit(k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
+        round(round(idf6 * norm, 6) * 1e6).cast("long").as("wq")
+      })
+    weighted.groupBy("doc_id").agg(sum(col("wq")).as("swq"))
+      .select(col("doc_id"),
+        round(col("swq").cast("double") / 1e6, 6).as("score"))
+  }
+
+  /** Top-`k` of [[bm25Inverted]], ranked (score desc, doc_id asc) with
+    * the same TakeOrdered shape as [[bm25TopK]]. */
+  def bm25InvertedTopK(docs: DataFrame, idCol: String, textCol: String,
+                       terms: Seq[String], k: Int, k1: Double = 1.2,
+                       b: Double = 0.75): DataFrame = {
+    val top = bm25Inverted(docs, idCol, textCol, terms, k1, b)
+      .where(col("score") > 0)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc, col("doc_id"))
+    top.withColumn("rank", row_number().over(w))
   }
 
   /** Top-`k` documents by BM25 for the fixed `terms` bag, positive scores

@@ -261,6 +261,17 @@ object TextQueries {
         .orderBy("rank")
     }),
 
+    // the inverted-index (ad-hoc many-term) BM25 shape: postings rows
+    // instead of tf columns, exact-integer per-doc weight sum — the plan
+    // a retrieval workload with user-supplied queries takes (LexicalRank
+    // .bm25Inverted scaladoc for the determinism discipline)
+    "bm25_adhoc" -> ((s, dir) => {
+      graft.operators.LexicalRank.bm25InvertedTopK(docs(s, dir), "doc_id",
+          "text", Bm25Terms, Bm25TopN, Bm25K1, Bm25B)
+        .select(col("doc_id"), col("score"), col("rank"))
+        .orderBy("rank")
+    }),
+
     // the operator a dedup pipeline actually ends with: near-dup PAIRS →
     // connected components → one group id (min member) per document;
     // singletons are their own group. Composes Dedup.jaccardPairs with
@@ -496,6 +507,39 @@ object TextQueries {
          |g AS (SELECT avg(dl) AS avgdl, CAST(count(*) AS DOUBLE) AS n,
          |  $dfs FROM st),
          |sc AS (SELECT doc_id, round($scoreExpr, 6) AS score FROM st, g),
+         |ranked AS (SELECT doc_id, score,
+         |    row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+         |  FROM sc WHERE score > 0)
+         |SELECT doc_id, score, CAST(rank AS INT) AS rank FROM ranked
+         |WHERE rank <= $Bm25TopN ORDER BY rank""".stripMargin
+    },
+    // the inverted-index mirror: postings → per-(doc,term) tf → df join →
+    // 6dp weights lifted to exact integers (round(w·10⁶) → BIGINT, both
+    // engines round-half-away on the non-negative weights, then the cast
+    // is exact) → order-free integer sum → one division + 6dp round
+    "bm25_adhoc" -> {
+      val termList = Bm25Terms.map(t => s"'$t'").mkString("(", ", ", ")")
+      s"""WITH $sqlToks,
+         |lens AS (SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl FROM toks),
+         |g AS (SELECT avg(dl) AS avgdl, CAST(count(*) AS DOUBLE) AS n
+         |  FROM lens),
+         |post AS (SELECT doc_id, dl, w AS term FROM (
+         |    SELECT toks.doc_id, lens.dl, unnest(t) AS w
+         |    FROM toks JOIN lens ON toks.doc_id = lens.doc_id)
+         |  WHERE w IN $termList),
+         |tf AS (SELECT doc_id, dl, term, CAST(count(*) AS DOUBLE) AS tf
+         |  FROM post GROUP BY 1, 2, 3),
+         |dft AS (SELECT term, CAST(count(*) AS DOUBLE) AS df
+         |  FROM tf GROUP BY 1),
+         |wts AS (SELECT doc_id,
+         |    CAST(round(round(round(ln(1.0 + (n - df + 0.5) / (df + 0.5)), 6)
+         |      * ((tf * ${Bm25K1 + 1}) / (tf + $Bm25K1 *
+         |        (${1.0 - Bm25B} + $Bm25B * dl / avgdl))), 6)
+         |      * 1000000) AS BIGINT) AS wq
+         |  FROM tf JOIN dft ON tf.term = dft.term, g),
+         |sc AS (SELECT doc_id,
+         |    round(CAST(sum(wq) AS DOUBLE) / 1000000.0, 6) AS score
+         |  FROM wts GROUP BY doc_id),
          |ranked AS (SELECT doc_id, score,
          |    row_number() OVER (ORDER BY score DESC, doc_id) AS rank
          |  FROM sc WHERE score > 0)

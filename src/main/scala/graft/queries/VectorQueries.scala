@@ -172,6 +172,37 @@ object VectorQueries {
             .as("recall_ge_half"))
     }),
 
+    // The ann_ivf recall floor (0.5) is honest for the near-uniform
+    // synthetic embeddings — IVF's worst case. THIS gate is the contract
+    // on data IVF is actually built for: the same embeddings shifted into
+    // 8 separable cosine clusters (a +10.0 bump on dimensions ≡ vec_id
+    // mod 8 — one IEEE double add per element, deterministic in any
+    // engine), where the Lloyd quantizer must recover the cluster
+    // structure and macro recall@10 vs the in-engine brute top-k (the
+    // kernel the hash-green ann_topk certifies) must clear 0.9. Counts
+    // are recomputed by the oracle from the table as in ann_ivf.
+    "ann_ivf_clustered" -> ((s, dir) => {
+      val shifted = transform(col("embedding").cast("array<double>"),
+        (x, i) => x + when(i % 8 === col("vec_id") % 8, lit(10.0))
+          .otherwise(lit(0.0)))
+      val e = embs(s, dir).where(col("vec_id") < BruteCap)
+        .select(col("vec_id"), shifted.as("embedding"))
+      val q = e.where(col("vec_id") < NQueries)
+      val idx = SimilaritySearch.ivfIndex(e, "vec_id", "embedding",
+        nlist = 8, seed = 42)
+      val ivf = idx.search(q, "vec_id", "embedding", TopK, nprobe = NProbe)
+      val brute = SimilaritySearch.cosineTopK(e, q, "vec_id", "embedding",
+        TopK).select(col("q_id"), col("id"))
+      val nHits = ivf.join(brute, Seq("q_id", "id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+      ivf.agg(countDistinct("q_id").cast("long").as("n_queries"),
+          count(lit(1)).cast("long").as("n_results"))
+        .crossJoin(nHits)
+        .select(col("n_queries"), col("n_results"),
+          (col("n_hits") * 10 >= NQueries * TopK * 9).cast("int")
+            .as("recall_ge_09"))
+    }),
+
     // The IVF probe→score→rank machinery under the oracle: centroids are
     // FIXED (the first NList embedding vectors — deterministic and
     // SQL-expressible at any SF), so bucket assignment, probing, and
@@ -303,6 +334,14 @@ object VectorQueries {
          |SELECT q_id, id, sim, CAST(rank AS INT) AS rank FROM ranked
          |WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin
     },
+    // clustered-data IVF contract: counts recomputed from the table; the
+    // 0.9 recall floor's teeth are the in-engine brute cross-check — a
+    // sub-0.9 quantizer flips recall_ge_09 to 0 and the hash mismatches
+    "ann_ivf_clustered" ->
+      s"""SELECT CAST(count(*) AS BIGINT) AS n_queries,
+         |  CAST(count(*) * $TopK AS BIGINT) AS n_results,
+         |  CAST(1 AS INT) AS recall_ge_09
+         |FROM embeddings WHERE vec_id < $NQueries""".stripMargin,
     // the IVF contract row: query/result counts recomputed from the
     // table (cross-checked against Spark's actual output sizes), recall
     // floor pinned — see the gate comment for why 0.5 is the honest line

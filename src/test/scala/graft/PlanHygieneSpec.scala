@@ -87,9 +87,22 @@ class PlanHygieneSpec extends GraftSuite {
   test("bm25 top-k is a TakeOrdered, not an unpartitioned corpus window") {
     // the rank window must run over the k limited rows, never the full
     // score-filtered stream (a single-task sort at corpus scale)
-    val p = plan("bm25_rank")
-    assert(p.contains("TakeOrderedAndProject"),
-      s"top-k must plan as TakeOrderedAndProject:\n${p.take(800)}")
+    for (q <- Seq("bm25_rank", "bm25_adhoc")) {
+      val p = plan(q)
+      assert(p.contains("TakeOrderedAndProject"),
+        s"$q top-k must plan as TakeOrderedAndProject:\n${p.take(800)}")
+    }
+  }
+
+  test("bm25_adhoc: keyed shuffles + broadcasts only, no corpus self-join") {
+    val p = plan("bm25_adhoc")
+    assert(!p.contains("CartesianProduct"),
+      "postings scoring must not cross-join the corpus")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "the df table and global stats must broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      "no corpus-sized shuffle join: df/stats are broadcast, " +
+        "aggregations are keyed groupBys")
   }
 
   test("domain_mix broadcasts the one-row normalizer; weights sum to 1") {

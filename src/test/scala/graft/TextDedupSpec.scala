@@ -258,6 +258,29 @@ class SimilaritySearchSpec extends GraftSuite {
     assert(recall >= 0.8, s"IVF recall $recall too low")
   }
 
+  test("IVF recall clears 0.9 on clusterable data (ann_ivf_clustered's floor)") {
+    // the gate's exact construction: real embeddings shifted into 8
+    // separable cosine clusters; the Lloyd quantizer must recover them
+    val e = graft.core.Tables.table(spark, sf0001, "embeddings")
+      .select(col("vec_id"),
+        org.apache.spark.sql.functions.transform(
+          col("embedding").cast("array<double>"),
+          (x, i) => x + when(i % 8 === col("vec_id") % 8, lit(10.0))
+            .otherwise(lit(0.0))).as("embedding"))
+    val q = e.where(col("vec_id") < 5)
+    val brute = SimilaritySearch.cosineTopK(e, q, "vec_id", "embedding", 10)
+      .select("q_id", "id").as[(Long, Long)].collect().toSet
+    val idx = SimilaritySearch.ivfIndex(e, "vec_id", "embedding",
+      nlist = 8, seed = 42)
+    val ivf = idx.search(q, "vec_id", "embedding", 10, nprobe = 3)
+      .select("q_id", "id").as[(Long, Long)].collect().toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    info(s"clustered macro recall@10 = $recall")
+    assert(recall >= 0.9, s"clustered IVF recall $recall below the 0.9 floor")
+    // and every query must come back with a full top-k
+    assert(ivf.size == brute.size)
+  }
+
   test("cosinePairs strict threshold") {
     val twins = Seq(
       (1L, Array(1.0, 0.0, 0.0)), (2L, Array(0.999, 0.01, 0.0)),
@@ -419,6 +442,17 @@ class SimilaritySearchSpec extends GraftSuite {
     val top = LexicalRank.bm25TopK(docs, "doc_id", "text", terms, 2)
       .select("doc_id", "rank").as[(Long, Int)].collect().toMap
     assert(top(1L) == 1 && top.size == 2)
+    // the inverted-index form: same scores to within the 1-ulp-at-6dp
+    // reassociation tolerance, postings semantics (zero-match docs absent)
+    val inv = LexicalRank.bm25Inverted(docs, "doc_id", "text", terms)
+      .as[(Long, Double)].collect().toMap
+    assert(inv.keySet == Set(1L, 2L, 3L), "only matching docs in postings")
+    for ((id, s) <- inv)
+      assert(math.abs(s - scores(id)) <= 1e-6,
+        s"doc $id: inverted $s vs fixed-bag ${scores(id)}")
+    val topInv = LexicalRank.bm25InvertedTopK(docs, "doc_id", "text", terms, 2)
+      .select("doc_id", "rank").as[(Long, Int)].collect().toMap
+    assert(topInv(1L) == 1 && topInv.size == 2)
   }
 
   test("wide-dim meanPool path equals the columnar path") {
