@@ -33,7 +33,7 @@ final case class DbscanModel(
     clusterError: Double,
     noiseError: Double) {
   def totalError: Double = clusterError + noiseError
-  def unpersist(): Unit = assignments.unpersist()
+  def unpersist(): Unit = { assignments.unpersist(); centroids.unpersist() }
 }
 
 /** Per-ε record of the sweep (DBSCAN.py eps_records, lines 135-143/198). */
@@ -151,12 +151,19 @@ object Dbscan {
     // (calc_error, DBSCAN.py:86-100); one partial-aggregable pass.
     val dimAvgs = (0 until dim).map(i =>
       avg(element_at(col("qi"), i + 1)).as(s"c$i"))
+    // Persisted BEFORE first use: the kernel noise-assign collects this
+    // aggregate for an_err and re-joins it for an_qi — without the persist
+    // those are two jobs whose avg partial-combine order may differ, and
+    // an_qi could drift an ulp from the centroid that produced an_err.
+    // One materialization keeps an_err == L1(qi, an_qi) exact. Lives as
+    // long as the model (like `assignments`); O(nClusters) rows.
     val centroids = labeled.where(col("component").isNotNull)
       .groupBy("component")
       .agg(dimAvgs.head, dimAvgs.tail :+ count(lit(1)).as("n_members"): _*)
       .select(col("component"),
         array((0 until dim).map(i => col(s"c$i")): _*).as("centroid"),
         col("n_members"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
     val nClusters = centroids.count()
     val members = labeled.where(col("component").isNotNull)
@@ -494,11 +501,16 @@ object Dbscan {
       // as literals.
       val totalClusters = nClustersByEi.values.sum
       val noiseStatsByEi = (if (totalClusters > 0 && totalClusters <= KernelAssignMaxClusters) {
-        val centsByEi = centroids.select(col("ei"), col("centroid")).collect()
+        // real component ids, ascending — withKernelNearest's documented
+        // precondition (collect order is arbitrary; sorting also makes
+        // the decoded component meaningful, and equal-distance ties break
+        // to the lowest component id exactly as run()'s noise assign)
+        val centsByEi = centroids
+          .select(col("ei"), col("component"), col("centroid")).collect()
           .groupBy(_.getInt(0))
           .map { case (ei, rows) =>
-            ei -> rows.map(_.getSeq[Double](1).toArray).zipWithIndex
-              .map { case (c, i) => (i.toLong, c) }.toIndexedSeq
+            ei -> rows.map(r => (r.getLong(1), r.getSeq[Double](2).toArray))
+              .sortBy(_._1).toIndexedSeq
           }
         centsByEi.toSeq.map { case (ei, sorted) =>
           withKernelNearest(noise.where(col("ei") === ei), "qi", sorted,

@@ -49,6 +49,18 @@ object ConnectedComponents {
       // the join), the window form once (plus an in-partition sort) —
       // with two phases per round that's 2 shuffles instead of 4 of the
       // full edge set.
+      //
+      // SKEW CEILING: a window partition gets no map-side partial
+      // aggregation, so a component root's full adjacency — which grows
+      // toward the whole component as stars contract — sorts in ONE
+      // window task. On power-law inputs whose largest component
+      // approaches a single task's row budget, prefer the combining
+      // form: per-src min via groupBy("src","salt").min → groupBy("src")
+      // .min (two-level, map-side combined), joined back on src — 4
+      // shuffles of the edge set per round but no single-task hotspot.
+      // The DBSCAN ε-graphs this serves are degree-bounded by the grid
+      // blocking (components are dense blobs, adjacency ≤ ball
+      // population), which is why the cheaper window form is the default.
       val perSrcMin = Window.partitionBy("src")
 
       // Large-star: for each node u, attach every strictly-larger neighbor
