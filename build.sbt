@@ -34,3 +34,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
 // trailer is suppressed, so Bench's compact JSON line survives as-is.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 ThisBuild / showSuccess := false
+// showSuccess is read by sbt's command engine, not by another
+// setting/task — exclude it from the unused-key lint instead of
+// letting every batch invocation print the warning
+Global / excludeLintKeys += showSuccess
