@@ -29,6 +29,39 @@ object Sampling {
   def hashSample(df: DataFrame, keyCol: String, rate: Double): DataFrame =
     df.where(keepHash(col(keyCol), rate))
 
+  /** Cluster-balanced selection — the topic-diversity curation pass: every
+    * row is assigned to its max-cosine cluster (the coarse "topic"), and
+    * each cluster keeps its `quota` best rows by `scoreCol` — so one
+    * dominant topic cannot crowd the whole selection the way a global
+    * top-k by quality does.
+    *
+    * Output: input id + score, `bucket` (the cluster), `rk` (1-based rank
+    * within the bucket by score desc, id asc), `kept` (rk <= quota).
+    * Every input row is returned; callers filter on `kept`.
+    *
+    * Scale shape: the bucket assign is the [[graft.functions.VecKernels
+    * .nearest_centroids]] codegen projection (centroid matrix as a
+    * reference object — zero shuffle, O(1) plan size in cluster count);
+    * the rank is a bucket-PARTITIONED window, so work distributes over
+    * clusters and the skew ceiling is the largest topic, not the corpus.
+    * Centroids come from the caller (typically an IVF quantizer fit or a
+    * fixed sample), O(k·dim) driver scalars. */
+  def clusterBalanced(scored: DataFrame, idCol: String, vecCol: String,
+                      scoreCol: String, cents: Map[Int, Array[Double]],
+                      quota: Int): DataFrame = {
+    require(cents.nonEmpty, "clusterBalanced needs at least one centroid")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("bucket")
+      .orderBy(col(scoreCol).desc, col(idCol))
+    scored
+      .withColumn("bucket", element_at(
+        graft.functions.VecKernels.nearest_centroids(
+          col(vecCol).cast("array<double>"), cents.toSeq, 1, cosine = true),
+        1).getField("cluster"))
+      .withColumn("rk", row_number().over(w))
+      .withColumn("kept", col("rk") <= quota)
+  }
+
   /** Stratified deterministic sample: per-stratum rates with a default for
     * unlisted strata. The rate lookup is a literal map + coalesce, which
     * references `strataCol` exactly ONCE — a CASE chain references it per

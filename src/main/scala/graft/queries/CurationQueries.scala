@@ -25,6 +25,9 @@ object CurationQueries {
   private val HistBucket = 64
   private val SaltBuckets = 8
   private val SelectBudget = 10000L
+  private val SelCents = 8
+  private val SelQuota = 20
+  private val BpeK = 50
 
   /** Email/phone detection regexes — deliberately restricted to syntax
     * with identical semantics in Java regex (Spark codegen) and RE2
@@ -231,6 +234,56 @@ object CurationQueries {
         .orderBy("doc_id")
     }),
 
+    // Cluster-balanced corpus selection (topic balancing): document
+    // embeddings (vec_id ≡ doc_id in the testdata) assigned to FIXED
+    // cosine centroids (the first SelCents embedding vectors — the
+    // deterministic, SQL-expressible quantizer seam ann_ivf_fixed
+    // established), then each topic bucket keeps its SelQuota
+    // highest-quality docs — so one dominant topic can't crowd the
+    // selection the way a global top-k by quality does. The bucket
+    // assign is the zero-shuffle nearest_centroids kernel projection;
+    // the rank is a bucket-partitioned window (work distributes over
+    // topics). Every row is emitted with its rank + keep flag.
+    "cluster_select" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      val cents = e.where(col("vec_id") < SelCents)
+        .select(col("vec_id").cast("int"),
+          col("embedding").cast("array<double>"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+      val scored = docs(s, dir)
+        .join(e.select(col("vec_id"), col("embedding")),
+          col("doc_id") === col("vec_id"))
+        .select(col("doc_id"), col("embedding"),
+          TF.qualityScore(col("text")).as("q6"))
+      graft.operators.Sampling.clusterBalanced(
+          scored, "doc_id", "embedding", "q6", cents, SelQuota)
+        .select(col("doc_id"), col("bucket"), col("q6"),
+          col("rk").cast("int").as("rk"), col("kept"))
+        .orderBy("doc_id")
+    }),
+
+    // BPE-style adjacent-pair counting — the first merge step of
+    // tokenizer training: every adjacent token pair in the corpus,
+    // counted, top-K by frequency. Pure explode → map-side-combined
+    // groupBy on the pair key; the top-K is a TakeOrdered with the rank
+    // window over K rows (the vocab_topk pattern — never a global sort).
+    "bpe_pairs" -> ((s, dir) => {
+      val t = TF.tokens(col("text"))
+      val pairs = docs(s, dir)
+        .select(col("doc_id"), t.as("t"))
+        .where(size(col("t")) >= 2)
+        .select(explode(zip_with(
+          slice(col("t"), lit(1), size(col("t")) - 1),
+          slice(col("t"), lit(2), size(col("t")) - 1),
+          (a, b) => concat(a, lit(" "), b))).as("pair"))
+      val top = pairs.groupBy("pair").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair")).limit(BpeK)
+      top.withColumn("rank", row_number()
+          .over(Window.orderBy(col("cnt").desc, col("pair"))).cast("int"))
+        .orderBy("rank")
+    }),
+
     // Salted skew join: events fact joined to a tiny per-type dim on the
     // massively skewed event_type key via SkewJoin (row-identical to the
     // plain join, spec + oracle checked). Money amounts are integerized
@@ -253,6 +306,46 @@ object CurationQueries {
   import TextQueries.{sqlPolyHash, sqlQuality, sqlToks}
 
   val oracleSql: Map[String, String] = Map(
+    // the fixed-centroid bucket assign replayed in SQL (the ann_ivf_fixed
+    // machinery: argmax cosine = row_number over (-cos, cluster)), joined
+    // to the 6dp quality score, ranked per bucket
+    "cluster_select" -> {
+      val cos =
+        "list_dot_product(a.e, c.c) / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(c.c, c.c)))"
+      s"""WITH $sqlToks,
+         |q AS (SELECT doc_id, $sqlQuality AS q6 FROM toks),
+         |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+         |  FROM embeddings),
+         |cents AS (SELECT vec_id AS cluster, e AS c FROM v
+         |  WHERE vec_id < $SelCents),
+         |vb AS (SELECT vec_id, cluster AS bucket FROM (
+         |    SELECT a.vec_id, c.cluster,
+         |      row_number() OVER (PARTITION BY a.vec_id
+         |        ORDER BY -($cos), c.cluster) AS rn
+         |    FROM v a CROSS JOIN cents c) WHERE rn = 1),
+         |j AS (SELECT q.doc_id, vb.bucket, q.q6
+         |  FROM q JOIN vb ON q.doc_id = vb.vec_id),
+         |r AS (SELECT doc_id, bucket, q6, row_number() OVER (
+         |    PARTITION BY bucket ORDER BY q6 DESC, doc_id) AS rk
+         |  FROM j)
+         |SELECT doc_id, CAST(bucket AS INT) AS bucket, q6,
+         |  CAST(rk AS INT) AS rk, rk <= $SelQuota AS kept
+         |FROM r ORDER BY doc_id""".stripMargin
+    },
+    // adjacent pairs via the LIST range (the rep_signals bigram form):
+    // range(1, len(t)) yields i in [1, len-1], so t[i] || ' ' || t[i+1]
+    // is in bounds exactly when the doc has >= 2 tokens
+    "bpe_pairs" ->
+      s"""WITH $sqlToks,
+         |p AS (SELECT unnest(list_transform(range(1, len(t)),
+         |    i -> t[i] || ' ' || t[i + 1])) AS pair
+         |  FROM toks WHERE len(t) >= 2),
+         |c AS (SELECT pair, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM p GROUP BY pair),
+         |ranked AS (SELECT pair, cnt,
+         |    row_number() OVER (ORDER BY cnt DESC, pair) AS rank FROM c)
+         |SELECT pair, cnt, CAST(rank AS INT) AS rank FROM ranked
+         |WHERE rank <= $BpeK ORDER BY rank""".stripMargin,
     // line counts before/after dedup + cleaned length; kept_len is
     // reconstructed as sum(distinct-line lengths) + (n_kept - 1)
     // newline separators, exactly array_join's arithmetic

@@ -147,6 +147,30 @@ class PlanHygieneSpec extends GraftSuite {
     }
   }
 
+  test("cluster_select: kernel bucket assign, bucket-partitioned rank") {
+    val p = plan("cluster_select")
+    assert(!p.contains("CartesianProduct"),
+      "bucket assignment must be the nearest_centroids projection, " +
+        "not a centroid join")
+    // the rank window is PARTITIONED (by bucket) — a global window here
+    // would serialize the corpus through one task
+    val windows = SparkEntry.queries("cluster_select")(spark, sf0001)
+      .queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }
+    assert(windows.nonEmpty, "per-bucket rank expected")
+    assert(windows.forall(_.partitionSpec.nonEmpty),
+      "rank window must be bucket-partitioned, never global")
+  }
+
+  test("bpe_pairs top-k is a TakeOrdered over the pair counts") {
+    val p = plan("bpe_pairs")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"pair top-k must plan as TakeOrderedAndProject:\n${p.take(800)}")
+    assert(p.contains("partial_count") || p.contains("HashAggregate"),
+      "pair counting must partial-aggregate map-side")
+  }
+
   test("stratified sampling evaluates the derived stratum once per operator") {
     // Predicate pushdown inlines lang_pred's langId tree into the filter:
     // one langId = one marker-list scan per language (5 array_contains).

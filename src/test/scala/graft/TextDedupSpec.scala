@@ -424,6 +424,30 @@ class SimilaritySearchSpec extends GraftSuite {
     assert(strat.forall(_ % 2 == 1) && strat.size > 200)
   }
 
+  test("clusterBalanced honors per-bucket quotas and keeps every row") {
+    import graft.operators.Sampling
+    // two orthogonal clusters; scores descend with id so the expected
+    // per-bucket ranking is id order
+    val cents = Map(0 -> Array(1.0, 0.0), 1 -> Array(0.0, 1.0))
+    val rows = (0 until 10).map { i =>
+      val v = if (i % 2 == 0) Array(1.0, 0.01 * i) else Array(0.01 * i, 1.0)
+      (i.toLong, v, 1.0 - 0.05 * i)
+    }.toDF("id", "vec", "score")
+    val out = Sampling.clusterBalanced(rows, "id", "vec", "score", cents, 3)
+      .select("id", "bucket", "rk", "kept")
+      .as[(Long, Int, Int, Boolean)].collect()
+    assert(out.length == 10, "every input row is returned")
+    val byBucket = out.groupBy(_._2)
+    assert(byBucket.keySet == Set(0, 1))
+    for ((b, rs) <- byBucket) {
+      assert(rs.count(_._4) == 3, s"bucket $b keeps exactly the quota")
+      // ranks are 1..n within the bucket, ordered by score desc = id asc
+      assert(rs.sortBy(_._3).map(_._1).toSeq == rs.map(_._1).sorted.toSeq)
+    }
+    // even ids project onto centroid 0, odd onto centroid 1
+    assert(out.forall(r => r._2 == (r._1 % 2)))
+  }
+
   test("bm25 ranks multi-term matches above single-term, respects length norm") {
     import graft.operators.LexicalRank
     val docs = Seq(
