@@ -287,6 +287,28 @@ object TextQueries {
         .select(col("doc_id"),
           coalesce(col("component"), col("doc_id")).as("group_id"))
         .orderBy("doc_id")
+    }),
+
+    // canonical-representative dedup: the selection a pipeline actually
+    // ships — within each near-dup group keep the HIGHEST-QUALITY copy
+    // (quality desc, doc_id tiebreak), not the smallest id. Same shared
+    // pair graph + CC as dedup_groups; the per-group argmax is a
+    // group-partitioned rank window (work distributes over groups, skew
+    // ceiling = largest dup cluster). Singletons are their own canonical.
+    "dedup_canonical" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val pairs = sharedJaccardPairs(s, dir)
+      val comp = graft.graph.ConnectedComponents.run(
+        pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
+      val grouped = d
+        .select(col("doc_id"), TF.qualityScore(col("text")).as("q6"))
+        .join(comp, d("doc_id") === comp("id"), "left")
+        .select(col("doc_id"), col("q6"),
+          coalesce(col("component"), col("doc_id")).as("group_id"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("group_id").orderBy(col("q6").desc, col("doc_id"))
+      grouped.withColumn("canonical", row_number().over(w) === 1)
+        .orderBy("doc_id")
     }))
 
   // ----------------------------------------------------------- oracles
@@ -584,6 +606,36 @@ object TextQueries {
          |SELECT d.doc_id, coalesce(c.gid, d.doc_id) AS group_id
          |FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
          |ORDER BY doc_id""".stripMargin,
+    // dedup_groups' recursive-CTE component labels + the 6dp quality
+    // score; canonical = rank 1 within the group by (quality desc, id)
+    "dedup_canonical" ->
+      s"""WITH RECURSIVE $sqlToks,
+         |$sqlShingles,
+         |$sqlShingleHashes,
+         |sizes AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+         |  FROM shh a JOIN shh b ON a.h = b.h AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |pairs AS (SELECT id_a, id_b FROM inter
+         |  JOIN sizes sa ON id_a = sa.doc_id
+         |  JOIN sizes sb ON id_b = sb.doc_id
+         |  WHERE round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6)
+         |    >= $JaccardTau),
+         |sym AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs),
+         |verts AS (SELECT DISTINCT src AS id FROM sym),
+         |walk(id, reach) AS (
+         |  SELECT id, id FROM verts
+         |  UNION
+         |  SELECT s.dst, w.reach FROM walk w JOIN sym s ON s.src = w.id),
+         |comp AS (SELECT id, min(reach) AS gid FROM walk GROUP BY id),
+         |g AS (SELECT toks.doc_id, $sqlQuality AS q6,
+         |    coalesce(c.gid, toks.doc_id) AS group_id
+         |  FROM toks LEFT JOIN comp c ON toks.doc_id = c.id)
+         |SELECT doc_id, q6, group_id,
+         |  row_number() OVER (PARTITION BY group_id
+         |    ORDER BY q6 DESC, doc_id) = 1 AS canonical
+         |FROM g ORDER BY doc_id""".stripMargin,
     "minhash_pairs" ->
       s"""WITH $sqlToks,
          |$sqlShingles,

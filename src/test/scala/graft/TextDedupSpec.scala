@@ -424,6 +424,21 @@ class SimilaritySearchSpec extends GraftSuite {
     assert(strat.forall(_ % 2 == 1) && strat.size > 200)
   }
 
+  test("dedup_canonical keeps exactly one best-quality doc per group") {
+    val rows = SparkEntry.queries("dedup_canonical")(spark, sf0001)
+      .select("doc_id", "q6", "group_id", "canonical")
+      .as[(Long, Double, Long, Boolean)].collect()
+    val byGroup = rows.groupBy(_._3)
+    assert(byGroup.forall(_._2.count(_._4) == 1),
+      "exactly one canonical per group")
+    for ((_, g) <- byGroup; c = g.find(_._4).get)
+      assert(g.forall(r => r._2 < c._2 ||
+          (r._2 == c._2 && r._1 >= c._1)),
+        s"canonical must be argmax (quality, -id): $g")
+    // dup groups exist at this SF, so the selection is non-trivial
+    assert(byGroup.exists(_._2.length > 1))
+  }
+
   test("clusterBalanced honors per-bucket quotas and keeps every row") {
     import graft.operators.Sampling
     // two orthogonal clusters; scores descend with id so the expected
