@@ -74,6 +74,19 @@ object TextQueries {
         .localCheckpoint()
     }
 
+  /** The component labels over [[sharedJaccardPairs]] — dedup_groups and
+    * dedup_canonical both walk them, and a real pipeline labels the dup
+    * graph once. Memoized like the pair set; the shuffle-budget spec
+    * evicts this entry so its pin still measures the CC build plan. */
+  private[graft] val JaccardCompKey = "text.jaccardComp"
+  private def sharedJaccardComp(s: SparkSession, dir: String): DataFrame =
+    graft.core.QueryCache.shared(JaccardCompKey, s, dir) {
+      val pairs = sharedJaccardPairs(s, dir)
+      graft.graph.ConnectedComponents.run(
+          pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
+        .localCheckpoint()
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // token counting (whitespace + BPE-ish), quality scoring, word stats
     "text_stats" -> ((s, dir) => {
@@ -279,9 +292,7 @@ object TextQueries {
     // propagation over the same SQL jaccard graph.
     "dedup_groups" -> ((s, dir) => {
       val d = docs(s, dir)
-      val pairs = sharedJaccardPairs(s, dir)
-      val comp = graft.graph.ConnectedComponents.run(
-        pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
+      val comp = sharedJaccardComp(s, dir)
       d.select(col("doc_id"))
         .join(comp, d("doc_id") === comp("id"), "left")
         .select(col("doc_id"),
@@ -297,9 +308,7 @@ object TextQueries {
     // ceiling = largest dup cluster). Singletons are their own canonical.
     "dedup_canonical" -> ((s, dir) => {
       val d = docs(s, dir)
-      val pairs = sharedJaccardPairs(s, dir)
-      val comp = graft.graph.ConnectedComponents.run(
-        pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
+      val comp = sharedJaccardComp(s, dir)
       val grouped = d
         .select(col("doc_id"), TF.qualityScore(col("text")).as("q6"))
         .join(comp, d("doc_id") === comp("id"), "left")

@@ -38,6 +38,17 @@ object VectorQueries {
         CosTau).localCheckpoint()
     }
 
+  /** Component labels over the shared pair graph (embed_dedup's CC),
+    * memoized like the pairs — one labeling per (session, dir). */
+  private[graft] val EmbCompKey = "vector.embedComp"
+  private def sharedEmbedComp(s: SparkSession, dir: String): DataFrame =
+    graft.core.QueryCache.shared(EmbCompKey, s, dir) {
+      graft.graph.ConnectedComponents.run(
+          sharedEmbedPairs(s, dir)
+            .select(col("id_a").as("src"), col("id_b").as("dst")))
+        .localCheckpoint()
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // brute-force exact cosine top-k for the first NQueries vectors
     "ann_topk" -> ((s, dir) => {
@@ -107,9 +118,7 @@ object VectorQueries {
     // min-label propagation over the same cosine pair graph.
     "embed_dedup" -> ((s, dir) => {
       val e = embs(s, dir)
-      val pairs = sharedEmbedPairs(s, dir)
-      val comp = graft.graph.ConnectedComponents.run(
-        pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
+      val comp = sharedEmbedComp(s, dir)
       e.select(col("vec_id"))
         .join(comp, e("vec_id") === comp("id"), "left")
         .select(col("vec_id"),

@@ -53,9 +53,12 @@ class ShuffleBudgetSpec extends GraftSuite {
     "dbscan_anonymize" -> (150L, 700L))
 
   /** Memo keys to evict after the warm pass so the measured pass runs the
-    * gate's build plan instead of reading a checkpoint. */
+    * gate's build plan instead of reading a checkpoint. dedup_groups
+    * keeps its PAIR memo (pinned pre-memo measurement included CC over
+    * memoized pairs) but rebuilds the component labels. */
   private val evictBeforeMeasure: Map[String, String] =
-    Map("embed_pairs_lsh" -> graft.queries.VectorQueries.EmbPairsKey)
+    Map("embed_pairs_lsh" -> graft.queries.VectorQueries.EmbPairsKey,
+      "dedup_groups" -> graft.queries.TextQueries.JaccardCompKey)
 
   for ((q, (lo, hi)) <- budgets)
     test(s"$q shuffle-write volume stays within budget at sf0.01") {
