@@ -23,6 +23,8 @@ object TextQueries {
   private val P = PolyHash.Prime
   private val QualityMin = 0.5
   private val SeqLen = 2048
+  private val ChunkLen = 16
+  private val ChunkStride = 12
   private val Bm25Terms = Seq("spark", "merge", "window")
   private val Bm25K1 = 1.2
   private val Bm25B = 0.75
@@ -298,6 +300,18 @@ object TextQueries {
         .select(col("doc_id"),
           coalesce(col("component"), col("doc_id")).as("group_id"))
         .orderBy("doc_id")
+    }),
+
+    // token-window chunking (Chunking.chunkTokens): 1-based starts every
+    // Stride tokens, ChunkLen-token windows (short final chunk kept),
+    // fingerprinted — the pre-embedding segmentation pass. Zero-shuffle
+    // projection + explode; value-exact via the PolyHash mirror.
+    "doc_chunks" -> ((s, dir) => {
+      graft.operators.Chunking.chunkTokens(docs(s, dir), "doc_id", "text",
+          ChunkLen, ChunkStride)
+        .select(col("id").as("doc_id"), col("chunk_idx"), col("start"),
+          col("n_tokens"), col("chunk_fp"))
+        .orderBy("doc_id", "chunk_idx")
     }),
 
     // canonical-representative dedup: the selection a pipeline actually
@@ -615,6 +629,23 @@ object TextQueries {
          |SELECT d.doc_id, coalesce(c.gid, d.doc_id) AS group_id
          |FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
          |ORDER BY doc_id""".stripMargin,
+    // starts replayed as the list range(1, n+1, stride); chunk_idx is
+    // pure integer arithmetic ((start-1) div stride); list_slice clamps
+    // the final short chunk exactly like Spark's slice
+    "doc_chunks" ->
+      s"""WITH $sqlToks,
+         |st AS (SELECT doc_id,  t,
+         |    unnest(range(1, len(t) + 1, $ChunkStride)) AS s
+         |  FROM toks WHERE len(t) >= 1),
+         |ch AS (SELECT doc_id,
+         |    CAST((s - 1) // $ChunkStride AS INT) AS chunk_idx,
+         |    CAST(s AS INT) AS start,
+         |    list_slice(t, s, s + $ChunkLen - 1) AS chunk
+         |  FROM st)
+         |SELECT doc_id, chunk_idx, start,
+         |  CAST(len(chunk) AS BIGINT) AS n_tokens,
+         |  ${sqlPolyHash("array_to_string(chunk, ' ')")} AS chunk_fp
+         |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin,
     // dedup_groups' recursive-CTE component labels + the 6dp quality
     // score; canonical = rank 1 within the group by (quality desc, id)
     "dedup_canonical" ->

@@ -424,6 +424,30 @@ class SimilaritySearchSpec extends GraftSuite {
     assert(strat.forall(_ % 2 == 1) && strat.size > 200)
   }
 
+  test("chunkTokens: tiling, overlap, short final chunk, empty doc") {
+    import graft.operators.Chunking
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 tokens
+      (2L, "a b c"),                                  // shorter than a chunk
+      (3L, "")                                        // tokenless: no chunks
+    ).toDF("doc_id", "text")
+    val out = Chunking.chunkTokens(docs, "doc_id", "text",
+        chunkLen = 4, stride = 3)
+      .select("id", "chunk_idx", "start", "n_tokens")
+      .as[(Long, Int, Int, Long)].collect()
+    assert(!out.exists(_._1 == 3L), "tokenless doc produces no chunks")
+    val d1 = out.filter(_._1 == 1L).sortBy(_._2)
+    // starts 1,4,7,10; lengths 4,4,4,1 (short final kept)
+    assert(d1.map(_._3).toSeq == Seq(1, 4, 7, 10))
+    assert(d1.map(_._4).toSeq == Seq(4L, 4L, 4L, 1L))
+    assert(d1.map(_._2).toSeq == Seq(0, 1, 2, 3), "chunk_idx is dense")
+    // coverage: every token position falls inside at least one chunk
+    val covered = d1.flatMap(c => c._3 until (c._3 + c._4.toInt)).toSet
+    assert(covered == (1 to 10).toSet)
+    val d2 = out.filter(_._1 == 2L)
+    assert(d2.length == 1 && d2.head._4 == 3L)
+  }
+
   test("dedup_canonical keeps exactly one best-quality doc per group") {
     val rows = SparkEntry.queries("dedup_canonical")(spark, sf0001)
       .select("doc_id", "q6", "group_id", "canonical")
