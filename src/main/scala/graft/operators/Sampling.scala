@@ -29,6 +29,30 @@ object Sampling {
   def hashSample(df: DataFrame, keyCol: String, rate: Double): DataFrame =
     df.where(keepHash(col(keyCol), rate))
 
+  /** Fixed-COUNT deterministic sample per stratum: exactly `n` rows from
+    * each stratum (fewer if the stratum is smaller), chosen by hash rank —
+    * the balanced-eval-subset builder ("5k docs per language"), where
+    * rate-based sampling can't hit exact counts. Membership is still a
+    * pure function of the key set: the same rows survive any partitioning
+    * or cluster size, and re-running on a superset keeps previously
+    * sampled rows only as the hash order dictates (documented trade vs
+    * the thresholding of [[hashSample]]).
+    *
+    * Scale shape: one stratum-partitioned rank window over (hash, key) —
+    * work distributes across strata; skew ceiling is the largest stratum.
+    * For a handful of huge strata, pre-filter with [[keepHash]] at a rate
+    * safely above n/|stratum| first, then rank the survivors. */
+  def fixedPerStratum(df: DataFrame, keyCol: String, strataCol: Column,
+                      n: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__stratum")
+      .orderBy(PolyHash.poly_hash(col(keyCol).cast("string")), col(keyCol))
+    df.withColumn("__stratum", strataCol)
+      .withColumn("__rk", row_number().over(w))
+      .where(col("__rk") <= n)
+      .drop("__stratum", "__rk")
+  }
+
   /** Cluster-balanced selection — the topic-diversity curation pass: every
     * row is assigned to its max-cosine cluster (the coarse "topic"), and
     * each cluster keeps its `quota` best rows by `scoreCol` — so one

@@ -28,6 +28,7 @@ object CurationQueries {
   private val SelCents = 8
   private val SelQuota = 20
   private val BpeK = 50
+  private val FixedN = 10
 
   /** Email/phone detection regexes — deliberately restricted to syntax
     * with identical semantics in Java regex (Spark codegen) and RE2
@@ -284,6 +285,40 @@ object CurationQueries {
         .orderBy("rank")
     }),
 
+    // Fixed-COUNT per-source sample (Sampling.fixedPerStratum): exactly
+    // FixedN docs per source by deterministic hash rank — the balanced
+    // eval-subset builder, where rate-based sampling can't hit exact
+    // counts. The actual sampled rows are emitted, so the oracle checks
+    // WHICH docs survive, not just how many.
+    "sample_fixed" -> ((s, dir) => {
+      graft.operators.Sampling.fixedPerStratum(
+          docs(s, dir).select(col("doc_id"), col("source")),
+          "doc_id", col("source"), FixedN)
+        .orderBy("source", "doc_id")
+    }),
+
+    // Per-source EXACT quality quantiles (rank-based, not approximate):
+    // the adaptive-threshold planning pass — "filter each domain at its
+    // own p25" needs per-domain cutoffs, and approx_percentile isn't
+    // oracle-checkable. Rank r = ceil(q·n) over (quality asc, doc_id)
+    // picks a deterministic member value; one source-partitioned window
+    // + one groupBy, work distributed over sources.
+    "quality_cutoffs" -> ((s, dir) => {
+      val base = docs(s, dir).select(col("source"), col("doc_id"),
+        TF.qualityScore(col("text")).as("q6"))
+      val w = Window.partitionBy("source").orderBy(col("q6").asc, col("doc_id"))
+      val cw = Window.partitionBy("source")
+      base
+        .withColumn("rk", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(cw))
+        .groupBy("source")
+        .agg(max("n").cast("long").as("n"),
+          max(when(col("rk") === ceil(col("n") * 0.25), col("q6"))).as("p25"),
+          max(when(col("rk") === ceil(col("n") * 0.50), col("q6"))).as("p50"),
+          max(when(col("rk") === ceil(col("n") * 0.75), col("q6"))).as("p75"))
+        .orderBy("source")
+    }),
+
     // Salted skew join: events fact joined to a tiny per-type dim on the
     // massively skewed event_type key via SkewJoin (row-identical to the
     // plain join, spec + oracle checked). Money amounts are integerized
@@ -346,6 +381,36 @@ object CurationQueries {
          |    row_number() OVER (ORDER BY cnt DESC, pair) AS rank FROM c)
          |SELECT pair, cnt, CAST(rank AS INT) AS rank FROM ranked
          |WHERE rank <= $BpeK ORDER BY rank""".stripMargin,
+    // the deterministic hash rank replayed with the PolyHash formula on
+    // the stringified key — WHICH rows survive is value-checked
+    "sample_fixed" -> {
+      val h = sqlPolyHash("CAST(doc_id AS VARCHAR)")
+      s"""WITH r AS (SELECT doc_id, source, row_number() OVER (
+         |    PARTITION BY source ORDER BY $h, doc_id) AS rk
+         |  FROM documents)
+         |SELECT doc_id, source FROM r WHERE rk <= $FixedN
+         |ORDER BY source, doc_id""".stripMargin
+    },
+    // exact rank-based percentiles: value at rank ceil(q*n) over
+    // (quality asc, doc_id) per source — deterministic member values,
+    // no interpolation, no approx sketch
+    "quality_cutoffs" ->
+      s"""WITH $sqlToks,
+         |q AS (SELECT doc_id, $sqlQuality AS q6 FROM toks),
+         |j AS (SELECT d.source, q.doc_id, q.q6
+         |  FROM documents d JOIN q ON d.doc_id = q.doc_id),
+         |r AS (SELECT source, doc_id, q6,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY q6, doc_id) AS rk,
+         |    count(*) OVER (PARTITION BY source) AS n FROM j)
+         |SELECT source, CAST(max(n) AS BIGINT) AS n,
+         |  max(CASE WHEN rk = CAST(ceil(n * 0.25) AS BIGINT) THEN q6 END)
+         |    AS p25,
+         |  max(CASE WHEN rk = CAST(ceil(n * 0.50) AS BIGINT) THEN q6 END)
+         |    AS p50,
+         |  max(CASE WHEN rk = CAST(ceil(n * 0.75) AS BIGINT) THEN q6 END)
+         |    AS p75
+         |FROM r GROUP BY source ORDER BY source""".stripMargin,
     // line counts before/after dedup + cleaned length; kept_len is
     // reconstructed as sum(distinct-line lengths) + (n_kept - 1)
     // newline separators, exactly array_join's arithmetic

@@ -463,6 +463,27 @@ class SimilaritySearchSpec extends GraftSuite {
     assert(byGroup.exists(_._2.length > 1))
   }
 
+  test("fixedPerStratum: exact counts, deterministic, small strata whole") {
+    import graft.operators.Sampling
+    val d = graft.core.Tables.table(spark, sf0001, "documents")
+      .select(col("doc_id"), col("source"))
+    def run() = Sampling.fixedPerStratum(d, "doc_id", col("source"), 5)
+      .as[(Long, String)].collect().toSet
+    val s1 = run()
+    assert(s1 == run(), "same rows every run")
+    val perSource = s1.groupBy(_._2).view.mapValues(_.size)
+    val sizes = d.groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    for ((src, n) <- sizes)
+      assert(perSource.getOrElse(src, 0) == math.min(5L, n),
+        s"$src: want min(5, $n)")
+    // a stratum smaller than n survives whole
+    val tiny = Sampling.fixedPerStratum(
+      d.where(col("doc_id") < 3), "doc_id", lit("one"), 5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(tiny == Set(0L, 1L, 2L))
+  }
+
   test("clusterBalanced honors per-bucket quotas and keeps every row") {
     import graft.operators.Sampling
     // two orthogonal clusters; scores descend with id so the expected
