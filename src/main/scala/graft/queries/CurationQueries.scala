@@ -11,7 +11,9 @@ import org.apache.spark.sql.functions._
   * needs beyond dedup/similarity: repetition signals (Gopher-style
   * filters), vocabulary heavy-hitters, per-source curation dashboards,
   * temperature-based domain mixture weights, length histograms, PII
-  * scanning/redaction, and a salted skew join.
+  * scanning/redaction, a salted skew join, cluster-balanced topic
+  * selection, BPE adjacent-pair counting, fixed-count per-stratum
+  * sampling, and per-source exact quality quantiles.
   *
   * All are plain relational plans (explode → groupBy → agg) with
   * map-side partial aggregation — per-doc or per-token keyed, so they
