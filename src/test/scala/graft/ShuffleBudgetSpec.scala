@@ -50,7 +50,12 @@ class ShuffleBudgetSpec extends GraftSuite {
     "embed_pairs_lsh" -> (250000L, 1120000L),
     "cc_components" -> (175000L, 805000L),
     "scc_components" -> (130000L, 590000L),
-    "dbscan_anonymize" -> (150L, 700L))
+    "dbscan_anonymize" -> (150L, 700L),
+    // round-8 pins — measured: ann_ivf_clustered 13,773 (broadcast query
+    // side + O(q·k) rank shuffle; a lost broadcast blows this up);
+    // bm25_adhoc 34,397 (postings tf groupBy + per-doc sum, keyed)
+    "ann_ivf_clustered" -> (4500L, 21000L),
+    "bm25_adhoc" -> (11000L, 52000L))
 
   /** Memo keys to evict after the warm pass so the measured pass runs the
     * gate's build plan instead of reading a checkpoint. dedup_groups
