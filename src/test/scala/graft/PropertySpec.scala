@@ -55,6 +55,67 @@ class PropertySpec extends GraftSuite {
     }
   }
 
+  test("inverted-index BM25 equals fixed-bag BM25 on random corpora (property)") {
+    // same idf/tf/norm arithmetic, different summation discipline (exact
+    // integer lift vs literal-order float fold) — equal within 1e-6, and
+    // the postings form covers exactly the docs containing >= 1 term
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    val gen = for {
+      nDocs <- Gen.choose(3, 25)
+      maxLen <- Gen.choose(1, 40)
+      nTerms <- Gen.choose(1, 4)
+      seed <- Gen.choose(0L, 9999L)
+    } yield (nDocs, maxLen, nTerms, seed)
+    samples(gen, 8).foreach { case (nDocs, maxLen, nTerms, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val docs = (0 until nDocs).map { i =>
+        val len = rnd.nextInt(maxLen + 1)
+        (i.toLong, Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }.toDF("doc_id", "text")
+      val terms = rnd.shuffle(vocab).take(nTerms)
+      val fixed = graft.operators.LexicalRank.bm25(docs, "doc_id", "text", terms)
+        .as[(Long, Double)].collect().toMap
+      val inv = graft.operators.LexicalRank
+        .bm25Inverted(docs, "doc_id", "text", terms)
+        .as[(Long, Double)].collect().toMap
+      for ((id, s) <- inv)
+        assert(math.abs(s - fixed(id)) <= 1e-6,
+          s"doc $id: $s vs ${fixed(id)} (nDocs=$nDocs terms=$terms seed=$seed)")
+      val expected = fixed.filter(_._2 > 0).keySet
+      assert(expected.subsetOf(inv.keySet),
+        s"positive-scoring docs missing from postings: seed=$seed")
+    }
+  }
+
+  test("chunkTokens tiles every token exactly per (len, stride) (property)") {
+    val gen = for {
+      n <- Gen.choose(0, 60)
+      chunkLen <- Gen.choose(1, 12)
+      stride <- Gen.choose(1, 12)
+    } yield (n, chunkLen, stride)
+    samples(gen, 10).foreach { case (n, chunkLen, stride) =>
+      val text = (1 to n).map(i => s"t$i").mkString(" ")
+      val out = graft.operators.Chunking.chunkTokens(
+          Seq((1L, text)).toDF("doc_id", "text"), "doc_id", "text",
+          chunkLen, stride)
+        .select("chunk_idx", "start", "n_tokens")
+        .as[(Int, Int, Long)].collect().sortBy(_._1)
+      if (n == 0) assert(out.isEmpty)
+      else {
+        val expStarts = 1 to n by stride
+        assert(out.map(_._2).toSeq == expStarts.toSeq,
+          s"starts n=$n len=$chunkLen stride=$stride")
+        assert(out.forall(c => c._3 == math.min(chunkLen, n - c._2 + 1)),
+          s"lengths n=$n len=$chunkLen stride=$stride")
+        // stride <= chunkLen covers every token
+        if (stride <= chunkLen) {
+          val covered = out.flatMap(c => c._2 until (c._2 + c._3.toInt)).toSet
+          assert(covered == (1 to n).toSet)
+        }
+      }
+    }
+  }
+
   test("native L1/dot kernels equal the higher-order-function forms (property)") {
     val gen = for {
       dims <- Gen.choose(1, 32)
