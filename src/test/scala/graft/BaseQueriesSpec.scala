@@ -13,8 +13,13 @@ class BaseQueriesSpec extends GraftSuite {
     }
   }
 
-  test("every oracle key has a matching query") {
-    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
-    assert(missing.isEmpty, s"oracles without queries: $missing")
+  test("oracle keys and query keys match exactly") {
+    val orphanOracles = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphanOracles.isEmpty, s"oracles without queries: $orphanOracles")
+    // every gate currently HAS an oracle; a key typo must fail here
+    // loudly instead of silently downgrading that gate to the driver's
+    // weaker rows-only check
+    val unoracled = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(unoracled.isEmpty, s"queries without oracles: $unoracled")
   }
 }
