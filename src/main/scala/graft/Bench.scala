@@ -159,8 +159,10 @@ object Bench {
     // per-query cold seconds ride on the headline too: memoized shared
     // builds (ε-pair set, DBSCAN model, LSH pair graph) land in the cold
     // pass, and a regression in a build cost must be attributable to its
-    // query, not just visible in cold_total
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${jmap(_.median)},"min":${jmap(_.min)},"cold":${jmap(_.cold)},"failed":$failed,"reps":$reps,"cold_total":${r3(coldTotal)},"sf":"$sfDir"}""")
+    // query, not just visible in cold_total. ONLY cold is added — minima
+    // stay on bench_detail — because this line must fit the driver's
+    // bounded stdout tail whole; a truncated headline loses the medians.
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${jmap(_.median)},"cold":${jmap(_.cold)},"failed":$failed,"reps":$reps,"cold_total":${r3(coldTotal)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -24,6 +24,11 @@ import scala.collection.concurrent.TrieMap
   */
 object QueryCache {
 
+  /** Cached values that hold persisted resources beyond a single
+    * checkpointed Dataset (models bundling several persisted frames)
+    * implement this so [[evict]]/[[evictSession]] can free them. */
+  trait Releasable { def release(): Unit }
+
   private val cache = TrieMap.empty[(String, SparkSession, String), Any]
 
   /** Memoize `build` under (`key`, session, dir). `build` runs at most
@@ -48,7 +53,8 @@ object QueryCache {
   private[graft] def size: Int = cache.size
 
   private def release(v: Any): Unit = v match {
-    case d: Dataset[_] => LineageCut.release(d)
-    case _             => ()
+    case d: Dataset[_]  => LineageCut.release(d)
+    case r: Releasable  => r.release()
+    case _              => ()
   }
 }

@@ -31,9 +31,10 @@ final case class DbscanModel(
     nClusters: Long,
     nNoise: Long,
     clusterError: Double,
-    noiseError: Double) {
+    noiseError: Double) extends graft.core.QueryCache.Releasable {
   def totalError: Double = clusterError + noiseError
   def unpersist(): Unit = { assignments.unpersist(); centroids.unpersist() }
+  override def release(): Unit = unpersist()
 }
 
 /** Per-ε record of the sweep (DBSCAN.py eps_records, lines 135-143/198). */

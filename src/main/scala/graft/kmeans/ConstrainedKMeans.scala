@@ -13,10 +13,12 @@ import org.apache.spark.storage.StorageLevel
   */
 final case class KMeansModel(assignment: DataFrame,
                              centroids: Map[Int, Array[Double]],
-                             cost: Double, lloydIters: Int) {
+                             cost: Double, lloydIters: Int)
+    extends graft.core.QueryCache.Releasable {
   // `assignment` is localCheckpoint'd — Dataset.unpersist can't see its
   // cache, so drop the backing RDD's blocks directly.
   def unpersist(): Unit = graft.core.LineageCut.release(assignment)
+  override def release(): Unit = unpersist()
 }
 
 /** K-member-constrained k-means (reference k-means.ipynb, single cell):

@@ -159,12 +159,12 @@ object LexicalRank {
         round(col("swq").cast("double") / 1e6, 6).as("score"))
   }
 
-  /** Top-`k` of [[bm25Inverted]], ranked (score desc, doc_id asc) with
-    * the same TakeOrdered shape as [[bm25TopK]]. */
-  def bm25InvertedTopK(docs: DataFrame, idCol: String, textCol: String,
-                       terms: Seq[String], k: Int, k1: Double = 1.2,
-                       b: Double = 0.75): DataFrame = {
-    val top = bm25Inverted(docs, idCol, textCol, terms, k1, b)
+  /** Positive scores only, top-`k` by (score desc, doc_id asc) as a
+    * TakeOrdered (per-partition partial top-k — never an unpartitioned
+    * window over the corpus), then ranked over exactly the k rows.
+    * Shared by both scorers so the top-k discipline cannot diverge. */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    val top = scored
       .where(col("score") > 0)
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
@@ -173,26 +173,24 @@ object LexicalRank {
     top.withColumn("rank", row_number().over(w))
   }
 
+  /** Top-`k` of [[bm25Inverted]], ranked (score desc, doc_id asc) with
+    * the same TakeOrdered shape as [[bm25TopK]]. */
+  def bm25InvertedTopK(docs: DataFrame, idCol: String, textCol: String,
+                       terms: Seq[String], k: Int, k1: Double = 1.2,
+                       b: Double = 0.75): DataFrame =
+    rankTopK(bm25Inverted(docs, idCol, textCol, terms, k1, b), k)
+
   /** Top-`k` documents by BM25 for the fixed `terms` bag, positive scores
     * only, ranked (score desc, doc_id asc).
     *
-    * Scale shape: the top-k is `orderBy(...).limit(k)` — a TakeOrdered,
-    * where every partition keeps its own k candidates and only k·|parts|
-    * rows reach the driver-side merge — and the rank window then runs
-    * over exactly k rows. The previous form (`row_number` over an
-    * unpartitioned window on the score-filtered stream, then
-    * `rank <= k`) funneled EVERY positive-scoring document through one
-    * window task; with common query terms at corpus scale that is
-    * nearly every document containing any term, a single-task sort. */
+    * Scale shape (see [[rankTopK]]): TakeOrdered top-k, rank window over
+    * k rows. The previous form (`row_number` over an unpartitioned
+    * window on the score-filtered stream, then `rank <= k`) funneled
+    * EVERY positive-scoring document through one window task; with
+    * common query terms at corpus scale that is nearly every document
+    * containing any term, a single-task sort. */
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
                terms: Seq[String], k: Int,
-               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val top = bm25(docs, idCol, textCol, terms, k1, b)
-      .where(col("score") > 0)
-      .orderBy(col("score").desc, col("doc_id"))
-      .limit(k)
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("score").desc, col("doc_id"))
-    top.withColumn("rank", row_number().over(w))
-  }
+               k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    rankTopK(bm25(docs, idCol, textCol, terms, k1, b), k)
 }

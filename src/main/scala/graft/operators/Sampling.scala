@@ -44,6 +44,11 @@ object Sampling {
     * safely above n/|stratum| first, then rank the survivors. */
   def fixedPerStratum(df: DataFrame, keyCol: String, strataCol: Column,
                       n: Int): DataFrame = {
+    // withColumn CLOBBERS same-named caller columns and the final drop
+    // would then remove them — refuse loudly instead of sampling under a
+    // silently rewritten stratum
+    require(!df.columns.contains("__stratum") && !df.columns.contains("__rk"),
+      "fixedPerStratum reserves the __stratum/__rk column names")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("__stratum")
       .orderBy(PolyHash.poly_hash(col(keyCol).cast("string")), col(keyCol))

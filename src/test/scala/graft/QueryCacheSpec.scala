@@ -44,6 +44,16 @@ class QueryCacheSpec extends GraftSuite {
       "eviction must unpersist the checkpoint's RDD")
   }
 
+  test("evicting a Releasable value calls its release hook") {
+    var released = false
+    val model = new QueryCache.Releasable {
+      override def release(): Unit = released = true
+    }
+    QueryCache.shared("spec.releasable", spark, "d") { model }
+    QueryCache.evict("spec.releasable", spark, "d")
+    assert(released, "Releasable values (models) must be freed on evict")
+  }
+
   test("evictSession drops only that session's entries") {
     QueryCache.shared("spec.sess", spark, "d") { 42 }
     val before = QueryCache.size
