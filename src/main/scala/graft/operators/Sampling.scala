@@ -91,6 +91,32 @@ object Sampling {
       .withColumn("kept", col("rk") <= quota)
   }
 
+  /** Weighted sampling without replacement (Efraimidis & Spirakis 2006),
+    * made DETERMINISTIC: each row draws its uniform u from PolyHash(key)
+    * instead of an RNG — u = (hash+1)/(P+1) ∈ (0,1] — and keeps priority
+    * u^(1/w); the n largest priorities win, which samples each row with
+    * probability proportional to its weight w. The same rows win on any
+    * cluster, any partitioning, any run. Rows with w <= 0 never qualify.
+    *
+    * Priorities are ranked ROUNDED to 6dp with the key as tiebreak, the
+    * board-wide cross-engine float discipline: `pow` may differ by an
+    * ulp between libm implementations, and ranking on the rounded value
+    * makes the winner set reproducible in any engine.
+    *
+    * Scale shape: one narrow projection + a TakeOrdered top-n — no
+    * shuffle beyond the per-partition top-n merge. */
+  def weightedSample(df: DataFrame, keyCol: String, weightCol: Column,
+                     n: Int): DataFrame = {
+    val p = PolyHash.Prime
+    val u = (PolyHash.poly_hash(col(keyCol).cast("string")) + 1).cast("double") /
+      lit((p + 1).toDouble)
+    val pri = round(pow(u, lit(1.0) / weightCol), 6)
+    df.where(weightCol > 0)
+      .withColumn("priority", pri)
+      .orderBy(col("priority").desc, col(keyCol))
+      .limit(n)
+  }
+
   /** Stratified deterministic sample: per-stratum rates with a default for
     * unlisted strata. The rate lookup is a literal map + coalesce, which
     * references `strataCol` exactly ONCE — a CASE chain references it per

@@ -31,6 +31,7 @@ object CurationQueries {
   private val SelQuota = 20
   private val BpeK = 50
   private val FixedN = 10
+  private val WeightedN = 50
 
   /** Email/phone detection regexes — deliberately restricted to syntax
     * with identical semantics in Java regex (Spark codegen) and RE2
@@ -321,6 +322,34 @@ object CurationQueries {
         .orderBy("source")
     }),
 
+    // Weighted sampling without replacement (Sampling.weightedSample —
+    // deterministic Efraimidis-Spirakis): quality-proportional corpus
+    // subsampling, the "prefer good docs but keep diversity" downsampler.
+    // The WINNER SET and priorities are value-checked by the oracle.
+    "sample_weighted" -> ((s, dir) => {
+      val base = docs(s, dir).select(col("doc_id"),
+        (TF.qualityScore(col("text")) + 0.1).as("w"))
+      graft.operators.Sampling.weightedSample(base, "doc_id", col("w"),
+          WeightedN)
+        .select(col("doc_id"), round(col("w"), 6).as("w6"), col("priority"))
+        .orderBy(col("priority").desc, col("doc_id"))
+    }),
+
+    // Cardinality estimation: HyperLogLog++ vocabulary size vs the exact
+    // distinct count, in ONE aggregation pass — the sketch a 100 TB
+    // pipeline uses where countDistinct's shuffle is unaffordable. HLL
+    // is deterministic given the data, and the gate asserts the rsd-5%
+    // sketch lands within 10% of exact (the flag has teeth in-engine;
+    // the oracle recomputes the exact count from the table).
+    "approx_distinct" -> ((s, dir) => {
+      docs(s, dir).select(explode(TF.tokens(col("text"))).as("w"))
+        .agg(countDistinct("w").cast("long").as("n_exact"),
+          approx_count_distinct("w", 0.05).as("n_approx"))
+        .select(col("n_exact"),
+          (abs(col("n_approx") - col("n_exact")) * 10 <= col("n_exact"))
+            .cast("int").as("within_10pct"))
+    }),
+
     // Salted skew join: events fact joined to a tiny per-type dim on the
     // massively skewed event_type key via SkewJoin (row-identical to the
     // plain join, spec + oracle checked). Money amounts are integerized
@@ -393,6 +422,30 @@ object CurationQueries {
          |SELECT doc_id, source FROM r WHERE rk <= $FixedN
          |ORDER BY source, doc_id""".stripMargin
     },
+    // the Efraimidis-Spirakis priority replayed exactly: u from the
+    // PolyHash formula, priority = round(u^(1/w), 6) (the 6dp round
+    // absorbs libm pow ulp differences), top-N by (priority desc, id)
+    "sample_weighted" -> {
+      val h = sqlPolyHash("CAST(doc_id AS VARCHAR)")
+      val pDenom = (graft.functions.PolyHash.Prime + 1).toDouble
+      s"""WITH $sqlToks,
+         |q AS (SELECT doc_id, $sqlQuality + 0.1 AS w FROM toks),
+         |pr AS (SELECT doc_id, w,
+         |    round(power(CAST($h + 1 AS DOUBLE) / $pDenom, 1.0 / w), 6)
+         |      AS priority
+         |  FROM q WHERE w > 0),
+         |top AS (SELECT doc_id, round(w, 6) AS w6, priority FROM pr
+         |  ORDER BY priority DESC, doc_id LIMIT $WeightedN)
+         |SELECT doc_id, w6, priority FROM top
+         |ORDER BY priority DESC, doc_id""".stripMargin
+    },
+    // exact vocabulary cardinality recomputed from the table; the 10%
+    // envelope's teeth are the in-engine exact-vs-HLL comparison
+    "approx_distinct" ->
+      s"""WITH $sqlToks,
+         |u AS (SELECT unnest(t) AS w FROM toks)
+         |SELECT CAST(count(DISTINCT w) AS BIGINT) AS n_exact,
+         |  CAST(1 AS INT) AS within_10pct FROM u""".stripMargin,
     // exact rank-based percentiles: value at rank ceil(q*n) over
     // (quality asc, doc_id) per source — deterministic member values,
     // no interpolation, no approx sketch

@@ -463,6 +463,31 @@ class SimilaritySearchSpec extends GraftSuite {
     assert(byGroup.exists(_._2.length > 1))
   }
 
+  test("weightedSample: deterministic, weight-monotone, excludes w<=0") {
+    import graft.operators.Sampling
+    val d = (0 until 100).map(i => (i.toLong, 1.0 + (i % 5))).toDF("id", "w")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      Sampling.weightedSample(df, "id", col("w"), 20)
+        .select("id").as[Long].collect().toSet
+    val s1 = ids(d)
+    assert(s1 == ids(d) && s1.size == 20, "same winners every run")
+    // priority u^(1/w) is increasing in w for u in (0,1): boosting one
+    // row's weight can only raise its priority, never drop it out
+    val target = s1.head
+    val boosted = d.withColumn("w",
+      when(col("id") === target, col("w") * 100).otherwise(col("w")))
+    assert(ids(boosted).contains(target), "boosted weight must stay sampled")
+    // non-positive weights never qualify
+    val withZero = d.withColumn("w",
+      when(col("id") < 50, lit(0.0)).otherwise(col("w")))
+    assert(ids(withZero).forall(_ >= 50))
+    // heavier rows win more often than lighter ones on average
+    val wOf = d.as[(Long, Double)].collect().toMap
+    val avgW = s1.toSeq.map(wOf).sum / s1.size
+    val popW = wOf.values.sum / wOf.size
+    assert(avgW > popW, s"sampled mean weight $avgW must exceed $popW")
+  }
+
   test("fixedPerStratum: exact counts, deterministic, small strata whole") {
     import graft.operators.Sampling
     val d = graft.core.Tables.table(spark, sf0001, "documents")
