@@ -87,7 +87,7 @@ class PlanHygieneSpec extends GraftSuite {
   test("bm25 top-k is a TakeOrdered, not an unpartitioned corpus window") {
     // the rank window must run over the k limited rows, never the full
     // score-filtered stream (a single-task sort at corpus scale)
-    for (q <- Seq("bm25_rank", "bm25_adhoc")) {
+    for (q <- Seq("bm25_rank", "bm25_adhoc", "sample_weighted")) {
       val p = plan(q)
       assert(p.contains("TakeOrderedAndProject"),
         s"$q top-k must plan as TakeOrderedAndProject:\n${p.take(800)}")
