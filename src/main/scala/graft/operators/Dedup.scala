@@ -151,7 +151,38 @@ object Dedup {
     * all-pairs for ANY index scheme, which is why the verify step uses
     * the native merge-intersect kernel rather than per-pair hash sets. */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-                   n: Int, tau: Double): DataFrame = {
+                   n: Int, tau: Double): DataFrame =
+    jaccardPairsImpl(docs, idCol, textCol, n, tau, skipSides = None)
+
+  /** Incremental near-dup detection — the daily-ingest shape: exact
+    * Jaccard >= tau pairs where AT LEAST ONE side is a new document
+    * (new-vs-corpus and new-vs-new), skipping corpus-vs-corpus pairs the
+    * previous run already resolved. Same PPJoin prefix discipline and
+    * exact verify as [[jaccardPairs]] over the union (document
+    * frequencies are computed across both sides, so the rarity order —
+    * and therefore pruning power — reflects the full collection); the
+    * old-old exclusion rides INSIDE the candidate join, so skipped pairs
+    * never generate join output. At scale the corpus side's shingle
+    * index is the natural thing to persist between runs; this computes
+    * it inline from the two inputs. */
+  def incrementalJaccardPairs(corpus: DataFrame, newDocs: DataFrame,
+                              idCol: String, textCol: String,
+                              n: Int, tau: Double): DataFrame = {
+    val tagged = corpus.select(col(idCol), col(textCol))
+      .withColumn("__side", lit("old"))
+      .unionByName(newDocs.select(col(idCol), col(textCol))
+        .withColumn("__side", lit("new")))
+    jaccardPairsImpl(tagged, idCol, textCol, n, tau,
+      skipSides = Some(("__side", "old")))
+  }
+
+  /** Shared PPJoin core. `skipSides = Some((sideCol, v))` drops pairs
+    * where BOTH documents carry side `v` (see
+    * [[incrementalJaccardPairs]]); the side column must be present on
+    * `docs`. */
+  private def jaccardPairsImpl(docs: DataFrame, idCol: String,
+                               textCol: String, n: Int, tau: Double,
+                               skipSides: Option[(String, String)]): DataFrame = {
     // full shingle-hash set per doc — one narrow extraction, one df
     // aggregation, one 1:N join back. Two views of each set: `byRarity`
     // (ordered by global (df, hash) — the prefix-filter order) and `sh`
@@ -166,10 +197,17 @@ object Dedup {
         sort_array(col("byRarity")).as("sh"),
         size(col("byRarity")).as("nsh"))
       .localCheckpoint() // feeds the prefix explode and both verify joins
-    val prefix = sets.select(col("id"), col("nsh"),
+    val prefix0 = sets.select(col("id"), col("nsh"),
       posexplode(slice(col("byRarity"), lit(1),
         (col("nsh") - ceil(col("nsh") * tau) + 1).cast("int"))))
       .select(col("id"), col("nsh"), col("pos"), col("col").as("h"))
+    // incremental mode: ride the side flag on the prefix rows so the
+    // old-old exclusion can live inside the candidate join
+    val prefix = skipSides match {
+      case Some((sc, _)) => prefix0.join(
+        docs.select(col(idCol).as("id"), col(sc).as("__side")), "id")
+      case None => prefix0
+    }
     // Positional (PPJoin/SSJoin-style) pruning inside the join: J >= tau
     // forces overlap alpha = ceil(tau/(1+tau) * (|A|+|B|)), and the prefix
     // lemma guarantees a shared token within the first |x| - alpha + 1
@@ -179,8 +217,14 @@ object Dedup {
     // the rarest-first order pushes past the bound — most of the ~n²
     // vocabulary-overlap pairs die here, before the verify join exists.
     val alpha = ceil(lit(tau / (1.0 + tau)) * (col("a.nsh") + col("b.nsh")))
+    val sideOk = skipSides match {
+      case Some((_, v)) =>
+        !(col("a.__side") === lit(v) && col("b.__side") === lit(v))
+      case None => lit(true)
+    }
     val cand = prefix.as("a").join(prefix.as("b"),
         col("a.h") === col("b.h") && col("a.id") < col("b.id")
+          && sideOk
           && col("a.nsh") >= col("b.nsh") * tau
           && col("b.nsh") >= col("a.nsh") * tau
           && col("a.pos") <= col("a.nsh") - alpha

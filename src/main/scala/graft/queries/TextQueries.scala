@@ -25,6 +25,7 @@ object TextQueries {
   private val SeqLen = 2048
   private val ChunkLen = 16
   private val ChunkStride = 12
+  private val IncrSplit = 400
   private val Bm25Terms = Seq("spark", "merge", "window")
   private val Bm25K1 = 1.2
   private val Bm25B = 0.75
@@ -300,6 +301,21 @@ object TextQueries {
         .select(col("doc_id"),
           coalesce(col("component"), col("doc_id")).as("group_id"))
         .orderBy("doc_id")
+    }),
+
+    // incremental near-dup detection (Dedup.incrementalJaccardPairs):
+    // the daily-ingest shape — docs >= IncrSplit are the "new batch",
+    // the rest the already-deduped corpus; emitted pairs have at least
+    // one new side (new-vs-corpus and new-vs-new), old-old skipped
+    // INSIDE the candidate join. Same exact-Jaccard oracle with the
+    // side filter.
+    "dedup_incremental" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.operators.Dedup.incrementalJaccardPairs(
+          d.where(col("doc_id") < IncrSplit),
+          d.where(col("doc_id") >= IncrSplit),
+          "doc_id", "text", ShingleN, JaccardTau)
+        .orderBy("id_a", "id_b")
     }),
 
     // token-window chunking (Chunking.chunkTokens): 1-based starts every
@@ -598,6 +614,24 @@ object TextQueries {
          |sizes AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id),
          |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
          |  FROM shh a JOIN shh b ON a.h = b.h AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b,
+         |  round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) AS jaccard
+         |FROM inter JOIN sizes sa ON id_a = sa.doc_id
+         |JOIN sizes sb ON id_b = sb.doc_id
+         |WHERE round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) >= $JaccardTau
+         |ORDER BY id_a, id_b""".stripMargin,
+    // jaccard_pairs' exact oracle restricted to pairs with at least one
+    // NEW document (id >= split) — old-old pairs excluded like the
+    // engine's candidate join does
+    "dedup_incremental" ->
+      s"""WITH $sqlToks,
+         |$sqlShingles,
+         |$sqlShingleHashes,
+         |sizes AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+         |  FROM shh a JOIN shh b ON a.h = b.h AND a.doc_id < b.doc_id
+         |  WHERE NOT (a.doc_id < $IncrSplit AND b.doc_id < $IncrSplit)
          |  GROUP BY 1, 2)
          |SELECT id_a, id_b,
          |  round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) AS jaccard

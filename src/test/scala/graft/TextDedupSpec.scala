@@ -463,6 +463,22 @@ class SimilaritySearchSpec extends GraftSuite {
     assert(byGroup.exists(_._2.length > 1))
   }
 
+  test("incremental jaccard = full pairs minus old-old, exact values") {
+    import graft.operators.Dedup
+    val d = graft.core.Tables.table(spark, sf0001, "documents")
+    val split = 400L
+    val full = Dedup.jaccardPairs(d, "doc_id", "text", 2, 0.3)
+      .as[(Long, Long, Double)].collect().toSet
+    val incr = Dedup.incrementalJaccardPairs(
+        d.where(col("doc_id") < split), d.where(col("doc_id") >= split),
+        "doc_id", "text", 2, 0.3)
+      .as[(Long, Long, Double)].collect().toSet
+    val expected = full.filterNot(p => p._1 < split && p._2 < split)
+    assert(incr == expected,
+      s"missing=${expected -- incr} extra=${incr -- expected}")
+    assert(incr.nonEmpty && incr.size < full.size)
+  }
+
   test("weightedSample: deterministic, weight-monotone, excludes w<=0") {
     import graft.operators.Sampling
     val d = (0 until 100).map(i => (i.toLong, 1.0 + (i % 5))).toDF("id", "w")
