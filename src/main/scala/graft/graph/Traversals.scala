@@ -1,0 +1,137 @@
+package graft.graph
+
+import graft.core.LineageCut
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Frontier-style graph traversals over edge DataFrames — the
+  * cluster-expansion semantics the reference prototyped and abandoned
+  * (`.ipynb_checkpoints/DBSCAN-checkpoint.ipynb` cell 6: a BFS queue walk
+  * over a driver-global `visited` set that crashes with
+  * `UnboundLocalError`; SURVEY §2.7 G5), re-done as distributed
+  * fixpoints: the frontier is a DataFrame, each round is one keyed
+  * equi-join + distinct + anti-join, and the visited set never touches
+  * the driver.
+  */
+object Traversals {
+
+  /** Both-direction simple view of an edge list (self-loops dropped,
+    * duplicates collapsed). */
+  private def symmetrize(edges: DataFrame): DataFrame = {
+    val e = edges
+      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .where(col("src") =!= col("dst"))
+    e.union(e.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+  }
+
+  /** Seed set for [[bfsHops]]: vertices that are a local minimum of the
+    * undirected graph (every neighbor id is larger). Each component's
+    * global minimum always qualifies, so every vertex is within finite
+    * hops of a seed. One map-side-combined aggregation. */
+  def localMinSeeds(edges: DataFrame): DataFrame =
+    symmetrize(edges).groupBy("src").agg(min("dst").as("mn"))
+      .where(col("mn") > col("src"))
+      .select(col("src").as("id"))
+
+  /** Multi-source BFS: minimum hop count from any vertex of `sources` to
+    * every reachable vertex, treating `edges` as undirected.
+    *
+    * Each round schedules ONE job: the new frontier (current frontier
+    * joined to the adjacency, deduped, anti-joined against the visited
+    * set) is unioned into a lazily checkpointed visited set whose `count`
+    * both materializes the checkpoint and detects the fixpoint (no growth
+    * → done), the same fused-action idiom as [[ConnectedComponents]]'s
+    * checksum. Superseded checkpoint blocks are released eagerly via
+    * [[LineageCut]]. Every per-round shuffle is keyed by vertex id —
+    * frontier·adjacency join, distinct, anti-join — so rounds scale with
+    * the frontier, not the graph, and nothing collects to the driver.
+    *
+    * @return (id, hops) for every vertex reachable within `maxHops`;
+    *         `hops` is Int. Sources themselves report 0.
+    */
+  def bfsHops(edges: DataFrame, sources: DataFrame, maxHops: Int = 32): DataFrame = {
+    val sym = symmetrize(edges).localCheckpoint(eager = false)
+
+    var visited = sources.select(col("id").cast("long").as("id")).distinct()
+      .withColumn("hops", lit(0))
+      .localCheckpoint(eager = false)
+    var visCount = visited.count()
+
+    var hop = 0
+    var done = visCount == 0
+    while (!done && hop < maxHops) {
+      hop += 1
+      val frontier = visited.where(col("hops") === hop - 1)
+      val next = frontier
+        .join(sym, frontier("id") === sym("src"))
+        .select(sym("dst").as("id"))
+        .distinct()
+        .join(visited, Seq("id"), "left_anti")
+        .withColumn("hops", lit(hop))
+      val grown = visited.union(next).localCheckpoint(eager = false)
+      val newCount = grown.count() // materializes the round's checkpoint
+      done = newCount == visCount
+      visCount = newCount
+      LineageCut.release(visited)
+      visited = grown
+    }
+    LineageCut.release(sym)
+    visited.select(col("id"), col("hops").cast("int").as("hops"))
+  }
+
+  /** Per-vertex triangle counts, treating `edges` as undirected (simple
+    * graph: self-loops dropped, duplicates collapsed).
+    *
+    * Degree-ordered orientation (each edge directed toward the higher
+    * (degree, id) endpoint) bounds every vertex's out-degree by O(√m), so
+    * the wedge join enumerates each triangle exactly once from its
+    * lowest-ordered corner and the candidate stream stays near-linear in
+    * the triangle count even on skewed degree distributions — the
+    * standard MapReduce triangle scheme (Suri & Vassilvitskii, WWW'11).
+    * All three joins are keyed equi-joins; identical subplans (the
+    * oriented edge list appears three times) collapse via Spark's
+    * exchange reuse, so nothing needs a persist.
+    *
+    * @return (id, n_tri) for every vertex of the graph, 0 included.
+    */
+  def triangles(edges: DataFrame): DataFrame = {
+    val canon = edges
+      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .where(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+
+    val deg = canon.select(col("a").as("id")).union(canon.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+
+    // (u, v) with ord(u) < ord(v), carrying v's (deg, id) order key for
+    // the wedge inequality below
+    val withDeg = canon
+      .join(deg.select(col("id").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("id").as("b"), col("deg").as("db")), "b")
+    val oriented = withDeg.select(
+      when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+        struct(col("a").as("u"), col("b").as("v"), col("db").as("dv")))
+        .otherwise(struct(col("b").as("u"), col("a").as("v"), col("da").as("dv")))
+        .as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"), col("e.dv").as("dv"))
+
+    // Wedges (u, v, w) with ord(v) < ord(w): both closing edges of a
+    // triangle leave the wedge tips in orientation order, so a single
+    // (v, w) equi-join detects closure without double counting.
+    val o1 = oriented.select(col("u"), col("v").as("x"), col("dv").as("dx"))
+    val o2 = oriented.select(col("u"), col("v").as("y"), col("dv").as("dy"))
+    val wedges = o1.join(o2, "u")
+      .where(struct(col("dx"), col("x")) < struct(col("dy"), col("y")))
+      .select(col("u"), col("x").as("v"), col("y").as("w"))
+    val tri = wedges.join(
+      oriented.select(col("u").as("v"), col("v").as("w")), Seq("v", "w"))
+
+    val perVertex = tri
+      .select(explode(array(col("u"), col("v"), col("w"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("n_tri"))
+    deg.join(perVertex, Seq("id"), "left")
+      .select(col("id"), coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+  }
+}

@@ -54,6 +54,69 @@ object Dedup {
       .select(col("id"), coalesce(col("text"), lit("")).as("text"))
   }
 
+  // ------------------------------------------------- exact-substring spans
+
+  /** Duplicated-span detection — the exact-substring dedup of Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better" (ACL'22),
+    * at token-n-gram resolution: every length-`n` token window whose
+    * exact text occurs ≥ 2 times across the corpus marks its positions,
+    * and per document the marked windows merge into maximal duplicated
+    * spans. With `keepFirst` (the paper's semantics) the corpus-wide
+    * first occurrence of each duplicated n-gram — minimum (doc, position)
+    * — is exempt, so one copy of every repeated passage survives.
+    *
+    * Returns (id, span_start, span_end): 0-based token offsets, end
+    * exclusive, ordered within each doc. Feed to a slicer to cut the
+    * spans out, or aggregate for duplication-rate stats.
+    *
+    * Scale shape: the suffix-array the paper builds is a single-machine
+    * structure; the distributed equivalent is this n-gram inventory —
+    * positions posexplode to (doc, pos, hash) rows, duplicated hashes are
+    * a hash-keyed groupBy (map-side combined, Zipf-hot n-grams bounded
+    * per partition before the merge), the first-occurrence exemption a
+    * min-struct agg on the same key (NO per-key window), marking a keyed
+    * semi/inner join, and span merging a per-doc window whose partition
+    * is one document's hits. Nothing is quadratic; nothing collects. */
+  def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                      n: Int, keepFirst: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = when(length(trim(col(textCol))) === 0,
+        array().cast("array<string>"))
+      .otherwise(split(trim(col(textCol)), "\\s+"))
+    // (id, p, h): PolyHash of the n-gram starting at 0-based token p
+    val occ = docs
+      .select(col(idCol).as("id"), toks.as("t"))
+      .where(size(col("t")) >= n)
+      .select(col("id"), posexplode(
+        transform(sequence(lit(0), size(col("t")) - n),
+          p => PolyHash.poly_hash(
+            concat_ws(" ", slice(col("t"), p + 1, lit(n)))))))
+      .select(col("id"), col("pos").as("p"), col("col").as("h"))
+    val dupAgg = occ.groupBy("h").agg(
+      count(lit(1)).as("n_occ"),
+      min(struct(col("id"), col("p"))).as("first"))
+      .where(col("n_occ") >= 2)
+    val hits =
+      if (keepFirst)
+        occ.join(dupAgg, Seq("h"))
+          .where(!(col("id") === col("first.id") && col("p") === col("first.p")))
+          .select(col("id"), col("p"))
+      else occ.join(dupAgg, Seq("h"), "left_semi").select(col("id"), col("p"))
+    // gaps-and-islands: a hit starts a new span iff no earlier hit's
+    // window [p', p'+n) reaches it
+    val w = Window.partitionBy("id").orderBy("p")
+    val withIsland = hits
+      .withColumn("pme", max(col("p") + n)
+        .over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("isl", sum(
+        when(col("pme").isNull || col("p") >= col("pme"), 1).otherwise(0))
+        .over(w))
+    withIsland.groupBy("id", "isl")
+      .agg(min("p").as("span_start"), (max("p") + n).as("span_end"))
+      .select(col("id"), col("span_start").cast("int"),
+        col("span_end").cast("int"))
+  }
+
   // ------------------------------------------------------- n-gram Jaccard
 
   /** Distinct word-`n`-gram shingle set per doc: (id, shingle). */

@@ -4,7 +4,7 @@ import graft.core.QueryCache
 import graft.core.Tables.table
 import graft.dbscan.{Cc, Dbscan, Scc}
 import graft.functions.Distances
-import graft.graph.{ConnectedComponents, GraphAlgs}
+import graft.graph.{ConnectedComponents, GraphAlgs, Traversals}
 import graft.operators.NeighborJoin
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -22,6 +22,7 @@ object ClusterQueries {
   private val eps = 2.0
   private val minPts = 4
   private val kAnon = 4
+  private val BfsMaxHops = 32
 
   private def pts(s: SparkSession, dir: String): DataFrame =
     table(s, dir, "part").select(col("p_partkey").as("id"),
@@ -296,6 +297,27 @@ object ClusterQueries {
           countDistinct("prediction").cast("long").as("n_clusters"),
           (min("prediction") >= 0 && max("prediction") <= 7)
             .cast("int").as("labels_valid"))
+    }),
+
+    // G5 done right: the reference's abandoned BFS cluster expansion
+    // (DBSCAN-checkpoint.ipynb cell 6 — a driver-global visited-set queue
+    // walk that crashes on its own saved output) as a distributed
+    // frontier fixpoint over the same ε-graph. Seeds are the graph's
+    // local-minimum vertices (deterministic, one aggregation — each
+    // component's root always qualifies), hops the multi-source BFS
+    // distance. Oracle: recursive-CTE shortest-hop walk.
+    "bfs_hops" -> ((s, dir) => {
+      val e = epsEdges(s, dir)
+      Traversals.bfsHops(e, Traversals.localMinSeeds(e), maxHops = BfsMaxHops)
+        .orderBy("id")
+    }),
+
+    // Per-vertex triangle counts on the ε-graph — the local clustering
+    // signal DBSCAN's density test approximates. Degree-ordered wedge
+    // join (each triangle enumerated once from its lowest-ordered
+    // corner); oracle: a<b<c three-way self-join.
+    "triangles" -> ((s, dir) => {
+      Traversals.triangles(epsEdges(s, dir)).orderBy("id")
     }))
 
   /** One sweep leg as a self-contained derived table: the dbscan_errors
@@ -465,5 +487,32 @@ object ClusterQueries {
          |scc AS (SELECT r1.a AS id, min(r1.b) AS component
          |  FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
          |  GROUP BY r1.a)
-         |SELECT id, component FROM scc ORDER BY id""".stripMargin)
+         |SELECT id, component FROM scc ORDER BY id""".stripMargin,
+    "bfs_hops" ->
+      s"""WITH RECURSIVE
+         |$sqlGraph,
+         |sym AS (SELECT src, dst FROM edges WHERE src <> dst
+         |        UNION SELECT dst, src FROM edges WHERE src <> dst),
+         |seeds AS (SELECT src AS id FROM sym GROUP BY src
+         |          HAVING min(dst) > src),
+         |walk(id, hops) AS (
+         |  SELECT id, 0 FROM seeds
+         |  UNION
+         |  SELECT s.dst, w.hops + 1 FROM walk w JOIN sym s ON s.src = w.id
+         |  WHERE w.hops < $BfsMaxHops)
+         |SELECT id, CAST(min(hops) AS INT) AS hops FROM walk
+         |GROUP BY id ORDER BY id""".stripMargin,
+    "triangles" ->
+      s"""WITH
+         |$sqlGraph,
+         |ce AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |       FROM edges WHERE src <> dst),
+         |tri AS (SELECT e1.a AS u, e1.b AS v, e2.b AS w
+         |  FROM ce e1 JOIN ce e2 ON e2.a = e1.b
+         |  JOIN ce e3 ON e3.a = e1.a AND e3.b = e2.b),
+         |pv AS (SELECT id, count(*) AS n_tri FROM
+         |  (SELECT unnest([u, v, w]) AS id FROM tri) GROUP BY id),
+         |verts AS (SELECT a AS id FROM ce UNION SELECT b FROM ce)
+         |SELECT v.id, CAST(coalesce(pv.n_tri, 0) AS BIGINT) AS n_tri
+         |FROM verts v LEFT JOIN pv USING (id) ORDER BY v.id""".stripMargin)
 }

@@ -17,6 +17,7 @@ import org.apache.spark.sql.functions._
   */
 object TextQueries {
   private val ShingleN = 2
+  private val SpanN = 5
   private val JaccardTau = 0.3
   private val Bands = 16
   private val Rows = 4
@@ -352,6 +353,17 @@ object TextQueries {
         .partitionBy("group_id").orderBy(col("q6").desc, col("doc_id"))
       grouped.withColumn("canonical", row_number().over(w) === 1)
         .orderBy("doc_id")
+    }),
+
+    // Exact-substring span dedup (Lee et al. ACL'22) at 5-gram
+    // resolution: per doc, the maximal token spans whose every 5-gram
+    // also occurs elsewhere in the corpus — minus the corpus-wide first
+    // occurrence of each 5-gram, so one copy of every repeated passage
+    // survives (the paper's keep-one semantics).
+    "span_dedup" -> ((s, dir) => {
+      Dedup.duplicatedSpans(docs(s, dir), "doc_id", "text", SpanN)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id", "span_start")
     }))
 
   // ----------------------------------------------------------- oracles
@@ -733,5 +745,28 @@ object TextQueries {
          |$sqlSimhash
          |SELECT t.doc_id, coalesce(f.fp, 0) AS fp
          |FROM toks t LEFT JOIN fps f ON t.doc_id = f.doc_id
-         |ORDER BY t.doc_id""".stripMargin)
+         |ORDER BY t.doc_id""".stripMargin,
+    "span_dedup" ->
+      s"""WITH $sqlToks,
+         |occ AS (SELECT doc_id, p - 1 AS p, ${sqlPolyHash("g")} AS h FROM (
+         |  SELECT doc_id, p, array_to_string(t[p:p + $SpanN - 1], ' ') AS g
+         |  FROM toks, unnest(range(1, len(t) - $SpanN + 2)) u(p)
+         |  WHERE len(t) >= $SpanN)),
+         |da AS (SELECT h FROM occ GROUP BY h HAVING count(*) >= 2),
+         |ranked AS (SELECT o.doc_id, o.p, row_number() OVER (
+         |    PARTITION BY o.h ORDER BY o.doc_id, o.p) AS rn
+         |  FROM occ o JOIN da USING (h)),
+         |hits AS (SELECT doc_id, p FROM ranked WHERE rn >= 2),
+         |h2 AS (SELECT doc_id, p, max(p + $SpanN) OVER (
+         |    PARTITION BY doc_id ORDER BY p
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+         |  FROM hits),
+         |isl AS (SELECT doc_id, p, sum(CASE WHEN pme IS NULL OR p >= pme
+         |      THEN 1 ELSE 0 END) OVER (
+         |    PARTITION BY doc_id ORDER BY p) AS grp
+         |  FROM h2)
+         |SELECT doc_id, CAST(min(p) AS INT) AS span_start,
+         |  CAST(max(p) + $SpanN AS INT) AS span_end
+         |FROM isl GROUP BY doc_id, grp
+         |ORDER BY doc_id, span_start""".stripMargin)
 }

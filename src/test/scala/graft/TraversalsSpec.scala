@@ -1,0 +1,83 @@
+package graft
+
+import graft.graph.Traversals
+import org.apache.spark.sql.functions._
+
+class TraversalsSpec extends GraftSuite {
+  import spark.implicits._
+
+  private def hops(edges: Seq[(Long, Long)], seeds: Seq[Long],
+                   maxHops: Int = 32): Map[Long, Int] =
+    Traversals.bfsHops(edges.toDF("src", "dst"), seeds.toDF("id"), maxHops)
+      .as[(Long, Int)].collect().toMap
+
+  test("bfs on a path counts hops from the seed") {
+    val got = hops(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)), Seq(1L))
+    assert(got == Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3, 5L -> 4))
+  }
+
+  test("multi-source bfs takes the minimum over seeds; other components unreached") {
+    val got = hops(Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)), Seq(1L, 4L))
+    assert(got == Map(1L -> 0, 2L -> 1, 3L -> 1, 4L -> 0))
+  }
+
+  test("edges are undirected and duplicates/self-loops are harmless") {
+    val got = hops(Seq((2L, 1L), (2L, 1L), (2L, 2L), (3L, 2L)), Seq(1L))
+    assert(got == Map(1L -> 0, 2L -> 1, 3L -> 2))
+  }
+
+  test("maxHops caps the expansion") {
+    val got = hops(Seq((1L, 2L), (2L, 3L), (3L, 4L)), Seq(1L), maxHops = 2)
+    assert(got == Map(1L -> 0, 2L -> 1, 3L -> 2))
+  }
+
+  test("local-min seeds are the vertices with no smaller neighbor") {
+    val seeds = Traversals.localMinSeeds(
+      Seq((1L, 2L), (2L, 3L), (6L, 5L)).toDF("src", "dst"))
+      .as[Long].collect().toSet
+    assert(seeds == Set(1L, 5L))
+  }
+
+  test("per-round checkpoints are released eagerly") {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val got = hops((0L until 40L).map(i => (i, i + 1)), Seq(0L), maxHops = 64)
+    assert(got.size == 41 && got(40L) == 40)
+    val leaked = sc.getPersistentRDDs.keySet -- before
+    // only the final visited set (which backs the result) may live
+    assert(leaked.size <= 1, s"per-round checkpoints leaked: $leaked")
+  }
+
+  test("triangles of K4 plus a pendant edge") {
+    // K4 on {1,2,3,4}: every vertex is in C(3,2)=3 triangles; 5 dangles
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val got = Traversals.triangles((k4 :+ (4L, 5L)).toDF("src", "dst"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L, 5L -> 0L))
+  }
+
+  test("triangle-free graph reports zero everywhere") {
+    val got = Traversals.triangles(
+      Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 0L))
+  }
+
+  test("degree-ordered count matches the naive a<b<c three-way join") {
+    // deterministic pseudo-random graph, heavy-tailed enough to exercise
+    // the orientation
+    val rnd = new scala.util.Random(7)
+    val edges = Seq.fill(300)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter { case (a, b) => a != b }
+    val fast = Traversals.triangles(edges.toDF("src", "dst"))
+      .as[(Long, Long)].collect().toMap
+    val ce = edges.map { case (a, b) => (a min b, a max b) }.distinct
+    val ceSet = ce.toSet
+    val naive = ce.flatMap { case (a, b) =>
+      ce.collect { case (`b`, c) if ceSet((a, c)) => Seq(a, b, c) }.flatten
+    }.groupBy(identity).map { case (id, xs) => id -> xs.size.toLong }
+    val verts = ce.flatMap(e => Seq(e._1, e._2)).distinct
+    val expected = verts.map(v => v -> naive.getOrElse(v, 0L)).toMap
+    assert(fast == expected)
+  }
+}
