@@ -23,9 +23,23 @@ object VectorQueries {
     * gate SF can't go quadratic/linear-per-query on them: a no-op at every
     * current SF (max vec_id is 1999 at sf0.1), mirrored in the oracles. */
   private val BruteCap = 2000
+  private val PqM = 4       // PQ subspaces over the 64-dim embeddings
+  private val PqKs = 8      // entries per subspace codebook
+  private val PqSub = 16    // = 64 / PqM, mirrored in the oracle SQL
 
   private def embs(s: SparkSession, dir: String): DataFrame =
     table(s, dir, "embeddings")
+
+  /** Fixed deterministic PQ codebook: entry c of book j = subvector j of
+    * corpus vector c (the first PqKs vectors — O(ks·dim) driver scalars,
+    * same shape as ann_ivf_fixed's centroid collect). */
+  private def pqCodebook(s: SparkSession, dir: String): graft.operators.ProductQuant.PqCodebook = {
+    val samples = embs(s, dir).where(col("vec_id") < PqKs)
+      .orderBy("vec_id")
+      .select(col("embedding").cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toArray).toSeq
+    graft.operators.ProductQuant.codebookFromSamples(samples, PqM)
+  }
 
   /** embed_pairs_lsh and embed_dedup walk the same near-dup pair graph —
     * computed once per (session, dir), eagerly checkpointed, shared via
@@ -228,6 +242,38 @@ object VectorQueries {
       val idx = SimilaritySearch.ivfIndexFixed(e, "vec_id", "embedding", cents)
       idx.search(e.where(col("vec_id") < NQueries), "vec_id", "embedding",
         TopK, nprobe = NProbe).orderBy("q_id", "rank")
+    }),
+
+    // Product quantization, fixed deterministic codebook (subvectors of
+    // the first PqKs corpus vectors — the externally-trained-codebook
+    // seam, SQL-expressible like ann_ivf_fixed): every vector encoded to
+    // PqM small codes in one shuffle-free projection.
+    "pq_encode" -> ((s, dir) => {
+      graft.operators.ProductQuant.encode(
+          embs(s, dir), "vec_id", "embedding", pqCodebook(s, dir))
+        .select(Seq(col("id").as("vec_id")) ++
+          (0 until PqM).map(j =>
+            element_at(col("codes"), j + 1).as(s"c$j")): _*)
+        .orderBy("vec_id")
+    }),
+
+    // ADC ranking over the PQ codes: per query one m×ks lookup table
+    // (computed once on the driver, broadcast), corpus scanned once
+    // summing m lookups per row, ranking through the partial top-k
+    // aggregate — O(queries·k) shuffle rows, zero corpus-side vector
+    // arithmetic.
+    "pq_topk" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val cb = pqCodebook(s, dir)
+      val qs = e.where(col("vec_id") < NQueries)
+        .select(col("vec_id").cast("long"),
+          col("embedding").cast("array<double>"))
+        .collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toSeq
+      graft.operators.ProductQuant.adcTopK(
+          graft.operators.ProductQuant.encode(e, "vec_id", "embedding", cb),
+          qs, cb, TopK)
+        .orderBy("q_id", "rank")
     }))
 
   private val sqlCos =
@@ -388,5 +434,49 @@ object VectorQueries {
          |SELECT a.vec_id AS id_a, b.vec_id AS id_b, round($sqlCos, 6) AS sim
          |FROM v a JOIN v b ON a.vec_id < b.vec_id
          |WHERE round($sqlCos, 6) >= $CosTau
-         |ORDER BY id_a, id_b""".stripMargin)
+         |ORDER BY id_a, id_b""".stripMargin,
+    "pq_encode" ->
+      s"""WITH $sqlPqCodes
+         |SELECT vec_id,
+         |${(0 until PqM).map(j =>
+             s"  CAST(max(CASE WHEN j = $j THEN code END) AS INT) AS c$j")
+           .mkString(",\n")}
+         |FROM codes GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+    "pq_topk" ->
+      s"""WITH $sqlPqCodes,
+         |q AS (SELECT vec_id AS q_id, e FROM v WHERE vec_id < $NQueries),
+         |qd AS (SELECT q.q_id, t.j, cb.c AS code,
+         |    ${sqlPqSubL2("q", "cb")} AS d
+         |  FROM q, cb, unnest(range(0, $PqM)) t(j)),
+         |scored AS (SELECT qd.q_id, c.vec_id AS id, round(sum(qd.d), 6) AS dist
+         |  FROM codes c JOIN qd ON qd.j = c.j AND qd.code = c.code
+         |  WHERE c.vec_id <> qd.q_id
+         |  GROUP BY qd.q_id, c.vec_id),
+         |ranked AS (SELECT q_id, id, dist, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY dist, id) AS rank FROM scored)
+         |SELECT q_id, id, dist, CAST(rank AS INT) AS rank FROM ranked
+         |WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin)
+
+  /** Squared L2 between subspace `j` slices of `a.e` and `b.e` (both
+    * tables must expose a DOUBLE[] column `e`; `t.j` in scope). */
+  private def sqlPqSubL2(a: String, b: String): String =
+    s"""list_sum(list_transform(range(1, ${PqSub + 1}),
+       |      i -> ($a.e[t.j*$PqSub + i] - $b.e[t.j*$PqSub + i])
+       |         * ($a.e[t.j*$PqSub + i] - $b.e[t.j*$PqSub + i])))""".stripMargin
+
+  /** Shared PQ prologue: corpus `v`, fixed codebook `cb` (the first PqKs
+    * vectors), per-(vector, subspace) code via 6dp-rounded argmin with
+    * the lower code winning ties — bit-aligned with
+    * [[graft.operators.ProductQuant.encode]]. */
+  private def sqlPqCodes: String =
+    s"""v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+       |  FROM embeddings),
+       |cb AS (SELECT vec_id AS c, e FROM v WHERE vec_id < $PqKs),
+       |sd AS (SELECT v.vec_id, t.j, cb.c AS code,
+       |    round(${sqlPqSubL2("v", "cb")}, 6) AS d
+       |  FROM v, cb, unnest(range(0, $PqM)) t(j)),
+       |codes AS (SELECT vec_id, j, code FROM (
+       |  SELECT vec_id, j, code, row_number() OVER (
+       |    PARTITION BY vec_id, j ORDER BY d, code) AS rn FROM sd)
+       |  WHERE rn = 1)""".stripMargin
 }
