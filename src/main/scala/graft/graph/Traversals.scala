@@ -79,6 +79,74 @@ object Traversals {
     visited.select(col("id"), col("hops").cast("int").as("hops"))
   }
 
+  /** Fixed-iteration PageRank over the DIRECTED simple view of `edges`
+    * (self-loops dropped, duplicate edges collapsed), with uniform
+    * teleport and dangling mass redistributed uniformly — the standard
+    * power iteration, run a FIXED `iters` rounds so the result is exactly
+    * replayable (the oracle unrolls the same rounds in SQL).
+    *
+    * Per round: one keyed join of the contribution edges with the rank
+    * vector + one map-side-combined groupBy(dst) sum; the dangling mass
+    * is a 1-row aggregate attached by broadcast crossJoin, so a round is
+    * ONE job (the lazy checkpoint's materializing count) and nothing
+    * collects to the driver. Superseded rank checkpoints are released
+    * eagerly. Shuffles are keyed by vertex id throughout — at 1000
+    * executors each round is a pair of hash exchanges of the rank
+    * vector, the same shape GraphX's Pregel would shuffle, minus the
+    * vertex-program overhead.
+    *
+    * @return (id, pr) for every vertex of the graph; `pr` is unrounded
+    *         (callers round for cross-engine comparison).
+    */
+  def pageRank(edges: DataFrame, iters: Int = 5,
+               damping: Double = 0.85): DataFrame = {
+    val ce = edges
+      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint(eager = false)
+    val verts = ce.select(col("src").as("id"))
+      .union(ce.select(col("dst").as("id"))).distinct()
+      .localCheckpoint(eager = false)
+    val n = verts.count() // materializes ce + verts
+    if (n == 0) return verts.withColumn("pr", lit(0.0))
+
+    val outdeg = ce.groupBy("src").agg(count(lit(1)).cast("double").as("c"))
+    val contribEdges = ce.join(outdeg, "src").localCheckpoint(eager = false)
+    // vertices with no out-edge leak their mass to everyone
+    val dangling = verts
+      .join(outdeg.select(col("src").as("id")), Seq("id"), "left_anti")
+      .localCheckpoint(eager = false)
+    contribEdges.count()
+    dangling.count() // both materialized before their parent is dropped
+    LineageCut.release(ce)
+
+    var ranks = verts.withColumn("pr", lit(1.0 / n))
+      .localCheckpoint(eager = false)
+    var it = 0
+    while (it < iters) {
+      val dang = ranks.join(dangling, Seq("id"), "left_semi")
+        .agg(coalesce(sum("pr"), lit(0.0)).as("dm"))
+      val contrib = contribEdges
+        .join(ranks.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), (col("pr") / col("c")).as("w"))
+        .groupBy("id").agg(sum("w").as("contrib"))
+      val next = verts.join(contrib, Seq("id"), "left")
+        .crossJoin(broadcast(dang))
+        .select(col("id"),
+          (lit((1.0 - damping) / n) + lit(damping) *
+            (coalesce(col("contrib"), lit(0.0)) + col("dm") / n)).as("pr"))
+        .localCheckpoint(eager = false)
+      next.count() // materialize before dropping the parent
+      LineageCut.release(ranks)
+      ranks = next
+      it += 1
+    }
+    LineageCut.release(contribEdges)
+    LineageCut.release(dangling)
+    ranks
+  }
+
   /** Per-vertex triangle counts, treating `edges` as undirected (simple
     * graph: self-loops dropped, duplicates collapsed).
     *

@@ -23,6 +23,8 @@ object ClusterQueries {
   private val minPts = 4
   private val kAnon = 4
   private val BfsMaxHops = 32
+  private val PrIters = 5
+  private val PrDamping = 0.85
 
   private def pts(s: SparkSession, dir: String): DataFrame =
     table(s, dir, "part").select(col("p_partkey").as("id"),
@@ -318,6 +320,17 @@ object ClusterQueries {
     // corner); oracle: a<b<c three-way self-join.
     "triangles" -> ((s, dir) => {
       Traversals.triangles(epsEdges(s, dir)).orderBy("id")
+    }),
+
+    // Fixed-iteration PageRank on the directed ε-graph (core→neighbor):
+    // density-weighted point centrality. Exactly 5 power-iteration
+    // rounds so the oracle can unroll the same rounds in SQL; both
+    // engines round the final rank to 6dp.
+    "pagerank" -> ((s, dir) => {
+      Traversals.pageRank(epsEdges(s, dir), iters = PrIters,
+          damping = PrDamping)
+        .select(col("id"), round(col("pr"), 6).as("pr"))
+        .orderBy("id")
     }))
 
   /** One sweep leg as a self-contained derived table: the dbscan_errors
@@ -514,5 +527,40 @@ object ClusterQueries {
          |  (SELECT unnest([u, v, w]) AS id FROM tri) GROUP BY id),
          |verts AS (SELECT a AS id FROM ce UNION SELECT b FROM ce)
          |SELECT v.id, CAST(coalesce(pv.n_tri, 0) AS BIGINT) AS n_tri
-         |FROM verts v LEFT JOIN pv USING (id) ORDER BY v.id""".stripMargin)
+         |FROM verts v LEFT JOIN pv USING (id) ORDER BY v.id""".stripMargin,
+    "pagerank" -> sqlPagerank)
+
+  /** The PageRank power iteration unrolled to PrIters explicit legs —
+    * contribution sum, dangling mass, rank update per round, mirroring
+    * [[graft.graph.Traversals.pageRank]]'s arithmetic term for term.
+    * MATERIALIZED pins DuckDB's default CTE inlining: without it every
+    * leg re-evaluates the cartesian ε-join prologue (measured 18.7 s →
+    * 0.15 s at sf0.01). */
+  private def sqlPagerank: String = {
+    val d = PrDamping
+    val legs = (1 to PrIters).map(t =>
+      s"""c$t AS (SELECT e.dst AS id, sum(p.r / o.c) AS contrib
+         |  FROM ce e JOIN r${t - 1} p ON p.id = e.src
+         |  JOIN outdeg o ON o.src = e.src
+         |  GROUP BY e.dst),
+         |dg$t AS (SELECT coalesce(sum(r), 0) AS dm FROM r${t - 1} dd
+         |  WHERE NOT EXISTS (SELECT 1 FROM outdeg o WHERE o.src = dd.id)),
+         |r$t AS MATERIALIZED (SELECT v.id,
+         |    (1.0 - $d) / (SELECT n FROM nn) + $d * (coalesce(c.contrib, 0)
+         |      + (SELECT dm FROM dg$t) / (SELECT n FROM nn)) AS r
+         |  FROM verts v LEFT JOIN c$t c ON c.id = v.id)""".stripMargin)
+      .mkString(",\n")
+    s"""WITH
+       |$sqlGraph,
+       |ce AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges
+       |  WHERE src <> dst),
+       |verts AS MATERIALIZED (SELECT src AS id FROM ce
+       |  UNION SELECT dst FROM ce),
+       |nn AS MATERIALIZED (SELECT count(*) AS n FROM verts),
+       |outdeg AS MATERIALIZED (SELECT src, CAST(count(*) AS DOUBLE) AS c
+       |  FROM ce GROUP BY src),
+       |r0 AS (SELECT id, 1.0 / (SELECT n FROM nn) AS r FROM verts),
+       |$legs
+       |SELECT id, round(r, 6) AS pr FROM r$PrIters ORDER BY id""".stripMargin
+  }
 }

@@ -63,6 +63,45 @@ class TraversalsSpec extends GraftSuite {
     assert(got == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 0L))
   }
 
+  test("pageRank matches a driver-side power iteration to float tolerance") {
+    // star + chain + dangling sink: 1→2, 3→2, 2→4, 4 dangling
+    val edges = Seq((1L, 2L), (3L, 2L), (2L, 4L))
+    val got = Traversals.pageRank(edges.toDF("src", "dst"), iters = 5)
+      .as[(Long, Double)].collect().toMap
+    // reference: same fixed-point arithmetic on plain arrays
+    val ids = Seq(1L, 2L, 3L, 4L)
+    val out = Map(1L -> Seq(2L), 3L -> Seq(2L), 2L -> Seq(4L))
+    var pr = ids.map(_ -> 1.0 / 4).toMap
+    for (_ <- 1 to 5) {
+      val dang = ids.filterNot(out.contains).map(pr).sum
+      pr = ids.map { v =>
+        val in = out.collect {
+          case (u, ts) if ts.contains(v) => pr(u) / ts.size
+        }.sum
+        v -> ((1.0 - 0.85) / 4 + 0.85 * (in + dang / 4))
+      }.toMap
+    }
+    assert(got.keySet == pr.keySet)
+    ids.foreach(v => assert(math.abs(got(v) - pr(v)) < 1e-12, s"vertex $v"))
+    // more in-links → higher rank; mass conserved
+    assert(got(2L) > got(1L) && got(4L) > got(1L))
+    assert(math.abs(got.values.sum - 1.0) < 1e-9)
+  }
+
+  test("pageRank releases per-round checkpoints and handles empty graphs") {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val r = Traversals.pageRank(
+      (0L until 50L).map(i => (i, (i + 1) % 50)).toDF("src", "dst"), iters = 4)
+    assert(r.count() == 50)
+    val leaked = sc.getPersistentRDDs.keySet -- before
+    // final ranks + the still-referenced verts/contrib inputs may live;
+    // the 4 superseded rank vectors and the raw edge set must not
+    assert(leaked.size <= 3, s"checkpoints leaked: $leaked")
+    assert(Traversals.pageRank(
+      Seq.empty[(Long, Long)].toDF("src", "dst")).count() == 0)
+  }
+
   test("degree-ordered count matches the naive a<b<c three-way join") {
     // deterministic pseudo-random graph, heavy-tailed enough to exercise
     // the orientation
