@@ -73,6 +73,31 @@ object ProductQuant {
       array((0 until cb.m).map(j => codeCol(vec, cb, j)): _*).as("codes"))
   }
 
+  /** ADC lookup table for one query: dtab(j)(c) = ||q_sub_j − book_j(c)||²,
+    * computed once on the driver (m·ks sums of subDim squares). */
+  private def lookupTable(q: Array[Double], cb: PqCodebook): Seq[Seq[Double]] =
+    (0 until cb.m).map { j =>
+      cb.books(j).map { cent =>
+        var s = 0.0
+        var i = 0
+        while (i < cb.subDim) {
+          val dlt = q(j * cb.subDim + i) - cent(i)
+          s += dlt * dlt
+          i += 1
+        }
+        s
+      }.toSeq
+    }
+
+  /** Negated 6dp ADC distance (codes summed through the broadcast `dtab`
+    * column) — negated so the shared top-k aggregate's (sim desc, id asc)
+    * ordering yields (dist asc, id asc). */
+  private def negAdcCol: Column =
+    -round(aggregate(
+      zip_with(col("codes"), col("dtab"),
+        (cj, row) => element_at(row, cj + 1)),
+      lit(0.0), (acc, v) => acc + v), 6)
+
   /** Asymmetric-distance top-k: for each query vector, the `k` encoded
     * corpus vectors with the smallest summed per-subspace distance to the
     * query's lookup table. `queryRows` are driver-side (q_id, vector)
@@ -86,32 +111,52 @@ object ProductQuant {
               cb: PqCodebook, k: Int): DataFrame = {
     val spark = encoded.sparkSession
     import spark.implicits._
-    // ADC lookup tables: dtab(j)(c) = ||q_sub_j - book_j(c)||², computed
-    // once per query on the driver (m·ks sums of subDim squares)
-    val qTabs = queryRows.map { case (qid, q) =>
-      (qid, (0 until cb.m).map { j =>
-        cb.books(j).map { cent =>
-          var s = 0.0
-          var i = 0
-          while (i < cb.subDim) {
-            val dlt = q(j * cb.subDim + i) - cent(i)
-            s += dlt * dlt
-            i += 1
-          }
-          s
-        }.toSeq
-      }.toSeq)
-    }
+    val qTabs = queryRows.map { case (qid, q) => (qid, lookupTable(q, cb)) }
     val scored = encoded.crossJoin(
         broadcast(qTabs.toDF("q_id", "dtab")))
       .where(col("id") =!= col("q_id"))
-      .select(col("q_id"), col("id"),
-        // negate so the shared top-k aggregate's (sim desc, id asc)
-        // ordering yields (dist asc, id asc)
-        (-round(aggregate(
-          zip_with(col("codes"), col("dtab"),
-            (cj, row) => element_at(row, cj + 1)),
-          lit(0.0), (acc, v) => acc + v), 6)).as("sim"))
+      .select(col("q_id"), col("id"), negAdcCol.as("sim"))
+    SimilaritySearch.rankTopK(scored, k)
+      .select(col("q_id"), col("id"), (-col("sim")).as("dist"), col("rank"))
+  }
+
+  /** IVF-PQ: the production ANN composition — the coarse quantizer prunes
+    * each query to its `nprobe` nearest buckets (max-cosine, the same
+    * probe as [[SimilaritySearch.IvfIndex.search]]), then candidates are
+    * ranked by ADC over their PQ codes instead of full-vector arithmetic.
+    * Bucket id and codes come from ONE shuffle-free projection of the
+    * corpus; the query side (probes × lookup tables, O(queries·nprobe) +
+    * O(queries·m·ks) values) broadcasts into a bucket equi-join, so
+    * candidate work is bounded by probed-bucket population and per-
+    * candidate cost is m table lookups — independent of both corpus size
+    * and vector dimension. The scale path for billion-vector ANN.
+    *
+    * @return (q_id, id, dist, rank), dist 6dp ADC, rank 1-based by
+    *         (dist asc, id asc); the query's own id is excluded.
+    */
+  def ivfAdcTopK(embs: DataFrame, idCol: String, vecCol: String,
+                 cents: Map[Int, Array[Double]], cb: PqCodebook,
+                 queries: DataFrame, k: Int, nprobe: Int): DataFrame = {
+    val spark = embs.sparkSession
+    import spark.implicits._
+    val idx = SimilaritySearch.ivfIndexFixed(embs, idCol, vecCol, cents)
+    val enc = idx.indexed.select(col("id").cast("long").as("id"),
+      col("bucket"),
+      array((0 until cb.m).map(j => codeCol(col("vec"), cb, j)): _*)
+        .as("codes"))
+    val q = queries.select(col(idCol).cast("long").as("q_id"),
+      col(vecCol).cast("array<double>").as("q_vec"))
+    val qTabs = q.collect()
+      .map(r => (r.getLong(0),
+        lookupTable(r.getSeq[Double](1).toArray, cb))).toSeq
+    val qb = q.select(col("q_id"), explode(
+        graft.functions.VecKernels.nearest_centroids(
+          col("q_vec"), cents.toSeq, nprobe, cosine = true)).as("p"))
+      .select(col("q_id"), col("p.cluster").as("bucket"))
+      .join(qTabs.toDF("q_id", "dtab"), "q_id")
+    val scored = enc.join(broadcast(qb), "bucket")
+      .where(col("id") =!= col("q_id"))
+      .select(col("q_id"), col("id"), negAdcCol.as("sim"))
     SimilaritySearch.rankTopK(scored, k)
       .select(col("q_id"), col("id"), (-col("sim")).as("dist"), col("rank"))
   }

@@ -274,6 +274,25 @@ object VectorQueries {
           graft.operators.ProductQuant.encode(e, "vec_id", "embedding", cb),
           qs, cb, TopK)
         .orderBy("q_id", "rank")
+    }),
+
+    // IVF-PQ — the billion-vector ANN composition, fully under the
+    // oracle because both quantizers are fixed: coarse probe prunes to
+    // NProbe buckets (ann_ivf_fixed's machinery), ADC over PQ codes
+    // ranks the candidates (pq_topk's machinery). Candidate work is
+    // bounded by probed-bucket population; per-candidate cost is PqM
+    // table lookups, independent of dimension.
+    "ann_ivfpq" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val cents = e.where(col("vec_id") < NList)
+        .select(col("vec_id").cast("int"),
+          col("embedding").cast("array<double>"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+      graft.operators.ProductQuant.ivfAdcTopK(
+          e, "vec_id", "embedding", cents, pqCodebook(s, dir),
+          e.where(col("vec_id") < NQueries), TopK, NProbe)
+        .orderBy("q_id", "rank")
     }))
 
   private val sqlCos =
@@ -455,7 +474,40 @@ object VectorQueries {
          |ranked AS (SELECT q_id, id, dist, row_number() OVER (
          |    PARTITION BY q_id ORDER BY dist, id) AS rank FROM scored)
          |SELECT q_id, id, dist, CAST(rank AS INT) AS rank FROM ranked
-         |WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin)
+         |WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin,
+    "ann_ivfpq" -> {
+      val cos = (x: String, y: String) =>
+        s"list_dot_product($x, $y) / (sqrt(list_dot_product($x, $x)) * sqrt(list_dot_product($y, $y)))"
+      s"""WITH $sqlPqCodes,
+         |cents AS (SELECT vec_id AS cluster, e AS cv FROM v
+         |  WHERE vec_id < $NList),
+         |vb AS (SELECT vec_id, cluster AS bucket FROM (
+         |    SELECT a.vec_id, ct.cluster,
+         |      row_number() OVER (PARTITION BY a.vec_id
+         |        ORDER BY -(${cos("a.e", "ct.cv")}), ct.cluster) AS rn
+         |    FROM v a CROSS JOIN cents ct) WHERE rn = 1),
+         |qp AS (SELECT q_id, cluster AS bucket FROM (
+         |    SELECT a.vec_id AS q_id, ct.cluster,
+         |      row_number() OVER (PARTITION BY a.vec_id
+         |        ORDER BY -(${cos("a.e", "ct.cv")}), ct.cluster) AS rn
+         |    FROM v a CROSS JOIN cents ct WHERE a.vec_id < $NQueries)
+         |  WHERE rn <= $NProbe),
+         |q AS (SELECT vec_id AS q_id, e FROM v WHERE vec_id < $NQueries),
+         |qd AS (SELECT q.q_id, t.j, cb.c AS code,
+         |    ${sqlPqSubL2("q", "cb")} AS d
+         |  FROM q, cb, unnest(range(0, $PqM)) t(j)),
+         |scored AS (SELECT qp.q_id, vb.vec_id AS id,
+         |    round(sum(qd.d), 6) AS dist
+         |  FROM qp JOIN vb ON qp.bucket = vb.bucket
+         |  JOIN codes c ON c.vec_id = vb.vec_id
+         |  JOIN qd ON qd.q_id = qp.q_id AND qd.j = c.j AND qd.code = c.code
+         |  WHERE vb.vec_id <> qp.q_id
+         |  GROUP BY qp.q_id, vb.vec_id),
+         |ranked AS (SELECT q_id, id, dist, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY dist, id) AS rank FROM scored)
+         |SELECT q_id, id, dist, CAST(rank AS INT) AS rank FROM ranked
+         |WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin
+    })
 
   /** Squared L2 between subspace `j` slices of `a.e` and `b.e` (both
     * tables must expose a DOUBLE[] column `e`; `t.j` in scope). */

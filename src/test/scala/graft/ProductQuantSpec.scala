@@ -70,6 +70,28 @@ class ProductQuantSpec extends GraftSuite {
     }
   }
 
+  test("ivfAdcTopK agrees with full ADC on the probed candidate set") {
+    // coarse quantizer: first 3 vectors as centroids
+    val cents = vecs.take(3).map { case (i, v) => i.toInt -> v }.toMap
+    val q = vecDf.where(col("vec_id") === 7L)
+    val got = ProductQuant.ivfAdcTopK(vecDf, "vec_id", "embedding",
+        cents, cb, q, k = 40, nprobe = 3)
+      .as[(Long, Long, Double, Int)].collect()
+    // nprobe = nlist probes EVERY bucket → identical to exhaustive ADC
+    val full = ProductQuant.adcTopK(
+        ProductQuant.encode(vecDf, "vec_id", "embedding", cb),
+        Seq(7L -> vecs(7)._2), cb, k = 40)
+      .as[(Long, Long, Double, Int)].collect()
+    assert(got.sortBy(_._4).toSeq == full.sortBy(_._4).toSeq)
+    // nprobe = 1 returns a subset of the exhaustive ranking's pairs
+    val pruned = ProductQuant.ivfAdcTopK(vecDf, "vec_id", "embedding",
+        cents, cb, q, k = 40, nprobe = 1)
+      .as[(Long, Long, Double, Int)].collect()
+    val fullDist = full.map(r => r._2 -> r._3).toMap
+    assert(pruned.nonEmpty && pruned.length < full.length)
+    pruned.foreach(r => assert(fullDist(r._2) == r._3))
+  }
+
   test("adcTopK ranks by (dist asc, id asc) and excludes the query") {
     val q = vecs(5)
     val rows = ProductQuant.adcTopK(
