@@ -117,6 +117,39 @@ object Dedup {
         col("span_end").cast("int"))
   }
 
+  /** Apply [[duplicatedSpans]]: rebuild every document from the tokens
+    * OUTSIDE its duplicated spans (single-space joined — tokenization is
+    * whitespace-normalizing by construction). A fully-duplicated document
+    * becomes ""; the keep-first exemption means one copy of every
+    * repeated passage survives corpus-wide.
+    *
+    * One groupBy collapses each doc's spans to an interval array (tiny:
+    * spans are maximal, disjoint), one keyed join attaches it, and the
+    * cut itself is a pure projection — no token-level explode. */
+  def stripDuplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                           n: Int): DataFrame = {
+    val spans = duplicatedSpans(docs, idCol, textCol, n)
+      .groupBy("id")
+      .agg(collect_list(struct(col("span_start").as("s"),
+        col("span_end").as("e"))).as("spans"))
+    val toks = when(length(trim(col(textCol))) === 0,
+        array().cast("array<string>"))
+      .otherwise(split(trim(col(textCol)), "\\s+"))
+    docs.select(col(idCol).as("id"), toks.as("t"))
+      .join(spans, Seq("id"), "left")
+      .select(col("id"), when(size(col("t")) === 0, lit("")).otherwise(
+        array_join(
+          transform(
+            filter(
+              zip_with(col("t"), sequence(lit(0), size(col("t")) - 1),
+                (tok, i) => struct(tok.as("tok"), i.as("i"))),
+              x => !exists(coalesce(col("spans"),
+                array().cast("array<struct<s:int,e:int>>")),
+                sp => x.getField("i") >= sp.getField("s") &&
+                  x.getField("i") < sp.getField("e"))),
+            x => x.getField("tok")), " ")).as("text"))
+  }
+
   // ------------------------------------------------------- n-gram Jaccard
 
   /** Distinct word-`n`-gram shingle set per doc: (id, shingle). */

@@ -18,6 +18,7 @@ import org.apache.spark.sql.functions._
 object TextQueries {
   private val ShingleN = 2
   private val SpanN = 5
+  private val TfidfTopN = 5
   private val JaccardTau = 0.3
   private val Bands = 16
   private val Rows = 4
@@ -364,6 +365,42 @@ object TextQueries {
       Dedup.duplicatedSpans(docs(s, dir), "doc_id", "text", SpanN)
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id", "span_start")
+    }),
+
+    // span_dedup APPLIED: every document rebuilt from the tokens outside
+    // its duplicated spans (whitespace-normalized; "" when fully
+    // duplicated) — the output a curation pipeline actually ships.
+    "span_strip" -> ((s, dir) => {
+      Dedup.stripDuplicatedSpans(docs(s, dir), "doc_id", "text", SpanN)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
+    // Per-document top-5 TF-IDF terms (keyword extraction). The idf is
+    // the INTEGER floor((1e6·N)/df) — order-equivalent to log(N/df) for
+    // ranking within a corpus and exact in both engines, sidestepping
+    // cross-engine ln() ulp drift the way surprisal_score does. Shuffles:
+    // (doc,token) groupBy, token-keyed df groupBy (both map-side
+    // combined), one keyed join, and a per-doc window whose partition is
+    // one document's vocabulary.
+    "tfidf_topk" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val n = d.count()
+      val toks = when(length(trim(col("text"))) === 0,
+          array().cast("array<string>"))
+        .otherwise(split(trim(col("text")), "\\s+"))
+      val tf = d.select(col("doc_id"), explode(toks).as("token"))
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      val scored = tf.join(dfreq, "token")
+        .withColumn("score", col("tf") * expr(s"${1000000L * n} div df"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(col("score").desc, col("token"))
+      scored.withColumn("rank", row_number().over(w))
+        .where(col("rank") <= TfidfTopN)
+        .select(col("doc_id"), col("token"), col("tf"), col("score"),
+          col("rank"))
+        .orderBy("doc_id", "rank")
     }))
 
   // ----------------------------------------------------------- oracles
@@ -748,25 +785,63 @@ object TextQueries {
          |ORDER BY t.doc_id""".stripMargin,
     "span_dedup" ->
       s"""WITH $sqlToks,
-         |occ AS (SELECT doc_id, p - 1 AS p, ${sqlPolyHash("g")} AS h FROM (
-         |  SELECT doc_id, p, array_to_string(t[p:p + $SpanN - 1], ' ') AS g
-         |  FROM toks, unnest(range(1, len(t) - $SpanN + 2)) u(p)
-         |  WHERE len(t) >= $SpanN)),
-         |da AS (SELECT h FROM occ GROUP BY h HAVING count(*) >= 2),
-         |ranked AS (SELECT o.doc_id, o.p, row_number() OVER (
-         |    PARTITION BY o.h ORDER BY o.doc_id, o.p) AS rn
-         |  FROM occ o JOIN da USING (h)),
-         |hits AS (SELECT doc_id, p FROM ranked WHERE rn >= 2),
-         |h2 AS (SELECT doc_id, p, max(p + $SpanN) OVER (
-         |    PARTITION BY doc_id ORDER BY p
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
-         |  FROM hits),
-         |isl AS (SELECT doc_id, p, sum(CASE WHEN pme IS NULL OR p >= pme
-         |      THEN 1 ELSE 0 END) OVER (
-         |    PARTITION BY doc_id ORDER BY p) AS grp
-         |  FROM h2)
-         |SELECT doc_id, CAST(min(p) AS INT) AS span_start,
-         |  CAST(max(p) + $SpanN AS INT) AS span_end
-         |FROM isl GROUP BY doc_id, grp
-         |ORDER BY doc_id, span_start""".stripMargin)
+         |$sqlSpanChain
+         |SELECT doc_id, span_start, span_end FROM spans
+         |ORDER BY doc_id, span_start""".stripMargin,
+    "span_strip" ->
+      s"""WITH $sqlToks,
+         |$sqlSpanChain,
+         |tokpos AS (SELECT doc_id, p - 1 AS p, t[p] AS tok
+         |  FROM toks, unnest(range(1, len(t) + 1)) u(p)),
+         |cov AS (SELECT doc_id, p FROM spans,
+         |  unnest(range(span_start, span_end)) u(p)),
+         |kept AS (SELECT t.doc_id, t.p, t.tok FROM tokpos t
+         |  LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.p = t.p
+         |  WHERE c.p IS NULL),
+         |agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS txt
+         |  FROM kept GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(a.txt, '') AS text
+         |FROM documents d LEFT JOIN agg a USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
+    "tfidf_topk" ->
+      s"""WITH $sqlToks,
+         |tf AS (SELECT doc_id, t2.tok AS token, count(*) AS tf
+         |  FROM toks, unnest(t) AS t2(tok) GROUP BY doc_id, t2.tok),
+         |dfx AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+         |nn AS (SELECT count(*) AS n FROM documents),
+         |scored AS (SELECT tf.doc_id, tf.token, tf.tf,
+         |    tf.tf * ((1000000 * (SELECT n FROM nn)) // dfx.df) AS score
+         |  FROM tf JOIN dfx USING (token)),
+         |ranked AS (SELECT doc_id, token, tf, score, row_number() OVER (
+         |    PARTITION BY doc_id ORDER BY score DESC, token) AS rank
+         |  FROM scored)
+         |SELECT doc_id, token, tf, score, CAST(rank AS INT) AS rank
+         |FROM ranked WHERE rank <= $TfidfTopN ORDER BY doc_id, rank""".stripMargin)
+
+  /** The duplicated-span pipeline as a CTE chain ending in
+    * `spans(doc_id, span_start, span_end)` — 5-gram occurrences,
+    * corpus-duplicated hashes, keep-first exemption, gaps-and-islands
+    * merge. Mirrors [[graft.operators.Dedup.duplicatedSpans]]; shared by
+    * the span_dedup and span_strip oracles. Requires `toks` in scope. */
+  private def sqlSpanChain: String =
+    s"""occ AS (SELECT doc_id, p - 1 AS p, ${sqlPolyHash("g")} AS h FROM (
+       |  SELECT doc_id, p, array_to_string(t[p:p + $SpanN - 1], ' ') AS g
+       |  FROM toks, unnest(range(1, len(t) - $SpanN + 2)) u(p)
+       |  WHERE len(t) >= $SpanN)),
+       |da AS (SELECT h FROM occ GROUP BY h HAVING count(*) >= 2),
+       |ranked AS (SELECT o.doc_id, o.p, row_number() OVER (
+       |    PARTITION BY o.h ORDER BY o.doc_id, o.p) AS rn
+       |  FROM occ o JOIN da USING (h)),
+       |hits AS (SELECT doc_id, p FROM ranked WHERE rn >= 2),
+       |h2 AS (SELECT doc_id, p, max(p + $SpanN) OVER (
+       |    PARTITION BY doc_id ORDER BY p
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+       |  FROM hits),
+       |isl AS (SELECT doc_id, p, sum(CASE WHEN pme IS NULL OR p >= pme
+       |      THEN 1 ELSE 0 END) OVER (
+       |    PARTITION BY doc_id ORDER BY p) AS grp
+       |  FROM h2),
+       |spans AS (SELECT doc_id, CAST(min(p) AS INT) AS span_start,
+       |    CAST(max(p) + $SpanN AS INT) AS span_end
+       |  FROM isl GROUP BY doc_id, grp)""".stripMargin
 }

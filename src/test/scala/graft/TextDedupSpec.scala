@@ -224,6 +224,60 @@ class TextDedupSpec extends GraftSuite {
       .as[String].collect().toSeq
     assert(got == Seq("a\nb\nc", "a", "", "x"))
   }
+  // ------------------------------------------------ exact-substring spans
+
+  private def spans(d: Seq[(Long, String)], n: Int,
+                    keepFirst: Boolean = true): Seq[(Long, Int, Int)] =
+    Dedup.duplicatedSpans(d.toDF("doc_id", "text"), "doc_id", "text", n,
+      keepFirst)
+      .as[(Long, Int, Int)].collect().sorted.toSeq
+
+  test("duplicatedSpans marks repeated passages, exempting the first occurrence") {
+    val d = Seq(
+      (1L, "a b c d e x y z"), // "a b c d e" first occurs here → exempt
+      (2L, "p q a b c d e r"), // repeat at tokens 2..7
+      (3L, "n o t h i n g like it"))
+    assert(spans(d, 5) == Seq((2L, 2, 7)))
+    // without the exemption both occurrences are marked
+    assert(spans(d, 5, keepFirst = false) == Seq((1L, 0, 5), (2L, 2, 7)))
+  }
+
+  test("duplicatedSpans merges overlapping n-gram hits into one maximal span") {
+    // tokens 0..6 of doc 2 repeat doc 1's 7-token passage: three
+    // overlapping 5-grams at p=0,1,2 must fuse into [0, 7)
+    val d = Seq(
+      (1L, "a b c d e f g"),
+      (2L, "a b c d e f g h"))
+    assert(spans(d, 5) == Seq((2L, 0, 7)))
+  }
+
+  test("duplicatedSpans keeps disjoint spans apart and honors within-doc repeats") {
+    // doc 1 repeats its own 5-gram: second occurrence (p=6) is marked,
+    // first exempt; the gap at token 5 splits nothing else
+    val d = Seq((1L, "a b c d e x a b c d e"))
+    assert(spans(d, 5) == Seq((1L, 6, 11)))
+  }
+
+  test("duplicatedSpans ignores docs shorter than n and empty text") {
+    val d = Seq((1L, "a b"), (2L, ""), (3L, "a b"))
+    assert(spans(d, 5) == Seq.empty)
+  }
+
+  test("stripDuplicatedSpans cuts marked spans, keeps the first copy") {
+    val d = Seq(
+      (1L, "a b c d e x y z"),
+      (2L, "p q a b c d e r"),   // span [2,7) cut, edges survive
+      (3L, "a b c d e"),         // fully duplicated → ""
+      (4L, ""))
+    val got = Dedup.stripDuplicatedSpans(
+        d.toDF("doc_id", "text"), "doc_id", "text", 5)
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(
+      1L -> "a b c d e x y z",
+      2L -> "p q r",
+      3L -> "",
+      4L -> ""))
+  }
 }
 
 class SimilaritySearchSpec extends GraftSuite {
@@ -605,42 +659,4 @@ class SimilaritySearchSpec extends GraftSuite {
     assert(widePlan.contains("posexplode"), widePlan.take(400))
   }
 
-  // ------------------------------------------------ exact-substring spans
-
-  private def spans(d: Seq[(Long, String)], n: Int,
-                    keepFirst: Boolean = true): Seq[(Long, Int, Int)] =
-    Dedup.duplicatedSpans(d.toDF("doc_id", "text"), "doc_id", "text", n,
-      keepFirst)
-      .as[(Long, Int, Int)].collect().sorted.toSeq
-
-  test("duplicatedSpans marks repeated passages, exempting the first occurrence") {
-    val d = Seq(
-      (1L, "a b c d e x y z"), // "a b c d e" first occurs here → exempt
-      (2L, "p q a b c d e r"), // repeat at tokens 2..7
-      (3L, "n o t h i n g like it"))
-    assert(spans(d, 5) == Seq((2L, 2, 7)))
-    // without the exemption both occurrences are marked
-    assert(spans(d, 5, keepFirst = false) == Seq((1L, 0, 5), (2L, 2, 7)))
-  }
-
-  test("duplicatedSpans merges overlapping n-gram hits into one maximal span") {
-    // tokens 0..6 of doc 2 repeat doc 1's 7-token passage: three
-    // overlapping 5-grams at p=0,1,2 must fuse into [0, 7)
-    val d = Seq(
-      (1L, "a b c d e f g"),
-      (2L, "a b c d e f g h"))
-    assert(spans(d, 5) == Seq((2L, 0, 7)))
-  }
-
-  test("duplicatedSpans keeps disjoint spans apart and honors within-doc repeats") {
-    // doc 1 repeats its own 5-gram: second occurrence (p=6) is marked,
-    // first exempt; the gap at token 5 splits nothing else
-    val d = Seq((1L, "a b c d e x a b c d e"))
-    assert(spans(d, 5) == Seq((1L, 6, 11)))
-  }
-
-  test("duplicatedSpans ignores docs shorter than n and empty text") {
-    val d = Seq((1L, "a b"), (2L, ""), (3L, "a b"))
-    assert(spans(d, 5) == Seq.empty)
-  }
 }
