@@ -147,6 +147,80 @@ object Traversals {
     ranks
   }
 
+  /** Synchronous label propagation (Raghavan et al. 2007), the
+    * deterministic variant: every vertex starts labeled with its own id;
+    * each round it adopts the label most frequent among its neighbors,
+    * ties to the SMALLEST label, all vertices updating simultaneously.
+    * A FIXED `iters` rounds keeps the result exactly replayable (the
+    * oracle unrolls the rounds); arithmetic is pure integer counting, so
+    * there is no float drift at all. Densely intra-connected regions
+    * converge onto one label — community detection at ε-graph scale.
+    *
+    * Per round: one keyed join delivering neighbor labels, one
+    * map-side-combined (vertex, label) count, one min-struct argmax per
+    * vertex (count desc, label asc — NO per-key window), checkpointed
+    * with eager release. Returns (id, label).
+    */
+  def labelPropagation(edges: DataFrame, iters: Int = 3): DataFrame = {
+    val sym = symmetrize(edges).localCheckpoint(eager = false)
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("lab", col("id"))
+      .localCheckpoint(eager = false)
+    labels.count()
+    var it = 0
+    while (it < iters) {
+      val msgs = sym.join(labels.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), col("lab"))
+      val next = msgs.groupBy("id", "lab").agg(count(lit(1)).as("cnt"))
+        .groupBy("id")
+        .agg(min(struct((-col("cnt")).as("nc"), col("lab").as("lab")))
+          .as("top"))
+        .select(col("id"), col("top.lab").as("lab"))
+        .localCheckpoint(eager = false)
+      next.count()
+      LineageCut.release(labels)
+      labels = next
+      it += 1
+    }
+    LineageCut.release(sym)
+    labels.select(col("id"), col("lab").as("label"))
+  }
+
+  /** Fixed-round k-core peeling: `rounds` iterations of "drop every
+    * vertex with degree < k, then recompute degrees", over the
+    * undirected simple view. The contract is the ROUND-BOUNDED state —
+    * chain-shaped graphs peel one link per round, so full convergence
+    * can take O(n) rounds; a production run loops to fixpoint (the loop
+    * body is this round), while fixed rounds keep the gate exactly
+    * replayable — the oracle unrolls them. Pure integer arithmetic.
+    *
+    * Per round: one map-side-combined degree count + two semi-joins
+    * restricting the edge list — all keyed, nothing collects.
+    *
+    * @return (id, deg): vertices with ≥1 surviving edge after the final
+    *         peel, with their degree in the surviving subgraph.
+    */
+  def kCore(edges: DataFrame, k: Int, rounds: Int = 6): DataFrame = {
+    var e = symmetrize(edges).localCheckpoint(eager = false)
+    e.count()
+    var r = 0
+    while (r < rounds) {
+      val keep = e.groupBy("src").agg(count(lit(1)).as("dg"))
+        .where(col("dg") >= k).select(col("src").as("id"))
+      val next = e
+        .join(keep.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
+        .join(keep.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
+        .select(col("src"), col("dst"))
+        .localCheckpoint(eager = false)
+      next.count()
+      LineageCut.release(e)
+      e = next
+      r += 1
+    }
+    e.groupBy("src").agg(count(lit(1)).as("deg"))
+      .select(col("src").as("id"), col("deg"))
+  }
+
   /** Per-vertex triangle counts, treating `edges` as undirected (simple
     * graph: self-loops dropped, duplicates collapsed).
     *

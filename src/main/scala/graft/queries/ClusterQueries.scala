@@ -25,6 +25,9 @@ object ClusterQueries {
   private val BfsMaxHops = 32
   private val PrIters = 5
   private val PrDamping = 0.85
+  private val LpaIters = 3
+  private val KCoreK = 4
+  private val KCoreRounds = 6
 
   private def pts(s: SparkSession, dir: String): DataFrame =
     table(s, dir, "part").select(col("p_partkey").as("id"),
@@ -331,6 +334,22 @@ object ClusterQueries {
           damping = PrDamping)
         .select(col("id"), round(col("pr"), 6).as("pr"))
         .orderBy("id")
+    }),
+
+    // Synchronous label propagation (3 fixed rounds, most-frequent
+    // neighbor label, ties to the smallest): deterministic community
+    // detection, pure integer counting — no float in the whole gate.
+    "lpa_communities" -> ((s, dir) => {
+      Traversals.labelPropagation(epsEdges(s, dir), iters = LpaIters)
+        .orderBy("id")
+    }),
+
+    // k-core peeling, 6 fixed rounds at k=4: the degree-pruned backbone
+    // of the ε-graph. Round-bounded contract (chains peel one link per
+    // round); the oracle unrolls the same 6 peels.
+    "kcore" -> ((s, dir) => {
+      Traversals.kCore(epsEdges(s, dir), k = KCoreK, rounds = KCoreRounds)
+        .orderBy("id")
     }))
 
   /** One sweep leg as a self-contained derived table: the dbscan_errors
@@ -528,7 +547,49 @@ object ClusterQueries {
          |verts AS (SELECT a AS id FROM ce UNION SELECT b FROM ce)
          |SELECT v.id, CAST(coalesce(pv.n_tri, 0) AS BIGINT) AS n_tri
          |FROM verts v LEFT JOIN pv USING (id) ORDER BY v.id""".stripMargin,
-    "pagerank" -> sqlPagerank)
+    "pagerank" -> sqlPagerank,
+    "lpa_communities" -> sqlLpa,
+    "kcore" -> sqlKcore)
+
+  /** Label propagation unrolled to LpaIters legs — neighbor-label
+    * delivery, (vertex, label) count, argmax by (count desc, label asc)
+    * per round. Integer-exact; MATERIALIZED for the same reason as
+    * [[sqlPagerank]]. */
+  private def sqlLpa: String = {
+    val legs = (1 to LpaIters).map(t =>
+      s"""m$t AS (SELECT s.dst AS id, l.lab FROM sym s
+         |  JOIN l${t - 1} l ON l.id = s.src),
+         |c$t AS (SELECT id, lab, count(*) AS cnt FROM m$t GROUP BY id, lab),
+         |l$t AS MATERIALIZED (SELECT id, lab FROM (
+         |    SELECT id, lab, row_number() OVER (PARTITION BY id
+         |      ORDER BY cnt DESC, lab) AS rn FROM c$t)
+         |  WHERE rn = 1)""".stripMargin).mkString(",\n")
+    s"""WITH
+       |$sqlGraph,
+       |sym AS MATERIALIZED (SELECT src, dst FROM edges WHERE src <> dst
+       |  UNION SELECT dst, src FROM edges WHERE src <> dst),
+       |l0 AS (SELECT DISTINCT src AS id, src AS lab FROM sym),
+       |$legs
+       |SELECT id, lab AS label FROM l$LpaIters ORDER BY id""".stripMargin
+  }
+
+  /** k-core peeling unrolled to KCoreRounds legs — degree filter + two
+    * endpoint semi-restrictions per round. */
+  private def sqlKcore: String = {
+    val legs = (1 to KCoreRounds).map(t =>
+      s"""k$t AS (SELECT src AS id FROM e${t - 1} GROUP BY src
+         |  HAVING count(*) >= $KCoreK),
+         |e$t AS MATERIALIZED (SELECT e.src, e.dst FROM e${t - 1} e
+         |  JOIN k$t a ON e.src = a.id JOIN k$t b ON e.dst = b.id)""".stripMargin)
+      .mkString(",\n")
+    s"""WITH
+       |$sqlGraph,
+       |e0 AS MATERIALIZED (SELECT src, dst FROM edges WHERE src <> dst
+       |  UNION SELECT dst, src FROM edges WHERE src <> dst),
+       |$legs
+       |SELECT src AS id, count(*) AS deg FROM e$KCoreRounds
+       |GROUP BY src ORDER BY id""".stripMargin
+  }
 
   /** The PageRank power iteration unrolled to PrIters explicit legs —
     * contribution sum, dangling mass, rank update per round, mirroring

@@ -102,6 +102,29 @@ class TraversalsSpec extends GraftSuite {
       Seq.empty[(Long, Long)].toDF("src", "dst")).count() == 0)
   }
 
+  test("label propagation converges each clique to its minimum label") {
+    // two triangles; round-by-round: min-tiebreak pulls every triangle
+    // member onto the smallest id within 3 synchronous rounds
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L), (4L, 6L))
+    val got = Traversals.labelPropagation(tri.toDF("src", "dst"), iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 4L, 5L -> 4L, 6L -> 4L))
+  }
+
+  test("kCore keeps the K4 and peels the tail") {
+    // K4 plus a 2-link tail: tail peels in one round, K4 (all degree 3)
+    // is the stable 3-core
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val got = Traversals.kCore(
+        (k4 ++ Seq((4L, 5L), (5L, 6L))).toDF("src", "dst"), k = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // a path has no 2-core: ends peel one link per round until empty
+    val path = (1L until 5L).map(i => (i, i + 1))
+    assert(Traversals.kCore(path.toDF("src", "dst"), k = 2).count() == 0)
+  }
+
   test("degree-ordered count matches the naive a<b<c three-way join") {
     // deterministic pseudo-random graph, heavy-tailed enough to exercise
     // the orientation
