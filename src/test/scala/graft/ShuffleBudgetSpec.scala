@@ -55,7 +55,22 @@ class ShuffleBudgetSpec extends GraftSuite {
     // side + O(q·k) rank shuffle; a lost broadcast blows this up);
     // bm25_adhoc 34,397 (postings tf groupBy + per-doc sum, keyed)
     "ann_ivf_clustered" -> (4500L, 21000L),
-    "bm25_adhoc" -> (11000L, 52000L))
+    "bm25_adhoc" -> (11000L, 52000L),
+    // round-9 pins (tools/ShuffleMeasure, same session shape) —
+    // measured: bfs_hops 529,644 (per-round frontier join + anti-join);
+    // triangles 38,945 (wedge join stays near-linear — a blown budget
+    // here means the degree orientation broke); pagerank 645,479
+    // (5 rounds × contribution join); lpa_communities 479,119;
+    // kcore 218,831; span_dedup 407,827 (5-gram inventory groupBy +
+    // keyed mark join); tfidf_topk 297,221. span_strip is NOT pinned:
+    // its work is a projection count() prunes away.
+    "bfs_hops" -> (175000L, 800000L),
+    "triangles" -> (13000L, 59000L),
+    "pagerank" -> (215000L, 970000L),
+    "lpa_communities" -> (160000L, 720000L),
+    "kcore" -> (73000L, 330000L),
+    "span_dedup" -> (135000L, 615000L),
+    "tfidf_topk" -> (99000L, 450000L))
 
   /** Memo keys to evict after the warm pass so the measured pass runs the
     * gate's build plan instead of reading a checkpoint. dedup_groups
