@@ -144,6 +144,10 @@ object Traversals {
     }
     LineageCut.release(contribEdges)
     LineageCut.release(dangling)
+    // the final ranks checkpoint was materialized by the last round's
+    // count, so its verts parent is releasable — but only if a round
+    // actually ran (at iters=0 the returned frame still reads verts)
+    if (iters > 0) LineageCut.release(verts)
     ranks
   }
 

@@ -95,9 +95,9 @@ class TraversalsSpec extends GraftSuite {
       (0L until 50L).map(i => (i, (i + 1) % 50)).toDF("src", "dst"), iters = 4)
     assert(r.count() == 50)
     val leaked = sc.getPersistentRDDs.keySet -- before
-    // final ranks + the still-referenced verts/contrib inputs may live;
-    // the 4 superseded rank vectors and the raw edge set must not
-    assert(leaked.size <= 3, s"checkpoints leaked: $leaked")
+    // only the final ranks checkpoint (backing the result) may live; the
+    // 4 superseded rank vectors, verts, and the edge inputs must not
+    assert(leaked.size <= 1, s"checkpoints leaked: $leaked")
     assert(Traversals.pageRank(
       Seq.empty[(Long, Long)].toDF("src", "dst")).count() == 0)
   }
