@@ -117,4 +117,52 @@ object TextFunctions {
     * cookie banners) are the usual casualty. */
   def dedupLines(t: Column): Column =
     array_join(array_distinct(split(t, "\n")), "\n")
+
+  /** Stopword floor list for [[gopherFlags]] (Rae et al. 2021 use a
+    * similar tiny closed-class list); literal so oracles can inline it. */
+  val GopherStops: Seq[String] =
+    Seq("the", "a", "and", "of", "to", "in", "is", "it")
+
+  /** Gopher-style rule-based document filter flags (Rae et al. 2021
+    * §A1.1): word-count bounds, mean-word-length sanity (3-10 chars),
+    * symbol-to-word ratio ('#' chars + '...' + '…' ellipses, ≤ 0.1),
+    * bullet-line fraction (≤ 90%), ellipsis-line fraction (≤ 30%),
+    * alphabetic-word fraction (≥ 80%), and a ≥2-stopword floor.
+    *
+    * Returns a struct (n_words, wc_ok, wordlen_ok, symbol_ok, bullet_ok,
+    * ellipsis_ok, alpha_ok, stop_ok, keep) with int 0/1 flags. Every rule
+    * is an integer cross-multiplication — no floating point anywhere, so
+    * results hash exactly across engines. Pure projection: zero shuffle
+    * at any corpus size. */
+  def gopherFlags(t: Column, minWords: Int, maxWords: Int): Column = {
+    val tk = tokens(t)
+    val ls = split(t, "\n")
+    val nw = size(tk).cast("long")
+    val nonws = length(regexp_replace(t, "\\s", "")).cast("long")
+    val symbols =
+      ((length(t) - length(regexp_replace(t, "#", ""))) +
+        ((length(t) - length(regexp_replace(t, "\\.\\.\\.", ""))) / 3) +
+        (length(t) - length(regexp_replace(t, "…", "")))).cast("long")
+    val nl = size(ls).cast("long")
+    val bullets = size(filter(ls, l => ltrim(l).startsWith("- ") ||
+      ltrim(l).startsWith("* ") || ltrim(l).startsWith("•"))).cast("long")
+    val ells = size(filter(ls, l => rtrim(l).endsWith("...") ||
+      rtrim(l).endsWith("…"))).cast("long")
+    val alphaw = size(filter(tk, w => w.rlike("[A-Za-z]"))).cast("long")
+    val sw = array(GopherStops.map(lit(_)): _*)
+    val stops = size(filter(tk, w => array_contains(sw, w))).cast("long")
+    val wcOk = nw.between(minWords, maxWords).cast("int")
+    val wordlenOk = (nw > 0 && nonws >= nw * 3 && nonws <= nw * 10).cast("int")
+    val symbolOk = (symbols * 10 <= nw).cast("int")
+    val bulletOk = (bullets * 10 <= nl * 9).cast("int")
+    val ellipsisOk = (ells * 10 <= nl * 3).cast("int")
+    val alphaOk = (alphaw * 10 >= nw * 8).cast("int")
+    val stopOk = (stops >= 2).cast("int")
+    struct(nw.as("n_words"), wcOk.as("wc_ok"), wordlenOk.as("wordlen_ok"),
+      symbolOk.as("symbol_ok"), bulletOk.as("bullet_ok"),
+      ellipsisOk.as("ellipsis_ok"), alphaOk.as("alpha_ok"),
+      stopOk.as("stop_ok"),
+      (wcOk * wordlenOk * symbolOk * bulletOk * ellipsisOk * alphaOk *
+        stopOk).cast("int").as("keep"))
+  }
 }

@@ -33,6 +33,11 @@ object CurationQueries {
   private val FixedN = 10
   private val WeightedN = 50
 
+  /** Word-count bounds for the Gopher filter gate, calibrated so the
+    * synthetic corpus (10-99 words/doc) lands on both sides. */
+  private val GopherMinWords = 25
+  private val GopherMaxWords = 90
+
   /** Email/phone detection regexes — deliberately restricted to syntax
     * with identical semantics in Java regex (Spark codegen) and RE2
     * (oracle): no lookaround, no backrefs, no possessive quantifiers. */
@@ -365,6 +370,34 @@ object CurationQueries {
         .agg(count(lit(1)).as("n_events"),
           sum(col("cents") * col("weight")).as("weighted_cents"))
         .orderBy("user_id")
+    }),
+
+    // Gopher-style rule-based document filter (Rae et al. 2021 §A1.1):
+    // word-count bounds, mean-word-length sanity, symbol-to-word ratio
+    // ('#' chars + ellipses), bullet-line and ellipsis-line fractions,
+    // alphabetic-word fraction, and a stopword floor. The synthetic corpus
+    // is single-line and symbol-free, so a deterministic augmentation
+    // (mirrored verbatim in the oracle, like pii_scan's injection) makes
+    // every rule's fail path non-trivial. Every rule is an integer
+    // cross-multiplication — no floating point anywhere, so the gate
+    // hashes exactly across engines. One pure projection: the per-doc
+    // work needs zero shuffle at any corpus size (the orderBy is the
+    // gate's determinism requirement, not the operator's).
+    "gopher_filter" -> ((s, dir) => {
+      val synth = concat(col("text"),
+        when(col("doc_id") % 7 === 0, lit(" ########")).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          lit("\n- b1\n- b2\n- b3\n- b4\n- b5\n- b6\n- b7\n- b8\n- b9\n- b10"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 4 === 0, lit("\nto be continued...\nwait…"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 11 === 0, lit(" 0 12 345 678 90 1 23 456"))
+          .otherwise(lit("")))
+      docs(s, dir)
+        .select(col("doc_id"),
+          TF.gopherFlags(synth, GopherMinWords, GopherMaxWords).as("g"))
+        .select(col("doc_id"), col("g.*"))
+        .orderBy("doc_id")
     }))
 
   // ----------------------------------------------------------- oracles
@@ -630,6 +663,58 @@ object CurationQueries {
          |    AS n_phones,
          |  ${sqlPolyHash("rtext")} AS red_fp
          |FROM red ORDER BY doc_id""".stripMargin,
+    "gopher_filter" -> {
+      val stops = TF.GopherStops.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""WITH synth AS (SELECT doc_id, text ||
+         |    CASE WHEN doc_id % 7 = 0 THEN ' ########' ELSE '' END ||
+         |    CASE WHEN doc_id % 5 = 0 THEN e'\\n- b1\\n- b2\\n- b3\\n- b4' ||
+         |      e'\\n- b5\\n- b6\\n- b7\\n- b8\\n- b9\\n- b10' ELSE '' END ||
+         |    CASE WHEN doc_id % 4 = 0
+         |      THEN e'\\nto be continued...\\nwait…' ELSE '' END ||
+         |    CASE WHEN doc_id % 11 = 0
+         |      THEN ' 0 12 345 678 90 1 23 456' ELSE '' END AS tx
+         |  FROM documents),
+         |tk AS (SELECT doc_id, tx,
+         |    CASE WHEN length(trim(tx)) = 0 THEN CAST([] AS VARCHAR[])
+         |         ELSE string_split_regex(trim(tx), '\\s+') END AS t,
+         |    string_split(tx, e'\\n') AS ls FROM synth),
+         |c AS (SELECT doc_id,
+         |    CAST(len(t) AS BIGINT) AS nw,
+         |    CAST(length(regexp_replace(tx, '\\s', '', 'g')) AS BIGINT)
+         |      AS nonws,
+         |    CAST((length(tx) - length(regexp_replace(tx, '#', '', 'g')))
+         |      + (length(tx) - length(regexp_replace(tx, '\\.\\.\\.', '',
+         |          'g'))) // 3
+         |      + (length(tx) - length(regexp_replace(tx, '…', '', 'g')))
+         |      AS BIGINT) AS symbols,
+         |    CAST(len(ls) AS BIGINT) AS nl,
+         |    CAST(len(list_filter(ls, l -> starts_with(ltrim(l), '- ')
+         |      OR starts_with(ltrim(l), '* ')
+         |      OR starts_with(ltrim(l), '•'))) AS BIGINT) AS bullets,
+         |    CAST(len(list_filter(ls, l -> ends_with(rtrim(l), '...')
+         |      OR ends_with(rtrim(l), '…'))) AS BIGINT) AS ells,
+         |    CAST(len(list_filter(t, w -> regexp_matches(w, '[A-Za-z]')))
+         |      AS BIGINT) AS alphaw,
+         |    CAST(len(list_filter(t, w -> list_contains($stops, w)))
+         |      AS BIGINT) AS stops
+         |  FROM tk),
+         |f AS (SELECT doc_id, nw AS n_words,
+         |    CAST(nw BETWEEN $GopherMinWords AND $GopherMaxWords AS INT)
+         |      AS wc_ok,
+         |    CAST(nw > 0 AND nonws >= nw * 3 AND nonws <= nw * 10 AS INT)
+         |      AS wordlen_ok,
+         |    CAST(symbols * 10 <= nw AS INT) AS symbol_ok,
+         |    CAST(bullets * 10 <= nl * 9 AS INT) AS bullet_ok,
+         |    CAST(ells * 10 <= nl * 3 AS INT) AS ellipsis_ok,
+         |    CAST(alphaw * 10 >= nw * 8 AS INT) AS alpha_ok,
+         |    CAST(stops >= 2 AS INT) AS stop_ok
+         |  FROM c)
+         |SELECT doc_id, n_words, wc_ok, wordlen_ok, symbol_ok, bullet_ok,
+         |  ellipsis_ok, alpha_ok, stop_ok,
+         |  CAST(wc_ok * wordlen_ok * symbol_ok * bullet_ok * ellipsis_ok
+         |    * alpha_ok * stop_ok AS INT) AS keep
+         |FROM f ORDER BY doc_id""".stripMargin
+    },
     "skew_join" ->
       s"""WITH e AS (SELECT user_id, event_type,
          |    CAST(floor(value * 100) AS BIGINT) AS cents FROM events),

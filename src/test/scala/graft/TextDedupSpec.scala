@@ -659,4 +659,32 @@ class SimilaritySearchSpec extends GraftSuite {
     assert(widePlan.contains("posexplode"), widePlan.take(400))
   }
 
+  test("gopherFlags: each rule's fail path fires on the right document") {
+    val ok = ("the cat sat and the dog ran to the mat in the sun " * 3).trim
+    val cases = Seq(
+      (1L, ok),                                       // passes everything
+      (2L, "the a of"),                               // too few words
+      (3L, ok + " ########"),                         // symbol-heavy
+      (4L, ok + "\n- x\n" + Seq.fill(20)("- y").mkString("\n")), // bullets
+      (5L, ok + "\nwait...\nmore…"),                  // ellipsis lines
+      (6L, ok + " " + (1 to 40).map(_.toString).mkString(" ")), // numeric
+      (7L, "zz qq ww rr " * 7),                       // no stopwords
+      (8L, Seq.fill(30)("a").mkString(" ")))          // mean word len < 3
+    val got = cases.toDF("doc_id", "text")
+      .select(col("doc_id"), TF.gopherFlags(col("text"), 5, 1000).as("g"))
+      .select(col("doc_id"), col("g.*"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(2), r.getInt(3), r.getInt(4), r.getInt(5), r.getInt(6),
+          r.getInt(7), r.getInt(8), r.getInt(9))).toMap
+    // (wc, wordlen, symbol, bullet, ellipsis, alpha, stop, keep)
+    assert(got(1L) == ((1, 1, 1, 1, 1, 1, 1, 1)), s"doc1 ${got(1L)}")
+    assert(got(2L)._1 == 0 && got(2L)._8 == 0, "wc floor")
+    assert(got(3L)._3 == 0, "symbol ratio")
+    assert(got(4L)._4 == 0, "bullet fraction")
+    assert(got(5L)._5 == 0, "ellipsis fraction")
+    assert(got(6L)._6 == 0, "alpha fraction")
+    assert(got(7L)._7 == 0, "stopword floor")
+    assert(got(8L)._2 == 0, "mean word length")
+  }
+
 }
