@@ -189,6 +189,24 @@ object TextQueries {
         .orderBy("split_id")
     }),
 
+    // ORC source round-trip: the documents table written as ORC (CSV,
+    // JSON and parquet reads are covered by S1 + sink_roundtrip; ORC is
+    // the remaining columnar interchange format Spark ships natively),
+    // read back, re-aggregated per language with a text-fingerprint sum —
+    // equal to aggregating the parquet original iff the round-trip is
+    // value-lossless for int64 + UTF-8 strings. The aggregate keys on
+    // lang, so the shuffle carries |langs| partial rows per task.
+    "source_orc" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_orc_").toString
+      docs(s, dir).write.mode("overwrite").orc(s"$tmp/docs_orc")
+      s.read.orc(s"$tmp/docs_orc")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").cast("long").as("sum_chars"),
+          sum(PolyHash.poly_hash(col("text"))).cast("long").as("fp_sum"))
+        .orderBy("lang")
+    }),
+
     // sequence packing: per shard (the sample_split id), docs in doc_id
     // order fill fixed token-budget bins via an exclusive running sum —
     // the coarse packing pass before tokenized training. The running sum
@@ -512,6 +530,13 @@ object TextQueries {
       s"""SELECT ${sqlPolyHash("CAST(doc_id AS VARCHAR)")} % 10 AS split_id,
          |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
          |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    // aggregates the parquet original directly — hash-equality proves the
+    // engine's ORC write/read changed no value
+    "source_orc" ->
+      s"""SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         |  CAST(sum(${sqlPolyHash("text")}) AS BIGINT) AS fp_sum
+         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "pack_sequences" ->
       s"""WITH $sqlToks,
          |tk AS (SELECT doc_id,
