@@ -14,18 +14,28 @@ object Tables {
 
   /** Load one testdata table: `lineitem`, `orders`, `customer`, ...
     *
-    * `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to read
-    * as a timestamp; sessions set `spark.sql.legacy.parquet.nanosAsLong`
-    * (see [[configure]]) so it arrives as nano-epoch Long, and we convert
-    * to a proper micro-precision timestamp here (truncating division —
-    * exactly what DuckDB's ns→us conversion does, keeping oracle parity).
+    * `events.ts` has shipped in two physical shapes across testdata
+    * generations: parquet TIMESTAMP(NANOS) — which Spark 4 refuses to read
+    * as a timestamp, so sessions set `spark.sql.legacy.parquet.nanosAsLong`
+    * (see [[configure]]) and it arrives as nano-epoch Long — and plain
+    * TIMESTAMP(MICROS) with isAdjustedToUTC=false, which arrives as
+    * TIMESTAMP_NTZ. Both are normalized here to session-zone (UTC)
+    * micro-precision TimestampType so every downstream window/session/asof
+    * operator sees one type. The Long branch uses integer `div` — exactly
+    * DuckDB's truncating ns→us conversion, keeping oracle parity; the NTZ
+    * branch is a wall-clock reinterpretation, value-identical under the
+    * UTC session zone every entrypoint pins.
     */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    // integer `div`, NOT `/`: nano epochs exceed double's 53-bit mantissa
-    if (name == "events")
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+    if (name == "events") {
+      df.schema("ts").dataType match {
+        // integer `div`, NOT `/`: nano epochs exceed double's 53-bit mantissa
+        case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+        case _ => df
+      }
+    } else df
   }
 
   /** Session settings every graft entrypoint needs. */

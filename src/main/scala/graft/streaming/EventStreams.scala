@@ -16,23 +16,34 @@ import org.apache.spark.sql.types._
   */
 object EventStreams {
 
-  /** On-disk schema: `ts` is TIMESTAMP(NANOS), surfaced as nano-epoch Long
-    * under `spark.sql.legacy.parquet.nanosAsLong` (Tables.configure). */
-  val eventSchema: StructType = StructType(Seq(
+  /** On-disk schema for the `ts` column has shipped in two testdata
+    * generations — TIMESTAMP(NANOS) (surfaced as nano-epoch Long under
+    * `spark.sql.legacy.parquet.nanosAsLong`, Tables.configure) and plain
+    * TIMESTAMP(MICROS) with isAdjustedToUTC=false (TIMESTAMP_NTZ). */
+  def eventSchema(tsType: DataType): StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", tsType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** Streaming scan of the events table (file source, schema-explicit),
-    * with ts converted to a micro-precision timestamp like Tables.table. */
-  def readEventStream(spark: SparkSession, sfDir: String): DataFrame =
-    spark.readStream.schema(eventSchema)
+  /** Streaming scan of the events table (file source, schema-explicit —
+    * a streaming source cannot infer, so the on-disk ts shape is probed
+    * with one footer-only batch read), with ts normalized to a
+    * micro-precision session-zone timestamp exactly like Tables.table. */
+  def readEventStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val tsOnDisk =
+      spark.read.parquet(s"$sfDir/events.parquet").schema("ts").dataType
+    val raw = spark.readStream.schema(eventSchema(tsOnDisk))
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    tsOnDisk match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
+  }
 
   /** Tumbling-window aggregate per event type; with a watermark so state
     * is bounded when run as a stream. Works on batch DataFrames too. */

@@ -660,7 +660,8 @@ class SimilaritySearchSpec extends GraftSuite {
   }
 
   test("gopherFlags: each rule's fail path fires on the right document") {
-    val ok = ("the cat sat and the dog ran to the mat in the sun " * 3).trim
+    // mean word length must clear the 3-char floor (42 chars / 13 words)
+    val ok = ("the cat sat and the dog ran near the mat under the sun " * 3).trim
     val cases = Seq(
       (1L, ok),                                       // passes everything
       (2L, "the a of"),                               // too few words
