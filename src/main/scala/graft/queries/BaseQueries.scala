@@ -143,6 +143,22 @@ object BaseQueries {
       NeighborJoin.neighborCounts(pts, "p_partkey", "pt", eps = 5.0)
         .where(col("n_neighbors") >= 10)
         .orderBy("p_partkey")
+    }),
+
+    // Z-order clustering key (ZOrder.zkey2): the Morton interleave of
+    // (l_partkey, l_suppkey) that the layout pass sorts by, checked
+    // value-exactly per 2^12-wide bucket — one codegen'd bit expression,
+    // one map-side-combined groupBy; the disk layout built on this key
+    // (writeZOrdered) is asserted separately in ZOrderSpec.
+    "zorder_key" -> ((s, dir) => {
+      val z = graft.operators.ZOrder
+        .zkey2(col("l_partkey"), col("l_suppkey"), bits = 16)
+      table(s, dir, "lineitem")
+        .select(z.as("z"))
+        .groupBy(shiftright(col("z"), 12).as("zbucket"))
+        .agg(count(lit(1)).as("n_rows"), sum("z").as("sum_z"),
+          min("z").as("min_z"), max("z").as("max_z"))
+        .orderBy("zbucket")
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -219,5 +235,13 @@ object BaseQueries {
         |WHERE abs(CAST(a.p_size AS DOUBLE) - CAST(b.p_size AS DOUBLE))
         |    + abs(a.p_retailprice - b.p_retailprice) < 5.0
         |GROUP BY a.p_partkey HAVING count(*) >= 10
-        |ORDER BY p_partkey""".stripMargin)
+        |ORDER BY p_partkey""".stripMargin,
+    // same shift/mask/or interleave terms, generated from one definition
+    "zorder_key" ->
+      s"""WITH z AS (SELECT
+         |  ${graft.operators.ZOrder.sqlZkey2("l_partkey", "l_suppkey", 16)}
+         |    AS z FROM lineitem)
+         |SELECT z >> 12 AS zbucket, count(*) AS n_rows,
+         |  CAST(sum(z) AS BIGINT) AS sum_z, min(z) AS min_z, max(z) AS max_z
+         |FROM z GROUP BY 1 ORDER BY 1""".stripMargin)
 }

@@ -184,6 +184,29 @@ object CurationQueries {
           col("surprisal"))
         .orderBy("doc_id")),
 
+    // The same corpus-LM filter raised to bigram order: integer-exact
+    // -log2 p(w2|w1) bits summed per document (LexicalRank.bigramSurprisal
+    // — the operator that catches common-words-in-impossible-order text a
+    // unigram LM scores as fluent). Pairing is a zero-shuffle zip_with;
+    // every model shuffle is keyed by bigram or prefix token with the
+    // per-(doc, bigram) pre-count bounding Zipf skew.
+    "bigram_score" -> ((s, dir) =>
+      graft.operators.LexicalRank.bigramSurprisal(docs(s, dir), "doc_id", "text")
+        .select(col("id").as("doc_id"), col("n_bigrams"), col("sum_bits"),
+          col("surprisal2"))
+        .orderBy("doc_id")),
+
+    // fasttext-shaped hashed linear classifier scoring
+    // (TextFunctions.hashedLinearLogit): dim=4096 feature buckets,
+    // integer logit summed per document inside ONE codegen'd projection —
+    // zero shuffle at any corpus size; keep = sign of the logit.
+    "quality_lr" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+          TF.tokenCount(col("text")).cast("long").as("n_tokens"),
+          TF.hashedLinearLogit(col("text"), 4096).as("logit"))
+        .withColumn("keep", (col("logit") > 0).cast("int"))
+        .orderBy("doc_id")),
+
     // Token-budget corpus selection: rank by (quality desc, doc_id) and
     // greedily keep documents that fit ENTIRELY within a fixed token
     // budget (cum + toks <= budget, cum = exclusive running sum in rank
@@ -615,6 +638,46 @@ object CurationQueries {
          |       ELSE round(CAST(sc.sb AS DOUBLE) / sc.nt, 6) END AS surprisal
          |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+    // bigram order: aligned slice-unnest pairs, prefix counts from the
+    // bigram table, bits = length(bin(c1 // c12)) - 1 — same integer
+    // discipline as surprisal_score, one double division at the end
+    "bigram_score" ->
+      s"""WITH $sqlToks,
+         |bgl AS (SELECT doc_id,
+         |    CASE WHEN len(t) < 2 THEN CAST([] AS VARCHAR[])
+         |         ELSE t[1:len(t)-1] END AS l1,
+         |    CASE WHEN len(t) < 2 THEN CAST([] AS VARCHAR[])
+         |         ELSE t[2:len(t)] END AS l2
+         |  FROM toks),
+         |occ AS (SELECT doc_id, unnest(l1) AS w1, unnest(l2) AS w2 FROM bgl),
+         |db AS (SELECT doc_id, w1, w2, count(*) AS c FROM occ GROUP BY 1, 2, 3),
+         |cb AS (SELECT w1, w2, CAST(sum(c) AS BIGINT) AS cc FROM db GROUP BY 1, 2),
+         |pc AS (SELECT w1, CAST(sum(cc) AS BIGINT) AS pcnt FROM cb GROUP BY 1),
+         |sc AS (SELECT db.doc_id,
+         |    CAST(sum(db.c * (length(bin(pc.pcnt // cb.cc)) - 1)) AS BIGINT)
+         |      AS sb,
+         |    CAST(sum(db.c) AS BIGINT) AS nb
+         |  FROM db JOIN cb USING (w1, w2) JOIN pc USING (w1) GROUP BY 1)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(sc.nb, 0) AS BIGINT) AS n_bigrams,
+         |  CAST(coalesce(sc.sb, 0) AS BIGINT) AS sum_bits,
+         |  CASE WHEN coalesce(sc.nb, 0) = 0 THEN 0.0
+         |       ELSE round(CAST(sc.sb AS DOUBLE) / sc.nb, 6) END AS surprisal2
+         |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+    // hashing-trick linear scorer: bucket = poly_hash(w) % 4096, weight =
+    // Knuth-mix of the bucket into [-1000, 1000] — all BIGINT arithmetic,
+    // identical in both engines; list_sum is NULL on empty → coalesce 0
+    "quality_lr" ->
+      s"""WITH $sqlToks
+         |SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+         |  CAST(coalesce(list_sum(list_transform(t, w ->
+         |    ((${sqlPolyHash("w")}) % 4096) * 2654435761 % 2001 - 1000)), 0)
+         |    AS BIGINT) AS logit,
+         |  CASE WHEN CAST(coalesce(list_sum(list_transform(t, w ->
+         |    ((${sqlPolyHash("w")}) % 4096) * 2654435761 % 2001 - 1000)), 0)
+         |    AS BIGINT) > 0 THEN 1 ELSE 0 END AS keep
+         |FROM toks ORDER BY doc_id""".stripMargin,
     // the greedy fill in rank order: exclusive window cumsum over
     // (-quality, doc_id) — quality is already 6dp-rounded in both
     // engines, so the rank order (and hence the integer cumsum) is

@@ -169,6 +169,36 @@ object TextQueries {
           sum(TF.tokenCount(col("text")).cast("long")).as("kept_tokens")))
     }),
 
+    // incremental snapshot refresh (MergeUpsert.lastWriterWins): the
+    // documents table as yesterday's snapshot (version 0) merged with a
+    // synthesized delta — re-crawls (doc_id≡3 mod 7, text+' v2', v1),
+    // inserts (doc_id≡5 mod 11 shifted +1e6, v1) and tombstones
+    // (doc_id≡7 mod 13, v2) — through ONE doc_id-keyed window; the
+    // output fingerprints the winning text so a wrong winner anywhere
+    // flips the hash. Deletes beat the base row; inserts survive;
+    // re-crawls replace.
+    "merge_upsert" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val base = d
+        .withColumn("version", lit(0L)).withColumn("is_delete", lit(false))
+      val mods = d.where(col("doc_id") % 7 === 3)
+        .withColumn("text", concat(col("text"), lit(" v2")))
+        .withColumn("n_chars", col("n_chars") + 3)
+        .withColumn("version", lit(1L)).withColumn("is_delete", lit(false))
+      val ins = d.where(col("doc_id") % 11 === 5)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+        .withColumn("version", lit(1L)).withColumn("is_delete", lit(false))
+      val dels = d.where(col("doc_id") % 13 === 7)
+        .withColumn("version", lit(2L)).withColumn("is_delete", lit(true))
+      graft.operators.MergeUpsert
+        .lastWriterWins(base, mods.unionByName(ins).unionByName(dels),
+          Seq("doc_id"), "version", "is_delete")
+        .select(col("doc_id"), col("lang"), col("source"),
+          col("n_chars").cast("long").as("n_chars"),
+          PolyHash.poly_hash(col("text")).as("fp"))
+        .orderBy("doc_id")
+    }),
+
     // corpus write round-trip: the partitioned production layout
     // (CorpusWriter.writePartitioned) written to disk, read back through
     // partition discovery, re-aggregated — same result as sample_split by
@@ -524,6 +554,26 @@ object TextQueries {
       s"""SELECT ${sqlPolyHash("CAST(doc_id AS VARCHAR)")} % 10 AS split_id,
          |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
          |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the same delta synthesized in SQL, winner via QUALIFY row_number
+    // over (version DESC) — side-tiebreak is irrelevant here because the
+    // synthetic versions are unique per key
+    "merge_upsert" ->
+      s"""WITH base AS (SELECT doc_id, text, lang, source, n_chars,
+         |    0 AS version, FALSE AS is_delete FROM documents),
+         |mods AS (SELECT doc_id, text || ' v2', lang, source, n_chars + 3,
+         |    1, FALSE FROM documents WHERE doc_id % 7 = 3),
+         |ins AS (SELECT doc_id + 1000000, text, lang, source, n_chars,
+         |    1, FALSE FROM documents WHERE doc_id % 11 = 5),
+         |dels AS (SELECT doc_id, text, lang, source, n_chars,
+         |    2, TRUE FROM documents WHERE doc_id % 13 = 7),
+         |u AS (SELECT * FROM base UNION ALL SELECT * FROM mods
+         |  UNION ALL SELECT * FROM ins UNION ALL SELECT * FROM dels),
+         |w AS (SELECT *, row_number() OVER
+         |    (PARTITION BY doc_id ORDER BY version DESC) AS rn FROM u)
+         |SELECT doc_id, lang, source, CAST(n_chars AS BIGINT) AS n_chars,
+         |  ${sqlPolyHash("text")} AS fp
+         |FROM w WHERE rn = 1 AND NOT is_delete
+         |ORDER BY doc_id""".stripMargin,
     // identical to sample_split by construction — the round-trip must be
     // lossless for this to hash-match
     "corpus_write" ->

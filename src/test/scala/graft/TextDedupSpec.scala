@@ -688,4 +688,34 @@ class SimilaritySearchSpec extends GraftSuite {
     assert(got(8L)._2 == 0, "mean word length")
   }
 
+  test("bigramSurprisal: short docs score 0; repeated bigrams are cheap") {
+    // corpus: "a b" appears 3x as a bigram, "a c" once → p(b|a)=3/4,
+    // bits("a b") = floor(log2(4 div 3)) = 0; bits("a c") = floor(log2(4)) = 2
+    val docs = Seq((1L, "a b a b a b a c"), (2L, "solo"), (3L, ""))
+      .toDF("doc_id", "text")
+    val got = graft.operators.LexicalRank
+      .bigramSurprisal(docs, "doc_id", "text")
+      .select("id", "n_bigrams", "sum_bits", "surprisal2")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // doc1 bigrams: (a,b)x3 (b,a)x3 (a,c)x1 = 7; prefix a count 4, b 3;
+    // bits: (a,b)=floor(log2(4/3))=0, (b,a)=floor(log2(3/3))=0,
+    // (a,c)=floor(log2(4/1))=2 → sum 2
+    assert(got(1L) == ((7L, 2L, math.rint(2.0 / 7 * 1e6) / 1e6)), got(1L))
+    assert(got(2L) == ((0L, 0L, 0.0)), "single-token doc must score 0")
+    assert(got(3L) == ((0L, 0L, 0.0)), "empty doc must score 0")
+  }
+
+  test("hashedLinearLogit: empty text scores 0, token order is irrelevant") {
+    val docs = Seq((1L, "x y z"), (2L, "z y x"), (3L, ""), (4L, "   "))
+      .toDF("doc_id", "text")
+    val got = docs
+      .select(col("doc_id"), TF.hashedLinearLogit(col("text"), 4096).as("l"))
+      .as[(Long, Long)].collect().toMap
+    assert(got(1L) == got(2L), "bag-of-words: order must not matter")
+    assert(got(3L) == 0L && got(4L) == 0L, "tokenless text scores 0")
+    // weights genuinely vary across buckets (not a constant function)
+    assert(got(1L) != 0L)
+  }
+
 }
