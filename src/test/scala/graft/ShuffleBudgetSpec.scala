@@ -70,7 +70,17 @@ class ShuffleBudgetSpec extends GraftSuite {
     "lpa_communities" -> (160000L, 720000L),
     "kcore" -> (73000L, 330000L),
     "span_dedup" -> (135000L, 615000L),
-    "tfidf_topk" -> (99000L, 450000L))
+    "tfidf_topk" -> (99000L, 450000L),
+    // round-8 continuation pins — measured: merge_upsert 6,602 (the one
+    // doc_id-keyed merge window over snapshot+delta); zorder_key 718
+    // (map-side-combined bucket groupBy over the codegen'd Morton key —
+    // the floor catches the interleave collapsing to a constant).
+    // NOT pinned: quality_lr is zero-shuffle by design (59-byte count
+    // residue only), and bigram_score's model joins are left-outer
+    // against distinct-keyed aggregates, which the distinct-keys rule
+    // eliminates under the harness's count() — same reason as span_strip.
+    "merge_upsert" -> (2200L, 10000L),
+    "zorder_key" -> (230L, 1100L))
 
   /** Memo keys to evict after the warm pass so the measured pass runs the
     * gate's build plan instead of reading a checkpoint. dedup_groups
