@@ -22,7 +22,8 @@ object SparkEntry {
       graft.queries.VectorQueries.queries ++
       graft.queries.EventQueries.queries ++
       graft.queries.MultimodalQueries.queries ++
-      graft.queries.CurationQueries.queries
+      graft.queries.CurationQueries.queries ++
+      graft.queries.PipelineQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -33,5 +34,6 @@ object SparkEntry {
       graft.queries.VectorQueries.oracleSql ++
       graft.queries.EventQueries.oracleSql ++
       graft.queries.MultimodalQueries.oracleSql ++
-      graft.queries.CurationQueries.oracleSql
+      graft.queries.CurationQueries.oracleSql ++
+      graft.queries.PipelineQueries.oracleSql
 }

@@ -1,0 +1,331 @@
+package graft.queries
+
+import graft.core.Tables.table
+import graft.functions.{PolyHash, TextFunctions => TF}
+import graft.operators.Sketches
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Pipeline-infrastructure gate queries: the sketch/validation/warehouse
+  * primitives a 100 TB training-data platform runs AROUND the curation
+  * math — Bloom-filter semi-join pushdown, bounded-memory frequency
+  * sketching, deterministic MLM masking, SCD2 history builds, a
+  * Deequ-style expectation suite, cross-source duplication analytics,
+  * and curriculum batch ordering.
+  *
+  * Everything is deterministic and value-oracle-checked: the sketches
+  * hash with PolyHash so DuckDB replays every bit (even Bloom FALSE
+  * POSITIVES reproduce exactly), the masking replays its hash draw, and
+  * the curriculum order replays its shuffle key.
+  */
+object PipelineQueries {
+  /** Bloom geometry: 4096 bits / 32-bit words, k=3 probes. Small enough
+    * that the synthetic vocab drives a real false-positive rate (the
+    * interesting path), large enough that hits stay selective. */
+  private val BloomBits = 4096
+  private val BloomK = 3
+  /** Eval set for membership gates: every 50th document's vocabulary. */
+  private val EvalMod = 50
+  /** Count-min geometry: 4 rows × 256 counters. */
+  private val CmsW = 256
+  private val CmsD = 4
+  private val CmsTopK = 10
+  /** MLM masking rate, percent. */
+  private val MaskPct = 15
+  /** Curriculum: length-bucket width (chars) and batch size (docs). */
+  private val CurricBucket = 256
+  private val CurricBatch = 32
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "documents")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // The Bloom bitmap itself, as (word index, 32-bit word) rows — the
+    // build side of semi-join pushdown. Map-side-combined bit_or groupBy;
+    // at most mBits/32 output rows regardless of key-set size.
+    "bloom_bits" -> ((s, dir) => {
+      val ev = docs(s, dir).where(col("doc_id") % EvalMod === 0)
+        .select(explode(TF.tokens(col("text"))).as("token")).distinct()
+      Sketches.bloomWords(ev, "token", BloomBits, BloomK)
+        .select(col("widx").cast("long").as("widx"), col("word"))
+        .orderBy("widx")
+    }),
+
+    // Bloom-prefiltered membership probe: the corpus vocabulary filtered
+    // through the broadcast bitmap (zero-shuffle projection over the big
+    // side — the decontam pattern with O(mBits) state instead of a hash
+    // set that grows with the eval set), then exact-verified. Both true
+    // hits AND false positives are emitted and value-checked: the oracle
+    // rebuilds the same bitmap, so the FP set matches bit-for-bit.
+    "bloom_prefilter" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val ev = d.where(col("doc_id") % EvalMod === 0)
+        .select(explode(TF.tokens(col("text"))).as("token")).distinct()
+      val words = Sketches.buildBloom(ev, "token", BloomBits, BloomK)
+      d.select(explode(TF.tokens(col("text"))).as("token")).distinct()
+        .where(Sketches.mightContain(col("token"), words, BloomBits, BloomK))
+        .join(ev.withColumn("exact_hit", lit(1)), Seq("token"), "left")
+        .select(col("token"),
+          coalesce(col("exact_hit"), lit(0)).cast("int").as("exact_hit"))
+        .orderBy("token")
+    }),
+
+    // Count-min sketch point estimates for the top-K corpus tokens vs
+    // their exact counts: the bounded-memory frequency table (d·w
+    // counters at ANY corpus size, mergeable map-side) with its one-sided
+    // error on display — est ≥ exact always, equality when no collision.
+    "cms_estimate" -> ((s, dir) => {
+      val occ = docs(s, dir).select(explode(TF.tokens(col("text"))).as("token"))
+      val sketch = Sketches.countMin(occ, "token", CmsW, CmsD)
+      val top = occ.groupBy("token").agg(count(lit(1)).as("exact"))
+        .orderBy(col("exact").desc, col("token")).limit(CmsTopK)
+      top.join(Sketches.cmsEstimate(top.select("token"), "token", sketch,
+          CmsW, CmsD), Seq("token"))
+        .withColumn("rank", row_number()
+          .over(Window.orderBy(col("exact").desc, col("token"))).cast("int"))
+        .select("token", "exact", "est", "rank")
+        .orderBy("rank")
+    }),
+
+    // Deterministic MLM masking: token i of doc d is masked iff
+    // PolyHash("d:i") mod 100 < 15 — the reproducible 15% draw an MLM
+    // pretraining pipeline needs for stable re-runs. Pure zero-shuffle
+    // projection; the masked text is fingerprinted, not shipped.
+    "mlm_mask" -> ((s, dir) => {
+      val t = TF.tokens(col("text"))
+      val masked = transform(t, (w, i) =>
+        when(PolyHash.poly_hash(concat(col("doc_id").cast("string"),
+            lit(":"), i.cast("string"))) % 100 < MaskPct, lit("[MASK]"))
+          .otherwise(w))
+      docs(s, dir).select(col("doc_id"),
+          size(t).cast("long").as("n_tokens"),
+          size(filter(masked, w => w === "[MASK]")).cast("long").as("n_masked"),
+          PolyHash.poly_hash(array_join(masked, " ")).as("masked_fp"))
+        .orderBy("doc_id")
+    }),
+
+    // SCD2 history build: each purchase event becomes a validity interval
+    // [ts, next purchase ts) per user — the slowly-changing-dimension
+    // snapshot a feature store derives from an event log. ONE keyed
+    // window (partition by user), no self-join; scales with users.
+    "scd2_history" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("valid_from_us"),
+        col("event_id"))
+      table(s, dir, "events").where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("valid_from_us"),
+          floor(col("value") * 100).cast("long").as("cents"))
+        .withColumn("valid_to_us", lead(col("valid_from_us"), 1).over(w))
+        .withColumn("is_current", col("valid_to_us").isNull.cast("int"))
+        .orderBy("user_id", "valid_from_us", "event_id")
+    }),
+
+    // Deequ-style expectation suite over the relational tables: range,
+    // positivity, referential-integrity (orphan FK) and temporal-sanity
+    // checks, each a (check, violations, checked) row. One keyed join +
+    // one aggregate pass for the WHOLE suite — checks are columns, not
+    // separate scans, so adding a check costs nothing at 100 TB.
+    "validate_rows" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem")
+      val o = table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderdate"))
+      li.join(o, li("l_orderkey") === o("o_orderkey"), "left")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1)
+            .otherwise(0)).as("qty"),
+          sum(when(col("l_extendedprice") <= 0, 1).otherwise(0)).as("price"),
+          sum(when(col("l_discount") < 0 || col("l_discount") > 1, 1)
+            .otherwise(0)).as("disc"),
+          sum(when(col("l_shipdate") < col("o_orderdate"), 1).otherwise(0))
+            .as("shipb"),
+          sum(when(col("o_orderkey").isNull, 1).otherwise(0)).as("orphan"))
+        .select(expr("""stack(5,
+            'l_discount_range', disc,
+            'l_price_positive', price,
+            'l_quantity_range', qty,
+            'orphan_lineitem', orphan,
+            'ship_before_order', shipb) AS (check_name, n_violations)"""),
+          col("n").as("n_checked"))
+        .orderBy("check_name")
+    }),
+
+    // Cross-source duplication matrix: how many distinct word-bigram
+    // shingles each source pair shares — the corpus-forensics view that
+    // finds mirrored/scraped source pairs before dedup budgets are set.
+    // distinct(source, shingle-hash) then a hash-keyed self-join whose
+    // fan-out is bounded by |sources|² per shingle, never by corpus size.
+    "overlap_matrix" -> ((s, dir) => {
+      val sh = docs(s, dir)
+        .select(col("source"), explode(TF.wordShingles(col("text"), 2)).as("g"))
+        .select(col("source"), PolyHash.poly_hash(col("g")).as("h"))
+        .distinct()
+      sh.as("a").join(sh.as("b"),
+          col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+        .select(col("a.source").as("source_a"), col("b.source").as("source_b"))
+        .groupBy("source_a", "source_b").agg(count(lit(1)).as("n_shared"))
+        .orderBy("source_a", "source_b")
+    }),
+
+    // Curriculum batch ordering: docs bucketed by length, shuffled
+    // deterministically within the bucket (PolyHash of the id), then
+    // given a global sequence + batch index through the two-phase
+    // PrefixScan — short-to-long curriculum with intra-bucket diversity,
+    // at numParts parallelism instead of one global row_number task.
+    "length_curriculum" -> ((s, dir) => {
+      val base = docs(s, dir).select(col("doc_id"),
+        expr(s"n_chars div $CurricBucket").as("bucket"),
+        PolyHash.poly_hash(col("doc_id").cast("string")).as("ord"))
+      graft.operators.PrefixScan.denseIds(base, Seq("bucket", "ord", "doc_id"),
+          "seq", s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), col("bucket"), col("seq"),
+          expr(s"seq div $CurricBatch").as("batch"))
+        .orderBy("seq")
+    }))
+
+  // ----------------------------------------------------------- oracles
+
+  import TextQueries.{sqlPolyHash, sqlToks}
+
+  /** h1/h2 columns of the double-hash scheme for key expression `e` over
+    * a table of `m` slots, as SQL select-list fragments. */
+  private def sqlHash2(e: String, m: Int): String =
+    s"""(${sqlPolyHash(e)}) % $m AS h1,
+       |    (${sqlPolyHash(s"$e || '#'")}) % ${m - 1} + 1 AS h2""".stripMargin
+
+  /** Probe positions (i in 0 until k) from h1/h2 as an unnested column. */
+  private def sqlPositions(k: Int, m: Int): String =
+    s"unnest(list_transform(range(0, $k), i -> (h1 + i * h2) % $m)) AS pos"
+
+  val oracleSql: Map[String, String] = Map(
+    "bloom_bits" ->
+      s"""WITH $sqlToks,
+         |ev AS (SELECT DISTINCT unnest(t) AS token FROM toks
+         |  WHERE doc_id % $EvalMod = 0),
+         |eh AS (SELECT token, ${sqlHash2("token", BloomBits)} FROM ev),
+         |p AS (SELECT DISTINCT pos FROM (
+         |  SELECT ${sqlPositions(BloomK, BloomBits)} FROM eh))
+         |SELECT CAST(pos // 32 AS BIGINT) AS widx,
+         |  CAST(bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INTEGER))
+         |    AS BIGINT) AS word
+         |FROM p GROUP BY 1 ORDER BY widx""".stripMargin,
+    "bloom_prefilter" ->
+      s"""WITH $sqlToks,
+         |tok AS (SELECT DISTINCT unnest(t) AS token FROM toks),
+         |ev AS (SELECT DISTINCT unnest(t) AS token FROM toks
+         |  WHERE doc_id % $EvalMod = 0),
+         |eh AS (SELECT token, ${sqlHash2("token", BloomBits)} FROM ev),
+         |ep AS (SELECT DISTINCT pos FROM (
+         |  SELECT ${sqlPositions(BloomK, BloomBits)} FROM eh)),
+         |words AS (SELECT pos // 32 AS widx,
+         |    bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INTEGER)) AS word
+         |  FROM ep GROUP BY 1),
+         |ch AS (SELECT token, ${sqlHash2("token", BloomBits)} FROM tok),
+         |cp AS (SELECT DISTINCT token, pos FROM (
+         |  SELECT token, ${sqlPositions(BloomK, BloomBits)} FROM ch)),
+         |np AS (SELECT token, count(*) AS n FROM cp GROUP BY 1),
+         |ns AS (SELECT cp.token, count(*) AS s FROM cp JOIN words w
+         |    ON cp.pos // 32 = w.widx
+         |    AND (w.word & (CAST(1 AS BIGINT) << CAST(cp.pos % 32 AS INTEGER)))
+         |      != 0
+         |  GROUP BY 1),
+         |hit AS (SELECT np.token FROM np JOIN ns USING (token)
+         |  WHERE ns.s = np.n)
+         |SELECT h.token AS token,
+         |  CASE WHEN ev.token IS NOT NULL THEN 1 ELSE 0 END AS exact_hit
+         |FROM hit h LEFT JOIN ev ON h.token = ev.token
+         |ORDER BY token""".stripMargin,
+    "cms_estimate" ->
+      s"""WITH $sqlToks,
+         |occ AS (SELECT unnest(t) AS token FROM toks),
+         |oh AS (SELECT token, ${sqlHash2("token", CmsW)} FROM occ),
+         |cells AS (SELECT r, (h1 + r * h2) % $CmsW AS p, count(*) AS c
+         |  FROM oh CROSS JOIN (SELECT unnest(range(0, $CmsD)) AS r) rr
+         |  GROUP BY 1, 2),
+         |ex AS (SELECT token, CAST(count(*) AS BIGINT) AS exact
+         |  FROM occ GROUP BY 1),
+         |ranked AS (SELECT token, exact,
+         |    row_number() OVER (ORDER BY exact DESC, token) AS rank FROM ex),
+         |top AS (SELECT * FROM ranked WHERE rank <= $CmsTopK),
+         |th AS (SELECT token, ${sqlHash2("token", CmsW)} FROM top),
+         |probe AS (SELECT token, r, (h1 + r * h2) % $CmsW AS p
+         |  FROM th CROSS JOIN (SELECT unnest(range(0, $CmsD)) AS r) rr),
+         |est AS (SELECT token, CAST(min(c) AS BIGINT) AS est
+         |  FROM probe JOIN cells USING (r, p) GROUP BY 1)
+         |SELECT t.token, t.exact, e.est, CAST(t.rank AS INT) AS rank
+         |FROM top t JOIN est e USING (token) ORDER BY rank""".stripMargin,
+    "mlm_mask" -> {
+      // the outer index var must NOT be named `i`: sqlPolyHash's inner
+      // list_transform binds `i`, which would shadow it inside the hash
+      val h = sqlPolyHash("CAST(doc_id AS VARCHAR) || ':' || CAST(j - 1 AS VARCHAR)")
+      s"""WITH $sqlToks,
+         |m AS (SELECT doc_id, t,
+         |    list_transform(range(1, len(t) + 1), j ->
+         |      CASE WHEN ($h) % 100 < $MaskPct
+         |        THEN '[MASK]' ELSE t[j] END) AS masked
+         |  FROM toks)
+         |SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+         |  CAST(len(list_filter(masked, w -> w = '[MASK]')) AS BIGINT)
+         |    AS n_masked,
+         |  ${sqlPolyHash("array_to_string(masked, ' ')")} AS masked_fp
+         |FROM m ORDER BY doc_id""".stripMargin
+    },
+    "scd2_history" ->
+      """WITH p AS (SELECT user_id, event_id, epoch_us(ts) AS valid_from_us,
+        |    CAST(floor(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |h AS (SELECT user_id, event_id, valid_from_us, cents,
+        |    lead(valid_from_us) OVER (PARTITION BY user_id
+        |      ORDER BY valid_from_us, event_id) AS valid_to_us
+        |  FROM p)
+        |SELECT user_id, event_id, valid_from_us, cents, valid_to_us,
+        |  CASE WHEN valid_to_us IS NULL THEN 1 ELSE 0 END AS is_current
+        |FROM h ORDER BY user_id, valid_from_us, event_id""".stripMargin,
+    "validate_rows" ->
+      """WITH j AS (SELECT l.*, o.o_orderkey AS fk, o.o_orderdate
+        |  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS qty,
+        |    CAST(sum(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS price,
+        |    CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 1
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS disc,
+        |    CAST(sum(CASE WHEN l_shipdate < o_orderdate THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS shipb,
+        |    CAST(sum(CASE WHEN fk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS orphan
+        |  FROM j)
+        |SELECT 'l_discount_range' AS check_name, disc AS n_violations,
+        |  n AS n_checked FROM a
+        |UNION ALL SELECT 'l_price_positive', price, n FROM a
+        |UNION ALL SELECT 'l_quantity_range', qty, n FROM a
+        |UNION ALL SELECT 'orphan_lineitem', orphan, n FROM a
+        |UNION ALL SELECT 'ship_before_order', shipb, n FROM a
+        |ORDER BY check_name""".stripMargin,
+    "overlap_matrix" ->
+      s"""WITH $sqlToks,
+         |sg AS (SELECT doc_id, unnest(CASE WHEN len(t) < 2
+         |      THEN CAST([] AS VARCHAR[])
+         |      ELSE list_transform(range(1, len(t)),
+         |        i -> t[i] || ' ' || t[i + 1]) END) AS g
+         |  FROM toks),
+         |sh AS (SELECT DISTINCT d.source AS source,
+         |    ${sqlPolyHash("g")} AS h
+         |  FROM sg JOIN documents d USING (doc_id))
+         |SELECT a.source AS source_a, b.source AS source_b,
+         |  CAST(count(*) AS BIGINT) AS n_shared
+         |FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+         |GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin,
+    "length_curriculum" -> {
+      val h = sqlPolyHash("CAST(doc_id AS VARCHAR)")
+      s"""WITH b AS (SELECT doc_id, n_chars // $CurricBucket AS bucket,
+         |    ($h) AS ord FROM documents),
+         |r AS (SELECT doc_id, bucket,
+         |    CAST(row_number() OVER (ORDER BY bucket, ord, doc_id) - 1
+         |      AS BIGINT) AS seq
+         |  FROM b)
+         |SELECT doc_id, bucket, seq, seq // $CurricBatch AS batch
+         |FROM r ORDER BY seq""".stripMargin
+    })
+}
