@@ -207,4 +207,28 @@ class PlanHygieneSpec extends GraftSuite {
         v, Seq(0 -> Array(1.0, 2.0), 1 -> Array(3.0, 4.0)), 1, cosine = false)),
       "nearest_centroids with equal centroid values must be equal")
   }
+
+  test("bloom probe is a literal-array projection, not a join") {
+    // the probe side of Bloom semi-join pushdown must stay a pure
+    // scan + filter: the bitmap rides in as a broadcast literal, so the
+    // corpus side joins NOTHING until the exact-verify step
+    import org.apache.spark.sql.functions._
+    val d = graft.core.Tables.table(spark, sf0001, "documents")
+    val words = new Array[Long](4096 / 32).map(_ => 0x5a5a5a5aL)
+    val probe = d
+      .select(explode(graft.functions.TextFunctions.tokens(col("text")))
+        .as("token"))
+      .where(graft.operators.Sketches.mightContain(col("token"), words, 4096, 3))
+    val p = probe.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(!p.contains("Join") && !p.contains("Exchange"),
+      s"bloom probe must be shuffle- and join-free:\n${p.take(800)}")
+  }
+
+  test("overlap_matrix self-join is hash-keyed, never a cartesian") {
+    val p = plan("overlap_matrix")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "shingle-hash self-join must stay an equi join")
+  }
 }

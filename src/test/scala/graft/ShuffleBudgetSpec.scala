@@ -80,7 +80,25 @@ class ShuffleBudgetSpec extends GraftSuite {
     // against distinct-keyed aggregates, which the distinct-keys rule
     // eliminates under the harness's count() — same reason as span_strip.
     "merge_upsert" -> (2200L, 10000L),
-    "zorder_key" -> (230L, 1100L))
+    "zorder_key" -> (230L, 1100L),
+    // round-8 pipeline-gate pins — measured: overlap_matrix 133,909
+    // (distinct (source, shingle-hash) + hash-keyed self-join; a blown
+    // budget means the per-shingle fan-out stopped being bounded by
+    // |sources|²); cms_estimate 2,681 (d·w cell groupBy + exact top-K —
+    // the sketch side must stay 1,024 cells regardless of vocab);
+    // bloom_prefilter 2,287 (vocab distinct + eval left join — the
+    // PROBE itself is a zero-shuffle broadcast-literal projection, which
+    // the budget indirectly guards: a probe regression to a join would
+    // blow it); bloom_bits 1,510 (bit_or word groupBy); length_curriculum
+    // 496 (PrefixScan range partition + per-slice totals). NOT pinned:
+    // mlm_mask is a pure projection (59-byte count residue), scd2_history
+    // is one user-keyed window that column pruning removes under count(),
+    // and validate_rows broadcasts the orders side into one agg pass.
+    "overlap_matrix" -> (45000L, 200000L),
+    "cms_estimate" -> (900L, 4100L),
+    "bloom_prefilter" -> (760L, 3500L),
+    "bloom_bits" -> (500L, 2300L),
+    "length_curriculum" -> (160L, 760L))
 
   /** Memo keys to evict after the warm pass so the measured pass runs the
     * gate's build plan instead of reading a checkpoint. dedup_groups
