@@ -36,6 +36,20 @@ object PipelineQueries {
   /** Curriculum: length-bucket width (chars) and batch size (docs). */
   private val CurricBucket = 256
   private val CurricBatch = 32
+  /** BPE merge rounds for the fit gates. */
+  private val BpeRounds = 3
+
+  /** Memoized 3-round BPE fit per (session, dir): bpe_merges and
+    * bpe_apply share one iteration, like every other multi-surface model
+    * on the board. */
+  private def bpeFit(s: SparkSession, dir: String): graft.operators.BpeMerge.Fit =
+    graft.core.QueryCache.shared("bpe_fit", s, dir) {
+      val f = graft.operators.BpeMerge.fit(docs(s, dir), "doc_id", "text",
+        BpeRounds)
+      val chk = f.syms.localCheckpoint()
+      f.syms.unpersist()
+      graft.operators.BpeMerge.Fit(chk, f.merges)
+    }
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     table(s, dir, "documents")
@@ -167,6 +181,106 @@ object PipelineQueries {
         .orderBy("source_a", "source_b")
     }),
 
+    // Per-source OLS trend of quality vs document length — the
+    // curation-dashboard regression ("does this source's quality fall
+    // off with length?"). Closed-form least squares from exact integer
+    // moment sums (y is the 6dp quality lifted to an exact integer), so
+    // num/den are BIGINT-exact and the slope is one double division of
+    // two exact integers — bit-identical across engines. One map-side
+    // combined groupBy; adding a regression costs nothing at 100 TB.
+    "source_trend" -> ((s, dir) => {
+      val base = docs(s, dir).select(col("source"),
+        col("n_chars").as("x"),
+        round(TF.qualityScore(col("text")) * 1000000L).cast("long").as("y"))
+      base.groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+        .select(col("source"), col("n_docs"),
+          (col("n_docs") * col("sxy") - col("sx") * col("sy")).as("num"),
+          (col("n_docs") * col("sxx") - col("sx") * col("sx")).as("den"))
+        .withColumn("slope",
+          round(col("num").cast("double") / col("den").cast("double"), 9))
+        .orderBy("source")
+    }),
+
+    // Join-key skew diagnostic: the 20 heaviest user_id keys in the
+    // event log with exact share (ppm, integer-exact) and rank — the
+    // "does this join need salting" planning scan. Map-side-combined
+    // groupBy + TakeOrdered; the rank window runs over 20 rows.
+    "key_skew" -> ((s, dir) => {
+      val e = table(s, dir, "events")
+      val tot = e.agg(count(lit(1)).as("tot"))
+      val top = e.groupBy("user_id").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("user_id")).limit(20)
+      top.crossJoin(broadcast(tot))
+        .select(col("user_id"), col("cnt"),
+          expr("cnt * 1000000 div tot").as("share_ppm"))
+        .withColumn("rank", row_number()
+          .over(Window.orderBy(col("cnt").desc, col("user_id"))).cast("int"))
+        .orderBy("rank")
+    }),
+
+    // Snapshot-diff / CDC report: classify every key of a new corpus
+    // drop against the current snapshot — added, updated, deleted
+    // (tombstone), unchanged — aggregated per source. The delta is
+    // synthesized deterministically (updates every 10th doc, inserts a
+    // shifted copy of every 7th≡3, tombstones every 13th≡1; mirrored
+    // verbatim in the oracle, the pii_scan pattern). One key-keyed full
+    // outer join + one groupBy — the MergeUpsert snapshot's audit view.
+    "snapshot_diff" -> ((s, dir) => {
+      val base = docs(s, dir).select(col("doc_id"), col("source"), col("text"))
+      val delta =
+        base.where(col("doc_id") % 10 === 0)
+          .select(col("doc_id"), col("source"),
+            concat(col("text"), lit(" v2")).as("text"),
+            lit(0).as("tombstone"))
+        .unionAll(base.where(col("doc_id") % 7 === 3)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("source"),
+            col("text"), lit(0).as("tombstone")))
+        .unionAll(base.where(col("doc_id") % 13 === 1)
+          .select(col("doc_id"), col("source"), col("text"),
+            lit(1).as("tombstone")))
+      val b = base.select(col("doc_id"), col("source").as("b_src"),
+        col("text").as("b_text"))
+      val d = delta.select(col("doc_id"), col("source").as("d_src"),
+        col("text").as("d_text"), col("tombstone"))
+      b.join(d, Seq("doc_id"), "full_outer")
+        .select(coalesce(col("b_src"), col("d_src")).as("source"),
+          when(col("tombstone") === 1, "deleted")
+            .when(col("b_src").isNull, "added")
+            .when(col("d_src").isNull, "unchanged")
+            .when(col("b_text") =!= col("d_text"), "updated")
+            .otherwise("unchanged").as("change"))
+        .groupBy("source", "change").agg(count(lit(1)).as("n"))
+        .orderBy("source", "change")
+    }),
+
+    // The greedy BPE merge sequence itself (BpeMerge.fit, 3 rounds):
+    // which pair won each round and with what corpus count — tokenizer
+    // training's actual output. Each round is one map-side-combined
+    // pair count + a TakeOrdered(1) driver scalar.
+    "bpe_merges" -> ((s, dir) => {
+      import s.implicits._
+      bpeFit(s, dir).merges.toDF()
+        .select(col("round"), col("lhs"), col("rhs"), col("cnt"))
+        .orderBy("round")
+    }),
+
+    // The corpus after those 3 merges: per-doc symbol count + a
+    // fingerprint of the merged symbol string. The rewrite is a
+    // zero-shuffle literal StringReplace projection per round, and the
+    // oracle replays all 3 rounds as unrolled SQL legs — greedy
+    // left-to-right non-overlap exactly (the pagerank oracle pattern).
+    "bpe_apply" -> ((s, dir) => {
+      bpeFit(s, dir).syms.select(col("doc_id"),
+          size(graft.operators.BpeMerge.symbols(col("sym"))).cast("long")
+            .as("n_syms"),
+          PolyHash.poly_hash(col("sym")).as("sym_fp"))
+        .orderBy("doc_id")
+    }),
+
     // Curriculum batch ordering: docs bucketed by length, shuffled
     // deterministically within the bucket (PolyHash of the id), then
     // given a global sequence + batch index through the two-phase
@@ -196,6 +310,35 @@ object PipelineQueries {
   /** Probe positions (i in 0 until k) from h1/h2 as an unnested column. */
   private def sqlPositions(k: Int, m: Int): String =
     s"unnest(list_transform(range(0, $k), i -> (h1 + i * h2) % $m)) AS pos"
+
+  /** The unrolled BPE rounds as CTE legs: s0 seeds the padded symbol
+    * string; each round r derives the symbol arrays (a_r), counts
+    * adjacent pairs (pr_r), picks the winner (t_r) and applies the
+    * literal replace (s_r) — replace()'s left-to-right
+    * continue-after-replacement semantics match the JVM's exactly. */
+  private def sqlBpeRounds(n: Int): String = {
+    val s0 =
+      "s0 AS (SELECT doc_id, ' ' || array_to_string(t, '  ') || ' ' AS sym FROM toks)"
+    val legs = (1 to n).map { r =>
+      s"""a$r AS (SELECT doc_id, sym,
+         |    CASE WHEN length(trim(sym)) = 0 THEN CAST([] AS VARCHAR[])
+         |         ELSE string_split(trim(sym), '  ') END AS a
+         |  FROM s${r - 1}),
+         |pr$r AS (SELECT w1, w2, count(*) AS cnt FROM (
+         |    SELECT unnest(CASE WHEN len(a) < 2 THEN CAST([] AS VARCHAR[])
+         |        ELSE a[1:len(a)-1] END) AS w1,
+         |      unnest(CASE WHEN len(a) < 2 THEN CAST([] AS VARCHAR[])
+         |        ELSE a[2:len(a)] END) AS w2
+         |    FROM a$r) GROUP BY w1, w2),
+         |t$r AS (SELECT w1, w2, CAST(cnt AS BIGINT) AS cnt FROM pr$r
+         |  ORDER BY cnt DESC, w1, w2 LIMIT 1),
+         |s$r AS (SELECT doc_id, replace(sym,
+         |    ' ' || t.w1 || '  ' || t.w2 || ' ',
+         |    ' ' || t.w1 || chr(1) || t.w2 || ' ') AS sym
+         |  FROM s${r - 1}, t$r t)""".stripMargin
+    }
+    (s0 +: legs).mkString(",\n")
+  }
 
   val oracleSql: Map[String, String] = Map(
     "bloom_bits" ->
@@ -317,6 +460,68 @@ object PipelineQueries {
          |  CAST(count(*) AS BIGINT) AS n_shared
          |FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
          |GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin,
+    "bpe_merges" ->
+      s"""WITH $sqlToks,
+         |${sqlBpeRounds(BpeRounds)}
+         |SELECT CAST(1 AS INT) AS round, w1 AS lhs, w2 AS rhs, cnt FROM t1
+         |UNION ALL SELECT CAST(2 AS INT), w1, w2, cnt FROM t2
+         |UNION ALL SELECT CAST(3 AS INT), w1, w2, cnt FROM t3
+         |ORDER BY round""".stripMargin,
+    "bpe_apply" ->
+      s"""WITH $sqlToks,
+         |${sqlBpeRounds(BpeRounds)},
+         |f AS (SELECT doc_id, sym,
+         |    CASE WHEN length(trim(sym)) = 0 THEN CAST([] AS VARCHAR[])
+         |         ELSE string_split(trim(sym), '  ') END AS a
+         |  FROM s$BpeRounds)
+         |SELECT doc_id, CAST(len(a) AS BIGINT) AS n_syms,
+         |  ${sqlPolyHash("sym")} AS sym_fp
+         |FROM f ORDER BY doc_id""".stripMargin,
+    "source_trend" -> {
+      import TextQueries.sqlQuality
+      s"""WITH $sqlToks,
+         |q AS (SELECT doc_id, CAST(round($sqlQuality * 1000000) AS BIGINT)
+         |    AS y FROM toks),
+         |b AS (SELECT d.source, CAST(d.n_chars AS BIGINT) AS x, q.y
+         |  FROM documents d JOIN q ON d.doc_id = q.doc_id),
+         |m AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |    CAST(sum(x * y) AS BIGINT) AS sxy,
+         |    CAST(sum(x * x) AS BIGINT) AS sxx
+         |  FROM b GROUP BY source)
+         |SELECT source, n_docs,
+         |  CAST(n_docs * sxy - sx * sy AS BIGINT) AS num,
+         |  CAST(n_docs * sxx - sx * sx AS BIGINT) AS den,
+         |  round(CAST(n_docs * sxy - sx * sy AS DOUBLE) /
+         |    CAST(n_docs * sxx - sx * sx AS DOUBLE), 9) AS slope
+         |FROM m ORDER BY source""".stripMargin
+    },
+    "key_skew" ->
+      """WITH tot AS (SELECT CAST(count(*) AS BIGINT) AS tot FROM events),
+        |c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY user_id),
+        |r AS (SELECT user_id, cnt,
+        |    row_number() OVER (ORDER BY cnt DESC, user_id) AS rank FROM c)
+        |SELECT user_id, cnt, (cnt * 1000000) // tot AS share_ppm,
+        |  CAST(rank AS INT) AS rank
+        |FROM r, tot WHERE rank <= 20 ORDER BY rank""".stripMargin,
+    "snapshot_diff" ->
+      """WITH delta AS (
+        |  SELECT doc_id, source, text || ' v2' AS text, 0 AS tombstone
+        |    FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL SELECT doc_id + 1000000, source, text, 0
+        |    FROM documents WHERE doc_id % 7 = 3
+        |  UNION ALL SELECT doc_id, source, text, 1
+        |    FROM documents WHERE doc_id % 13 = 1),
+        |j AS (SELECT coalesce(b.source, d.source) AS source,
+        |    CASE WHEN d.tombstone = 1 THEN 'deleted'
+        |         WHEN b.doc_id IS NULL THEN 'added'
+        |         WHEN d.doc_id IS NULL THEN 'unchanged'
+        |         WHEN b.text != d.text THEN 'updated'
+        |         ELSE 'unchanged' END AS change
+        |  FROM documents b FULL OUTER JOIN delta d ON b.doc_id = d.doc_id)
+        |SELECT source, change, CAST(count(*) AS BIGINT) AS n
+        |FROM j GROUP BY source, change ORDER BY source, change""".stripMargin,
     "length_curriculum" -> {
       val h = sqlPolyHash("CAST(doc_id AS VARCHAR)")
       s"""WITH b AS (SELECT doc_id, n_chars // $CurricBucket AS bucket,
