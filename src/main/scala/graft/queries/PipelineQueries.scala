@@ -281,6 +281,84 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // Conversion funnel: per user, first view → first click AT OR AFTER
+    // that view → first purchase at or after that click; emitted as one
+    // row per step with exact ppm conversion from the previous step.
+    // Three conditional mins over ONE user-keyed window partition (a
+    // single shuffle); the sequential dependency (click counts only
+    // after the view) is what a naive per-type count gets wrong.
+    "funnel_steps" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+      val staged = table(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("v", min(when(col("event_type") === "view", col("us")))
+          .over(w))
+        .withColumn("c", min(when(col("event_type") === "click"
+          && col("us") >= col("v"), col("us"))).over(w))
+        .withColumn("p", min(when(col("event_type") === "purchase"
+          && col("us") >= col("c"), col("us"))).over(w))
+      val agg = staged.agg(
+        countDistinct(when(col("v").isNotNull, col("user_id"))).as("nv"),
+        countDistinct(when(col("c").isNotNull, col("user_id"))).as("nc"),
+        countDistinct(when(col("p").isNotNull, col("user_id"))).as("np"))
+      agg.select(expr("""stack(3,
+          '1_view', nv, CAST(1000000 AS BIGINT),
+          '2_click', nc, CASE WHEN nv = 0 THEN 0 ELSE nc * 1000000 div nv END,
+          '3_purchase', np, CASE WHEN nc = 0 THEN 0 ELSE np * 1000000 div nc END
+          ) AS (step, n_users, conv_ppm)"""))
+        .orderBy("step")
+    }),
+
+    // Reciprocal-rank fusion of two document rankings (quality and
+    // unigram surprisal) — the standard hybrid-retrieval combiner,
+    // integer-exact: both rank keys are exact integers (6dp quality
+    // lifted to 1e6 units; surprisal's sum_bits), the global ranks come
+    // from the two-phase PrefixScan (numParts parallelism, not one
+    // sort task), and the RRF terms floor(1e6/(60+rank)) stay integral.
+    "rank_fusion" -> ((s, dir) => {
+      val np = s.sparkContext.defaultParallelism
+      val base = docs(s, dir).select(col("doc_id"),
+          round(TF.qualityScore(col("text")) * 1000000L).cast("long").as("y"))
+      val bits = graft.operators.LexicalRank
+        .unigramSurprisal(docs(s, dir), "doc_id", "text")
+        .select(col("id").as("doc_id"), col("sum_bits"))
+      val r1 = graft.operators.PrefixScan.denseIds(
+        base.withColumn("negy", -col("y")), Seq("negy", "doc_id"), "r1", np)
+      val r2 = graft.operators.PrefixScan.denseIds(
+        bits.withColumn("negb", -col("sum_bits")), Seq("negb", "doc_id"),
+        "r2", np)
+      r1.join(r2, Seq("doc_id"))
+        .select(col("doc_id"), (col("r1") + 1).as("r1"), (col("r2") + 1).as("r2"))
+        .withColumn("rrf",
+          expr("1000000 div (60 + r1) + 1000000 div (60 + r2)"))
+        .orderBy(col("rrf").desc, col("doc_id")).limit(25)
+    }),
+
+    // Content-defined chunking (the storage-dedup primitive under
+    // restic/casync-style systems): a chunk boundary lands after char j
+    // wherever the rolling 8-gram hash ≡ 0 (mod 64), so boundaries
+    // follow CONTENT — an insertion reshuffles only neighboring chunks,
+    // unlike fixed-size blocks. Pure zero-shuffle projection, O(len)
+    // hashes per doc; the boundary list is value-pinned by fingerprint.
+    "cdc_chunks" -> ((s, dir) => {
+      import org.apache.spark.sql.catalyst.expressions.Substring
+      import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+      // sequence() descends when stop < start, so short docs need the
+      // empty-array guard the oracle's range() gives for free
+      val bounds = when(length(col("text")) < 8, array().cast("array<int>"))
+        .otherwise(filter(sequence(lit(8), length(col("text"))), j =>
+          PolyHash.poly_hash(column(Substring(expression(col("text")),
+            expression(j - 7), expression(lit(8))))) % 64 === 0))
+      docs(s, dir).select(col("doc_id"), bounds.as("b"))
+        .select(col("doc_id"),
+          size(col("b")).cast("long").as("n_bounds"),
+          (size(col("b")) + 1).cast("long").as("n_chunks"),
+          PolyHash.poly_hash(array_join(col("b").cast("array<string>"), ","))
+            .as("bounds_fp"))
+        .orderBy("doc_id")
+    }),
+
     // Curriculum batch ordering: docs bucketed by length, shuffled
     // deterministically within the bucket (PolyHash of the id), then
     // given a global sequence + batch index through the two-phase
@@ -410,7 +488,7 @@ object PipelineQueries {
          |SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
          |  CAST(len(list_filter(masked, w -> w = '[MASK]')) AS BIGINT)
          |    AS n_masked,
-         |  ${sqlPolyHash("array_to_string(masked, ' ')")} AS masked_fp
+         |  ${sqlPolyHash("coalesce(array_to_string(masked, ' '), '')")} AS masked_fp
          |FROM m ORDER BY doc_id""".stripMargin
     },
     "scd2_history" ->
@@ -522,6 +600,67 @@ object PipelineQueries {
         |  FROM documents b FULL OUTER JOIN delta d ON b.doc_id = d.doc_id)
         |SELECT source, change, CAST(count(*) AS BIGINT) AS n
         |FROM j GROUP BY source, change ORDER BY source, change""".stripMargin,
+    "funnel_steps" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us
+        |  FROM events),
+        |u AS (SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN us END) AS v FROM e
+        |  GROUP BY 1),
+        |c AS (SELECT e.user_id, min(us) AS c FROM e JOIN u USING (user_id)
+        |  WHERE event_type = 'click' AND us >= u.v GROUP BY 1),
+        |p AS (SELECT e.user_id, min(us) AS p FROM e JOIN c USING (user_id)
+        |  WHERE event_type = 'purchase' AND us >= c.c GROUP BY 1),
+        |n AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM u
+        |      WHERE v IS NOT NULL) AS nv,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM c) AS nc,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM p) AS np)
+        |SELECT '1_view' AS step, nv AS n_users,
+        |  CAST(1000000 AS BIGINT) AS conv_ppm FROM n
+        |UNION ALL SELECT '2_click', nc,
+        |  CASE WHEN nv = 0 THEN 0 ELSE (nc * 1000000) // nv END FROM n
+        |UNION ALL SELECT '3_purchase', np,
+        |  CASE WHEN nc = 0 THEN 0 ELSE (np * 1000000) // nc END FROM n
+        |ORDER BY step""".stripMargin,
+    "rank_fusion" -> {
+      import TextQueries.sqlQuality
+      s"""WITH $sqlToks,
+         |q AS (SELECT doc_id, CAST(round($sqlQuality * 1000000) AS BIGINT)
+         |    AS y FROM toks),
+         |occ AS (SELECT doc_id, unnest(t) AS w FROM toks),
+         |dt AS (SELECT doc_id, w, count(*) AS c FROM occ GROUP BY 1, 2),
+         |v AS (SELECT w, CAST(sum(c) AS BIGINT) AS vc FROM dt GROUP BY 1),
+         |g AS (SELECT CAST(sum(vc) AS BIGINT) AS tot FROM v),
+         |sb AS (SELECT d.doc_id, CAST(coalesce(x.sb, 0) AS BIGINT)
+         |    AS sum_bits
+         |  FROM documents d LEFT JOIN (
+         |    SELECT dt.doc_id,
+         |      sum(dt.c * (length(bin(g.tot // v.vc)) - 1)) AS sb
+         |    FROM dt JOIN v USING (w), g GROUP BY 1) x
+         |    ON d.doc_id = x.doc_id),
+         |rk AS (SELECT q.doc_id,
+         |    row_number() OVER (ORDER BY -q.y, q.doc_id) AS r1,
+         |    row_number() OVER (ORDER BY -sb.sum_bits, sb.doc_id) AS r2
+         |  FROM q JOIN sb ON q.doc_id = sb.doc_id)
+         |SELECT doc_id, CAST(r1 AS BIGINT) AS r1, CAST(r2 AS BIGINT) AS r2,
+         |  CAST(1000000 // (60 + r1) + 1000000 // (60 + r2) AS BIGINT)
+         |    AS rrf
+         |FROM rk ORDER BY rrf DESC, doc_id LIMIT 25""".stripMargin
+    },
+    "cdc_chunks" -> {
+      val h = sqlPolyHash("substr(text, j - 7, 8)")
+      s"""WITH b AS (SELECT doc_id,
+         |    list_filter(range(8, length(text) + 1),
+         |      j -> ($h) % 64 = 0) AS b
+         |  FROM documents)
+         |SELECT doc_id, CAST(len(b) AS BIGINT) AS n_bounds,
+         |  CAST(len(b) + 1 AS BIGINT) AS n_chunks,
+         |  ${sqlPolyHash(
+               // array_to_string of an EMPTY list is NULL in the oracle
+               // engine (Spark's array_join gives ''), hence the coalesce
+               "coalesce(array_to_string(list_transform(b, x -> CAST(x AS VARCHAR)), ','), '')")}
+         |    AS bounds_fp
+         |FROM b ORDER BY doc_id""".stripMargin
+    },
     "length_curriculum" -> {
       val h = sqlPolyHash("CAST(doc_id AS VARCHAR)")
       s"""WITH b AS (SELECT doc_id, n_chars // $CurricBucket AS bucket,

@@ -98,7 +98,24 @@ class ShuffleBudgetSpec extends GraftSuite {
     "cms_estimate" -> (900L, 4100L),
     "bloom_prefilter" -> (760L, 3500L),
     "bloom_bits" -> (500L, 2300L),
-    "length_curriculum" -> (160L, 760L))
+    "length_curriculum" -> (160L, 760L),
+    // round-8 final-batch pins — measured: funnel_steps 196,581 (one
+    // user-keyed window shuffle carrying the staged funnel columns);
+    // snapshot_diff 119,105 (full-outer key join of snapshot and delta);
+    // rank_fusion 10,685 (two PrefixScan range shuffles + the doc_id
+    // join); key_skew 1,969 (map-side-combined user groupBy +
+    // TakeOrdered); source_trend 448 (tiny-key moment groupBy).
+    // bpe_merges is pinned on its BUILD (memo evicted below; measured
+    // 57,066): the 3-round fit's pair-count groupBys are the plan worth
+    // guarding.
+    // NOT pinned: cdc_chunks and mlm_mask are pure projections (59-byte
+    // count residue), bpe_apply reads the memoized fit's checkpoint.
+    "funnel_steps" -> (65000L, 295000L),
+    "snapshot_diff" -> (40000L, 180000L),
+    "rank_fusion" -> (3500L, 16000L),
+    "key_skew" -> (650L, 3000L),
+    "source_trend" -> (150L, 700L),
+    "bpe_merges" -> (19000L, 86000L))
 
   /** Memo keys to evict after the warm pass so the measured pass runs the
     * gate's build plan instead of reading a checkpoint. dedup_groups
@@ -106,7 +123,8 @@ class ShuffleBudgetSpec extends GraftSuite {
     * memoized pairs) but rebuilds the component labels. */
   private val evictBeforeMeasure: Map[String, String] =
     Map("embed_pairs_lsh" -> graft.queries.VectorQueries.EmbPairsKey,
-      "dedup_groups" -> graft.queries.TextQueries.JaccardCompKey)
+      "dedup_groups" -> graft.queries.TextQueries.JaccardCompKey,
+      "bpe_merges" -> "bpe_fit")
 
   for ((q, (lo, hi)) <- budgets)
     test(s"$q shuffle-write volume stays within budget at sf0.01") {
