@@ -167,17 +167,47 @@ object PipelineQueries {
     // Cross-source duplication matrix: how many distinct word-bigram
     // shingles each source pair shares — the corpus-forensics view that
     // finds mirrored/scraped source pairs before dedup budgets are set.
-    // distinct(source, shingle-hash) then a hash-keyed self-join whose
-    // fan-out is bounded by |sources|² per shingle, never by corpus size.
+    // Plan (third iteration this round — self-join and collect_set both
+    // measured slower): sources become BITS of a 64-bit presence mask,
+    // so the corpus pays exactly ONE map-side-combined codegen groupBy —
+    // bit_or(1<<src) by shingle hash, no distinct needed (bit_or is
+    // idempotent) and no object aggregate. The mask table then collapses
+    // to (mask, count) rows — at most 2^|sources| and in practice a few
+    // hundred — whose bit pairs expand into the 190-cell matrix.
+    // Constraint: ≤ 62 sources per matrix (a LONG of bits); past that,
+    // shard the matrix by source group.
     "overlap_matrix" -> ((s, dir) => {
-      val sh = docs(s, dir)
-        .select(col("source"), explode(TF.wordShingles(col("text"), 2)).as("g"))
-        .select(col("source"), PolyHash.poly_hash(col("g")).as("h"))
-        .distinct()
-      sh.as("a").join(sh.as("b"),
-          col("a.h") === col("b.h") && col("a.source") < col("b.source"))
-        .select(col("a.source").as("source_a"), col("b.source").as("source_b"))
-        .groupBy("source_a", "source_b").agg(count(lit(1)).as("n_shared"))
+      val d = docs(s, dir)
+      import s.implicits._
+      val sources = d.select("source").distinct().orderBy("source")
+        .as[String].collect().toSeq
+      require(sources.length <= 62, "bitmask plan shards at 62 sources")
+      val n = sources.length
+      val srcIdx =
+        (array_position(typedLit(sources), col("source")) - 1).cast("int")
+      // the fused tokenize→shingle→PolyHash kernel: no shingle strings
+      // materialize, and its per-doc dedup only SHRINKS the explode —
+      // bit_or is idempotent, so the mask per hash is unchanged
+      val masks = d
+        .select(srcIdx.as("i"), explode(
+          graft.functions.TextKernels.shingle_hashes(col("text"), lit(2)))
+          .as("h"))
+        .select(col("h"),
+          expr("shiftleft(CAST(1 AS BIGINT), i)").as("m"))
+        .groupBy("h").agg(expr("bit_or(m)").as("mask"))
+      val maskCounts = masks.groupBy("mask").agg(count(lit(1)).as("c"))
+      val bit = (i: org.apache.spark.sql.Column) =>
+        col("mask").bitwiseAND(pow(lit(2.0), i.cast("double")).cast("long")) =!= 0
+      maskCounts
+        .select(col("mask"), col("c"), explode(flatten(
+          transform(sequence(lit(0), lit(n - 1)), i =>
+            transform(sequence(lit(0), lit(n - 1)), j =>
+              struct(i.as("i"), j.as("j")))))).as("p"))
+        .where(col("p.i") < col("p.j") && bit(col("p.i")) && bit(col("p.j")))
+        .groupBy("p.i", "p.j").agg(sum("c").as("n_shared"))
+        .select(element_at(typedLit(sources), col("i") + 1).as("source_a"),
+          element_at(typedLit(sources), col("j") + 1).as("source_b"),
+          col("n_shared"))
         .orderBy("source_a", "source_b")
     }),
 

@@ -225,10 +225,12 @@ class PlanHygieneSpec extends GraftSuite {
       s"bloom probe must be shuffle- and join-free:\n${p.take(800)}")
   }
 
-  test("overlap_matrix self-join is hash-keyed, never a cartesian") {
+  test("overlap_matrix is join-free: one bit_or groupBy, no self-join") {
+    // the bitmask plan's whole point is that the corpus-sized side
+    // passes through exactly one aggregation and never joins itself
     val p = plan("overlap_matrix")
-    assert(!p.contains("CartesianProduct") &&
-      !p.contains("BroadcastNestedLoopJoin"),
-      "shingle-hash self-join must stay an equi join")
+    assert(!p.contains("Join"),
+      "overlap_matrix regressed to a join-based plan")
+    assert(p.contains("bit_or"), "presence-mask bit_or agg missing")
   }
 }

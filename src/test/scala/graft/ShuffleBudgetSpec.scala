@@ -81,10 +81,12 @@ class ShuffleBudgetSpec extends GraftSuite {
     // eliminates under the harness's count() — same reason as span_strip.
     "merge_upsert" -> (2200L, 10000L),
     "zorder_key" -> (230L, 1100L),
-    // round-8 pipeline-gate pins — measured: overlap_matrix 133,909
-    // (distinct (source, shingle-hash) + hash-keyed self-join; a blown
-    // budget means the per-shingle fan-out stopped being bounded by
-    // |sources|²); cms_estimate 2,681 (d·w cell groupBy + exact top-K —
+    // round-8 pipeline-gate pins — measured: overlap_matrix 18,874
+    // (bitmask plan: ONE bit_or groupBy on the fused shingle-hash
+    // kernel + the tiny mask-count agg; the self-join and collect_set
+    // drafts measured 134k/95k bytes and 7× the wall time — a blown
+    // budget here means the one-shuffle shape regressed);
+    // cms_estimate 2,681 (d·w cell groupBy + exact top-K —
     // the sketch side must stay 1,024 cells regardless of vocab);
     // bloom_prefilter 2,287 (vocab distinct + eval left join — the
     // PROBE itself is a zero-shuffle broadcast-literal projection, which
@@ -94,7 +96,7 @@ class ShuffleBudgetSpec extends GraftSuite {
     // mlm_mask is a pure projection (59-byte count residue), scd2_history
     // is one user-keyed window that column pruning removes under count(),
     // and validate_rows broadcasts the orders side into one agg pass.
-    "overlap_matrix" -> (45000L, 200000L),
+    "overlap_matrix" -> (6000L, 29000L),
     "cms_estimate" -> (900L, 4100L),
     "bloom_prefilter" -> (760L, 3500L),
     "bloom_bits" -> (500L, 2300L),
