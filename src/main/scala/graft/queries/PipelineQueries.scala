@@ -135,6 +135,45 @@ object PipelineQueries {
         .orderBy("user_id", "valid_from_us", "event_id")
     }),
 
+    // Markov transition matrix over the event log: per (from, to)
+    // event-type pair, the transition count and probability (ppm,
+    // integer-exact) within each user's time-ordered stream — the
+    // session-model / anomaly-baseline estimator. One user-keyed lag
+    // window + one tiny-key groupBy.
+    "event_transitions" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+      val steps = table(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("from_type", lag(col("event_type"), 1).over(w))
+        .where(col("from_type").isNotNull)
+      val counts = steps.groupBy(col("from_type"),
+          col("event_type").as("to_type"))
+        .agg(count(lit(1)).as("cnt"))
+      val fromTot = counts.groupBy("from_type").agg(sum("cnt").as("tot"))
+      counts.join(fromTot, Seq("from_type"))
+        .select(col("from_type"), col("to_type"), col("cnt"),
+          expr("cnt * 1000000 div tot").as("p_ppm"))
+        .orderBy("from_type", "to_type")
+    }),
+
+    // Retention cohort matrix: users grouped by first-seen day, counted
+    // on each later active day offset — the activation/retention view
+    // every event warehouse serves. distinct (user, day) → per-user min
+    // (one keyed agg) → join back → (cohort, offset) count; every
+    // shuffle keyed by user or by the tiny cohort key.
+    "retention_cohorts" -> ((s, dir) => {
+      val days = table(s, dir, "events")
+        .select(col("user_id"), unix_micros(col("ts")).as("us"))
+        .select(col("user_id"), expr("us div 86400000000").as("day"))
+        .distinct()
+      val cohorts = days.groupBy("user_id").agg(min("day").as("cohort"))
+      days.join(cohorts, Seq("user_id"))
+        .groupBy(col("cohort"), (col("day") - col("cohort")).as("day_offset"))
+        .agg(countDistinct("user_id").as("n_users"))
+        .orderBy("cohort", "day_offset")
+    }),
+
     // Deequ-style expectation suite over the relational tables: range,
     // positivity, referential-integrity (orphan FK) and temporal-sanity
     // checks, each a (check, violations, checked) row. One keyed join +
@@ -532,6 +571,29 @@ object PipelineQueries {
         |SELECT user_id, event_id, valid_from_us, cents, valid_to_us,
         |  CASE WHEN valid_to_us IS NULL THEN 1 ELSE 0 END AS is_current
         |FROM h ORDER BY user_id, valid_from_us, event_id""".stripMargin,
+    "event_transitions" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+        |  FROM events),
+        |s AS (SELECT event_type AS to_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY us, event_id) AS from_type
+        |  FROM e),
+        |c AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM s WHERE from_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT from_type, CAST(sum(cnt) AS BIGINT) AS tot FROM c
+        |  GROUP BY 1)
+        |SELECT c.from_type, c.to_type, c.cnt,
+        |  (c.cnt * 1000000) // t.tot AS p_ppm
+        |FROM c JOIN t USING (from_type)
+        |ORDER BY from_type, to_type""".stripMargin,
+    "retention_cohorts" ->
+      """WITH d AS (SELECT DISTINCT user_id,
+        |    epoch_us(ts) // 86400000000 AS day FROM events),
+        |c AS (SELECT user_id, min(day) AS cohort FROM d GROUP BY 1)
+        |SELECT c.cohort, d.day - c.cohort AS day_offset,
+        |  CAST(count(DISTINCT d.user_id) AS BIGINT) AS n_users
+        |FROM d JOIN c USING (user_id)
+        |GROUP BY 1, 2 ORDER BY cohort, day_offset""".stripMargin,
     "validate_rows" ->
       """WITH j AS (SELECT l.*, o.o_orderkey AS fk, o.o_orderdate
         |  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey),

@@ -117,7 +117,12 @@ class ShuffleBudgetSpec extends GraftSuite {
     "rank_fusion" -> (3500L, 16000L),
     "key_skew" -> (650L, 3000L),
     "source_trend" -> (150L, 700L),
-    "bpe_merges" -> (19000L, 86000L))
+    "bpe_merges" -> (19000L, 86000L),
+    // events-analytics pins — measured: event_transitions 199,220 (the
+    // user-keyed lag window shuffle); retention_cohorts 30,900 (distinct
+    // (user, day) + per-user min + the join back, all user-keyed)
+    "event_transitions" -> (65000L, 300000L),
+    "retention_cohorts" -> (10000L, 47000L))
 
   /** Memo keys to evict after the warm pass so the measured pass runs the
     * gate's build plan instead of reading a checkpoint. dedup_groups
