@@ -39,11 +39,15 @@ object PipelineQueries {
   /** BPE merge rounds for the fit gates. */
   private val BpeRounds = 3
 
+  /** QueryCache key of the shared BPE fit (ShuffleBudgetSpec evicts it
+    * to pin the build plan). */
+  val BpeFitKey = "bpe_fit"
+
   /** Memoized 3-round BPE fit per (session, dir): bpe_merges and
     * bpe_apply share one iteration, like every other multi-surface model
     * on the board. */
   private def bpeFit(s: SparkSession, dir: String): graft.operators.BpeMerge.Fit =
-    graft.core.QueryCache.shared("bpe_fit", s, dir) {
+    graft.core.QueryCache.shared(BpeFitKey, s, dir) {
       val f = graft.operators.BpeMerge.fit(docs(s, dir), "doc_id", "text",
         BpeRounds)
       val chk = f.syms.localCheckpoint()
@@ -172,6 +176,30 @@ object PipelineQueries {
         .groupBy(col("cohort"), (col("day") - col("cohort")).as("day_offset"))
         .agg(countDistinct("user_id").as("n_users"))
         .orderBy("cohort", "day_offset")
+    }),
+
+    // Peak concurrent sessions (capacity planning): the classic
+    // sweep-line — sessions become +1/-1 deltas at start/end+1,
+    // aggregated per timestamp, running-summed in time order, max'd.
+    // The running sum rides the two-phase PrefixScan (numParts
+    // parallelism, not one global-window task) and the final max is a
+    // TakeOrdered(1); composes gap-sessionization + prefix scan.
+    "max_concurrency" -> ((s, dir) => {
+      val sessions = graft.streaming.EventStreams
+        .sessionize(table(s, dir, "events"), 60)
+        .select(col("start_us"), col("end_us"))
+      val deltas = sessions.select(col("start_us").as("us"), lit(1L).as("d"))
+        .unionAll(sessions.select((col("end_us") + 1).as("us"),
+          lit(-1L).as("d")))
+      val byTs = deltas.groupBy("us").agg(sum("d").as("d"))
+      val run = graft.operators.PrefixScan.exclusiveCumsum(
+          byTs.withColumn("__all", lit(1)), "__all", Seq("us"), "d", "cum",
+          s.sparkContext.defaultParallelism)
+        .withColumn("conc", col("cum") + col("d"))
+      run.orderBy(col("conc").desc, col("us")).limit(1)
+        .crossJoin(broadcast(sessions.agg(count(lit(1)).as("n_sessions"))))
+        .select(col("conc").as("max_conc"), col("us").as("at_us"),
+          col("n_sessions"))
     }),
 
     // Deequ-style expectation suite over the relational tables: range,
@@ -571,6 +599,33 @@ object PipelineQueries {
         |SELECT user_id, event_id, valid_from_us, cents, valid_to_us,
         |  CASE WHEN valid_to_us IS NULL THEN 1 ELSE 0 END AS is_current
         |FROM h ORDER BY user_id, valid_from_us, event_id""".stripMargin,
+    // the sessionization CTEs mirror events_sessions' oracle; the
+    // sweep-line is a per-ts delta sum + one running window
+    "max_concurrency" ->
+      s"""WITH g AS (SELECT user_id, epoch_us(ts) AS us,
+         |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts)
+         |      AS prev_us
+         |  FROM events),
+         |flagged AS (SELECT user_id, us,
+         |    CASE WHEN prev_us IS NULL OR us - prev_us > ${60 * 60L * 1000000L}
+         |      THEN 1 ELSE 0 END AS new_session
+         |  FROM g),
+         |sess AS (SELECT user_id, us,
+         |    sum(new_session) OVER (PARTITION BY user_id ORDER BY us
+         |      ROWS UNBOUNDED PRECEDING) AS session_idx
+         |  FROM flagged),
+         |sessions AS (SELECT user_id, session_idx, min(us) AS s,
+         |    max(us) AS e
+         |  FROM sess GROUP BY 1, 2),
+         |deltas AS (SELECT s AS us, 1 AS d FROM sessions
+         |  UNION ALL SELECT e + 1, -1 FROM sessions),
+         |byts AS (SELECT us, CAST(sum(d) AS BIGINT) AS d FROM deltas
+         |  GROUP BY 1),
+         |run AS (SELECT us, sum(d) OVER (ORDER BY us
+         |    ROWS UNBOUNDED PRECEDING) AS conc FROM byts)
+         |SELECT CAST(conc AS BIGINT) AS max_conc, us AS at_us,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM sessions) AS n_sessions
+         |FROM run ORDER BY conc DESC, us LIMIT 1""".stripMargin,
     "event_transitions" ->
       """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us
         |  FROM events),

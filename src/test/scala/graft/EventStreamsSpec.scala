@@ -130,6 +130,51 @@ class EventStreamsSpec extends GraftSuite {
       graft.core.Tables.table(spark, sf0001, "events"), 60).count()
     assert(n == expected, s"stateful $n vs window-based $expected")
   }
+
+  test("streaming foreachBatch upsert folds to the batch merge") {
+    // exactly-once snapshot refresh from a stream: each micro-batch is
+    // MergeUpsert.lastWriterWins'd into the running snapshot; with
+    // unique versions per key the fold is order-insensitive, so the
+    // final snapshot must equal one batch merge over ALL rows —
+    // including out-of-order (stale) arrivals and tombstone/re-insert.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.DataFrame
+    implicit val sq = spark.sqlContext
+    // rows: (user, version, value, del)
+    val b1 = Seq[(Long, Long, Double, Boolean)]((1L, 1L, 10.0, false),
+      (2L, 1L, 20.0, false), (3L, 1L, 30.0, false))
+    val b2 = Seq[(Long, Long, Double, Boolean)]((1L, 10L, 11.0, false),
+      (2L, 2L, 21.0, false), (4L, 1L, 40.0, false))
+    val b3 = Seq[(Long, Long, Double, Boolean)](
+      (1L, 7L, 99.0, false), // stale: must NOT override v=10
+      (3L, 5L, 0.0, true),   // tombstone kills user 3
+      (2L, 3L, 0.0, true), (2L, 4L, 22.0, false)) // delete then re-insert
+    val all = (b1 ++ b2 ++ b3).toDF("user_id", "us", "value", "del")
+    val expected = graft.operators.MergeUpsert
+      .lastWriterWins(all.limit(0), all, Seq("user_id"), "us", "del")
+      .select("user_id", "us", "value").as[(Long, Long, Double)]
+      .collect().toSet
+
+    val src = MemoryStream[(Long, Long, Double, Boolean)]
+    var snapshot: DataFrame = all.limit(0)
+    val q = src.toDF().toDF("user_id", "us", "value", "del")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        snapshot = graft.operators.MergeUpsert
+          .lastWriterWins(snapshot, batch, Seq("user_id"), "us", "del")
+          .localCheckpoint()
+      }.start()
+    try {
+      Seq(b1, b2, b3).foreach { b => src.addData(b); q.processAllAvailable() }
+      val got = snapshot.select("user_id", "us", "value")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(got == expected, s"stream fold $got != batch merge $expected")
+      assert(!got.exists(_._1 == 3L), "tombstoned key must be gone")
+      assert(got.contains((2L, 4L, 22.0)), "re-insert after delete survives")
+      assert(got.contains((1L, 10L, 11.0)), "stale arrival must not win")
+    } finally q.stop()
+  }
+
 }
 
 class MultimodalSpec extends GraftSuite {

@@ -122,7 +122,10 @@ class ShuffleBudgetSpec extends GraftSuite {
     // user-keyed lag window shuffle); retention_cohorts 30,900 (distinct
     // (user, day) + per-user min + the join back, all user-keyed)
     "event_transitions" -> (65000L, 300000L),
-    "retention_cohorts" -> (10000L, 47000L))
+    "retention_cohorts" -> (10000L, 47000L),
+    // max_concurrency 156,440: sessionize's user window + the delta
+    // groupBy + PrefixScan's range partition
+    "max_concurrency" -> (52000L, 235000L))
 
   /** Memo keys to evict after the warm pass so the measured pass runs the
     * gate's build plan instead of reading a checkpoint. dedup_groups
@@ -131,7 +134,7 @@ class ShuffleBudgetSpec extends GraftSuite {
   private val evictBeforeMeasure: Map[String, String] =
     Map("embed_pairs_lsh" -> graft.queries.VectorQueries.EmbPairsKey,
       "dedup_groups" -> graft.queries.TextQueries.JaccardCompKey,
-      "bpe_merges" -> "bpe_fit")
+      "bpe_merges" -> graft.queries.PipelineQueries.BpeFitKey)
 
   for ((q, (lo, hi)) <- budgets)
     test(s"$q shuffle-write volume stays within budget at sf0.01") {
