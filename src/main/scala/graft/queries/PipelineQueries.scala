@@ -456,6 +456,79 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // Incremental view maintenance: yesterday's per-source aggregate
+    // plus the delta's aggregate re-aggregated equals the full
+    // recompute — the partial-agg merge algebra (sum/count are
+    // mergeable) that lets a 100 TB materialized view refresh from the
+    // delta alone. The gate runs BOTH paths and emits the comparison,
+    // so the merge algebra itself is oracle-checked.
+    "ivm_agg" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("source"),
+        TF.tokenCount(col("text")).cast("long").as("tk"))
+      def agg(df: DataFrame) = df.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("tk").as("n_tokens"))
+      val matOld = agg(d.where(col("doc_id") % 10 =!= 0))
+      val deltaAgg = agg(d.where(col("doc_id") % 10 === 0))
+      val refreshed = matOld.unionByName(deltaAgg).groupBy("source")
+        .agg(sum("n_docs").as("n_docs"), sum("n_tokens").as("n_tokens"))
+      val full = agg(d).withColumnRenamed("n_docs", "f_docs")
+        .withColumnRenamed("n_tokens", "f_tokens")
+      refreshed.join(full, Seq("source"))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          (col("n_docs") === col("f_docs") &&
+            col("n_tokens") === col("f_tokens")).cast("int").as("matches_full"))
+        .orderBy("source")
+    }),
+
+    // Exact distributed anomaly detection: per-user purchase amounts
+    // flagged at |x − μ| > 3σ with the inequality cross-multiplied into
+    // PURE INTEGER form — (n·x − Σx)² > 9·(n·Σx² − (Σx)²) — so the
+    // flags hash exactly across engines (no float μ/σ anywhere). One
+    // map-side-combined moment groupBy + one user-keyed join back.
+    "anomaly_flags" -> ((s, dir) => {
+      val e = table(s, dir, "events").where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"),
+          floor(col("value") * 100).cast("long").as("cents"))
+      val m = e.groupBy("user_id").agg(count(lit(1)).as("n"),
+        sum("cents").as("sx"), sum(col("cents") * col("cents")).as("sxx"))
+      e.join(m, Seq("user_id"))
+        .where(col("n") >= 2)
+        .select(col("user_id"), col("event_id"), col("cents"),
+          ((col("n") * col("cents") - col("sx")) *
+            (col("n") * col("cents") - col("sx")) >
+            lit(9L) * (col("n") * col("sxx") - col("sx") * col("sx")))
+            .cast("int").as("is_anomaly"))
+        .where(col("is_anomaly") === 1)
+        .orderBy("event_id")
+    }),
+
+    // Order-insensitive dataset fingerprint per source: Σ PolyHash(id
+    // || '|' || text) mod P with the row count — the cheap
+    // content-equality check for snapshot promotion / replication
+    // validation. Commutative by construction, so it parallelizes as a
+    // plain map-side-combined sum. (Long headroom: safe to ~9e9 rows
+    // per source; shard the sum key past that.)
+    "dataset_fingerprint" -> ((s, dir) => {
+      docs(s, dir).select(col("source"),
+          PolyHash.poly_hash(concat(col("doc_id").cast("string"), lit("|"),
+            col("text"))).as("h"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_rows"),
+          (sum("h") % PolyHash.Prime).as("fp"))
+        .orderBy("source")
+    }),
+
+    // Native pivot: lang × source document counts as a wide table —
+    // the relational PIVOT operator with an explicit (deterministic)
+    // column list, absent combinations filled with 0.
+    "pivot_sources" -> ((s, dir) => {
+      import s.implicits._
+      val sources = docs(s, dir).select("source").distinct().orderBy("source")
+        .as[String].collect().toSeq
+      docs(s, dir).groupBy("lang").pivot("source", sources).count()
+        .na.fill(0L).orderBy("lang")
+    }),
+
     // Curriculum batch ordering: docs bucketed by length, shuffled
     // deterministically within the bucket (PolyHash of the id), then
     // given a global sequence + batch index through the two-phase
@@ -807,6 +880,56 @@ object PipelineQueries {
                "coalesce(array_to_string(list_transform(b, x -> CAST(x AS VARCHAR)), ','), '')")}
          |    AS bounds_fp
          |FROM b ORDER BY doc_id""".stripMargin
+    },
+    "ivm_agg" ->
+      s"""WITH $sqlToks,
+         |d AS (SELECT q.doc_id, m.source, CAST(len(q.t) AS BIGINT) AS tk
+         |  FROM toks q JOIN documents m ON q.doc_id = m.doc_id),
+         |old AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(tk) AS BIGINT) AS n_tokens
+         |  FROM d WHERE doc_id % 10 != 0 GROUP BY 1),
+         |delta AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(tk) AS BIGINT) AS n_tokens
+         |  FROM d WHERE doc_id % 10 = 0 GROUP BY 1),
+         |ref AS (SELECT source, CAST(sum(n_docs) AS BIGINT) AS n_docs,
+         |    CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+         |  FROM (SELECT * FROM old UNION ALL SELECT * FROM delta)
+         |  GROUP BY 1),
+         |f AS (SELECT source, CAST(count(*) AS BIGINT) AS f_docs,
+         |    CAST(sum(tk) AS BIGINT) AS f_tokens FROM d GROUP BY 1)
+         |SELECT r.source, r.n_docs, r.n_tokens,
+         |  CASE WHEN r.n_docs = f.f_docs AND r.n_tokens = f.f_tokens
+         |    THEN 1 ELSE 0 END AS matches_full
+         |FROM ref r JOIN f USING (source) ORDER BY source""".stripMargin,
+    "anomaly_flags" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |    CAST(floor(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |m AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(cents) AS BIGINT) AS sx,
+        |    CAST(sum(cents * cents) AS BIGINT) AS sxx
+        |  FROM e GROUP BY 1)
+        |SELECT e.user_id, e.event_id, e.cents, 1 AS is_anomaly
+        |FROM e JOIN m USING (user_id)
+        |WHERE m.n >= 2
+        |  AND (m.n * e.cents - m.sx) * (m.n * e.cents - m.sx)
+        |      > 9 * (m.n * m.sxx - m.sx * m.sx)
+        |ORDER BY event_id""".stripMargin,
+    "dataset_fingerprint" -> {
+      val h = sqlPolyHash("CAST(doc_id AS VARCHAR) || '|' || text")
+      s"""SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(sum($h) % ${PolyHash.Prime} AS BIGINT) AS fp
+         |FROM documents GROUP BY source ORDER BY source""".stripMargin
+    },
+    // the testdata's source domain is fixed (src0..src19); the Spark
+    // side pivots over the same sorted list it collects from the table
+    "pivot_sources" -> {
+      val cols = (0 until 20).map(i => s"src$i").sorted.map(sc =>
+        s"CAST(sum(CASE WHEN source = '$sc' THEN 1 ELSE 0 END) AS BIGINT) AS $sc")
+        .mkString(",\n  ")
+      s"""SELECT lang,
+         |  $cols
+         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
     },
     "length_curriculum" -> {
       val h = sqlPolyHash("CAST(doc_id AS VARCHAR)")

@@ -125,7 +125,15 @@ class ShuffleBudgetSpec extends GraftSuite {
     "retention_cohorts" -> (10000L, 47000L),
     // max_concurrency 156,440: sessionize's user window + the delta
     // groupBy + PrefixScan's range partition
-    "max_concurrency" -> (52000L, 235000L))
+    "max_concurrency" -> (52000L, 235000L),
+    // small-agg pins — anomaly_flags 3,559 (moment groupBy + user-keyed
+    // join back); pivot_sources 1,059; ivm_agg 955 (the two partial
+    // aggs + merge); dataset_fingerprint 448 (one commutative-sum
+    // groupBy)
+    "anomaly_flags" -> (1100L, 5400L),
+    "pivot_sources" -> (350L, 1600L),
+    "ivm_agg" -> (300L, 1500L),
+    "dataset_fingerprint" -> (150L, 700L))
 
   /** Memo keys to evict after the warm pass so the measured pass runs the
     * gate's build plan instead of reading a checkpoint. dedup_groups
