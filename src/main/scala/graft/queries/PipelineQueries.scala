@@ -456,6 +456,28 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // Half-life-decayed engagement: per-user purchase volume with a
+    // one-day half-life, the recency weighting a data-selection /
+    // ranking pipeline applies to engagement signals — made integer-
+    // exact by using powers of two (cents div 2^age_days instead of
+    // cents·e^{-λ·age}), so the decayed sums hash identically across
+    // engines. One 1-row broadcast (the as-of day) + one keyed groupBy.
+    "decayed_engagement" -> ((s, dir) => {
+      val e = table(s, dir, "events").where(col("event_type") === "purchase")
+        .select(col("user_id"), unix_micros(col("ts")).as("us"),
+          floor(col("value") * 100).cast("long").as("cents"))
+        .withColumn("day", expr("us div 86400000000"))
+      val asOf = e.agg(max("day").as("max_day"))
+      e.crossJoin(broadcast(asOf))
+        .withColumn("age", least(col("max_day") - col("day"), lit(40L)))
+        .withColumn("dec",
+          expr("cents div CAST(power(2, age) AS BIGINT)"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"), sum("cents").as("raw_cents"),
+          sum("dec").as("decayed_cents"))
+        .orderBy("user_id")
+    }),
+
     // Incremental view maintenance: yesterday's per-source aggregate
     // plus the delta's aggregate re-aggregated equals the full
     // recompute — the partial-agg merge algebra (sum/count are
@@ -881,6 +903,19 @@ object PipelineQueries {
          |    AS bounds_fp
          |FROM b ORDER BY doc_id""".stripMargin
     },
+    "decayed_engagement" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(floor(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |a AS (SELECT max(day) AS max_day FROM e),
+        |d AS (SELECT user_id, cents,
+        |    cents // CAST(power(2, LEAST(max_day - day, 40)) AS BIGINT)
+        |      AS dec
+        |  FROM e, a)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(cents) AS BIGINT) AS raw_cents,
+        |  CAST(sum(dec) AS BIGINT) AS decayed_cents
+        |FROM d GROUP BY user_id ORDER BY user_id""".stripMargin,
     "ivm_agg" ->
       s"""WITH $sqlToks,
          |d AS (SELECT q.doc_id, m.source, CAST(len(q.t) AS BIGINT) AS tk

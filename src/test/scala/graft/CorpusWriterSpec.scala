@@ -66,4 +66,23 @@ class CorpusWriterSpec extends GraftSuite {
     assert(back.where(col("l_orderkey") === 1).count() ==
       li.where(col("l_orderkey") === 1).count())
   }
+
+  test("schema evolution: mergeSchema unions batches, old rows get nulls") {
+    // a corpus written over time gains columns; readers must see the
+    // union schema with back-filled nulls, not a failure — the
+    // append-only evolution story every long-lived dataset needs
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("evolve").toString
+    Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+      .write.parquet(s"$dir/batch=1")
+    Seq((3L, "gamma", 0.9)).toDF("doc_id", "text", "quality")
+      .write.parquet(s"$dir/batch=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.toSet == Set("doc_id", "text", "quality", "batch"))
+    assert(merged.count() == 3)
+    assert(merged.where(col("quality").isNull).count() == 2,
+      "pre-evolution rows surface as nulls")
+    assert(merged.where(col("quality") === 0.9).select("doc_id")
+      .as[Long].head() == 3L)
+  }
 }

@@ -131,6 +131,8 @@ class ShuffleBudgetSpec extends GraftSuite {
     // aggs + merge); dataset_fingerprint 448 (one commutative-sum
     // groupBy)
     "anomaly_flags" -> (1100L, 5400L),
+    // decayed_engagement 1,743 (1-row as-of broadcast + keyed groupBy)
+    "decayed_engagement" -> (580L, 2700L),
     "pivot_sources" -> (350L, 1600L),
     "ivm_agg" -> (300L, 1500L),
     "dataset_fingerprint" -> (150L, 700L))
