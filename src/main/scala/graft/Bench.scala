@@ -163,6 +163,8 @@ object Bench {
     // stay on bench_detail — because this line must fit the driver's
     // bounded stdout tail whole; a truncated headline loses the medians.
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${jmap(_.median)},"cold":${jmap(_.cold)},"failed":$failed,"reps":$reps,"cold_total":${r3(coldTotal)},"sf":"$sfDir"}""")
+    // release memoized checkpoint blocks deterministically (not via GC)
+    graft.core.QueryCache.evictSession(spark)
     spark.stop()
   }
 }

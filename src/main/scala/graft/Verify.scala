@@ -43,6 +43,8 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // release memoized checkpoint blocks deterministically (not via GC)
+    graft.core.QueryCache.evictSession(spark)
     spark.stop()
   }
 }

@@ -456,6 +456,26 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // The SQL-only user path: native kernels invoked THROUGH spark.sql
+    // over a temp view — poly_hash, the fused shingle_hashes kernel,
+    // and sorted_intersect_count composing set overlap of a doc with
+    // its own 80-char prefix, all in one SQL statement. Proves a
+    // SQL-first user needs no Column API; the oracle replays the
+    // kernels' arithmetic.
+    "sql_surface" -> ((s, dir) => {
+      graft.GraftExtensions.register(s)
+      docs(s, dir).createOrReplaceTempView("g_documents")
+      s.sql("""
+        SELECT doc_id,
+               poly_hash(text) AS fp,
+               size(shingle_hashes(text, 2)) AS n_shingles,
+               sorted_intersect_count(
+                 array_sort(shingle_hashes(text, 2)),
+                 array_sort(shingle_hashes(substring(text, 1, 80), 2)))
+                 AS prefix_overlap
+        FROM g_documents ORDER BY doc_id""")
+    }),
+
     // Half-life-decayed engagement: per-user purchase volume with a
     // one-day half-life, the recency weighting a data-selection /
     // ranking pipeline applies to engagement signals — made integer-
@@ -901,6 +921,29 @@ object PipelineQueries {
                // engine (Spark's array_join gives ''), hence the coalesce
                "coalesce(array_to_string(list_transform(b, x -> CAST(x AS VARCHAR)), ','), '')")}
          |    AS bounds_fp
+         |FROM b ORDER BY doc_id""".stripMargin
+    },
+    // the kernel arithmetic replayed: distinct bigram-shingle hash sets
+    // for the text and its 80-char prefix, then |A∩B| via list_intersect
+    "sql_surface" -> {
+      // outer lambda var is `j`: sqlPolyHash's inner list_transform
+      // binds `i` and would shadow it
+      def shSet(e: String) =
+        s"""CASE WHEN len(string_split_regex(trim($e), '\\s+')) < 2
+           |  OR length(trim($e)) = 0 THEN CAST([] AS BIGINT[])
+           |  ELSE list_distinct(list_transform(
+           |    range(1, len(string_split_regex(trim($e), '\\s+'))),
+           |    j -> ${sqlPolyHash(
+                 s"string_split_regex(trim($e), '\\s+')[j] || ' ' || " +
+                   s"string_split_regex(trim($e), '\\s+')[j + 1]")})) END"""
+          .stripMargin
+      s"""WITH b AS (SELECT doc_id,
+         |    ${sqlPolyHash("text")} AS fp,
+         |    ${shSet("text")} AS sa,
+         |    ${shSet("substr(text, 1, 80)")} AS sb
+         |  FROM documents)
+         |SELECT doc_id, fp, CAST(len(sa) AS INT) AS n_shingles,
+         |  CAST(len(list_intersect(sa, sb)) AS INT) AS prefix_overlap
          |FROM b ORDER BY doc_id""".stripMargin
     },
     "decayed_engagement" ->
