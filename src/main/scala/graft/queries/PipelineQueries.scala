@@ -456,6 +456,25 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // Percentile-rank feature normalization: each document's quality as
+    // its integer-exact within-source percentile (ppm) — the robust,
+    // distribution-free scaling an ML pipeline applies before mixing
+    // heterogeneous sources. One source-partitioned window; work
+    // distributes over sources.
+    "quality_pctrank" -> ((s, dir) => {
+      val w = Window.partitionBy("source").orderBy(col("q6"), col("doc_id"))
+      val cw = Window.partitionBy("source")
+      docs(s, dir).select(col("source"), col("doc_id"),
+          TF.qualityScore(col("text")).as("q6"))
+        .withColumn("rk", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(cw))
+        .select(col("source"), col("doc_id"), col("q6"),
+          when(col("n") === 1, 0L)
+            .otherwise(expr("(rk - 1) * 1000000 div (n - 1)"))
+            .as("pct_ppm"))
+        .orderBy("doc_id")
+    }),
+
     // The SQL-only user path: native kernels invoked THROUGH spark.sql
     // over a temp view — poly_hash, the fused shingle_hashes kernel,
     // and sorted_intersect_count composing set overlap of a doc with
@@ -922,6 +941,21 @@ object PipelineQueries {
                "coalesce(array_to_string(list_transform(b, x -> CAST(x AS VARCHAR)), ','), '')")}
          |    AS bounds_fp
          |FROM b ORDER BY doc_id""".stripMargin
+    },
+    "quality_pctrank" -> {
+      import TextQueries.sqlQuality
+      s"""WITH $sqlToks,
+         |q AS (SELECT doc_id, $sqlQuality AS q6 FROM toks),
+         |j AS (SELECT d.source, q.doc_id, q.q6
+         |  FROM documents d JOIN q ON d.doc_id = q.doc_id),
+         |r AS (SELECT source, doc_id, q6,
+         |    row_number() OVER (PARTITION BY source ORDER BY q6, doc_id)
+         |      AS rk,
+         |    count(*) OVER (PARTITION BY source) AS n FROM j)
+         |SELECT source, doc_id, q6,
+         |  CAST(CASE WHEN n = 1 THEN 0
+         |    ELSE ((rk - 1) * 1000000) // (n - 1) END AS BIGINT) AS pct_ppm
+         |FROM r ORDER BY doc_id""".stripMargin
     },
     // the kernel arithmetic replayed: distinct bigram-shingle hash sets
     // for the text and its 80-char prefix, then |A∩B| via list_intersect

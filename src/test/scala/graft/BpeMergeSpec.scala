@@ -62,4 +62,56 @@ class BpeMergeSpec extends GraftSuite {
     assert(out(1L) == Seq("solo") && out(2L).isEmpty && out(3L).isEmpty)
     fit.release()
   }
+
+  test("property: engine fit matches an in-memory reference on random corpora") {
+    // independent greedy-BPE reference: explicit left-to-right
+    // non-overlapping merge over symbol vectors (no string replace), so
+    // a divergence in the engine's padded-string rewrite would surface
+    def refMerge(doc: Vector[String], a: String, b: String): Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < doc.length) {
+        if (i + 1 < doc.length && doc(i) == a && doc(i + 1) == b) {
+          out += s"$a$M$b"; i += 2
+        } else { out += doc(i); i += 1 }
+      }
+      out.result()
+    }
+    def refFit(docs0: Map[Long, Vector[String]], rounds: Int)
+    : (Map[Long, Vector[String]], Seq[(String, String, Long)]) = {
+      var docs = docs0
+      val merges = Seq.newBuilder[(String, String, Long)]
+      var r = 0
+      var stop = false
+      while (r < rounds && !stop) {
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        docs.valuesIterator.foreach(d => d.indices.dropRight(1).foreach(i =>
+          counts((d(i), d(i + 1))) = counts.getOrElse((d(i), d(i + 1)), 0L) + 1))
+        if (counts.isEmpty) stop = true
+        else {
+          val ((a, b), c) = counts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }
+          merges += ((a, b, c))
+          docs = docs.map { case (k, d) => k -> refMerge(d, a, b) }
+        }
+        r += 1
+      }
+      (docs, merges.result())
+    }
+    val rnd = new scala.util.Random(42)
+    // tiny alphabet forces heavy repeats, adjacency ties and overlap runs
+    for (trial <- 1 to 8) {
+      val corpus = (0L until 6L).map { id =>
+        id -> Vector.fill(2 + rnd.nextInt(10))(s"w${rnd.nextInt(3)}")
+      }.toMap
+      val df = corpus.toSeq
+        .map { case (id, toks) => (id, toks.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val fit = BpeMerge.fit(df, "doc_id", "text", 3)
+      val (refDocs, refMerges) = refFit(corpus, 3)
+      assert(fit.merges.map(m => (m.lhs, m.rhs, m.cnt)) == refMerges,
+        s"trial $trial merge sequences diverge")
+      assert(syms(fit) == refDocs, s"trial $trial symbol tables diverge")
+      fit.release()
+    }
+  }
 }
