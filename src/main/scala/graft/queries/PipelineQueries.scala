@@ -456,6 +456,52 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // CSV interchange round-trip: write the documents table as
+    // header-ful CSV, read it back schema-explicit, and value-check the
+    // content through per-lang fingerprint sums (the source_orc
+    // contract) — quoting/escaping must preserve text byte-for-byte.
+    "source_csv" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_csv_").toString
+      docs(s, dir).select("doc_id", "lang", "source", "n_chars", "text")
+        .write.mode("overwrite").option("header", "true").csv(s"$tmp/docs_csv")
+      s.read.option("header", "true")
+        .schema("doc_id LONG, lang STRING, source STRING, n_chars LONG, text STRING")
+        .csv(s"$tmp/docs_csv")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").cast("long").as("sum_chars"),
+          sum(PolyHash.poly_hash(col("text"))).cast("long").as("fp_sum"))
+        .orderBy("lang")
+    }),
+
+    // Collocation mining: adjacent word pairs ranked by integer-exact
+    // lift (c12·N·1e6 div c1·c2 — order-equivalent to PMI, no log, no
+    // float), count floor 5 — the multi-word-expression pass tokenizer
+    // and phrase-vocab builders run. Token-keyed joins + TakeOrdered;
+    // Long headroom to ~10^12-token corpora, shard the ratio past that.
+    "collocations" -> ((s, dir) => {
+      val t = TF.tokens(col("text"))
+      val uni = docs(s, dir).select(explode(t).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c"))
+      val n = uni.agg(sum("c").as("n"))
+      val pairs = docs(s, dir).select(t.as("tk"))
+        .where(size(col("tk")) >= 2)
+        .select(explode(zip_with(
+          slice(col("tk"), lit(1), size(col("tk")) - 1),
+          slice(col("tk"), lit(2), size(col("tk")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+        .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+        .agg(count(lit(1)).as("c12"))
+        .where(col("c12") >= 5)
+      pairs
+        .join(uni.select(col("w").as("w1"), col("c").as("c1")), Seq("w1"))
+        .join(uni.select(col("w").as("w2"), col("c").as("c2")), Seq("w2"))
+        .crossJoin(broadcast(n))
+        .select(col("w1"), col("w2"), col("c12"),
+          expr("c12 * 1000000 * n div (c1 * c2)").as("lift_ppm"))
+        .orderBy(col("lift_ppm").desc, col("w1"), col("w2")).limit(25)
+    }),
+
     // Percentile-rank feature normalization: each document's quality as
     // its integer-exact within-source percentile (ppm) — the robust,
     // distribution-free scaling an ML pipeline applies before mixing
@@ -942,6 +988,31 @@ object PipelineQueries {
          |    AS bounds_fp
          |FROM b ORDER BY doc_id""".stripMargin
     },
+    // content equality through the round-trip: the oracle reads the
+    // ORIGINAL table — any CSV quoting corruption breaks fp_sum
+    "source_csv" ->
+      s"""SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         |  CAST(sum(${sqlPolyHash("text")}) AS BIGINT) AS fp_sum
+         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "collocations" ->
+      s"""WITH $sqlToks,
+         |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM (
+         |    SELECT unnest(t) AS w FROM toks) GROUP BY 1),
+         |n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM uni),
+         |p AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM (
+         |    SELECT unnest(CASE WHEN len(t) < 2 THEN CAST([] AS VARCHAR[])
+         |        ELSE t[1:len(t)-1] END) AS w1,
+         |      unnest(CASE WHEN len(t) < 2 THEN CAST([] AS VARCHAR[])
+         |        ELSE t[2:len(t)] END) AS w2
+         |    FROM toks) GROUP BY 1, 2 HAVING count(*) >= 5)
+         |SELECT p.w1, p.w2, p.c12,
+         |  CAST((p.c12 * 1000000 * n.n) // (u1.c * u2.c) AS BIGINT)
+         |    AS lift_ppm
+         |FROM p
+         |JOIN uni u1 ON p.w1 = u1.w
+         |JOIN uni u2 ON p.w2 = u2.w, n
+         |ORDER BY lift_ppm DESC, w1, w2 LIMIT 25""".stripMargin,
     "quality_pctrank" -> {
       import TextQueries.sqlQuality
       s"""WITH $sqlToks,

@@ -133,6 +133,8 @@ class ShuffleBudgetSpec extends GraftSuite {
     "anomaly_flags" -> (1100L, 5400L),
     // decayed_engagement 1,743 (1-row as-of broadcast + keyed groupBy)
     "decayed_engagement" -> (580L, 2700L),
+    // collocations 19,382 (unigram + pair groupBys, token-keyed joins)
+    "collocations" -> (6400L, 30000L),
     "pivot_sources" -> (350L, 1600L),
     "ivm_agg" -> (300L, 1500L),
     "dataset_fingerprint" -> (150L, 700L))
