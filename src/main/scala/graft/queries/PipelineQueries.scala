@@ -456,6 +456,29 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // Contrastive-pair generation for self-supervised training: anchor
+    // and positive are the two halves of a document; the negative is
+    // the XOR-partner document's first half — fully deterministic, so
+    // the pair set is reproducible across runs and engines. The halving
+    // is a zero-shuffle projection; the negative attach is ONE keyed
+    // equi-join (partner id is a pure function of the id).
+    "contrastive_pairs" -> ((s, dir) => {
+      val t = TF.tokens(col("text"))
+      val base = docs(s, dir).select(col("doc_id"), t.as("t"))
+        .where(size(col("t")) >= 2)
+        .withColumn("h", expr("size(t) div 2"))
+        .select(col("doc_id"),
+          PolyHash.poly_hash(array_join(
+            slice(col("t"), lit(1), col("h")), " ")).as("a_fp"),
+          PolyHash.poly_hash(array_join(
+            slice(col("t"), col("h") + 1, size(col("t")) - col("h")), " "))
+            .as("p_fp"))
+      base.join(base.select(col("doc_id").as("nid"), col("a_fp").as("n_fp")),
+          col("doc_id").bitwiseXOR(1) === col("nid"))
+        .select("doc_id", "a_fp", "p_fp", "n_fp")
+        .orderBy("doc_id")
+    }),
+
     // CSV interchange round-trip: write the documents table as
     // header-ful CSV, read it back schema-explicit, and value-check the
     // content through per-lang fingerprint sums (the source_orc
@@ -988,6 +1011,17 @@ object PipelineQueries {
          |    AS bounds_fp
          |FROM b ORDER BY doc_id""".stripMargin
     },
+    "contrastive_pairs" ->
+      s"""WITH $sqlToks,
+         |b AS (SELECT doc_id, len(t) // 2 AS h, t FROM toks
+         |  WHERE len(t) >= 2),
+         |fp AS (SELECT doc_id,
+         |    ${sqlPolyHash("array_to_string(t[1:h], ' ')")} AS a_fp,
+         |    ${sqlPolyHash("array_to_string(t[h+1:len(t)], ' ')")} AS p_fp
+         |  FROM b)
+         |SELECT a.doc_id, a.a_fp, a.p_fp, n.a_fp AS n_fp
+         |FROM fp a JOIN fp n ON xor(a.doc_id, 1) = n.doc_id
+         |ORDER BY a.doc_id""".stripMargin,
     // content equality through the round-trip: the oracle reads the
     // ORIGINAL table — any CSV quoting corruption breaks fp_sum
     "source_csv" ->
