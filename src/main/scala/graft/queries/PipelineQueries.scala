@@ -7,17 +7,27 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Pipeline-infrastructure gate queries: the sketch/validation/warehouse
-  * primitives a 100 TB training-data platform runs AROUND the curation
-  * math — Bloom-filter semi-join pushdown, bounded-memory frequency
-  * sketching, deterministic MLM masking, SCD2 history builds, a
-  * Deequ-style expectation suite, cross-source duplication analytics,
-  * and curriculum batch ordering.
+/** Pipeline-infrastructure gate queries, in two halves:
+  *
+  *  - corpus/tokenizer infrastructure: Bloom-filter semi-join pushdown,
+  *    count-min frequency sketching, deterministic MLM masking, greedy
+  *    BPE merge training, curriculum batch ordering, rank fusion,
+  *    content-defined chunking, collocation mining, contrastive-pair
+  *    generation, dataset fingerprints, incremental view maintenance,
+  *    the injected-kernel SQL surface, and the CSV leg of the
+  *    interchange matrix;
+  *  - warehouse/event analytics: SCD2 history, a Deequ-style
+  *    expectation suite, Markov transitions, retention cohorts,
+  *    conversion funnels, sweep-line peak concurrency, integer-exact
+  *    anomaly flags, half-life decayed engagement, join-key skew
+  *    diagnostics, and CDC snapshot diffs.
   *
   * Everything is deterministic and value-oracle-checked: the sketches
   * hash with PolyHash so DuckDB replays every bit (even Bloom FALSE
-  * POSITIVES reproduce exactly), the masking replays its hash draw, and
-  * the curriculum order replays its shuffle key.
+  * POSITIVES reproduce exactly), the masking replays its hash draw,
+  * the curriculum order replays its shuffle key, and every float-free
+  * test (anomaly z², PMI lift, decay) is cross-multiplied into exact
+  * integer arithmetic.
   */
 object PipelineQueries {
   /** Bloom geometry: 4096 bits / 32-bit words, k=3 probes. Small enough
