@@ -466,6 +466,27 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // Vocabulary-coverage planning: per-document OOV rate against the
+    // top-100 corpus vocabulary — the metric that sizes a tokenizer's
+    // vocab (what fraction of tokens fall outside the top K?). The
+    // vocab is a TakeOrdered top-K broadcast into a zero-shuffle
+    // membership projection; integer-exact ppm.
+    "oov_rate" -> ((s, dir) => {
+      val t = TF.tokens(col("text"))
+      val vocab = docs(s, dir).select(explode(t).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("w")).limit(100)
+        .select("w")
+      docs(s, dir).select(col("doc_id"), explode(t).as("w"))
+        .join(broadcast(vocab.withColumn("in_v", lit(1))), Seq("w"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("in_v").isNull, 1L).otherwise(0L)).as("n_oov"))
+        .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+          expr("n_oov * 1000000 div n_tokens").as("oov_ppm"))
+        .orderBy("doc_id")
+    }),
+
     // Contrastive-pair generation for self-supervised training: anchor
     // and positive are the two halves of a document; the negative is
     // the XOR-partner document's first half — fully deterministic, so
@@ -1021,6 +1042,19 @@ object PipelineQueries {
          |    AS bounds_fp
          |FROM b ORDER BY doc_id""".stripMargin
     },
+    "oov_rate" ->
+      s"""WITH $sqlToks,
+         |occ AS (SELECT doc_id, unnest(t) AS w FROM toks),
+         |vc AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM occ
+         |  GROUP BY 1),
+         |v AS (SELECT w FROM vc ORDER BY c DESC, w LIMIT 100),
+         |j AS (SELECT o.doc_id,
+         |    CASE WHEN v.w IS NULL THEN 1 ELSE 0 END AS oov
+         |  FROM occ o LEFT JOIN v ON o.w = v.w)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |  CAST(sum(oov) AS BIGINT) AS n_oov,
+         |  CAST((sum(oov) * 1000000) // count(*) AS BIGINT) AS oov_ppm
+         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "contrastive_pairs" ->
       s"""WITH $sqlToks,
          |b AS (SELECT doc_id, len(t) // 2 AS h, t FROM toks

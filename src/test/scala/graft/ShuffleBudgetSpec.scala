@@ -135,6 +135,9 @@ class ShuffleBudgetSpec extends GraftSuite {
     "decayed_engagement" -> (580L, 2700L),
     // collocations 19,382 (unigram + pair groupBys, token-keyed joins)
     "collocations" -> (6400L, 30000L),
+    // oov_rate 3,753 (vocab TakeOrdered + doc-keyed coverage agg; the
+    // vocab side rides as a broadcast)
+    "oov_rate" -> (1200L, 5700L),
     "pivot_sources" -> (350L, 1600L),
     "ivm_agg" -> (300L, 1500L),
     "dataset_fingerprint" -> (150L, 700L))
