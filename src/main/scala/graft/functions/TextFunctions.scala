@@ -118,6 +118,77 @@ object TextFunctions {
   def dedupLines(t: Column): Column =
     array_join(array_distinct(split(t, "\n")), "\n")
 
+  /** Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken,
+    * "Winnowing: Local Algorithms for Document Fingerprinting",
+    * SIGMOD'03 — public literature): over the ORDERED sequence of
+    * word-`n`-gram shingle hashes h_0..h_{m-1}, every length-`w` window
+    * contributes its minimum hash (rightmost position on ties — the
+    * paper's §4 tie rule), and the distinct selected (hash, position)
+    * occurrences are the document's fingerprints. Any shared run of
+    * w + n - 1 tokens is guaranteed a shared fingerprint, while the
+    * stored set shrinks to a ~2/(w+1) fraction of all shingles — the
+    * storage/recall dial MOSS-style local plagiarism/overlap detection
+    * runs on.
+    *
+    * Winnowing is by construction document-local, and so is the plan:
+    * one pure projection, zero shuffle at any corpus size. Selection is
+    * branch-free — min over enc = h·2^20 + (2^20-1-pos), so min(enc) ==
+    * (min hash, rightmost pos) — keeping both the O(m·w) scan and its
+    * DuckDB window-min mirror in exact BIGINT arithmetic (h < 1e9+7,
+    * pos < 2^20; a shard is chunked long before a million shingles).
+    * Sequences shorter than one window contribute their overall
+    * rightmost-min as the single fingerprint; empty sequences none.
+    *
+    * @return ascending distinct encoded fingerprints; decode
+    *         h = enc div 2^20, pos = 2^20-1 - (enc mod 2^20). */
+  def winnowedFingerprints(t: Column, n: Int, w: Int): Column = {
+    // Expression-tree discipline: HOF lambdas are interpreted (no
+    // whole-stage codegen) and Catalyst inlines every reference to a
+    // derived array, so indexing `hs` from inside a per-window lambda
+    // re-evaluates the WHOLE tokenize→shingle→hash chain per element —
+    // O(m·w) full-document passes. Instead the window minima come from
+    // folding `least` over w SHIFTED SLICES of the encoded array
+    // (zip_with evaluates each child once per ROW), so the chain runs
+    // O(w) times per document, independent of m.
+    val hs = transform(wordShingles(t, n), s => PolyHash.poly_hash(s))
+    val encs = zip_with(hs, sequence(lit(0), greatest(size(hs), lit(1)) - 1),
+      (h, j) => h * lit(1048576L) + (lit(1048575L) - j))
+    // shingle count from the cheap token split, not from `encs`
+    val m = greatest(size(tokens(t)) - (n - 1), lit(0))
+    val nWin = greatest(m - (w - 1), lit(0))
+    val full = (2 to w).foldLeft(slice(encs, lit(1), nWin)) { (acc, k) =>
+      zip_with(acc, slice(encs, lit(k), nWin), (a, b) => least(a, b))
+    }
+    val short = array(aggregate(encs, lit(Long.MaxValue), (acc, e) => least(acc, e)))
+    when(m === 0, array().cast("array<bigint>"))
+      .when(m < w, short)
+      .otherwise(array_sort(array_distinct(full)))
+  }
+
+  /** Skip-gram (center, context) pair extraction (word2vec-style,
+    * Mikolov et al. 2013 — public literature): every ordered token pair
+    * within `window` positions of each other, both directions, the raw
+    * material of embedding-training corpora and co-occurrence counts.
+    * Pure projection + later explode — generation is zero-shuffle at any
+    * corpus size; counting is one map-side-combined groupBy downstream. */
+  def skipgramPairs(t: Column, window: Int): Column = {
+    // Same slice-zip discipline as [[winnowedFingerprints]]: pairs at
+    // offset d are the token array zipped with its d-shifted self (both
+    // directions), so the token split evaluates O(window) times per
+    // document instead of once per generated pair.
+    val tk = tokens(t)
+    val m = size(tk)
+    val legs = (1 to window).flatMap { d =>
+      val len = greatest(m - d, lit(0))
+      Seq(
+        zip_with(slice(tk, lit(1), len), slice(tk, lit(1 + d), len),
+          (a, b) => struct(a.as("center"), b.as("context"))),
+        zip_with(slice(tk, lit(1 + d), len), slice(tk, lit(1), len),
+          (a, b) => struct(a.as("center"), b.as("context"))))
+    }
+    concat(legs: _*)
+  }
+
   /** Hashed linear classifier logit — the fasttext-shaped scoring pass
     * (Joulin et al. 2016) every production corpus pipeline runs for
     * quality/language/domain classification, reduced to its Spark-native

@@ -17,7 +17,7 @@ object Traversals {
 
   /** Both-direction simple view of an edge list (self-loops dropped,
     * duplicates collapsed). */
-  private def symmetrize(edges: DataFrame): DataFrame = {
+  private[graft] def symmetrize(edges: DataFrame): DataFrame = {
     val e = edges
       .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
       .where(col("src") =!= col("dst"))

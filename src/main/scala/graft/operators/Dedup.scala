@@ -250,6 +250,59 @@ object Dedup {
                    n: Int, tau: Double): DataFrame =
     jaccardPairsImpl(docs, idCol, textCol, n, tau, skipSides = None)
 
+  /** DIRECTED containment pairs: C(a→b) = |A∩B| / |A| >= tau over the
+    * distinct word-`n`-gram shingle-hash sets — the asymmetric near-dup
+    * test Jaccard misses. A short document quoted wholesale inside a much
+    * longer one has J ≈ |A|/|B| ≈ 0 but C(a→b) = 1; corpus pipelines run
+    * this to drop subsumed fragments (quote pages, excerpt mirrors)
+    * whose symmetric similarity never crosses a dedup threshold.
+    *
+    * Candidate generation adapts [[jaccardPairs]]'s rarity-ordered prefix
+    * filter to the asymmetric bound (set-containment join literature,
+    * e.g. Melnik & Garcia-Molina TODS'03; the prefix lemma of Bayardo et
+    * al. WWW'07): |A∩B| >= ceil(tau·|A|) forces a shared shingle among
+    * A's first |A| - ceil(tau·|A|) + 1 RAREST shingles, while the B side
+    * admits any superset, so it contributes its FULL inverted index —
+    * with the size necessity |B| >= tau·|A| riding inside the join.
+    * Rarity-first prefixes keep hot-token join output near-linear on
+    * Zipfian corpora for exactly the reason documented on
+    * [[jaccardPairs]]; survivors verify exactly against the precomputed
+    * sorted sets via the native merge-intersect kernel, so the result is
+    * exact with no recall knob. Output: (id_a, id_b, containment) with
+    * id_a ≠ id_b, DIRECTED (a's set is tau-contained in b's). */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int, tau: Double): DataFrame = {
+    val sh = shingleHashIndex(docs, idCol, textCol, n).localCheckpoint()
+    val df = sh.groupBy("h").agg(count(lit(1)).as("df"))
+    val sets = sh.join(df, "h")
+      .groupBy("id")
+      .agg(transform(sort_array(collect_list(struct(col("df"), col("h")))),
+        s => s.getField("h")).as("byRarity"))
+      .select(col("id"), col("byRarity"),
+        sort_array(col("byRarity")).as("sh"),
+        size(col("byRarity")).as("nsh"))
+      .localCheckpoint()
+    val prefix = sets.select(col("id"), col("nsh"),
+      explode(slice(col("byRarity"), lit(1),
+        (col("nsh") - ceil(col("nsh") * tau) + 1).cast("int"))).as("h"))
+    val index = sets.select(col("id"), col("nsh"), explode(col("byRarity")).as("h"))
+    val cand = prefix.as("a").join(index.as("b"),
+        col("a.h") === col("b.h") && col("a.id") =!= col("b.id")
+          && col("b.nsh") >= col("a.nsh") * tau)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.nsh").as("na"))
+      .distinct()
+    val setArr = sets.select(col("id"), col("sh"))
+    val inter = graft.functions.VecKernels
+      .sorted_intersect_count(col("sh_a"), col("sh_b"))
+    cand
+      .join(setArr.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(setArr.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("containment", round(inter.cast("double") / col("na"), 6))
+      .where(col("containment") >= tau)
+      .select("id_a", "id_b", "containment")
+  }
+
   /** Incremental near-dup detection — the daily-ingest shape: exact
     * Jaccard >= tau pairs where AT LEAST ONE side is a new document
     * (new-vs-corpus and new-vs-new), skipping corpus-vs-corpus pairs the

@@ -344,6 +344,38 @@ object ClusterQueries {
         .orderBy("id")
     }),
 
+    // Newman modularity (Newman & Girvan 2004) of the LPA communities,
+    // kept in EXACT integers: with two_m = |sym| (directed edge count),
+    // each community contributes q_num = two_m·e2 − dsum² where e2
+    // counts its directed intra-community edges and dsum its degree sum;
+    // Q = Σ q_num / two_m² — the partition-quality score community
+    // detection is tuned by, emitted as per-community integer rows so
+    // the float never exists. Tiny-key aggregations over the labeled
+    // edge list; every shuffle keyed, the global edge count a 1-row
+    // broadcast.
+    "modularity" -> ((s, dir) => {
+      val sym = Traversals.symmetrize(epsEdges(s, dir))
+      val lab = Traversals.labelPropagation(epsEdges(s, dir), iters = LpaIters)
+        .select(col("id"), col("label"))
+      val m2df = sym.agg(count(lit(1)).as("two_m"))
+      val intra = sym
+        .join(lab.select(col("id").as("src"), col("label").as("lab_s")), "src")
+        .join(lab.select(col("id").as("dst"), col("label").as("lab_d")), "dst")
+        .where(col("lab_s") === col("lab_d"))
+        .groupBy(col("lab_s").as("label")).agg(count(lit(1)).as("e2"))
+      val deg = sym.groupBy("src").agg(count(lit(1)).as("d"))
+        .join(lab.select(col("id").as("src"), col("label")), "src")
+        .groupBy("label").agg(count(lit(1)).as("n_nodes"), sum("d").as("dsum"))
+      deg.join(intra, Seq("label"), "left")
+        .crossJoin(broadcast(m2df))
+        .select(col("label"), col("n_nodes"),
+          coalesce(col("e2"), lit(0L)).as("e2"), col("dsum"),
+          (col("two_m") * coalesce(col("e2"), lit(0L))
+            - col("dsum") * col("dsum")).as("q_num"),
+          col("two_m"))
+        .orderBy("label")
+    }),
+
     // k-core peeling, 6 fixed rounds at k=4: the degree-pruned backbone
     // of the ε-graph. Round-bounded contract (chains peel one link per
     // round); the oracle unrolls the same 6 peels.
@@ -549,13 +581,16 @@ object ClusterQueries {
          |FROM verts v LEFT JOIN pv USING (id) ORDER BY v.id""".stripMargin,
     "pagerank" -> sqlPagerank,
     "lpa_communities" -> sqlLpa,
+    "modularity" -> sqlModularity,
     "kcore" -> sqlKcore)
 
   /** Label propagation unrolled to LpaIters legs — neighbor-label
     * delivery, (vertex, label) count, argmax by (count desc, label asc)
     * per round. Integer-exact; MATERIALIZED for the same reason as
     * [[sqlPagerank]]. */
-  private def sqlLpa: String = {
+  /** The LPA CTE body (sym view + l0 + unrolled legs) shared by the
+    * lpa_communities and modularity oracles. */
+  private def sqlLpaLegs: String = {
     val legs = (1 to LpaIters).map(t =>
       s"""m$t AS (SELECT s.dst AS id, l.lab FROM sym s
          |  JOIN l${t - 1} l ON l.id = s.src),
@@ -564,14 +599,42 @@ object ClusterQueries {
          |    SELECT id, lab, row_number() OVER (PARTITION BY id
          |      ORDER BY cnt DESC, lab) AS rn FROM c$t)
          |  WHERE rn = 1)""".stripMargin).mkString(",\n")
-    s"""WITH
-       |$sqlGraph,
-       |sym AS MATERIALIZED (SELECT src, dst FROM edges WHERE src <> dst
+    s"""sym AS MATERIALIZED (SELECT src, dst FROM edges WHERE src <> dst
        |  UNION SELECT dst, src FROM edges WHERE src <> dst),
        |l0 AS (SELECT DISTINCT src AS id, src AS lab FROM sym),
-       |$legs
-       |SELECT id, lab AS label FROM l$LpaIters ORDER BY id""".stripMargin
+       |$legs""".stripMargin
   }
+
+  private def sqlLpa: String =
+    s"""WITH
+       |$sqlGraph,
+       |$sqlLpaLegs
+       |SELECT id, lab AS label FROM l$LpaIters ORDER BY id""".stripMargin
+
+  /** Integer modularity over the LPA partition — same legs, then
+    * per-community directed-intra-edge and degree-sum aggregates. */
+  private def sqlModularity: String =
+    s"""WITH
+       |$sqlGraph,
+       |$sqlLpaLegs,
+       |lab AS (SELECT id, lab FROM l$LpaIters),
+       |gm AS (SELECT count(*) AS two_m FROM sym),
+       |intra AS (SELECT ls.lab AS label, count(*) AS e2
+       |  FROM sym s JOIN lab ls ON s.src = ls.id
+       |  JOIN lab ld ON s.dst = ld.id
+       |  WHERE ls.lab = ld.lab GROUP BY 1),
+       |deg AS (SELECT l.lab AS label, count(*) AS n_nodes,
+       |    sum(dd.d) AS dsum
+       |  FROM (SELECT src, count(*) AS d FROM sym GROUP BY src) dd
+       |  JOIN lab l ON dd.src = l.id GROUP BY 1)
+       |SELECT d.label, CAST(d.n_nodes AS BIGINT) AS n_nodes,
+       |  CAST(coalesce(i.e2, 0) AS BIGINT) AS e2,
+       |  CAST(d.dsum AS BIGINT) AS dsum,
+       |  CAST(gm.two_m * coalesce(i.e2, 0) - d.dsum * d.dsum AS BIGINT)
+       |    AS q_num,
+       |  CAST(gm.two_m AS BIGINT) AS two_m
+       |FROM deg d LEFT JOIN intra i ON d.label = i.label, gm
+       |ORDER BY d.label""".stripMargin
 
   /** k-core peeling unrolled to KCoreRounds legs — degree filter + two
     * endpoint semi-restrictions per round. */

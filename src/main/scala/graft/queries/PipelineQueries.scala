@@ -48,6 +48,9 @@ object PipelineQueries {
   private val CurricBatch = 32
   /** BPE merge rounds for the fit gates. */
   private val BpeRounds = 3
+  /** Skip-gram context window (±positions) and emitted top-K pairs. */
+  private val SkipWin = 2
+  private val SkipTopK = 50
 
   /** QueryCache key of the shared BPE fit (ShuffleBudgetSpec evicts it
     * to pin the build plan). */
@@ -554,6 +557,20 @@ object PipelineQueries {
         .select(col("w1"), col("w2"), col("c12"),
           expr("c12 * 1000000 * n div (c1 * c2)").as("lift_ppm"))
         .orderBy(col("lift_ppm").desc, col("w1"), col("w2")).limit(25)
+    }),
+
+    // Skip-gram (center, context) co-occurrence counts (word2vec-style,
+    // window ±2): pair generation is a zero-shuffle projection + explode
+    // (TextFunctions.skipgramPairs), counting one map-side-combined
+    // groupBy, ranking a TakeOrdered — the raw material of embedding
+    // training and co-occurrence matrices at any corpus size.
+    "skipgram_pairs" -> ((s, dir) => {
+      docs(s, dir)
+        .select(explode(TF.skipgramPairs(col("text"), SkipWin)).as("p"))
+        .groupBy(col("p.center").as("center"), col("p.context").as("context"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("center"), col("context"))
+        .limit(SkipTopK)
     }),
 
     // Percentile-rank feature normalization: each document's quality as
@@ -1091,6 +1108,17 @@ object PipelineQueries {
          |JOIN uni u1 ON p.w1 = u1.w
          |JOIN uni u2 ON p.w2 = u2.w, n
          |ORDER BY lift_ppm DESC, w1, w2 LIMIT 25""".stripMargin,
+    "skipgram_pairs" ->
+      s"""WITH $sqlToks,
+         |pos AS (SELECT doc_id, unnest(range(1, len(t) + 1)) AS i,
+         |    unnest(t) AS w FROM toks WHERE len(t) > 0),
+         |pairs AS (SELECT a.w AS center, b.w AS context
+         |  FROM pos a JOIN pos b ON a.doc_id = b.doc_id
+         |    AND b.i BETWEEN a.i - $SkipWin AND a.i + $SkipWin
+         |    AND a.i <> b.i)
+         |SELECT center, context, count(*) AS cnt FROM pairs
+         |GROUP BY 1, 2
+         |ORDER BY cnt DESC, center, context LIMIT $SkipTopK""".stripMargin,
     "quality_pctrank" -> {
       import TextQueries.sqlQuality
       s"""WITH $sqlToks,

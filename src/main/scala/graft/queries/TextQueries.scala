@@ -33,6 +33,8 @@ object TextQueries {
   private val Bm25B = 0.75
   private val Bm25TopN = 15
   private val ContamTau = 0.05
+  private val ContainTau = 0.9
+  private val WinnowW = 4
 
   // ------------------------------------------------------- SQL fragments
 
@@ -125,6 +127,31 @@ object TextQueries {
     // merge-intersect verify)
     "jaccard_pairs" -> ((s, dir) => {
       sharedJaccardPairs(s, dir).orderBy("id_a", "id_b")
+    }),
+
+    // directed containment pairs: |A∩B|/|A| >= 0.9 — the asymmetric
+    // quote/subset test Jaccard misses (A-side rarity prefix vs full
+    // B-side index + exact merge-intersect verify)
+    "containment_pairs" -> ((s, dir) => {
+      Dedup.containmentPairs(docs(s, dir), "doc_id", "text", ShingleN,
+        ContainTau).orderBy("id_a", "id_b")
+    }),
+
+    // winnowing fingerprint selection (Schleimer SIGMOD'03): per-doc
+    // window-min over the ordered shingle-hash sequence, zero shuffle;
+    // summarized per doc so the whole selected set is value-checked
+    "winnow_fp" -> ((s, dir) => {
+      val fps = TF.winnowedFingerprints(col("text"), ShingleN, WinnowW)
+      docs(s, dir).select(col("doc_id"), fps.as("fps"))
+        .select(col("doc_id"),
+          size(col("fps")).cast("long").as("n_fp"),
+          coalesce(aggregate(col("fps"), lit(0L),
+            (acc, e) => acc + shiftright(e, 20)), lit(0L))
+            .as("h_sum"),
+          coalesce(aggregate(col("fps"), lit(0L),
+            (acc, e) => acc + (lit(1048575L) - pmod(e, lit(1048576L)))), lit(0L))
+            .as("pos_sum"))
+        .orderBy("doc_id")
     }),
 
     // MinHash-LSH near-dup pairs (banded candidates, exact-Jaccard verify)
@@ -749,6 +776,51 @@ object TextQueries {
          |JOIN sizes sb ON id_b = sb.doc_id
          |WHERE round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) >= $JaccardTau
          |ORDER BY id_a, id_b""".stripMargin,
+    // brute directed-containment oracle: every co-shingled ordered pair,
+    // |A∩B| counted by the h-join, normalized by |A| only
+    "containment_pairs" ->
+      s"""WITH $sqlToks,
+         |$sqlShingles,
+         |$sqlShingleHashes,
+         |sizes AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+         |  FROM shh a JOIN shh b ON a.h = b.h AND a.doc_id <> b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b,
+         |  round(CAST(c AS DOUBLE) / sa.n, 6) AS containment
+         |FROM inter JOIN sizes sa ON id_a = sa.doc_id
+         |WHERE round(CAST(c AS DOUBLE) / sa.n, 6) >= $ContainTau
+         |ORDER BY id_a, id_b""".stripMargin,
+    // winnowing as the row-windowed mirror of the engine's per-doc local
+    // scan: same enc = h*2^20 + (2^20-1-pos) encoding, window-min per
+    // start, distinct selections, per-doc integer summaries
+    "winnow_fp" ->
+      s"""WITH $sqlToks,
+         |shl AS (SELECT doc_id, CASE WHEN len(t) < $ShingleN
+         |    THEN CAST([] AS VARCHAR[])
+         |    ELSE list_transform(range(1, len(t) - ${ShingleN - 2}),
+         |      i -> t[i] || ' ' || t[i + 1]) END AS ss
+         |  FROM toks),
+         |hh AS (SELECT doc_id, list_transform(ss, s -> ${sqlPolyHash("s")})
+         |    AS hs FROM shl),
+         |seq AS (SELECT doc_id, unnest(range(0, len(hs))) AS p,
+         |    unnest(hs) AS h, len(hs) AS m FROM hh WHERE len(hs) > 0),
+         |win AS (SELECT doc_id, p, m,
+         |    min(h * 1048576 + (1048575 - p)) OVER (PARTITION BY doc_id
+         |      ORDER BY p ROWS BETWEEN CURRENT ROW
+         |      AND ${WinnowW - 1} FOLLOWING) AS enc
+         |  FROM seq),
+         |sel AS (SELECT DISTINCT doc_id, enc FROM win
+         |  WHERE p <= greatest(m - $WinnowW, 0)),
+         |agg AS (SELECT doc_id, count(*) AS n_fp,
+         |    sum(enc // 1048576) AS h_sum,
+         |    sum(1048575 - (enc % 1048576)) AS pos_sum
+         |  FROM sel GROUP BY doc_id)
+         |SELECT d.doc_id, CAST(coalesce(a.n_fp, 0) AS BIGINT) AS n_fp,
+         |  CAST(coalesce(a.h_sum, 0) AS BIGINT) AS h_sum,
+         |  CAST(coalesce(a.pos_sum, 0) AS BIGINT) AS pos_sum
+         |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
     // jaccard_pairs' exact oracle restricted to pairs with at least one
     // NEW document (id >= split) — old-old pairs excluded like the
     // engine's candidate join does

@@ -3,6 +3,7 @@ package graft.queries
 import graft.core.Tables.table
 import graft.operators.SimilaritySearch
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity-search gate queries on the `embeddings` table. Cosine values
@@ -17,6 +18,8 @@ object VectorQueries {
   private val NQueries = 5
   private val NList = 8
   private val NProbe = 3
+  /** knn_graph neighbors per vector. */
+  private val KnnK = 3
 
   /** The two brute-force gates exist as correctness BASELINES — their scale
     * stories are embed_pairs_lsh and ann_ivf. Cap their input so a larger
@@ -122,6 +125,26 @@ object VectorQueries {
           round(element_at(col("pooled"), 1), 6).as("pooled_x0"),
           round(element_at(col("pooled"), 512), 6).as("pooled_x511"))
         .orderBy("group_id")
+    }),
+
+    // k-NN graph construction over the shared LSH pair graph: each
+    // vector's top-KnnK neighbors by cosine among its tau-similar
+    // candidates — the adjacency SemDeDup/graph-based curation and
+    // diversity sampling consume. The rank window partitions by vector
+    // id (candidate lists are LSH-bucket sized, never corpus sized), so
+    // ranking distributes at any scale; vectors with no tau-neighbor
+    // are absent, exactly as in the oracle.
+    "knn_graph" -> ((s, dir) => {
+      val p = sharedEmbedPairs(s, dir)
+      val sym = p.select(col("id_a").as("id"), col("id_b").as("nbr_id"),
+          col("sim"))
+        .unionByName(p.select(col("id_b").as("id"), col("id_a").as("nbr_id"),
+          col("sim")))
+      val w = Window.partitionBy("id").orderBy(col("sim").desc, col("nbr_id"))
+      sym.withColumn("rank", row_number().over(w))
+        .where(col("rank") <= KnnK)
+        .select(col("id"), col("nbr_id"), col("sim"), col("rank"))
+        .orderBy("id", "rank")
     }),
 
     // SemDeDup-style semantic dedup endpoint: embedding near-dup pairs
@@ -445,6 +468,20 @@ object VectorQueries {
          |  e.vec_id = coalesce(c.gid, e.vec_id) AS is_kept
          |FROM embeddings e LEFT JOIN comp c ON e.vec_id = c.id
          |ORDER BY e.vec_id""".stripMargin,
+    // brute symmetric mirror of the engine's LSH-pruned adjacency —
+    // identical by the same full-recall argument as embed_pairs_lsh
+    "knn_graph" ->
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+         |  FROM embeddings),
+         |sym AS (SELECT a.vec_id AS id, b.vec_id AS nbr_id,
+         |    round($sqlCos, 6) AS sim
+         |  FROM v a JOIN v b ON a.vec_id <> b.vec_id
+         |  WHERE round($sqlCos, 6) >= $CosTau),
+         |ranked AS (SELECT id, nbr_id, sim, row_number() OVER (
+         |    PARTITION BY id ORDER BY sim DESC, nbr_id) AS rank
+         |  FROM sym)
+         |SELECT id, nbr_id, sim, CAST(rank AS INT) AS rank FROM ranked
+         |WHERE rank <= $KnnK ORDER BY id, rank""".stripMargin,
     // identical result set to cosine_pairs by construction (deterministic
     // planes, full recall at the gate's tau/data) — same oracle
     "embed_pairs_lsh" ->

@@ -233,4 +233,32 @@ class PlanHygieneSpec extends GraftSuite {
       "overlap_matrix regressed to a join-based plan")
     assert(p.contains("bit_or"), "presence-mask bit_or agg missing")
   }
+
+  test("winnow_fp and skipgram pair GENERATION are shuffle-free projections") {
+    // both are document-local by design: the only exchanges allowed are
+    // the downstream aggregation/ordering, never a join or a doc shuffle
+    val pw = plan("winnow_fp")
+    assert(!pw.contains("Join"), "winnowing must not join anything")
+    val ps = plan("skipgram_pairs")
+    assert(!ps.contains("Join"), "skip-gram generation must not join")
+    assert(ps.contains("TakeOrderedAndProject"),
+      s"skipgram top-k must plan as TakeOrdered:\n${ps.take(800)}")
+  }
+
+  test("containment candidates plan as an equi join, not a cartesian") {
+    val p = plan("containment_pairs")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"prefix-filter candidate join must stay an equi-join:\n${p.take(800)}")
+  }
+
+  test("knn_graph ranks through an id-partitioned window, never a global one") {
+    val p = plan("knn_graph")
+    assert(p.contains("Window"), "rank window expected")
+    // the window's exchange must hash-partition by the vector id — a
+    // SinglePartition exchange here would funnel the corpus through one task
+    assert(p.contains("hashpartitioning(id"),
+      s"window must partition by id:\n${p.take(800)}")
+    assert(!p.contains("SinglePartition"), "no global window/exchange allowed")
+  }
 }

@@ -718,4 +718,63 @@ class SimilaritySearchSpec extends GraftSuite {
     assert(got(1L) != 0L)
   }
 
+  test("containmentPairs: directed quote detection Jaccard misses") {
+    val quote = "alpha beta gamma delta epsilon"
+    val host = s"intro words first $quote and then a very long tail " +
+      "of unrelated filler prose continuing on and on with more filler"
+    val cd = Seq((1L, quote), (2L, host), (3L, "separate thing entirely"))
+      .toDF("doc_id", "text")
+    val cont = Dedup.containmentPairs(cd, "doc_id", "text", n = 2, tau = 0.9)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(cont.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 1.0),
+      s"doc 1's shingles all appear in doc 2: $cont")
+    assert(!cont.exists(p => p._1 == 2L && p._2 == 1L),
+      "containment is directed — the host is not contained in the quote")
+    // symmetric Jaccard at the same threshold misses the pair entirely
+    val jac = Dedup.jaccardPairs(cd, "doc_id", "text", n = 2, tau = 0.9)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(!jac.exists(p => p._1 == 1L && p._2 == 2L), s"J(1,2) << 0.9: $jac")
+  }
+
+  test("winnowedFingerprints: guarantee, tie rule, edges") {
+    val w = 4
+    def fps(rows: Seq[(Long, String)]): Map[Long, Seq[(Long, Long)]] =
+      rows.toDF("doc_id", "text")
+        .select(col("doc_id"),
+          TF.winnowedFingerprints(col("text"), 2, w).as("f"))
+        .as[(Long, Seq[Long])].collect().toMap.view
+        .mapValues(_.map(e => (e >> 20, 1048575L - (e & 1048575L)))).toMap
+
+    // any shared run of >= w + n - 1 tokens must share a fingerprint HASH
+    val shared = "one two three four five six"  // 6 tokens = w + n
+    val m = fps(Seq(
+      (1L, s"$shared padding tail here"),
+      (2L, s"prefix words ahead $shared")))
+    val h1 = m(1L).map(_._1).toSet
+    val h2 = m(2L).map(_._1).toSet
+    assert((h1 & h2).nonEmpty, s"winnowing guarantee violated: $h1 vs $h2")
+
+    // all-equal hashes: each window picks its RIGHTMOST position (the
+    // selected SET is the contract; the gate consumes order-free sums)
+    val e = fps(Seq((3L, "x x x x x x")))(3L) // 5 shingles, windows at 0,1
+    assert(e.toSet ==
+      Set((PolyHash.hash("x x"), 3L), (PolyHash.hash("x x"), 4L)), e)
+
+    // shorter than one window -> single overall fingerprint; empty -> none
+    val s2 = fps(Seq((4L, "a b c"), (5L, ""), (6L, "solo")))
+    assert(s2(4L).size == 1 && s2(5L).isEmpty && s2(6L).isEmpty, s2)
+  }
+
+  test("skipgramPairs: window, symmetry, edges") {
+    val got = Seq((1L, "a b c d"), (2L, ""), (3L, "solo"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), TF.skipgramPairs(col("text"), 2).as("p"))
+      .as[(Long, Seq[(String, String)])].collect().toMap
+    // every ordered pair within distance 2, both directions
+    val exp = Seq("a" -> "b", "a" -> "c", "b" -> "a", "b" -> "c", "b" -> "d",
+      "c" -> "a", "c" -> "b", "c" -> "d", "d" -> "b", "d" -> "c")
+    assert(got(1L).sorted == exp.sorted, got(1L))
+    assert(got(2L).isEmpty && got(3L).isEmpty)
+  }
+
 }
