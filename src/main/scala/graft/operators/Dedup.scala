@@ -165,6 +165,27 @@ object Dedup {
     docs.select(col(idCol).as("id"),
       explode(graft.functions.TextKernels.shingle_hashes(col(textCol), lit(n))).as("h"))
 
+  /** The per-doc shingle-set table every PPJoin-style candidate join
+    * verifies against: (id, byRarity, sh, nsh) with `byRarity` ordered by
+    * ascending global (df, hash) — the prefix-filter order — and `sh`
+    * hash-ascending — the merge-intersect order. One narrow extraction,
+    * one df aggregation, one 1:N join back. [[jaccardPairs]] and
+    * [[containmentPairs]] both consume it; a session computing several
+    * pair surfaces over one corpus should build (and checkpoint) it once
+    * and pass it to each via their `setsOpt`. */
+  def shingleSets(docs: DataFrame, idCol: String, textCol: String,
+                  n: Int): DataFrame = {
+    val sh = shingleHashIndex(docs, idCol, textCol, n)
+    val df = sh.groupBy("h").agg(count(lit(1)).as("df"))
+    sh.join(df, "h")
+      .groupBy("id")
+      .agg(transform(sort_array(collect_list(struct(col("df"), col("h")))),
+        s => s.getField("h")).as("byRarity"))
+      .select(col("id"), col("byRarity"),
+        sort_array(col("byRarity")).as("sh"),
+        size(col("byRarity")).as("nsh"))
+  }
+
   /** Benchmark decontamination: corpus documents sharing at least
     * `minShared` distinct word-`n`-gram shingle hashes with an evaluation
     * set, with the overlap count (the pipeline step that excludes
@@ -247,8 +268,10 @@ object Dedup {
     * all-pairs for ANY index scheme, which is why the verify step uses
     * the native merge-intersect kernel rather than per-pair hash sets. */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-                   n: Int, tau: Double): DataFrame =
-    jaccardPairsImpl(docs, idCol, textCol, n, tau, skipSides = None)
+                   n: Int, tau: Double,
+                   setsOpt: Option[DataFrame] = None): DataFrame =
+    jaccardPairsImpl(docs, idCol, textCol, n, tau, skipSides = None,
+      setsOpt = setsOpt)
 
   /** DIRECTED containment pairs: C(a→b) = |A∩B| / |A| >= tau over the
     * distinct word-`n`-gram shingle-hash sets — the asymmetric near-dup
@@ -271,17 +294,10 @@ object Dedup {
     * exact with no recall knob. Output: (id_a, id_b, containment) with
     * id_a ≠ id_b, DIRECTED (a's set is tau-contained in b's). */
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
-                       n: Int, tau: Double): DataFrame = {
-    val sh = shingleHashIndex(docs, idCol, textCol, n).localCheckpoint()
-    val df = sh.groupBy("h").agg(count(lit(1)).as("df"))
-    val sets = sh.join(df, "h")
-      .groupBy("id")
-      .agg(transform(sort_array(collect_list(struct(col("df"), col("h")))),
-        s => s.getField("h")).as("byRarity"))
-      .select(col("id"), col("byRarity"),
-        sort_array(col("byRarity")).as("sh"),
-        size(col("byRarity")).as("nsh"))
-      .localCheckpoint()
+                       n: Int, tau: Double,
+                       setsOpt: Option[DataFrame] = None): DataFrame = {
+    val sets = setsOpt.getOrElse(
+      shingleSets(docs, idCol, textCol, n).localCheckpoint())
     val prefix = sets.select(col("id"), col("nsh"),
       explode(slice(col("byRarity"), lit(1),
         (col("nsh") - ceil(col("nsh") * tau) + 1).cast("int"))).as("h"))
@@ -331,21 +347,13 @@ object Dedup {
     * `docs`. */
   private def jaccardPairsImpl(docs: DataFrame, idCol: String,
                                textCol: String, n: Int, tau: Double,
-                               skipSides: Option[(String, String)]): DataFrame = {
-    // full shingle-hash set per doc — one narrow extraction, one df
-    // aggregation, one 1:N join back. Two views of each set: `byRarity`
-    // (ordered by global (df, hash) — the prefix-filter order) and `sh`
-    // (hash-ascending — the merge-intersect order for cheap exact verify)
-    val sh = shingleHashIndex(docs, idCol, textCol, n).localCheckpoint()
-    val df = sh.groupBy("h").agg(count(lit(1)).as("df"))
-    val sets = sh.join(df, "h")
-      .groupBy("id")
-      .agg(transform(sort_array(collect_list(struct(col("df"), col("h")))),
-        s => s.getField("h")).as("byRarity"))
-      .select(col("id"), col("byRarity"),
-        sort_array(col("byRarity")).as("sh"),
-        size(col("byRarity")).as("nsh"))
-      .localCheckpoint() // feeds the prefix explode and both verify joins
+                               skipSides: Option[(String, String)],
+                               setsOpt: Option[DataFrame] = None): DataFrame = {
+    // full shingle-hash set per doc — [[shingleSets]], checkpointed here
+    // because it feeds the prefix explode and both verify joins (callers
+    // sharing one corpus across pair surfaces pass a prebuilt table)
+    val sets = setsOpt.getOrElse(
+      shingleSets(docs, idCol, textCol, n).localCheckpoint())
     val prefix0 = sets.select(col("id"), col("nsh"),
       posexplode(slice(col("byRarity"), lit(1),
         (col("nsh") - ceil(col("nsh") * tau) + 1).cast("int"))))

@@ -77,7 +77,19 @@ object TextQueries {
   private[graft] val JaccardPairsKey = "text.jaccardPairs"
   private def sharedJaccardPairs(s: SparkSession, dir: String): DataFrame =
     graft.core.QueryCache.shared(JaccardPairsKey, s, dir) {
-      Dedup.jaccardPairs(docs(s, dir), "doc_id", "text", ShingleN, JaccardTau)
+      Dedup.jaccardPairs(docs(s, dir), "doc_id", "text", ShingleN, JaccardTau,
+        setsOpt = Some(sharedShingleSets(s, dir)))
+        .localCheckpoint()
+    }
+
+  /** The per-doc rarity-ordered shingle-set table (Dedup.shingleSets)
+    * that jaccard_pairs' and containment_pairs' candidate joins and
+    * exact verifies all walk — one extraction + df aggregation per
+    * (session, dir) instead of one per pair surface. */
+  private[graft] val ShingleSetsKey = "text.shingleSets"
+  private def sharedShingleSets(s: SparkSession, dir: String): DataFrame =
+    graft.core.QueryCache.shared(ShingleSetsKey, s, dir) {
+      Dedup.shingleSets(docs(s, dir), "doc_id", "text", ShingleN)
         .localCheckpoint()
     }
 
@@ -134,7 +146,8 @@ object TextQueries {
     // B-side index + exact merge-intersect verify)
     "containment_pairs" -> ((s, dir) => {
       Dedup.containmentPairs(docs(s, dir), "doc_id", "text", ShingleN,
-        ContainTau).orderBy("id_a", "id_b")
+        ContainTau, setsOpt = Some(sharedShingleSets(s, dir)))
+        .orderBy("id_a", "id_b")
     }),
 
     // winnowing fingerprint selection (Schleimer SIGMOD'03): per-doc
