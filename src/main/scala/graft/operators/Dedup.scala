@@ -150,6 +150,38 @@ object Dedup {
             x => x.getField("tok")), " ")).as("text"))
   }
 
+  /** MOSS-style local-overlap pairs over winnowed fingerprints
+    * (Schleimer et al. SIGMOD'03 §5 — the architecture of the MOSS
+    * plagiarism detector): documents sharing at least `minShared`
+    * DISTINCT winnowed fingerprint hashes
+    * ([[graft.functions.TextFunctions.winnowedFingerprints]]). Winnowing
+    * guarantees any shared token run of w+n-1 tokens leaves a shared
+    * fingerprint, so local copying is caught while the index holds only
+    * a ~2/(w+1) sample of the shingles — the storage economics that let
+    * MOSS index the world's CS assignments.
+    *
+    * Scale shape: fingerprint extraction is the zero-shuffle projection;
+    * the pair count is an inverted-index equi-join on the SAMPLED hash
+    * stream + one map-side-combined pair groupBy. Join output is
+    * quadratic in hot-fingerprint frequency exactly as in
+    * [[jaccardPairsIndex]] (a boilerplate line that survives winnowing
+    * pairs every copy) — the same salting knob applies; at corpus scale
+    * a df cap on fingerprints bounds it the way rarity prefixes do for
+    * Jaccard. */
+  def winnowPairs(docs: DataFrame, idCol: String, textCol: String,
+                  n: Int, w: Int, minShared: Long): DataFrame = {
+    val sel = docs.select(col(idCol).as("id"),
+        explode(graft.functions.TextFunctions
+          .winnowedFingerprints(col(textCol), n, w)).as("enc"))
+      .select(col("id"), shiftright(col("enc"), 20).as("h"))
+      .distinct()
+    sel.as("a").join(sel.as("b"),
+        col("a.h") === col("b.h") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+
   // ------------------------------------------------------- n-gram Jaccard
 
   /** Distinct word-`n`-gram shingle set per doc: (id, shingle). */

@@ -35,6 +35,7 @@ object TextQueries {
   private val ContamTau = 0.05
   private val ContainTau = 0.9
   private val WinnowW = 4
+  private val WinnowShare = 10L
 
   // ------------------------------------------------------- SQL fragments
 
@@ -60,6 +61,29 @@ object TextQueries {
        |      ELSE list_transform(range(1, len(t) - ${ShingleN - 2}),
        |        i -> t[i] || ' ' || t[i + 1]) END) AS s
        |  FROM toks))""".stripMargin
+
+  /** Winnowing selection CTE chain (toks → ordered shingle hashes →
+    * per-start window-min → distinct encoded picks): ends at
+    * `sel(doc_id, enc)`, shared by the winnow_fp and winnow_pairs
+    * oracles. Same enc = h·2^20 + (2^20-1-pos) encoding as the engine. */
+  private def sqlWinnowSel =
+    s"""$sqlToks,
+       |shl AS (SELECT doc_id, CASE WHEN len(t) < $ShingleN
+       |    THEN CAST([] AS VARCHAR[])
+       |    ELSE list_transform(range(1, len(t) - ${ShingleN - 2}),
+       |      i -> t[i] || ' ' || t[i + 1]) END AS ss
+       |  FROM toks),
+       |hh AS (SELECT doc_id, list_transform(ss, s -> ${sqlPolyHash("s")})
+       |    AS hs FROM shl),
+       |seq AS (SELECT doc_id, unnest(range(0, len(hs))) AS p,
+       |    unnest(hs) AS h, len(hs) AS m FROM hh WHERE len(hs) > 0),
+       |win AS (SELECT doc_id, p, m,
+       |    min(h * 1048576 + (1048575 - p)) OVER (PARTITION BY doc_id
+       |      ORDER BY p ROWS BETWEEN CURRENT ROW
+       |      AND ${WinnowW - 1} FOLLOWING) AS enc
+       |  FROM seq),
+       |sel AS (SELECT DISTINCT doc_id, enc FROM win
+       |  WHERE p <= greatest(m - $WinnowW, 0))""".stripMargin
 
   /** Distinct shingle hashes: doc_id, h (set semantics on the HASH —
     * collisions collapse, exactly like the fused Spark kernel). */
@@ -165,6 +189,43 @@ object TextQueries {
             (acc, e) => acc + (lit(1048575L) - pmod(e, lit(1048576L)))), lit(0L))
             .as("pos_sum"))
         .orderBy("doc_id")
+    }),
+
+    // MOSS-style local-overlap pairs: >= 10 shared winnowed fingerprint
+    // hashes — local copying detection over the ~2/(w+1) fingerprint
+    // sample, an inverted-index join that never touches full texts
+    "winnow_pairs" -> ((s, dir) => {
+      Dedup.winnowPairs(docs(s, dir), "doc_id", "text", ShingleN, WinnowW,
+        WinnowShare).orderBy("id_a", "id_b")
+    }),
+
+    // fuzzy-dedup edit-distance verify: the quadratic-DP comparison runs
+    // ONLY on the near-dup candidate graph (here the shared Jaccard pair
+    // set), never corpus×corpus — the standard two-phase fuzzy-match
+    // shape. levenshtein is integer-exact in both engines (this corpus
+    // is ASCII; DuckDB's levenshtein counts BYTES where Spark counts
+    // codepoints, so a non-ASCII corpus would pin this spec-side only)
+    "edit_pairs" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val pairs = sharedJaccardPairs(s, dir)
+      pairs
+        .join(d.select(col("doc_id").as("id_a"), col("text").as("ta")), "id_a")
+        .join(d.select(col("doc_id").as("id_b"), col("text").as("tb")), "id_b")
+        .select(col("id_a"), col("id_b"),
+          levenshtein(col("ta"), col("tb")).cast("long").as("edit"),
+          round(lit(1.0) - levenshtein(col("ta"), col("tb"))
+            .cast("double") / greatest(length(col("ta")), length(col("tb")),
+              lit(1)), 6).as("edit_sim"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // language-ID confusion matrix: declared lang × predicted lang — the
+    // classifier-eval shape (one tiny-key groupBy; work distributes over
+    // the corpus scan)
+    "lang_confusion" -> ((s, dir) => {
+      docs(s, dir).select(col("lang"), TF.langId(col("text")).as("lang_pred"))
+        .groupBy("lang", "lang_pred").agg(count(lit(1)).as("n_docs"))
+        .orderBy("lang", "lang_pred")
     }),
 
     // MinHash-LSH near-dup pairs (banded candidates, exact-Jaccard verify)
@@ -808,23 +869,7 @@ object TextQueries {
     // scan: same enc = h*2^20 + (2^20-1-pos) encoding, window-min per
     // start, distinct selections, per-doc integer summaries
     "winnow_fp" ->
-      s"""WITH $sqlToks,
-         |shl AS (SELECT doc_id, CASE WHEN len(t) < $ShingleN
-         |    THEN CAST([] AS VARCHAR[])
-         |    ELSE list_transform(range(1, len(t) - ${ShingleN - 2}),
-         |      i -> t[i] || ' ' || t[i + 1]) END AS ss
-         |  FROM toks),
-         |hh AS (SELECT doc_id, list_transform(ss, s -> ${sqlPolyHash("s")})
-         |    AS hs FROM shl),
-         |seq AS (SELECT doc_id, unnest(range(0, len(hs))) AS p,
-         |    unnest(hs) AS h, len(hs) AS m FROM hh WHERE len(hs) > 0),
-         |win AS (SELECT doc_id, p, m,
-         |    min(h * 1048576 + (1048575 - p)) OVER (PARTITION BY doc_id
-         |      ORDER BY p ROWS BETWEEN CURRENT ROW
-         |      AND ${WinnowW - 1} FOLLOWING) AS enc
-         |  FROM seq),
-         |sel AS (SELECT DISTINCT doc_id, enc FROM win
-         |  WHERE p <= greatest(m - $WinnowW, 0)),
+      s"""WITH $sqlWinnowSel,
          |agg AS (SELECT doc_id, count(*) AS n_fp,
          |    sum(enc // 1048576) AS h_sum,
          |    sum(1048575 - (enc % 1048576)) AS pos_sum
@@ -834,6 +879,45 @@ object TextQueries {
          |  CAST(coalesce(a.pos_sum, 0) AS BIGINT) AS pos_sum
          |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+    // shared-fingerprint pair counts over the same winnowed selection,
+    // distinct on the HASH per doc exactly like the engine
+    "winnow_pairs" ->
+      s"""WITH $sqlWinnowSel,
+         |fp AS (SELECT DISTINCT doc_id, enc // 1048576 AS h FROM sel)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  count(*) AS n_shared
+         |FROM fp a JOIN fp b ON a.h = b.h AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= $WinnowShare
+         |ORDER BY id_a, id_b""".stripMargin,
+    // the Jaccard pair set joined back to texts, edit distance exact in
+    // both engines (ASCII corpus — see the gate comment)
+    "edit_pairs" ->
+      s"""WITH $sqlToks,
+         |$sqlShingles,
+         |$sqlShingleHashes,
+         |sizes AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+         |  FROM shh a JOIN shh b ON a.h = b.h AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |jp AS (SELECT id_a, id_b FROM inter
+         |  JOIN sizes sa ON id_a = sa.doc_id
+         |  JOIN sizes sb ON id_b = sb.doc_id
+         |  WHERE round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6)
+         |    >= $JaccardTau)
+         |SELECT j.id_a, j.id_b,
+         |  CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit,
+         |  round(1.0 - CAST(levenshtein(da.text, db.text) AS DOUBLE) /
+         |    greatest(length(da.text), length(db.text), 1), 6) AS edit_sim
+         |FROM jp j JOIN documents da ON da.doc_id = j.id_a
+         |JOIN documents db ON db.doc_id = j.id_b
+         |ORDER BY id_a, id_b""".stripMargin,
+    "lang_confusion" -> {
+      s"""WITH $sqlToks,
+         |lang AS ($sqlLang)
+         |SELECT d.lang, l.lang_pred, count(*) AS n_docs
+         |FROM documents d JOIN lang l ON d.doc_id = l.doc_id
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
     // jaccard_pairs' exact oracle restricted to pairs with at least one
     // NEW document (id >= split) — old-old pairs excluded like the
     // engine's candidate join does

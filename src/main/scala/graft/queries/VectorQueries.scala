@@ -20,6 +20,8 @@ object VectorQueries {
   private val NProbe = 3
   /** knn_graph neighbors per vector. */
   private val KnnK = 3
+  /** ann_refine first-stage (ADC) candidate count per query. */
+  private val RefineN = 50
 
   /** The two brute-force gates exist as correctness BASELINES — their scale
     * stories are embed_pairs_lsh and ann_ivf. Cap their input so a larger
@@ -299,6 +301,36 @@ object VectorQueries {
         .orderBy("q_id", "rank")
     }),
 
+    // Two-stage retrieval (the production shape: cheap approximate scan,
+    // exact rerank of a small candidate set): PQ-ADC ranks the whole
+    // corpus per query at m-lookups-per-row cost, the top-RefineN
+    // candidates rerank by EXACT cosine, top-K of that ships. Candidate
+    // fetch is an id equi-join; the query vectors broadcast; rerank cost
+    // is O(queries·RefineN·dim) regardless of corpus size.
+    "ann_refine" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val cb = pqCodebook(s, dir)
+      val qs = e.where(col("vec_id") < NQueries)
+        .select(col("vec_id").cast("long"),
+          col("embedding").cast("array<double>"))
+        .collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toSeq
+      val cand = graft.operators.ProductQuant.adcTopK(
+          graft.operators.ProductQuant.encode(e, "vec_id", "embedding", cb),
+          qs, cb, RefineN)
+        .select(col("q_id"), col("id"))
+      val vecs = e.select(col("vec_id").cast("long").as("id"),
+        col("embedding").cast("array<double>").as("vec"))
+      val qv = e.where(col("vec_id") < NQueries)
+        .select(col("vec_id").cast("long").as("q_id"),
+          col("embedding").cast("array<double>").as("q_vec"))
+      val scored = cand.join(vecs, "id").join(broadcast(qv), "q_id")
+        .select(col("q_id"), col("id"),
+          round(graft.functions.Distances.cosine(col("q_vec"), col("vec")), 6)
+            .as("sim"))
+      SimilaritySearch.rankTopK(scored, TopK).orderBy("q_id", "rank")
+    }),
+
     // IVF-PQ — the billion-vector ANN composition, fully under the
     // oracle because both quantizers are fixed: coarse probe prunes to
     // NProbe buckets (ann_ivf_fixed's machinery), ADC over PQ codes
@@ -511,6 +543,31 @@ object VectorQueries {
          |ranked AS (SELECT q_id, id, dist, row_number() OVER (
          |    PARTITION BY q_id ORDER BY dist, id) AS rank FROM scored)
          |SELECT q_id, id, dist, CAST(rank AS INT) AS rank FROM ranked
+         |WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin,
+    // two-stage: ADC top-RefineN candidates (same ranking as pq_topk),
+    // exact-cosine rerank, top-K — both stages' orderings 6dp + id
+    // tiebreak so the candidate CUT is identical in both engines
+    "ann_refine" ->
+      s"""WITH $sqlPqCodes,
+         |q AS (SELECT vec_id AS q_id, e FROM v WHERE vec_id < $NQueries),
+         |qd AS (SELECT q.q_id, t.j, cb.c AS code,
+         |    ${sqlPqSubL2("q", "cb")} AS d
+         |  FROM q, cb, unnest(range(0, $PqM)) t(j)),
+         |scored AS (SELECT qd.q_id, c.vec_id AS id, round(sum(qd.d), 6) AS dist
+         |  FROM codes c JOIN qd ON qd.j = c.j AND qd.code = c.code
+         |  WHERE c.vec_id <> qd.q_id
+         |  GROUP BY qd.q_id, c.vec_id),
+         |cand AS (SELECT q_id, id FROM (
+         |    SELECT q_id, id, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY dist, id) AS rank FROM scored)
+         |  WHERE rank <= $RefineN),
+         |ex AS (SELECT cd.q_id, cd.id,
+         |    round(list_dot_product(qv.e, b.e) / (sqrt(list_dot_product(qv.e, qv.e)) * sqrt(list_dot_product(b.e, b.e))), 6) AS sim
+         |  FROM cand cd JOIN v qv ON qv.vec_id = cd.q_id
+         |  JOIN v b ON b.vec_id = cd.id),
+         |r2 AS (SELECT q_id, id, sim, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY sim DESC, id) AS rank FROM ex)
+         |SELECT q_id, id, sim, CAST(rank AS INT) AS rank FROM r2
          |WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin,
     "ann_ivfpq" -> {
       val cos = (x: String, y: String) =>

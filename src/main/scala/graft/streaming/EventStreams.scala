@@ -112,6 +112,17 @@ object EventStreams {
       && col("l_ts") >= col("r_ts") - expr(s"INTERVAL $lookbackMinutes MINUTES"))
   }
 
+  /** Stream-static enrichment join — the "enrich the firehose with
+    * reference data" shape: each event picks up its user's attributes
+    * from a STATIC dimension. Stateless on the stream side (no
+    * watermark, no join state to age out — Structured Streaming plans a
+    * fresh broadcast of the static side per microbatch), which is why
+    * reference-data joins should be stream-static, never stream-stream.
+    * Batch inputs run the identical plan, spec-asserted batch ≡ stream
+    * like the other dual-mode operators. */
+  def enrichJoin(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(broadcast(dim), Seq("user_id"), "left")
+
   // ------------------------- stateful streaming sessionization ----------
 
   case class Ev(user_id: Long, tsUs: Long, value: Double)

@@ -99,6 +99,27 @@ class EventStreamsSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("stream-static enrichment join equals the batch join") {
+    val batchEvents = graft.core.Tables.table(spark, sf0001, "events")
+    // static reference data: per-user lifetime-value tier
+    val dim = batchEvents.groupBy("user_id")
+      .agg((sum("value") > 100.0).as("high_value"))
+    def project(df: org.apache.spark.sql.DataFrame) =
+      df.select("event_id", "user_id", "high_value")
+        .as[(Long, Long, Boolean)].collect().toSet
+    val batch = project(EventStreams.enrichJoin(batchEvents, dim))
+    val q = EventStreams.enrichJoin(
+        EventStreams.readEventStream(spark, sf0001), dim)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("enrich_out").start()
+    try {
+      q.processAllAvailable()
+      val got = project(spark.table("enrich_out"))
+      assert(got == batch, "stream-static enrichment ≠ batch join")
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("batch sessionization invariants") {
     val ev = graft.core.Tables.table(spark, sf0001, "events")
     val sess = EventStreams.sessionize(ev, gapMinutes = 60).cache()

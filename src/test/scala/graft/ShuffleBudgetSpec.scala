@@ -140,7 +140,30 @@ class ShuffleBudgetSpec extends GraftSuite {
     "oov_rate" -> (1200L, 5700L),
     "pivot_sources" -> (350L, 1600L),
     "ivm_agg" -> (300L, 1500L),
-    "dataset_fingerprint" -> (150L, 700L))
+    "dataset_fingerprint" -> (150L, 700L),
+    // round-9 continuation pins — measured: winnow_pairs 687,973 (the
+    // fingerprint inverted-index join + pair groupBy; a blown budget
+    // means winnowing stopped sampling and the join sees all shingles);
+    // modularity 515,135 (LPA rounds + the two label joins);
+    // containment_pairs 232,264 (A-prefix × full-index candidate join +
+    // merge-intersect verify, measured with the shared shingle-set memo
+    // warm); skipgram_pairs 18,222 (map-side-combined pair groupBy +
+    // TakeOrdered — the floor catches the zero-shuffle generation
+    // regressing to per-pair rows); ann_refine 5,383 (O(q·RefineN)
+    // candidate fetch + O(q·k) rank shuffle — corpus-size-independent by
+    // construction); knn_graph 2,496 (memoized pair graph + id-keyed
+    // rank window). winnow_fp is NOT pinned: pure projection (59-byte
+    // count residue).
+    "winnow_pairs" -> (225000L, 1035000L),
+    "modularity" -> (170000L, 775000L),
+    "containment_pairs" -> (75000L, 350000L),
+    "skipgram_pairs" -> (6000L, 28000L),
+    "ann_refine" -> (1700L, 8100L),
+    "knn_graph" -> (800L, 3800L),
+    // lang_confusion 454 (one tiny-key confusion groupBy). edit_pairs is
+    // NOT pinned: it reads the memoized pair set and its text joins
+    // broadcast (59-byte count residue).
+    "lang_confusion" -> (150L, 900L))
 
   /** Memo keys to evict after the warm pass so the measured pass runs the
     * gate's build plan instead of reading a checkpoint. dedup_groups
