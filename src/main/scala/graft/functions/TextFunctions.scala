@@ -141,15 +141,19 @@ object TextFunctions {
     *
     * @return ascending distinct encoded fingerprints; decode
     *         h = enc div 2^20, pos = 2^20-1 - (enc mod 2^20). */
-  def winnowedFingerprints(t: Column, n: Int, w: Int): Column = {
-    // Expression-tree discipline: HOF lambdas are interpreted (no
-    // whole-stage codegen) and Catalyst inlines every reference to a
-    // derived array, so indexing `hs` from inside a per-window lambda
-    // re-evaluates the WHOLE tokenize→shingle→hash chain per element —
-    // O(m·w) full-document passes. Instead the window minima come from
-    // folding `least` over w SHIFTED SLICES of the encoded array
-    // (zip_with evaluates each child once per ROW), so the chain runs
-    // O(w) times per document, independent of m.
+  def winnowedFingerprints(t: Column, n: Int, w: Int): Column =
+    TextKernels.winnow_fingerprints(t, n, w)
+
+  /** The declarative HOF form of [[winnowedFingerprints]], kept as the
+    * kernel's bit-equality cross-check (TextDedupSpec), NOT the runtime
+    * path: HOF lambdas are interpreted and Catalyst inlines every
+    * reference to a derived array, so even this slice-zip formulation
+    * (which already avoids the O(m·w) per-element re-evaluation the
+    * naive index form pays) re-runs the tokenize→shingle→hash chain
+    * O(w) times per document through subtrees that never reach codegen
+    * — measured ~9 ms per 300-char document vs the kernel's one fused
+    * pass. */
+  private[graft] def winnowedFingerprintsHof(t: Column, n: Int, w: Int): Column = {
     val hs = transform(wordShingles(t, n), s => PolyHash.poly_hash(s))
     val encs = zip_with(hs, sequence(lit(0), greatest(size(hs), lit(1)) - 1),
       (h, j) => h * lit(1048576L) + (lit(1048575L) - j))

@@ -55,6 +55,68 @@ object TextKernels {
   def shingleHashesArray(s: UTF8String, n: Int): ArrayData =
     new GenericArrayData(shingleHashes(s.toString, n))
 
+  /** Winnowing fingerprint selection fused into one pass (tokenize →
+    * ordered n-gram PolyHash sequence → per-window rightmost-tie min →
+    * distinct, ascending) — the kernel behind
+    * [[graft.functions.TextFunctions.winnowedFingerprints]]; same
+    * encoding enc = h·2^20 + (2^20-1-pos), identical to the DuckDB
+    * row-window mirror. The declarative HOF form re-evaluates its
+    * token/shingle subtrees per slice reference (interpreted, no
+    * codegen), which measured ~9 ms per 300-char document; this kernel
+    * is a straight O(m·w) long loop. */
+  def winnowFingerprints(s: String, n: Int, w: Int): Array[Long] = {
+    val toks = s.trim.split("\\s+").filter(_.nonEmpty)
+    val m = toks.length - n + 1
+    if (m <= 0) return Array.emptyLongArray
+    val hs = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      var acc = 0L
+      var j = 0
+      while (j < n) {
+        if (j > 0) acc = (acc * 31 + ' ') % PolyHash.Prime
+        val word = toks(i + j)
+        var k = 0
+        while (k < word.length) {
+          val cp = word.codePointAt(k)
+          acc = (acc * 31 + cp) % PolyHash.Prime
+          k += Character.charCount(cp)
+        }
+        j += 1
+      }
+      hs(i) = acc
+      i += 1
+    }
+    @inline def enc(j: Int): Long = hs(j) * 1048576L + (1048575L - j)
+    if (m < w) {
+      var best = Long.MaxValue
+      var j = 0
+      while (j < m) { val e = enc(j); if (e < best) best = e; j += 1 }
+      return Array(best)
+    }
+    val sel = new java.util.TreeSet[java.lang.Long]()
+    i = 0
+    while (i + w <= m) {
+      var best = Long.MaxValue
+      var j = i
+      while (j < i + w) { val e = enc(j); if (e < best) best = e; j += 1 }
+      sel.add(best)
+      i += 1
+    }
+    val out = new Array[Long](sel.size)
+    val it = sel.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = it.next(); o += 1 }
+    out
+  }
+
+  def winnowFingerprintsArray(s: UTF8String, n: Int, w: Int): ArrayData =
+    new GenericArrayData(winnowFingerprints(s.toString, n, w))
+
+  def winnow_fingerprints(text: Column, n: Int, w: Int): Column =
+    ColumnBridge.column(WinnowFingerprintsExpr(
+      ColumnBridge.expression(text), n, w))
+
   /** MinHash signature over a hash array: per permutation i,
     * min((a_i·h + b_i) mod P); null-free, Long.MaxValue → null upstream
     * is represented by an empty input producing an all-null signature
@@ -114,6 +176,21 @@ case class NfcNormalizeExpr(child: Expression)
     TextKernels.nfc(s.asInstanceOf[UTF8String])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, s => s"graft.functions.TextKernels.nfc($s)")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** Codegen winnowing selection (see [[TextKernels.winnowFingerprints]]);
+  * `n`/`w` ride as case-class ints so canonicalization-based plan reuse
+  * works structurally. */
+case class WinnowFingerprintsExpr(child: Expression, n: Int, w: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def toString: String = s"winnow_fingerprints($child, $n, $w)"
+  protected override def nullSafeEval(s: Any): Any =
+    TextKernels.winnowFingerprintsArray(s.asInstanceOf[UTF8String], n, w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s =>
+      s"graft.functions.TextKernels.winnowFingerprintsArray($s, $n, $w)")
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 

@@ -350,6 +350,35 @@ object CurationQueries {
         .orderBy("source")
     }),
 
+    // Sketch quantiles under a rank-error CONTRACT (ann_ivf-style
+    // invariant gate): percentile_approx's mergeable sketch is the
+    // 100 TB quantile path (map-side-combinable, one pass — where
+    // quality_cutoffs' exact ranks need a per-group sort), but its merge
+    // order follows partitioning, so the VALUE can't be hash-pinned
+    // cross-engine. The gate emits oracle-recomputable group counts plus
+    // integer flags the ENGINE verifies by exact rank cross-check:
+    // rank(approx_p50)/n ∈ [0.4, 0.6], rank(approx_p90)/n ∈ [0.82, 0.98]
+    // (sketch error ≤ 1% at accuracy 100, ±1-element discreteness at the
+    // gate's 25-row groups). A broken sketch flips a flag to 0 and the
+    // hash mismatches.
+    "approx_quantile" -> ((s, dir) => {
+      val base = docs(s, dir).select(col("source"), col("n_chars"))
+      val ap = base.groupBy("source").agg(
+        percentile_approx(col("n_chars"), lit(0.5), lit(100)).as("p50"),
+        percentile_approx(col("n_chars"), lit(0.9), lit(100)).as("p90"))
+      base.join(broadcast(ap), "source")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("n_chars") <= col("p50"), 1L).otherwise(0L)).as("le50"),
+          sum(when(col("n_chars") <= col("p90"), 1L).otherwise(0L)).as("le90"))
+        .select(col("source"), col("n_rows"),
+          (col("le50") * 10 >= col("n_rows") * 4 &&
+            col("le50") * 10 <= col("n_rows") * 6).cast("int").as("p50_ok"),
+          (col("le90") * 50 >= col("n_rows") * 41 &&
+            col("le90") * 50 <= col("n_rows") * 49).cast("int").as("p90_ok"))
+        .orderBy("source")
+    }),
+
     // Weighted sampling without replacement (Sampling.weightedSample —
     // deterministic Efraimidis-Spirakis): quality-proportional corpus
     // subsampling, the "prefer good docs but keep diversity" downsampler.
@@ -503,6 +532,12 @@ object CurationQueries {
          |SELECT CAST(count(DISTINCT w) AS BIGINT) AS n_exact,
          |  CAST(1 AS INT) AS within_10pct FROM u""".stripMargin,
     // exact rank-based percentiles: value at rank ceil(q*n) over
+    // contract gate: counts recomputed from the table; the flags' teeth
+    // are the engine's exact rank cross-check (see the gate comment)
+    "approx_quantile" ->
+      s"""SELECT source, count(*) AS n_rows,
+         |  CAST(1 AS INT) AS p50_ok, CAST(1 AS INT) AS p90_ok
+         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     // (quality asc, doc_id) per source — deterministic member values,
     // no interpolation, no approx sketch
     "quality_cutoffs" ->

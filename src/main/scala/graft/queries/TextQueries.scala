@@ -36,6 +36,11 @@ object TextQueries {
   private val ContainTau = 0.9
   private val WinnowW = 4
   private val WinnowShare = 10L
+  /** winnow_pairs boilerplate-fingerprint cap (df ≤ cap survives the
+    * index). A no-op at the sf0.01 oracle SF (max fingerprint df 43) —
+    * the cap exists for the JOIN's sake at larger SFs, where this
+    * tiny-vocab corpus floods the index with corpus-wide fingerprints. */
+  private val WinnowMaxDf = 50L
 
   // ------------------------------------------------------- SQL fragments
 
@@ -196,7 +201,7 @@ object TextQueries {
     // sample, an inverted-index join that never touches full texts
     "winnow_pairs" -> ((s, dir) => {
       Dedup.winnowPairs(docs(s, dir), "doc_id", "text", ShingleN, WinnowW,
-        WinnowShare).orderBy("id_a", "id_b")
+        WinnowShare, WinnowMaxDf).orderBy("id_a", "id_b")
     }),
 
     // fuzzy-dedup edit-distance verify: the quadratic-DP comparison runs
@@ -883,7 +888,10 @@ object TextQueries {
     // distinct on the HASH per doc exactly like the engine
     "winnow_pairs" ->
       s"""WITH $sqlWinnowSel,
-         |fp AS (SELECT DISTINCT doc_id, enc // 1048576 AS h FROM sel)
+         |fp0 AS (SELECT DISTINCT doc_id, enc // 1048576 AS h FROM sel),
+         |rare AS (SELECT h FROM fp0 GROUP BY h
+         |  HAVING count(*) <= $WinnowMaxDf),
+         |fp AS (SELECT f.doc_id, f.h FROM fp0 f JOIN rare r ON f.h = r.h)
          |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
          |  count(*) AS n_shared
          |FROM fp a JOIN fp b ON a.h = b.h AND a.doc_id < b.doc_id

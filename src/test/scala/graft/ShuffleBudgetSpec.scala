@@ -154,7 +154,8 @@ class ShuffleBudgetSpec extends GraftSuite {
     // construction); knn_graph 2,496 (memoized pair graph + id-keyed
     // rank window). winnow_fp is NOT pinned: pure projection (59-byte
     // count residue).
-    "winnow_pairs" -> (225000L, 1035000L),
+    "winnow_pairs" -> (270000L, 1250000L), // re-measured 814,977 with the
+    // maxDf boilerplate cap (df groupBy + semi-restriction added)
     "modularity" -> (170000L, 775000L),
     "containment_pairs" -> (75000L, 350000L),
     "skipgram_pairs" -> (6000L, 28000L),
@@ -163,7 +164,11 @@ class ShuffleBudgetSpec extends GraftSuite {
     // lang_confusion 454 (one tiny-key confusion groupBy). edit_pairs is
     // NOT pinned: it reads the memoized pair set and its text joins
     // broadcast (59-byte count residue).
-    "lang_confusion" -> (150L, 900L))
+    "lang_confusion" -> (150L, 900L),
+    // approx_quantile 837 (two tiny source-keyed aggs — the sketch rides
+    // map-side; a blown budget means the rank cross-check's broadcast
+    // regressed to a shuffle join)
+    "approx_quantile" -> (270L, 1300L))
 
   /** Memo keys to evict after the warm pass so the measured pass runs the
     * gate's build plan instead of reading a checkpoint. dedup_groups

@@ -765,6 +765,18 @@ class SimilaritySearchSpec extends GraftSuite {
     assert(s2(4L).size == 1 && s2(5L).isEmpty && s2(6L).isEmpty, s2)
   }
 
+  test("winnow kernel is bit-equal to the declarative HOF form") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .unionByName(Seq((9001L, ""), (9002L, "solo"), (9003L, "a b c"),
+        (9004L, "x x x x x x")).toDF("doc_id", "text"))
+    val both = d.select(col("doc_id"),
+        TF.winnowedFingerprints(col("text"), 2, 4).as("k"),
+        TF.winnowedFingerprintsHof(col("text"), 2, 4).as("h"))
+      .where(not(col("k") <=> col("h")))
+    assert(both.isEmpty, both.take(3).mkString("; "))
+  }
+
   test("skipgramPairs: window, symmetry, edges") {
     val got = Seq((1L, "a b c d"), (2L, ""), (3L, "solo"))
       .toDF("doc_id", "text")
