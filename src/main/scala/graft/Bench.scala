@@ -18,9 +18,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * times and per-query minima are emitted on a separate `bench_detail`
   * line so the one-off build costs stay visible.
   *
-  * Each query is fully materialized via count() (not collect — results can
-  * be wide); the first query pays session/codegen warmup, so a trivial
-  * warmup scan runs first.
+  * Each query is fully materialized via the noop DataSourceV2 writer
+  * (round 9; previously count()): count() lets Catalyst PRUNE every
+  * unreferenced output column, so pure-projection gates (winnowing,
+  * chunking, masking, NFC) were timing the row count, not the operator —
+  * the fused winnow kernel's 40× win was invisible to count() and very
+  * visible to Verify. The noop writer evaluates every output column
+  * without collecting (results can be wide); the first query pays
+  * session/codegen warmup, so a trivial warmup scan runs first.
+  * ShuffleBudgetSpec's pins intentionally KEEP the count() protocol —
+  * they were calibrated under it and guard shuffle shape, not projection
+  * cost.
   *
   * Stage metrics (shuffle read/write bytes, peak task memory) are captured
   * on the cold pass — the full build, comparable to rounds ≤6 — so plan
@@ -112,7 +120,7 @@ object Bench {
 
     def timed(fn: (SparkSession, String) => DataFrame): Double = {
       val t0 = System.nanoTime()
-      fn(spark, sfDir).count()
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
 

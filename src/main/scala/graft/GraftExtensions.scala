@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{DotExpr, L1DistExpr, PolyHashExpr, ShingleHashesExpr, SortedIntersectCountExpr}
+import graft.functions.{DotExpr, L1DistExpr, PolyHashExpr, ShingleHashesExpr, SimHash60Expr, SortedIntersectCountExpr, WinnowFingerprintsExpr}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -46,7 +46,19 @@ object GraftExtensions {
       args => ShingleHashesExpr(args.head, args(1))),
     ("sorted_intersect_count",
       "sorted_intersect_count(a, b) - |A∩B| of ascending-sorted long arrays",
-      args => SortedIntersectCountExpr(args.head, args(1))))
+      args => SortedIntersectCountExpr(args.head, args(1))),
+    ("winnow_fingerprints",
+      "winnow_fingerprints(text, n, w) - winnowed fingerprint encodings " +
+        "h*2^20 + (2^20-1-pos), ascending distinct",
+      args => WinnowFingerprintsExpr(args.head, intLit(args(1)), intLit(args(2)))),
+    ("simhash60", "simhash60(text, n) - 60-bit SimHash of word n-grams",
+      args => SimHash60Expr(args.head, intLit(args(1)))))
+
+  /** Int value of a foldable literal argument (n/w parameters ride as
+    * case-class ints on the expressions, not as child expressions). */
+  private def intLit(e: Expression): Int =
+    e.eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+      .asInstanceOf[Number].intValue()
 
   /** Register on an already-built session (temp functions) — the runtime
     * alternative to `spark.sql.extensions` for sessions you don't build. */

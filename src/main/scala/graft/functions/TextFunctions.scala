@@ -31,12 +31,19 @@ object TextFunctions {
       .otherwise(transform(sequence(lit(1), length(t) - (n - 1)),
         i => substring(t, i, lit(n))))
 
-  /** Word n-gram shingles over whitespace tokens, space-joined. */
+  /** Word n-gram shingles over whitespace tokens, space-joined. Built by
+    * zipping the token array with its shifted slices (NOT by indexing
+    * from inside a transform lambda: `element_at(tk, i)` on a DERIVED
+    * array re-evaluates the whole token split per element in interpreted
+    * HOF eval — O(m·len) per row; the slice-zip form evaluates the split
+    * O(n) times per row). */
   def wordShingles(t: Column, n: Int): Column = {
     val tk = tokens(t)
-    when(size(tk) < n, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(1), size(tk) - (n - 1)),
-        i => concat_ws(" ", (0 until n).map(j => element_at(tk, i + j)): _*)))
+    val len = greatest(size(tk) - (n - 1), lit(0))
+    (2 to n).foldLeft(slice(tk, lit(1), len)) { (acc, k) =>
+      zip_with(acc, slice(tk, lit(k), len),
+        (a, b) => concat(a, lit(" "), b))
+    }
   }
 
   /** Punctuation character ratio. */

@@ -113,6 +113,48 @@ object TextKernels {
   def winnowFingerprintsArray(s: UTF8String, n: Int, w: Int): ArrayData =
     new GenericArrayData(winnowFingerprints(s.toString, n, w))
 
+  /** 60-bit SimHash fused into one pass — the kernel behind
+    * [[graft.operators.Dedup.simhash]]. Arithmetic identical to the
+    * declarative form and the SQL oracle: DISTINCT word-n-gram STRINGS
+    * (string set semantics, not hash set), per shingle
+    * h = PolyHash(g) xor (PolyHash(g || "#1") << 30), bit b of the
+    * fingerprint = [Σ ±1 over shingles > 0]. The declarative form's 60
+    * per-bit `aggregate` expressions each re-evaluate the whole
+    * tokenize→shingle→hash subtree interpreted (measured ~150 ms per
+    * 300-char document — 78 s for a 500-doc pass); this kernel hashes
+    * each shingle once and updates 60 counters in a flat loop. */
+  def simhash60(s: String, n: Int): Long = {
+    val toks = s.trim.split("\\s+").filter(_.nonEmpty)
+    if (toks.length < n) return 0L
+    val seen = new java.util.LinkedHashSet[String]()
+    var i = 0
+    while (i + n <= toks.length) {
+      val sb = new java.lang.StringBuilder
+      var j = 0
+      while (j < n) { if (j > 0) sb.append(' '); sb.append(toks(i + j)); j += 1 }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val cnt = new Array[Int](60)
+    val it = seen.iterator()
+    while (it.hasNext) {
+      val g = it.next()
+      val h = PolyHash.hash(g) ^ (PolyHash.hash(g + "#1") << 30)
+      var b = 0
+      while (b < 60) {
+        if (((h >> b) & 1L) == 1L) cnt(b) += 1 else cnt(b) -= 1
+        b += 1
+      }
+    }
+    var fp = 0L
+    var b = 0
+    while (b < 60) { if (cnt(b) > 0) fp |= 1L << b; b += 1 }
+    fp
+  }
+
+  def simhash_60(text: Column, n: Int): Column =
+    ColumnBridge.column(SimHash60Expr(ColumnBridge.expression(text), n))
+
   def winnow_fingerprints(text: Column, n: Int, w: Int): Column =
     ColumnBridge.column(WinnowFingerprintsExpr(
       ColumnBridge.expression(text), n, w))
@@ -176,6 +218,19 @@ case class NfcNormalizeExpr(child: Expression)
     TextKernels.nfc(s.asInstanceOf[UTF8String])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, s => s"graft.functions.TextKernels.nfc($s)")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** Codegen 60-bit SimHash (see [[TextKernels.simhash60]]). */
+case class SimHash60Expr(child: Expression, n: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = LongType
+  override def toString: String = s"simhash60($child, $n)"
+  protected override def nullSafeEval(s: Any): Any =
+    TextKernels.simhash60(s.asInstanceOf[UTF8String].toString, n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s =>
+      s"graft.functions.TextKernels.simhash60($s.toString(), $n)")
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 

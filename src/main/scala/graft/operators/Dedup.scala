@@ -570,7 +570,14 @@ object Dedup {
     */
   val SimhashBits = 60
 
-  def simhash(textCol: Column, n: Int): Column = {
+  def simhash(textCol: Column, n: Int): Column =
+    graft.functions.TextKernels.simhash_60(textCol, n)
+
+  /** The declarative Column form of [[simhash]], kept as the kernel's
+    * bit-equality spec cross-check, NOT the runtime path: its 60 per-bit
+    * `aggregate` expressions each re-evaluate the whole interpreted
+    * tokenize→shingle→hash subtree (~150 ms per 300-char document). */
+  private[graft] def simhashDeclarative(textCol: Column, n: Int): Column = {
     val sh = array_distinct(TextFunctions.wordShingles(textCol, n))
     val h60 = transform(sh, s => {
       val h0 = PolyHash.poly_hash(s)

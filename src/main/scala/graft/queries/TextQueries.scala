@@ -41,6 +41,7 @@ object TextQueries {
     * the cap exists for the JOIN's sake at larger SFs, where this
     * tiny-vocab corpus floods the index with corpus-wide fingerprints. */
   private val WinnowMaxDf = 50L
+  private val SimhashMaxHam = 3
 
   // ------------------------------------------------------- SQL fragments
 
@@ -244,6 +245,15 @@ object TextQueries {
       docs(s, dir).select(col("doc_id"),
         Dedup.simhash(col("text"), ShingleN).as("fp"))
         .orderBy("doc_id")
+    }),
+
+    // SimHash near-dup PAIRS end-to-end: 4×15-bit banded candidates
+    // (pigeonhole: hamming <= 3 forces agreement on >= 1 band, so the
+    // banded join has FULL recall and the result equals the brute
+    // all-pairs oracle), exact Hamming verify
+    "simhash_pairs" -> ((s, dir) => {
+      Dedup.simhashPairs(docs(s, dir), "doc_id", "text", ShingleN,
+        SimhashMaxHam).orderBy("id_a", "id_b")
     }),
 
     // deterministic content-stable train/val/test splitting: split id =
@@ -1035,6 +1045,19 @@ object TextQueries {
          |SELECT t.doc_id, coalesce(f.fp, 0) AS fp
          |FROM toks t LEFT JOIN fps f ON t.doc_id = f.doc_id
          |ORDER BY t.doc_id""".stripMargin,
+    // brute all-pairs mirror of the banded join (full recall at
+    // hamming <= 3 by the pigeonhole argument on the gate)
+    "simhash_pairs" ->
+      s"""WITH $sqlToks,
+         |$sqlShingles,
+         |$sqlSimhash,
+         |f AS (SELECT t.doc_id, coalesce(p.fp, 0) AS fp
+         |  FROM toks t LEFT JOIN fps p ON t.doc_id = p.doc_id)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
+         |FROM f a JOIN f b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.fp, b.fp)) <= $SimhashMaxHam
+         |ORDER BY id_a, id_b""".stripMargin,
     "span_dedup" ->
       s"""WITH $sqlToks,
          |$sqlSpanChain

@@ -41,6 +41,15 @@ class GraftExtensionsSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(n == 2)
   }
 
+  test("winnow_fingerprints / simhash60 callable from SQL, equal kernels") {
+    val r = sql.sql(
+      """SELECT winnow_fingerprints('a b c d e f', 2, 4) AS wf,
+        |  simhash60('a b c d e f', 2) AS sh""".stripMargin).head()
+    assert(r.getSeq[Long](0) ==
+      graft.functions.TextKernels.winnowFingerprints("a b c d e f", 2, 4).toSeq)
+    assert(r.getLong(1) == graft.functions.TextKernels.simhash60("a b c d e f", 2))
+  }
+
   test("wrong arity fails analysis, not execution") {
     val e = intercept[Exception] {
       sql.sql("SELECT l1_dist(array(1.0d))").collect()

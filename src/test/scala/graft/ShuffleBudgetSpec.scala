@@ -168,7 +168,11 @@ class ShuffleBudgetSpec extends GraftSuite {
     // approx_quantile 837 (two tiny source-keyed aggs — the sketch rides
     // map-side; a blown budget means the rank cross-check's broadcast
     // regressed to a shuffle join)
-    "approx_quantile" -> (270L, 1300L))
+    "approx_quantile" -> (270L, 1300L),
+    // simhash_pairs 484 (band-key self-join of 500 fingerprints + the
+    // distinct — fingerprints are one codegen'd projection, so the only
+    // shuffled payload is (id, fp, band, key) rows)
+    "simhash_pairs" -> (160L, 950L))
 
   /** Memo keys to evict after the warm pass so the measured pass runs the
     * gate's build plan instead of reading a checkpoint. dedup_groups

@@ -765,6 +765,18 @@ class SimilaritySearchSpec extends GraftSuite {
     assert(s2(4L).size == 1 && s2(5L).isEmpty && s2(6L).isEmpty, s2)
   }
 
+  test("simhash kernel is bit-equal to the declarative form") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .unionByName(Seq((9001L, ""), (9002L, "solo"), (9003L, "a b c a b"))
+        .toDF("doc_id", "text"))
+    val diff = d.select(col("doc_id"),
+        Dedup.simhash(col("text"), 2).as("k"),
+        Dedup.simhashDeclarative(col("text"), 2).as("h"))
+      .where(not(col("k") <=> col("h")))
+    assert(diff.isEmpty, diff.take(3).mkString("; "))
+  }
+
   test("winnow kernel is bit-equal to the declarative HOF form") {
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select(col("doc_id"), col("text"))
