@@ -52,7 +52,11 @@ object GraftExtensions {
         "h*2^20 + (2^20-1-pos), ascending distinct",
       args => WinnowFingerprintsExpr(args.head, intLit(args(1)), intLit(args(2)))),
     ("simhash60", "simhash60(text, n) - 60-bit SimHash of word n-grams",
-      args => SimHash60Expr(args.head, intLit(args(1)))))
+      args => SimHash60Expr(args.head, intLit(args(1)))),
+    ("cdc_boundaries",
+      "cdc_boundaries(text, n, mod) - content-defined chunk boundary positions",
+      args => graft.functions.CdcBoundariesExpr(args.head,
+        intLit(args(1)), intLit(args(2)))))
 
   /** Int value of a foldable literal argument (n/w parameters ride as
     * case-class ints on the expressions, not as child expressions). */

@@ -155,6 +155,37 @@ object TextKernels {
   def simhash_60(text: Column, n: Int): Column =
     ColumnBridge.column(SimHash60Expr(ColumnBridge.expression(text), n))
 
+  /** Content-defined chunk boundaries fused into one pass: position j
+    * (1-based, j in [n, len]) is a boundary iff PolyHash of the n
+    * characters ending at j is ≡ 0 (mod `mod`) — bit-for-bit the
+    * declarative `filter(sequence(n, length(text)), j ->
+    * poly_hash(substring(text, j-n+1, n)) % mod = 0)` form and the
+    * DuckDB range() mirror, at ~n integer ops per character instead of
+    * one boxed interpreted-HOF element evaluation per position.
+    * Positions are CODEPOINT positions (identical to Spark substring /
+    * DuckDB substr on this BMP/ASCII corpus). */
+  def cdcBoundaries(s: String, n: Int, mod: Int): Array[Int] = {
+    val cps = s.codePoints().toArray
+    val len = cps.length
+    if (len < n) return Array.emptyIntArray
+    val out = new scala.collection.mutable.ArrayBuffer[Int]()
+    var j = n
+    while (j <= len) {
+      var acc = 0L
+      var k = j - n
+      while (k < j) { acc = (acc * 31 + cps(k)) % PolyHash.Prime; k += 1 }
+      if (acc % mod == 0) out += j
+      j += 1
+    }
+    out.toArray
+  }
+
+  def cdcBoundariesArray(s: UTF8String, n: Int, mod: Int): ArrayData =
+    new GenericArrayData(cdcBoundaries(s.toString, n, mod))
+
+  def cdc_boundaries(text: Column, n: Int, mod: Int): Column =
+    ColumnBridge.column(CdcBoundariesExpr(ColumnBridge.expression(text), n, mod))
+
   def winnow_fingerprints(text: Column, n: Int, w: Int): Column =
     ColumnBridge.column(WinnowFingerprintsExpr(
       ColumnBridge.expression(text), n, w))
@@ -218,6 +249,20 @@ case class NfcNormalizeExpr(child: Expression)
     TextKernels.nfc(s.asInstanceOf[UTF8String])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, s => s"graft.functions.TextKernels.nfc($s)")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** Codegen content-defined chunk boundaries (see
+  * [[TextKernels.cdcBoundaries]]). */
+case class CdcBoundariesExpr(child: Expression, n: Int, mod: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def toString: String = s"cdc_boundaries($child, $n, $mod)"
+  protected override def nullSafeEval(s: Any): Any =
+    TextKernels.cdcBoundariesArray(s.asInstanceOf[UTF8String], n, mod)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s =>
+      s"graft.functions.TextKernels.cdcBoundariesArray($s, $n, $mod)")
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 

@@ -452,14 +452,12 @@ object PipelineQueries {
     // unlike fixed-size blocks. Pure zero-shuffle projection, O(len)
     // hashes per doc; the boundary list is value-pinned by fingerprint.
     "cdc_chunks" -> ((s, dir) => {
-      import org.apache.spark.sql.catalyst.expressions.Substring
-      import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
-      // sequence() descends when stop < start, so short docs need the
-      // empty-array guard the oracle's range() gives for free
-      val bounds = when(length(col("text")) < 8, array().cast("array<int>"))
-        .otherwise(filter(sequence(lit(8), length(col("text"))), j =>
-          PolyHash.poly_hash(column(Substring(expression(col("text")),
-            expression(j - 7), expression(lit(8))))) % 64 === 0))
+      // fused native kernel (round 9): the declarative filter-over-
+      // sequence form paid one boxed interpreted element-eval per char
+      // position (3.5 s at sf0.1 under the noop protocol); the kernel is
+      // a flat ~8-ops-per-char loop, spec-pinned equal to that form
+      val bounds = graft.functions.TextKernels.cdc_boundaries(
+        col("text"), n = 8, mod = 64)
       docs(s, dir).select(col("doc_id"), bounds.as("b"))
         .select(col("doc_id"),
           size(col("b")).cast("long").as("n_bounds"),

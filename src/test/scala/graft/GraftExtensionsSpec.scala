@@ -48,6 +48,9 @@ class GraftExtensionsSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(r.getSeq[Long](0) ==
       graft.functions.TextKernels.winnowFingerprints("a b c d e f", 2, 4).toSeq)
     assert(r.getLong(1) == graft.functions.TextKernels.simhash60("a b c d e f", 2))
+    val b = sql.sql("SELECT cdc_boundaries('abcdefghij', 8, 1) AS b")
+      .head().getSeq[Int](0)
+    assert(b == Seq(8, 9, 10), s"mod 1 accepts every window end: $b")
   }
 
   test("wrong arity fails analysis, not execution") {

@@ -765,6 +765,25 @@ class SimilaritySearchSpec extends GraftSuite {
     assert(s2(4L).size == 1 && s2(5L).isEmpty && s2(6L).isEmpty, s2)
   }
 
+  test("cdc_boundaries kernel equals the declarative filter form") {
+    import org.apache.spark.sql.catalyst.expressions.Substring
+    import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .unionByName(Seq((9001L, ""), (9002L, "short"), (9003L, "exactly8"))
+        .toDF("doc_id", "text"))
+    val declarative = when(length(col("text")) < 8,
+        array().cast("array<int>"))
+      .otherwise(filter(sequence(lit(8), length(col("text"))), j =>
+        PolyHash.poly_hash(column(Substring(expression(col("text")),
+          expression(j - 7), expression(lit(8))))) % 64 === 0))
+    val diff = d.select(col("doc_id"),
+        graft.functions.TextKernels.cdc_boundaries(col("text"), 8, 64).as("k"),
+        declarative.as("h"))
+      .where(not(col("k") <=> col("h")))
+    assert(diff.isEmpty, diff.take(3).mkString("; "))
+  }
+
   test("simhash kernel is bit-equal to the declarative form") {
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select(col("doc_id"), col("text"))
