@@ -181,7 +181,9 @@ class ShuffleBudgetSpec extends GraftSuite {
   private val evictBeforeMeasure: Map[String, String] =
     Map("embed_pairs_lsh" -> graft.queries.VectorQueries.EmbPairsKey,
       "dedup_groups" -> graft.queries.TextQueries.JaccardCompKey,
-      "bpe_merges" -> graft.queries.PipelineQueries.BpeFitKey)
+      "bpe_merges" -> graft.queries.PipelineQueries.BpeFitKey,
+      "lpa_communities" -> graft.queries.ClusterQueries.LpaKey,
+      "modularity" -> graft.queries.ClusterQueries.LpaKey)
 
   for ((q, (lo, hi)) <- budgets)
     test(s"$q shuffle-write volume stays within budget at sf0.01") {
