@@ -116,6 +116,80 @@ class PropertySpec extends GraftSuite {
     }
   }
 
+  test("prefix-filtered containment equals the brute h-join on random corpora (property)") {
+    val gen = for {
+      nDocs <- Gen.choose(4, 20)
+      vocab <- Gen.choose(3, 10)
+      maxLen <- Gen.choose(2, 25)
+      tau <- Gen.oneOf(0.5, 0.7, 0.9)
+      seed <- Gen.choose(0L, 9999L)
+    } yield (nDocs, vocab, maxLen, tau, seed)
+    samples(gen, 8).foreach { case (nDocs, vocab, maxLen, tau, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val docs = (0 until nDocs).map { i =>
+        val len = 1 + rnd.nextInt(maxLen)
+        (i.toLong, Seq.fill(len)("w" + rnd.nextInt(vocab)).mkString(" "))
+      }.toDF("doc_id", "text")
+      val got = graft.operators.Dedup
+        .containmentPairs(docs, "doc_id", "text", n = 2, tau)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      // brute oracle: h-join intersection counts over the same hash sets
+      val sh = graft.operators.Dedup
+        .shingleHashIndex(docs, "doc_id", "text", 2)
+        .as[(Long, Long)].collect().groupBy(_._1)
+        .view.mapValues(_.map(_._2).toSet).toMap
+      val brute = (for {
+        (a, sa) <- sh.toSeq; (b, sb) <- sh.toSeq
+        if a != b && sa.nonEmpty
+        c = (sa & sb).size
+        // Spark's round(_, 6) is HALF_UP over valueOf(double)
+        if BigDecimal.decimal(c.toDouble / sa.size)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP) >= BigDecimal.decimal(tau)
+      } yield (a, b)).toSet
+      assert(got == brute, s"nDocs=$nDocs vocab=$vocab tau=$tau seed=$seed")
+    }
+  }
+
+  test("capped winnow pairs equal the brute fingerprint join (property)") {
+    val gen = for {
+      nDocs <- Gen.choose(4, 16)
+      vocab <- Gen.choose(3, 8)
+      maxLen <- Gen.choose(4, 30)
+      minShared <- Gen.choose(1, 3)
+      seed <- Gen.choose(0L, 9999L)
+    } yield (nDocs, vocab, maxLen, minShared, seed)
+    samples(gen, 6).foreach { case (nDocs, vocab, maxLen, minShared, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val docs = (0 until nDocs).map { i =>
+        val len = 1 + rnd.nextInt(maxLen)
+        (i.toLong, Seq.fill(len)("w" + rnd.nextInt(vocab)).mkString(" "))
+      }.toDF("doc_id", "text")
+      val maxDf = 1 + rnd.nextInt(nDocs)
+      val got = graft.operators.Dedup
+        .winnowPairs(docs, "doc_id", "text", n = 2, w = 4,
+          minShared.toLong, maxDf.toLong)
+        .select("id_a", "id_b", "n_shared").as[(Long, Long, Long)]
+        .collect().toSet
+      // brute: per-doc distinct fingerprint HASHES from the kernel,
+      // df-capped, pairwise intersection counts
+      val fp0 = docs.select(col("doc_id"),
+          graft.functions.TextKernels
+            .winnow_fingerprints(col("text"), 2, 4).as("f"))
+        .as[(Long, Seq[Long])].collect()
+        .map { case (id, es) => id -> es.map(_ >> 20).toSet }.toMap
+      val dfs = fp0.values.flatten.groupBy(identity).view.mapValues(_.size)
+      val fp = fp0.view.mapValues(_.filter(h => dfs(h) <= maxDf)).toMap
+      val brute = (for {
+        (a, sa) <- fp.toSeq; (b, sb) <- fp.toSeq
+        if a < b
+        c = (sa & sb).size
+        if c >= minShared
+      } yield (a, b, c.toLong)).toSet
+      assert(got == brute,
+        s"nDocs=$nDocs vocab=$vocab maxDf=$maxDf minShared=$minShared seed=$seed")
+    }
+  }
+
   test("native L1/dot kernels equal the higher-order-function forms (property)") {
     val gen = for {
       dims <- Gen.choose(1, 32)
