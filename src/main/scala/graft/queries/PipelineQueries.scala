@@ -51,6 +51,8 @@ object PipelineQueries {
   /** Skip-gram context window (±positions) and emitted top-K pairs. */
   private val SkipWin = 2
   private val SkipTopK = 50
+  /** token_drift emitted rows. */
+  private val DriftTopK = 25
 
   /** QueryCache key of the shared BPE fit (ShuffleBudgetSpec evicts it
     * to pin the build plan). */
@@ -443,6 +445,33 @@ object PipelineQueries {
         .withColumn("rrf",
           expr("1000000 div (60 + r1) + 1000000 div (60 + r2)"))
         .orderBy(col("rrf").desc, col("doc_id")).limit(25)
+    }),
+
+    // Per-source token drift: each (source, token)'s χ² contribution
+    // (o·N − N_s·c)²/(N_s·c·N) against the corpus-wide distribution —
+    // the "which tokens make this source diverge" diagnostic behind
+    // source-mix monitoring. Per-term values are single IEEE
+    // expressions over exact integer counts (no running float sums, so
+    // no associativity hazard); top-25 by a TakeOrdered. All shuffles
+    // keyed (token/source groupBys map-side combined; the global total
+    // is a 1-row broadcast) — the per-token join input is pre-aggregated
+    // to ≤ |sources| rows per token, so Zipf-hot tokens can't skew it.
+    "token_drift" -> ((s, dir) => {
+      val tok = docs(s, dir).select(col("source"),
+        explode(TF.tokens(col("text"))).as("w"))
+      val bySrc = tok.groupBy("source", "w").agg(count(lit(1)).as("o"))
+      val srcTot = tok.groupBy("source").agg(count(lit(1)).as("ns"))
+      val glob = tok.groupBy("w").agg(count(lit(1)).as("c"))
+      val nTot = tok.agg(count(lit(1)).as("n"))
+      val x = col("o") * col("n") - col("ns") * col("c")
+      bySrc.join(broadcast(srcTot), "source").join(glob, "w")
+        .crossJoin(broadcast(nTot))
+        .select(col("source"), col("w").as("token"), col("o"),
+          round((x.cast("double") * x.cast("double"))
+            / (col("ns") * col("c") * col("n")).cast("double"), 6)
+            .as("chi2_part"))
+        .orderBy(col("chi2_part").desc, col("source"), col("token"))
+        .limit(DriftTopK)
     }),
 
     // Content-defined chunking (the storage-dedup primitive under
@@ -1106,6 +1135,23 @@ object PipelineQueries {
          |JOIN uni u1 ON p.w1 = u1.w
          |JOIN uni u2 ON p.w2 = u2.w, n
          |ORDER BY lift_ppm DESC, w1, w2 LIMIT 25""".stripMargin,
+    "token_drift" ->
+      s"""WITH $sqlToks,
+         |tok AS (SELECT d.source, unnest(t.t) AS w FROM toks t
+         |  JOIN documents d ON d.doc_id = t.doc_id),
+         |bys AS (SELECT source, w, CAST(count(*) AS BIGINT) AS o
+         |  FROM tok GROUP BY 1, 2),
+         |st AS (SELECT source, CAST(count(*) AS BIGINT) AS ns
+         |  FROM tok GROUP BY 1),
+         |g AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1),
+         |nt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tok)
+         |SELECT b.source, b.w AS token, b.o,
+         |  round((CAST(b.o * nt.n - st.ns * g.c AS DOUBLE)
+         |      * CAST(b.o * nt.n - st.ns * g.c AS DOUBLE))
+         |    / CAST(st.ns * g.c * nt.n AS DOUBLE), 6) AS chi2_part
+         |FROM bys b JOIN st ON b.source = st.source
+         |JOIN g ON b.w = g.w, nt
+         |ORDER BY chi2_part DESC, b.source, token LIMIT $DriftTopK""".stripMargin,
     "skipgram_pairs" ->
       s"""WITH $sqlToks,
          |pos AS (SELECT doc_id, unnest(range(1, len(t) + 1)) AS i,

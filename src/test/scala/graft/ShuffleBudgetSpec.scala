@@ -172,7 +172,10 @@ class ShuffleBudgetSpec extends GraftSuite {
     // simhash_pairs 484 (band-key self-join of 500 fingerprints + the
     // distinct — fingerprints are one codegen'd projection, so the only
     // shuffled payload is (id, fp, band, key) rows)
-    "simhash_pairs" -> (160L, 950L))
+    "simhash_pairs" -> (160L, 950L),
+    // token_drift 11,605 (three token-keyed groupBys + the w-join of
+    // pre-aggregated per-(source, token) counts + TakeOrdered)
+    "token_drift" -> (3800L, 18000L))
 
   /** Memo keys to evict after the warm pass so the measured pass runs the
     * gate's build plan instead of reading a checkpoint. dedup_groups
