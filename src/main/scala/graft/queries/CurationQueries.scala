@@ -25,6 +25,12 @@ import org.apache.spark.sql.functions._
 object CurationQueries {
   private val VocabK = 100
   private val HistBucket = 64
+  /** compact_plan target output-file size (chars). */
+  private val CompactTarget = 2000L
+  /** hll_distinct register count (2^6) and rho bit budget: PolyHash
+    * values are < 2^30, so h div 64 < 2^24 and a 24-bit rho suffices. */
+  private val HllM = 64
+  private val HllBits = 24
   private val SaltBuckets = 8
   private val SelectBudget = 10000L
   private val SelCents = 8
@@ -450,6 +456,77 @@ object CurationQueries {
           TF.gopherFlags(synth, GopherMinWords, GopherMaxWords).as("g"))
         .select(col("doc_id"), col("g.*"))
         .orderBy("doc_id")
+    }),
+
+    // Mergeable HyperLogLog (Flajolet et al. 2007), fully deterministic
+    // and value-exact under the oracle — unlike approx_distinct's
+    // contract gate, every register and the estimate itself replay in
+    // SQL. Hash = PolyHash (< 2^30): bucket = h mod 64, rho = leading-
+    // zero rank of the remaining 24 bits via an exact integer CASE chain
+    // (no log2 floats). The per-(source, bucket) max IS the mergeable
+    // sketch state — a union of corpora is max-merge of registers — and
+    // the register payload is O(sources·64) regardless of corpus size.
+    // Σ2^-M sums exact powers of two (mantissa span 25 bits < 53), so
+    // float order can't perturb it; the raw estimate's one division is
+    // the only rounding op in either engine. At gate SF the per-source
+    // vocabulary (~31) sits deep in HLL's small-range regime, so raw_est
+    // over-reads by design — v_zero is emitted precisely so downstream
+    // applies the linear-counting correction m·ln(m/V) (≈ 30.1 here; ln
+    // is kept OUT of the gate because libm ln is not cross-engine
+    // bit-reproducible, unlike the division).
+    "hll_distinct" -> ((s, dir) => {
+      val pairs = docs(s, dir)
+        .select(col("source"), explode(TF.tokens(col("text"))).as("w"))
+        .distinct()
+      val first = when(col("w24") >= (1L << (HllBits - 1)), 1)
+      val rho = (HllBits - 2 to 0 by -1)
+        .foldLeft(first) { (acc, b) =>
+          acc.when(col("w24") >= (1L << b), HllBits - b)
+        }.otherwise(HllBits + 1).cast("long")
+      val regs = pairs
+        .select(col("source"), PolyHash.poly_hash(col("w")).as("h"))
+        .select(col("source"), expr(s"h % $HllM").as("bucket"),
+          expr(s"h div $HllM").as("w24"))
+        .withColumn("rho", rho)
+        .groupBy("source", "bucket").agg(max("rho").as("m"))
+      val agg = regs.groupBy("source").agg(
+        count(lit(1)).as("nb"),
+        sum("m").as("reg_sum"), max("m").as("reg_max"),
+        sum(expr("1.0 / cast(shiftleft(cast(1 as bigint), cast(m as int)) as double)"))
+          .as("s2"))
+      val nEx = pairs.groupBy("source").agg(count(lit(1)).as("n_exact"))
+      agg.join(broadcast(nEx), Seq("source"))
+        .select(col("source"), col("n_exact"),
+          (lit(HllM) - col("nb")).cast("long").as("v_zero"),
+          col("reg_sum"), col("reg_max"),
+          round(lit(0.709) * lit(HllM * HllM.toDouble) /
+            (col("s2") + (lit(HllM) - col("nb")).cast("double")), 6)
+            .as("raw_est"))
+        .orderBy("source")
+    }),
+
+    // Small-file compaction planner: per source, documents pack into
+    // target-sized output files in doc_id order — file_id =
+    // floor(exclusive running chars / target), i.e. a new file starts
+    // once the running total crosses the target. The running sum is the
+    // two-phase PrefixScan over a (source, doc_id) range partitioning
+    // (parallelism follows numParts, not |sources|); the emitted plan is
+    // the per-file manifest (doc count, char total, doc_id range) a
+    // compaction job would execute. Pure keyed aggregation after the
+    // scan — scales.
+    "compact_plan" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("source"),
+        col("n_chars").cast("long").as("n_chars"))
+      graft.operators.PrefixScan.exclusiveCumsum(
+          d, "source", Seq("doc_id"), "n_chars", "cum",
+          numParts = s.sparkContext.defaultParallelism)
+        .select(col("source"), col("doc_id"), col("n_chars"),
+          (col("cum") / CompactTarget).cast("long").as("file_id"))
+        .groupBy("source", "file_id")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").cast("long").as("total_chars"),
+          min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+        .orderBy("source", "file_id")
     }))
 
   // ----------------------------------------------------------- oracles
@@ -821,5 +898,46 @@ object CurationQueries {
          |SELECT user_id, count(*) AS n_events,
          |  CAST(sum(cents * weight) AS BIGINT) AS weighted_cents
          |FROM e JOIN dim USING (event_type)
-         |GROUP BY user_id ORDER BY user_id""".stripMargin)
+         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "compact_plan" ->
+      s"""WITH c AS (SELECT doc_id, source,
+         |    CAST(n_chars AS BIGINT) AS n_chars,
+         |    CAST(coalesce(sum(CAST(n_chars AS BIGINT)) OVER (
+         |      PARTITION BY source ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS cum
+         |  FROM documents)
+         |SELECT source, cum // $CompactTarget AS file_id,
+         |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         |FROM c GROUP BY source, file_id
+         |ORDER BY source, file_id""".stripMargin,
+    "hll_distinct" -> {
+      // the same exact-integer rho chain the engine builds, highest bit
+      // first (rho = 1 + leading zeros of the 24-bit remainder)
+      val rhoCase = (HllBits - 1 to 0 by -1)
+        .map(b => s"WHEN w24 >= ${1L << b} THEN ${HllBits - b}")
+        .mkString("CASE ", " ", s" ELSE ${HllBits + 1} END")
+      s"""WITH tok AS (SELECT DISTINCT source, t2.w AS w
+         |  FROM (SELECT source, CASE WHEN length(trim(text)) = 0
+         |      THEN CAST([] AS VARCHAR[])
+         |      ELSE string_split_regex(trim(text), '\\s+') END AS t
+         |    FROM documents) d, unnest(d.t) AS t2(w)),
+         |h AS (SELECT source, ${sqlPolyHash("w")} AS h FROM tok),
+         |b AS (SELECT source, h % $HllM AS bucket, h // $HllM AS w24
+         |  FROM h),
+         |r AS (SELECT source, bucket,
+         |    CAST(max($rhoCase) AS BIGINT) AS m FROM b GROUP BY 1, 2),
+         |a AS (SELECT source, count(*) AS nb,
+         |    CAST(sum(m) AS BIGINT) AS reg_sum,
+         |    CAST(max(m) AS BIGINT) AS reg_max,
+         |    sum(1.0 / CAST(CAST(1 AS BIGINT) << m AS DOUBLE)) AS s2
+         |  FROM r GROUP BY 1),
+         |n AS (SELECT source, count(*) AS n_exact FROM tok GROUP BY 1)
+         |SELECT a.source, n.n_exact,
+         |  CAST($HllM - a.nb AS BIGINT) AS v_zero, a.reg_sum, a.reg_max,
+         |  round(0.709 * ${HllM * HllM}.0
+         |    / (a.s2 + CAST($HllM - a.nb AS DOUBLE)), 6) AS raw_est
+         |FROM a JOIN n USING (source) ORDER BY a.source""".stripMargin
+    })
 }

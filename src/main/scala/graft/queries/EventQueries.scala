@@ -14,6 +14,15 @@ object EventQueries {
   // precomputed Long (an inline 3600*1000000 would overflow INT32 in the
   // oracle engine's literal arithmetic)
   private val HourUs = 3600L * 1000000L
+  /** basket_pairs: per-user basket size cap and minimum pair support. The
+    * cap is the scale guard — it bounds the per-user pair fan-out at
+    * C(cap, 2) regardless of how many distinct items a hot user touches —
+    * and it is deterministic (keep the cap lowest item ids), so the
+    * oracle applies the identical rule. */
+  private val BasketCap = 40
+  // low enough that the gate is non-empty at the sf0.001 smoke scale
+  // (max pair support there is 9)
+  private val MinSupport = 3
 
   private def events(s: SparkSession, dir: String): DataFrame =
     table(s, dir, "events")
@@ -78,6 +87,51 @@ object EventQueries {
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"), round(avg("k"), 4).as("avg_k"))
         .orderBy("event_type")
+    }),
+
+    // Market-basket co-occurrence mining: items = the JSON `k` prop, a
+    // basket = one user's distinct items (capped at BasketCap lowest ids —
+    // the fan-out bound), support = #users whose basket holds both items,
+    // lift = n·supp(a,b) / (supp(a)·supp(b)). The pair generation is a
+    // self-join KEYED BY USER with per-user cardinality capped, so
+    // candidate rows are ≤ |users|·C(cap,2) — no item-domain quadratics —
+    // and the pair count aggregation combines map-side. Item supports ride
+    // as a broadcast (|item domain| rows). Lift is one IEEE expression
+    // over exact integer counts, 6dp-rounded in both engines.
+    "basket_pairs" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val items = events(s, dir)
+        .select(col("user_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("item"))
+        .where(col("item").isNotNull)
+        .distinct()
+      val capped = items
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("user_id").orderBy("item")))
+        .where(col("rn") <= BasketCap)
+        .select("user_id", "item")
+      // n riding as a 1-row broadcast keeps the whole gate lazy (no
+      // driver action at build time) — same pattern as domain_mix
+      val nUsers = capped.agg(
+        countDistinct(col("user_id")).cast("double").as("nu"))
+      val itemCnt = capped.groupBy("item").agg(count(lit(1)).as("c"))
+      val a = capped.select(col("user_id"), col("item").as("item_a"))
+      val b = capped.select(col("user_id"), col("item").as("item_b"))
+      val support = a.join(b, Seq("user_id"))
+        .where(col("item_a") < col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(count(lit(1)).as("support"))
+        .where(col("support") >= MinSupport)
+      support
+        .join(broadcast(itemCnt.select(col("item").as("item_a"),
+          col("c").as("ca"))), Seq("item_a"))
+        .join(broadcast(itemCnt.select(col("item").as("item_b"),
+          col("c").as("cb"))), Seq("item_b"))
+        .crossJoin(broadcast(nUsers))
+        .select(col("item_a"), col("item_b"), col("support"),
+          round(col("nu") * col("support") /
+            (col("ca").cast("double") * col("cb")), 6).as("lift"))
+        .orderBy(col("support").desc, col("item_a"), col("item_b"))
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -136,5 +190,29 @@ object EventQueries {
       """SELECT event_type, count(*) AS n,
         |  round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4)
         |    AS avg_k
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "basket_pairs" ->
+      s"""WITH items AS (SELECT DISTINCT user_id,
+         |    CAST(json_extract_string(props, '$$.k') AS BIGINT) AS item
+         |  FROM events
+         |  WHERE json_extract_string(props, '$$.k') IS NOT NULL),
+         |capped AS (SELECT user_id, item FROM (
+         |    SELECT user_id, item, row_number() OVER (
+         |      PARTITION BY user_id ORDER BY item) AS rn FROM items)
+         |  WHERE rn <= $BasketCap),
+         |nu AS (SELECT CAST(count(DISTINCT user_id) AS DOUBLE) AS nu
+         |  FROM capped),
+         |cnt AS (SELECT item, count(*) AS c FROM capped GROUP BY item),
+         |pairs AS (SELECT a.item AS item_a, b.item AS item_b,
+         |    count(*) AS support
+         |  FROM capped a JOIN capped b
+         |    ON a.user_id = b.user_id AND a.item < b.item
+         |  GROUP BY 1, 2 HAVING count(*) >= $MinSupport)
+         |SELECT p.item_a, p.item_b, p.support,
+         |  round(nu.nu * p.support / (CAST(ca.c AS DOUBLE) * cb.c), 6)
+         |    AS lift
+         |FROM pairs p CROSS JOIN nu
+         |JOIN cnt ca ON ca.item = p.item_a
+         |JOIN cnt cb ON cb.item = p.item_b
+         |ORDER BY p.support DESC, p.item_a, p.item_b""".stripMargin)
 }

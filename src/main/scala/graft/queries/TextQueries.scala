@@ -35,6 +35,8 @@ object TextQueries {
   private val ContamTau = 0.05
   private val ContainTau = 0.9
   private val WinnowW = 4
+  /** block_pairs sorted-neighborhood window size. */
+  private val BlockW = 4
   private val WinnowShare = 10L
   /** winnow_pairs boilerplate-fingerprint cap (df ≤ cap survives the
     * index). A no-op at the sf0.01 oracle SF (max fingerprint df 43) —
@@ -565,6 +567,38 @@ object TextQueries {
         .select(col("doc_id"), col("token"), col("tf"), col("score"),
           col("rank"))
         .orderBy("doc_id", "rank")
+    }),
+
+    // Sorted-neighborhood entity blocking (Hernández & Stolfo SIGMOD'95):
+    // records sort by a cheap blocking key, a window of BlockW consecutive
+    // records emits candidate pairs. The global rank comes from the
+    // two-phase PrefixScan (range partition, data-scaled) — NOT a global
+    // row_number window — and the neighborhood join is an EQUI-join on
+    // rank div BlockW with a fan-out of exactly 2 probe buckets per row
+    // (every bucket holds ≤ BlockW rows, so there is no skew by
+    // construction). same_key marks pairs whose full blocking key agrees,
+    // the downstream match-scoring filter.
+    "block_pairs" -> ((s, dir) => {
+      val np = s.sparkContext.defaultParallelism
+      val keyed = docs(s, dir).select(col("doc_id"),
+        concat(col("lang"), lit("|"), substring(col("text"), 1, 16))
+          .as("bkey"))
+      val ranked = graft.operators.PrefixScan
+        .denseIds(keyed, Seq("bkey", "doc_id"), "rank", np)
+      val probes = ranked.select(col("doc_id").as("id_a"),
+        col("bkey").as("bkey_a"), col("rank").as("rank_a"),
+        explode(array(floor(col("rank") / BlockW).cast("long"),
+          floor(col("rank") / BlockW).cast("long") + 1)).as("bucket"))
+      val bSide = ranked.select(col("doc_id").as("id_b"),
+        col("bkey").as("bkey_b"), col("rank").as("rank_b"),
+        floor(col("rank") / BlockW).cast("long").as("bucket"))
+      probes.join(bSide, Seq("bucket"))
+        .where((col("rank_b") - col("rank_a")).between(1, BlockW - 1))
+        .select(col("id_a"), col("id_b"),
+          (col("rank_b") - col("rank_a")).as("dist"),
+          when(col("bkey_a") === col("bkey_b"), 1L).otherwise(0L)
+            .as("same_key"))
+        .orderBy("id_a", "id_b")
     }))
 
   // ----------------------------------------------------------- oracles
@@ -1091,7 +1125,20 @@ object TextQueries {
          |    PARTITION BY doc_id ORDER BY score DESC, token) AS rank
          |  FROM scored)
          |SELECT doc_id, token, tf, score, CAST(rank AS INT) AS rank
-         |FROM ranked WHERE rank <= $TfidfTopN ORDER BY doc_id, rank""".stripMargin)
+         |FROM ranked WHERE rank <= $TfidfTopN ORDER BY doc_id, rank""".stripMargin,
+    "block_pairs" ->
+      s"""WITH keyed AS (SELECT doc_id,
+         |    lang || '|' || substring(text, 1, 16) AS bkey FROM documents),
+         |ranked AS (SELECT doc_id, bkey,
+         |    row_number() OVER (ORDER BY bkey, doc_id) - 1 AS rank
+         |  FROM keyed)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  b.rank - a.rank AS dist,
+         |  CAST(CASE WHEN a.bkey = b.bkey THEN 1 ELSE 0 END AS BIGINT)
+         |    AS same_key
+         |FROM ranked a JOIN ranked b
+         |  ON b.rank - a.rank BETWEEN 1 AND ${BlockW - 1}
+         |ORDER BY id_a, id_b""".stripMargin)
 
   /** The duplicated-span pipeline as a CTE chain ending in
     * `spans(doc_id, span_start, span_end)` — 5-gram occurrences,

@@ -348,6 +348,49 @@ object VectorQueries {
           e, "vec_id", "embedding", cents, pqCodebook(s, dir),
           e.where(col("vec_id") < NQueries), TopK, NProbe)
         .orderBy("q_id", "rank")
+    }),
+
+    // Degree distribution of the near-dup pair graph — the dedup health
+    // diagnostic (a fat tail here means a template cluster is about to
+    // blow up the CC step). Shares the memoized pair set; two keyed
+    // map-side-combined aggregations after it.
+    "degree_hist" -> ((s, dir) => {
+      val p = sharedEmbedPairs(s, dir)
+      val sym = p.select(col("id_a").as("id"))
+        .union(p.select(col("id_b").as("id")))
+      sym.groupBy("id").agg(count(lit(1)).as("degree"))
+        .groupBy("degree").agg(count(lit(1)).as("n_nodes"))
+        .orderBy("degree")
+    }),
+
+    // Degree assortativity of the pair graph (Newman 2002), in the
+    // sqrt-free symmetric form r = (m·Σxy − (Σx)²) / (m·Σxx − (Σx)²)
+    // over the symmetrized edge list — every sum is an exact integer, so
+    // the single final division is the only float op in either engine.
+    // Degrees broadcast onto the edges; one global aggregate.
+    "assortativity" -> ((s, dir) => {
+      val p = sharedEmbedPairs(s, dir).select("id_a", "id_b")
+      val sym = p.union(p.select(col("id_b").as("id_a"),
+        col("id_a").as("id_b")))
+      val deg = sym.groupBy(col("id_a").as("id"))
+        .agg(count(lit(1)).as("degree"))
+      val j = sym
+        .join(broadcast(deg.select(col("id").as("id_a"),
+          col("degree").as("da"))), Seq("id_a"))
+        .join(broadcast(deg.select(col("id").as("id_b"),
+          col("degree").as("db"))), Seq("id_b"))
+      val s1 = j.agg(count(lit(1)).as("m"), sum("da").as("sx"),
+        sum(col("da") * col("db")).as("sxy"),
+        sum(col("da") * col("da")).as("sxx"))
+      val dd = deg.agg(count(lit(1)).as("n_nodes"),
+        max("degree").as("max_degree"))
+      dd.crossJoin(broadcast(s1))
+        .select(col("n_nodes"), (col("m") / 2).cast("long").as("n_edges"),
+          col("max_degree"),
+          round((col("m") * col("sxy") - col("sx") * col("sx"))
+            .cast("double") /
+            (col("m") * col("sxx") - col("sx") * col("sx")).cast("double"),
+            6).as("assortativity"))
     }))
 
   private val sqlCos =
@@ -601,7 +644,41 @@ object VectorQueries {
          |    PARTITION BY q_id ORDER BY dist, id) AS rank FROM scored)
          |SELECT q_id, id, dist, CAST(rank AS INT) AS rank FROM ranked
          |WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin
-    })
+    },
+    "degree_hist" ->
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+         |  FROM embeddings),
+         |pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM v a JOIN v b ON a.vec_id < b.vec_id
+         |  WHERE round($sqlCos, 6) >= $CosTau),
+         |sym AS (SELECT id_a AS id FROM pairs
+         |  UNION ALL SELECT id_b FROM pairs),
+         |deg AS (SELECT id, count(*) AS degree FROM sym GROUP BY id)
+         |SELECT degree, count(*) AS n_nodes FROM deg
+         |GROUP BY degree ORDER BY degree""".stripMargin,
+    "assortativity" ->
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+         |  FROM embeddings),
+         |pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM v a JOIN v b ON a.vec_id < b.vec_id
+         |  WHERE round($sqlCos, 6) >= $CosTau),
+         |sym AS (SELECT id_a, id_b FROM pairs
+         |  UNION ALL SELECT id_b, id_a FROM pairs),
+         |deg AS (SELECT id_a AS id, count(*) AS degree FROM sym
+         |  GROUP BY id_a),
+         |j AS (SELECT d1.degree AS da, d2.degree AS db
+         |  FROM sym JOIN deg d1 ON sym.id_a = d1.id
+         |  JOIN deg d2 ON sym.id_b = d2.id),
+         |s AS (SELECT count(*) AS m, CAST(sum(da) AS BIGINT) AS sx,
+         |    CAST(sum(da * db) AS BIGINT) AS sxy,
+         |    CAST(sum(da * da) AS BIGINT) AS sxx FROM j),
+         |dd AS (SELECT count(*) AS n_nodes,
+         |    CAST(max(degree) AS BIGINT) AS max_degree FROM deg)
+         |SELECT dd.n_nodes, s.m // 2 AS n_edges, dd.max_degree,
+         |  round(CAST(s.m * s.sxy - s.sx * s.sx AS DOUBLE)
+         |    / CAST(s.m * s.sxx - s.sx * s.sx AS DOUBLE), 6)
+         |    AS assortativity
+         |FROM dd CROSS JOIN s""".stripMargin)
 
   /** Squared L2 between subspace `j` slices of `a.e` and `b.e` (both
     * tables must expose a DOUBLE[] column `e`; `t.j` in scope). */

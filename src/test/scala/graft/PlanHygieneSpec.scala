@@ -261,4 +261,21 @@ class PlanHygieneSpec extends GraftSuite {
       s"window must partition by id:\n${p.take(800)}")
     assert(!p.contains("SinglePartition"), "no global window/exchange allowed")
   }
+
+  test("basket pair generation is a user-keyed equi-join with broadcast supports") {
+    val p = plan("basket_pairs")
+    assert(!p.contains("CartesianProduct"),
+      s"basket self-join must stay keyed by user:\n${p.take(800)}")
+    // the two item-support attaches and the 1-row n_users attach ride as
+    // broadcasts — a SortMergeJoin here means a support table shuffled
+    assert(!p.contains("SortMergeJoin"),
+      s"support joins must broadcast:\n${p.take(800)}")
+  }
+
+  test("block_pairs neighborhood join is an equi-join on the rank bucket") {
+    val p = plan("block_pairs")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"sorted-neighborhood join must stay bucket-keyed:\n${p.take(800)}")
+  }
 }

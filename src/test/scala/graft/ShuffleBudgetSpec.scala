@@ -175,7 +175,23 @@ class ShuffleBudgetSpec extends GraftSuite {
     "simhash_pairs" -> (160L, 950L),
     // token_drift 11,605 (three token-keyed groupBys + the w-join of
     // pre-aggregated per-(source, token) counts + TakeOrdered)
-    "token_drift" -> (3800L, 18000L))
+    "token_drift" -> (3800L, 18000L),
+    // round-10 pins — measured: basket_pairs 262,565 (the user-keyed
+    // capped-basket self-join + map-side-combined pair groupBy; the item
+    // supports ride as broadcasts — a blown budget means the cap or a
+    // broadcast broke); block_pairs 21,491 (PrefixScan range partition +
+    // the rank-bucket equi-join, fan-out exactly 2); compact_plan 10,363
+    // (PrefixScan + the per-file manifest groupBy); degree_hist 1,745 and
+    // assortativity 1,390 (keyed degree aggs over the memoized pair set;
+    // the degree joins broadcast)
+    "basket_pairs" -> (85000L, 395000L),
+    // hll_distinct 448 (one (source, bucket) register groupBy + the tiny
+    // per-source fold — the sketch side is O(sources·64) by construction)
+    "hll_distinct" -> (150L, 700L),
+    "block_pairs" -> (7000L, 32000L),
+    "compact_plan" -> (3400L, 16000L),
+    "degree_hist" -> (580L, 2600L),
+    "assortativity" -> (460L, 2100L))
 
   /** Memo keys to evict after the warm pass so the measured pass runs the
     * gate's build plan instead of reading a checkpoint. dedup_groups
