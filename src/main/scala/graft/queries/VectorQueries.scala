@@ -391,7 +391,43 @@ object VectorQueries {
             .cast("double") /
             (col("m") * col("sxx") - col("sx") * col("sx")).cast("double"),
             6).as("assortativity"))
+    }),
+
+    // Johnson–Lindenstrauss random projection 64 → 16 dims with a ±1
+    // sign matrix (Achlioptas 2003) — the cheap dim-reduction in front
+    // of ANN/clustering at scale. Each output dim is ONE pass of the
+    // native sequential-fold dot kernel against a literal sign row
+    // (bit-equal to DuckDB's list_dot_product by fold order), scaled by
+    // 1/4 = 1/√16 (an exact power of two). dist_ratio = ‖y‖²/‖x‖² is
+    // the per-vector JL distortion, a left-assoc 16-term chain in both
+    // engines. A pure projection: zero shuffles before the final sort.
+    "jl_project" -> ((s, dir) => {
+      val e = col("embedding").cast("array<double>")
+      val ys = jlSigns.map(row =>
+        graft.functions.Distances.dot(e, typedLit(row.toSeq)) * 0.25d)
+      val sq = ys.map(y => y * y).reduceLeft(_ + _)
+      embs(s, dir).select(col("vec_id"),
+          round(ys(0), 6).as("y0"),
+          round(ys(JlDim / 2), 6).as("y8"),
+          round(ys(JlDim - 1), 6).as("y15"),
+          round(sq / graft.functions.Distances.dot(e, e), 6)
+            .as("dist_ratio"))
+        .orderBy("vec_id")
     }))
+
+  /** jl_project output dimensionality. */
+  private val JlDim = 16
+  /** Deterministic ±1 JL sign matrix (Achlioptas 2003): row k is the
+    * sign vector for output dim k, derived from PolyHash("k:j") parity —
+    * computed ONCE here and embedded as literal arrays in BOTH engines,
+    * so no hashing happens at run time and the matrices agree by
+    * construction. */
+  private lazy val jlSigns: IndexedSeq[Array[Double]] =
+    (0 until JlDim).map { k =>
+      Array.tabulate(64) { j =>
+        if (graft.functions.PolyHash.hash(s"$k:$j") % 2 == 0) 1.0 else -1.0
+      }
+    }
 
   private val sqlCos =
     "list_dot_product(a.e, b.e) / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))"
@@ -678,7 +714,25 @@ object VectorQueries {
          |  round(CAST(s.m * s.sxy - s.sx * s.sx AS DOUBLE)
          |    / CAST(s.m * s.sxx - s.sx * s.sx AS DOUBLE), 6)
          |    AS assortativity
-         |FROM dd CROSS JOIN s""".stripMargin)
+         |FROM dd CROSS JOIN s""".stripMargin,
+    "jl_project" -> {
+      def row(k: Int): String = jlSigns(k)
+        .map(s => if (s > 0) "1.0" else "-1.0")
+        .mkString("CAST([", ", ", "] AS DOUBLE[])")
+      val yDefs = (0 until JlDim)
+        .map(k => s"list_dot_product(e, ${row(k)}) * 0.25 AS y$k")
+        .mkString(",\n    ")
+      val chain = (0 until JlDim).map(k => s"y$k * y$k").mkString(" + ")
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+         |  FROM embeddings),
+         |p AS (SELECT vec_id,
+         |    $yDefs,
+         |    list_dot_product(e, e) AS nx FROM v)
+         |SELECT vec_id, round(y0, 6) AS y0,
+         |  round(y${JlDim / 2}, 6) AS y8, round(y${JlDim - 1}, 6) AS y15,
+         |  round(($chain) / nx, 6) AS dist_ratio
+         |FROM p ORDER BY vec_id""".stripMargin
+    })
 
   /** Squared L2 between subspace `j` slices of `a.e` and `b.e` (both
     * tables must expose a DOUBLE[] column `e`; `t.j` in scope). */

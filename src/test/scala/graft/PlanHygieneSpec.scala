@@ -272,6 +272,12 @@ class PlanHygieneSpec extends GraftSuite {
       s"support joins must broadcast:\n${p.take(800)}")
   }
 
+  test("jl_project is a join-free projection (16 dot kernels, one pass)") {
+    val p = plan("jl_project")
+    assert(!p.contains("Join"),
+      s"the sign matrix must ride as literals, never a join:\n${p.take(800)}")
+  }
+
   test("block_pairs neighborhood join is an equi-join on the rank bucket") {
     val p = plan("block_pairs")
     assert(!p.contains("CartesianProduct") &&
