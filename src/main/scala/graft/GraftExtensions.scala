@@ -18,14 +18,21 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * This is the (b)-tier extension point of the custom-operator ladder
   * (SURVEY §7): scalar kernels as injected functions; no custom
   * LogicalPlan/Strategy is needed anywhere in the engine — every
-  * whole-operator semantic composes from built-ins.
+  * whole-operator semantic composes from built-ins. One (c)-tier
+  * optimizer rule rides along: [[graft.plans.GlobalWindowTopK]] rewrites
+  * the global-window top-k anti-pattern (`row_number` over an
+  * unpartitioned order filtered to `rank <= k`) into a distributed
+  * Sort+Limit, protecting user queries from the single-task funnel the
+  * engine's own gates avoid by hand.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach { case (name, usage, builder) =>
       ext.injectFunction((FunctionIdentifier(name),
         GraftExtensions.info(name, usage), builder))
     }
+    ext.injectOptimizerRule(_ => graft.plans.GlobalWindowTopK)
+  }
 }
 
 object GraftExtensions {
@@ -64,11 +71,17 @@ object GraftExtensions {
     e.eval(org.apache.spark.sql.catalyst.InternalRow.empty)
       .asInstanceOf[Number].intValue()
 
-  /** Register on an already-built session (temp functions) — the runtime
+  /** Register on an already-built session (temp functions + the top-k
+    * rewrite via `experimental.extraOptimizations`) — the runtime
     * alternative to `spark.sql.extensions` for sessions you don't build. */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     functions.foreach { case (name, _, builder) =>
       spark.sessionState.functionRegistry
         .createOrReplaceTempFunction(name, builder, "scala_udf")
     }
+    val cur = spark.experimental.extraOptimizations
+    if (!cur.contains(graft.plans.GlobalWindowTopK))
+      spark.experimental.extraOptimizations =
+        cur :+ graft.plans.GlobalWindowTopK
+  }
 }
