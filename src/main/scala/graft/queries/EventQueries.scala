@@ -132,6 +132,42 @@ object EventQueries {
           round(col("nu") * col("support") /
             (col("ca").cast("double") * col("cb")), 6).as("lift"))
         .orderBy(col("support").desc, col("item_a"), col("item_b"))
+    }),
+
+    // First-touch attribution: every purchase credits the FIRST event of
+    // its gap session (60 min, same rule as events_sessions), keyed by
+    // that first event's type — the marketing-analytics composition of
+    // sessionization + a deterministic per-session argmin. All shuffles
+    // are user- or (user, session)-keyed; money is integerized
+    // (floor(value·100) cents) before summing so the aggregate is exact
+    // across engines and summation orders. The session first is a
+    // min-struct over the unique (us, event_id) order (no per-session
+    // sort), matching the oracle's row_number() = 1.
+    "attribution" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val gapUs = GapMinutes * 60L * 1000000L
+      val e = events(s, dir).withColumn("us", unix_micros(col("ts")))
+      val wUser = Window.partitionBy("user_id").orderBy("us", "event_id")
+      val flagged = e
+        .withColumn("prev", lag("us", 1).over(wUser))
+        .withColumn("new_s",
+          when(col("prev").isNull || col("us") - col("prev") > gapUs, 1)
+            .otherwise(0))
+        .withColumn("sid", sum("new_s").over(wUser
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val firsts = flagged.groupBy("user_id", "sid")
+        .agg(min(struct(col("us"), col("event_id"), col("event_type")))
+          .as("f"))
+        .select(col("user_id"), col("sid"),
+          col("f.event_type").as("first_type"))
+      flagged.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("sid"),
+          floor(col("value") * 100).cast("long").as("cents"))
+        .join(firsts, Seq("user_id", "sid"))
+        .groupBy("first_type")
+        .agg(count(lit(1)).as("n_purchases"),
+          sum("cents").cast("long").as("attributed_cents"))
+        .orderBy("first_type")
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -214,5 +250,28 @@ object EventQueries {
          |FROM pairs p CROSS JOIN nu
          |JOIN cnt ca ON ca.item = p.item_a
          |JOIN cnt cb ON cb.item = p.item_b
-         |ORDER BY p.support DESC, p.item_a, p.item_b""".stripMargin)
+         |ORDER BY p.support DESC, p.item_a, p.item_b""".stripMargin,
+    "attribution" ->
+      s"""WITH e AS (SELECT event_id, user_id, event_type, value,
+         |    epoch_us(ts) AS us FROM events),
+         |g AS (SELECT *, lag(us) OVER (
+         |    PARTITION BY user_id ORDER BY us, event_id) AS prev FROM e),
+         |f AS (SELECT *, CASE WHEN prev IS NULL
+         |      OR us - prev > ${GapMinutes * 60L * 1000000L}
+         |      THEN 1 ELSE 0 END AS new_s FROM g),
+         |sess AS (SELECT *, sum(new_s) OVER (
+         |    PARTITION BY user_id ORDER BY us, event_id
+         |    ROWS UNBOUNDED PRECEDING) AS sid FROM f),
+         |firsts AS (SELECT user_id, sid, event_type AS first_type FROM (
+         |    SELECT user_id, sid, event_type, row_number() OVER (
+         |      PARTITION BY user_id, sid ORDER BY us, event_id) AS rn
+         |    FROM sess) WHERE rn = 1),
+         |p AS (SELECT user_id, sid,
+         |    CAST(floor(value * 100) AS BIGINT) AS cents
+         |  FROM sess WHERE event_type = 'purchase')
+         |SELECT fi.first_type, count(*) AS n_purchases,
+         |  CAST(sum(p.cents) AS BIGINT) AS attributed_cents
+         |FROM p JOIN firsts fi
+         |  ON p.user_id = fi.user_id AND p.sid = fi.sid
+         |GROUP BY fi.first_type ORDER BY fi.first_type""".stripMargin)
 }

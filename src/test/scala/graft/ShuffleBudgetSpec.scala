@@ -185,6 +185,9 @@ class ShuffleBudgetSpec extends GraftSuite {
     // assortativity 1,390 (keyed degree aggs over the memoized pair set;
     // the degree joins broadcast)
     "basket_pairs" -> (85000L, 395000L),
+    // attribution 197,589 (the one user-keyed session window carrying the
+    // staged columns + the (user, session)-keyed first/purchase joins)
+    "attribution" -> (65000L, 300000L),
     // hll_distinct 448 (one (source, bucket) register groupBy + the tiny
     // per-source fold — the sketch side is O(sources·64) by construction)
     "hll_distinct" -> (150L, 700L),
