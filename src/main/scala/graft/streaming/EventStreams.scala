@@ -159,4 +159,58 @@ object EventStreams {
             .iterator
       }
   }
+
+  // ------------------------- stateful streaming attribution -------------
+
+  case class AEv(user_id: Long, tsUs: Long, event_id: Long,
+                 event_type: String, value: Double)
+  case class AttrState(start: Long, last: Long, firstType: String,
+                       nPurch: Long, cents: Long)
+  case class AttrOut(user_id: Long, start_us: Long, first_type: String,
+                     n_purchases: Long, attributed_cents: Long,
+                     open: Boolean)
+
+  /** Streaming first-touch attribution — the continuous form of the
+    * `attribution` batch gate: per-user gap sessions tracked in
+    * flatMapGroupsWithState, each session crediting its purchases
+    * (cents = floor(value·100), the batch gate's integerization) to the
+    * FIRST event's type. Within a micro-batch events sort by
+    * (tsUs, event_id) — the batch gate's deterministic order — so a
+    * batch-mode run is row-equivalent to the window-based plan; across
+    * micro-batches the per-user state carries the open session exactly
+    * like [[statefulSessions]]. Emits closed sessions plus the open one
+    * per touched user each batch (update mode). */
+  def statefulAttribution(events: Dataset[AEv],
+                          gapMinutes: Int): Dataset[AttrOut] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+    def out(uid: Long, s: AttrState, open: Boolean): AttrOut =
+      AttrOut(uid, s.start, s.firstType, s.nPurch, s.cents, open)
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[AttrState, AttrOut](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, evs: Iterator[AEv], state: GroupState[AttrState]) =>
+          var cur = state.getOption.orNull
+          val closed = scala.collection.mutable.ArrayBuffer.empty[AttrOut]
+          def purchCents(e: AEv): (Long, Long) =
+            if (e.event_type == "purchase")
+              (1L, math.floor(e.value * 100).toLong)
+            else (0L, 0L)
+          evs.toSeq.sortBy(e => (e.tsUs, e.event_id)).foreach { e =>
+            val (np, c) = purchCents(e)
+            cur match {
+              case null =>
+                cur = AttrState(e.tsUs, e.tsUs, e.event_type, np, c)
+              case s if e.tsUs - s.last > gapUs =>
+                closed += out(uid, s, open = false)
+                cur = AttrState(e.tsUs, e.tsUs, e.event_type, np, c)
+              case s =>
+                cur = s.copy(last = math.max(s.last, e.tsUs),
+                  nPurch = s.nPurch + np, cents = s.cents + c)
+            }
+          }
+          if (cur != null) state.update(cur)
+          (closed :+ out(uid, cur, open = true)).iterator
+      }
+  }
 }

@@ -196,6 +196,68 @@ class EventStreamsSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("stateful attribution folds to the batch attribution gate") {
+    val evs = graft.core.Tables.table(spark, sf0001, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("tsUs"),
+        col("event_id"), col("event_type"), col("value"))
+      .as[EventStreams.AEv]
+    // batch mode: each group sees every event at once, so closed + open
+    // sessions cover the whole log; summing per first_type must equal
+    // the window-based gate (which only emits types with >= 1 purchase)
+    val got = EventStreams.statefulAttribution(evs, 60)
+      .groupBy("first_type")
+      .agg(sum("n_purchases").as("np"), sum("attributed_cents").as("ac"))
+      .where(col("np") > 0)
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    val exp = SparkEntry.queries("attribution")(spark, sf0001)
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got == exp, s"stateful $got != gate $exp")
+  }
+
+  test("streaming attribution carries open sessions across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    def min(m: Long): Long = m * 60L * 1000000L
+    val evs = Seq(
+      EventStreams.AEv(1, min(0), 1, "view", 9.99),
+      EventStreams.AEv(1, min(10), 2, "purchase", 1.23),
+      EventStreams.AEv(2, min(5), 3, "purchase", 0.555),
+      EventStreams.AEv(1, min(200), 4, "click", 0.0),
+      EventStreams.AEv(1, min(210), 5, "purchase", 2.0),
+      EventStreams.AEv(2, min(400), 6, "view", 0.0))
+    // ts-ordered slices; user 1's second session SPANS the batch split
+    // (click arrives in batch 2, its purchase in batch 3)
+    val batches = Seq(evs.filter(_.tsUs < min(100)),
+      evs.filter(e => e.tsUs >= min(100) && e.tsUs < min(205)),
+      evs.filter(_.tsUs >= min(205)))
+    val src = MemoryStream[EventStreams.AEv]
+    val q = EventStreams.statefulAttribution(src.toDS(), 60)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("attr_out").start()
+    try {
+      batches.foreach { b => src.addData(b); q.processAllAvailable() }
+      // update mode re-emits a session as it grows; counters are
+      // monotone, so the max per (user, session start) is its final
+      // state — compare against a single batch-mode pass over all rows
+      val emitted = spark.table("attr_out")
+        .groupBy("user_id", "start_us", "first_type")
+        .agg(max("n_purchases").as("np"), max("attributed_cents").as("ac"))
+        .as[(Long, Long, String, Long, Long)].collect().toSet
+      val oneShot = EventStreams
+        .statefulAttribution(evs.toDS(), 60)
+        .select(col("user_id"), col("start_us"), col("first_type"),
+          col("n_purchases"), col("attributed_cents"))
+        .as[(Long, Long, String, Long, Long)].collect().toSet
+      assert(emitted == oneShot, s"stream $emitted != one-shot $oneShot")
+      // the split session credited its click first-touch with the
+      // batch-3 purchase
+      assert(emitted.contains((1L, min(200), "click", 1L, 200L)))
+      assert(emitted.contains((2L, min(5), "purchase", 1L, 55L)),
+        "floor(0.555 * 100) = 55 cents")
+    } finally q.stop()
+  }
 }
 
 class MultimodalSpec extends GraftSuite {
