@@ -84,4 +84,29 @@ object Sketches {
     probes.join(sketch, Seq("r", "p"))
       .groupBy(itemCol).agg(min("c").as("est"))
   }
+
+  /** HyperLogLog registers per group (Flajolet et al. 2007), fully
+    * deterministic: bucket = PolyHash(key) mod mBuckets, rho = 1 +
+    * leading zeros of the remaining `rhoBits` bits via an exact integer
+    * CASE chain (no log2 floats — the same chain the hll_distinct oracle
+    * regenerates). Returns (groupCol, bucket, m) — the per-(group,
+    * bucket) MAX is the mergeable sketch state: the registers of a union
+    * of inputs are the element-wise max of the inputs' registers
+    * (SketchesSpec pins this), so shards sketch independently and merge
+    * with one tiny max-groupBy. O(groups · mBuckets) rows at any input
+    * size; the groupBy combines map-side. */
+  def hllRegisters(keys: DataFrame, groupCol: String, keyCol: String,
+                   mBuckets: Int, rhoBits: Int): DataFrame = {
+    val first = when(col("__w") >= (1L << (rhoBits - 1)), 1)
+    val rho = (rhoBits - 2 to 0 by -1)
+      .foldLeft(first) { (acc, b) =>
+        acc.when(col("__w") >= (1L << b), rhoBits - b)
+      }.otherwise(rhoBits + 1).cast("long")
+    keys
+      .select(col(groupCol), PolyHash.poly_hash(col(keyCol)).as("__h"))
+      .select(col(groupCol), expr(s"__h % $mBuckets").as("bucket"),
+        expr(s"__h div $mBuckets").as("__w"))
+      .withColumn("__rho", rho)
+      .groupBy(groupCol, "bucket").agg(max("__rho").as("m"))
+  }
 }

@@ -31,6 +31,10 @@ object CurationQueries {
     * values are < 2^30, so h div 64 < 2^24 and a 24-bit rho suffices. */
   private val HllM = 64
   private val HllBits = 24
+  /** dsir_weights hashed-feature buckets, target language, and top-k. */
+  private val DsirB = 256
+  private val DsirLang = "en"
+  private val DsirTopN = 25
   private val SaltBuckets = 8
   private val SelectBudget = 10000L
   private val SelCents = 8
@@ -478,17 +482,8 @@ object CurationQueries {
       val pairs = docs(s, dir)
         .select(col("source"), explode(TF.tokens(col("text"))).as("w"))
         .distinct()
-      val first = when(col("w24") >= (1L << (HllBits - 1)), 1)
-      val rho = (HllBits - 2 to 0 by -1)
-        .foldLeft(first) { (acc, b) =>
-          acc.when(col("w24") >= (1L << b), HllBits - b)
-        }.otherwise(HllBits + 1).cast("long")
-      val regs = pairs
-        .select(col("source"), PolyHash.poly_hash(col("w")).as("h"))
-        .select(col("source"), expr(s"h % $HllM").as("bucket"),
-          expr(s"h div $HllM").as("w24"))
-        .withColumn("rho", rho)
-        .groupBy("source", "bucket").agg(max("rho").as("m"))
+      val regs = graft.operators.Sketches
+        .hllRegisters(pairs, "source", "w", HllM, HllBits)
       val agg = regs.groupBy("source").agg(
         count(lit(1)).as("nb"),
         sum("m").as("reg_sum"), max("m").as("reg_max"),
@@ -503,6 +498,52 @@ object CurationQueries {
             (col("s2") + (lit(HllM) - col("nb")).cast("double")), 6)
             .as("raw_est"))
         .orderBy("source")
+    }),
+
+    // DSIR-shaped importance scoring (Xie et al. 2023): rank raw-corpus
+    // documents by how much their hashed-unigram feature counts look
+    // like a TARGET distribution (here the lang='en' slice). Per-bucket
+    // importance is the integer bit weight flog2(ct+1) − flog2(cs+1)
+    // (the repo's exact floor-log2 `length(bin(x))-1` trick — no float
+    // logs, identical in SQL), and a doc's score is the integer sum
+    // Σ c_doc[b]·w[b]. The 256-row weight table broadcasts; the per-doc
+    // bucket counts are a map-side-combined groupBy bounded at B rows
+    // per doc; selection is TakeOrdered — every stage scales.
+    //
+    // Honest caveat: the synthetic corpus draws every language's text
+    // from ONE shared vocabulary (lang is independent metadata), so no
+    // unigram signal separates the target slice and the top-k stays
+    // near the base rate — the gate value-checks the MACHINERY (hashing,
+    // weights, normalization, ranking); on a real multilingual corpus
+    // the same plan is the DSIR selection step.
+    "dsir_weights" -> ((s, dir) => {
+      val toks = docs(s, dir)
+        .select(col("doc_id"), col("lang"),
+          explode(TF.tokens(col("text"))).as("w"))
+        .withColumn("b", PolyHash.poly_hash(col("w")) % DsirB)
+      val cs = toks.groupBy("b").agg(count(lit(1)).as("cs"))
+      val ct = toks.where(col("lang") === DsirLang)
+        .groupBy("b").agg(count(lit(1)).as("ct"))
+      val wt = cs.join(ct, Seq("b"), "left").select(col("b"),
+        (expr("length(bin(coalesce(ct, 0) + 1)) - 1")
+          - expr("length(bin(cs + 1)) - 1")).cast("long").as("wt"))
+      val docB = toks.groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
+      // rank by the PER-TOKEN bit rate, not the raw sum — every bucket
+      // weight is negative (ct <= cs), so the unnormalized score just
+      // rewards short documents; the rate is one IEEE division over
+      // exact integers, 6dp-rounded in both engines
+      docB.join(broadcast(wt), Seq("b"))
+        .groupBy("doc_id")
+        .agg(sum(col("c") * col("wt")).as("score_bits"),
+          sum("c").cast("long").as("n_tokens"))
+        .withColumn("bits_per_kt",
+          round((col("score_bits") * 1000).cast("double") / col("n_tokens"),
+            6))
+        .join(broadcast(docs(s, dir).select(col("doc_id"), col("lang"))),
+          Seq("doc_id"))
+        .orderBy(col("bits_per_kt").desc, col("doc_id"))
+        .limit(DsirTopN)
+        .select("doc_id", "lang", "n_tokens", "score_bits", "bits_per_kt")
     }),
 
     // Small-file compaction planner: per source, documents pack into
@@ -912,6 +953,31 @@ object CurationQueries {
          |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
          |FROM c GROUP BY source, file_id
          |ORDER BY source, file_id""".stripMargin,
+    "dsir_weights" ->
+      s"""WITH toks AS (SELECT doc_id, lang,
+         |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+         |      ELSE string_split_regex(trim(text), '\\s+') END AS t
+         |  FROM documents),
+         |tk AS (SELECT doc_id, lang, (${sqlPolyHash("w")}) % $DsirB AS b
+         |  FROM toks, unnest(t) AS u(w)),
+         |cs AS (SELECT b, count(*) AS cs FROM tk GROUP BY b),
+         |ct AS (SELECT b, count(*) AS ct FROM tk
+         |  WHERE lang = '$DsirLang' GROUP BY b),
+         |wt AS (SELECT cs.b,
+         |    CAST((length(bin(coalesce(ct.ct, 0) + 1)) - 1)
+         |      - (length(bin(cs.cs + 1)) - 1) AS BIGINT) AS wt
+         |  FROM cs LEFT JOIN ct ON cs.b = ct.b),
+         |db AS (SELECT doc_id, b, count(*) AS c FROM tk
+         |  GROUP BY doc_id, b),
+         |sc AS (SELECT db.doc_id,
+         |    CAST(sum(db.c * wt.wt) AS BIGINT) AS score_bits,
+         |    CAST(sum(db.c) AS BIGINT) AS n_tokens
+         |  FROM db JOIN wt ON db.b = wt.b GROUP BY db.doc_id)
+         |SELECT sc.doc_id, d.lang, sc.n_tokens, sc.score_bits,
+         |  round(CAST(sc.score_bits * 1000 AS DOUBLE) / sc.n_tokens, 6)
+         |    AS bits_per_kt
+         |FROM sc JOIN documents d ON d.doc_id = sc.doc_id
+         |ORDER BY bits_per_kt DESC, sc.doc_id LIMIT $DsirTopN""".stripMargin,
     "hll_distinct" -> {
       // the same exact-integer rho chain the engine builds, highest bit
       // first (rho = 1 + leading zeros of the 24-bit remainder)

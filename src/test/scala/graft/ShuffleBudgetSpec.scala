@@ -188,6 +188,10 @@ class ShuffleBudgetSpec extends GraftSuite {
     // attribution 197,589 (the one user-keyed session window carrying the
     // staged columns + the (user, session)-keyed first/purchase joins)
     "attribution" -> (65000L, 300000L),
+    // dsir_weights 110,622 (the (doc, bucket) count groupBy + per-doc
+    // sum + the two 256-row bucket-count aggs; the weight table and the
+    // lang attach ride as broadcasts, selection is TakeOrdered)
+    "dsir_weights" -> (36000L, 170000L),
     // hll_distinct 448 (one (source, bucket) register groupBy + the tiny
     // per-source fold — the sketch side is O(sources·64) by construction)
     "hll_distinct" -> (150L, 700L),

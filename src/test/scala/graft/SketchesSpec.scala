@@ -14,6 +14,28 @@ class SketchesSpec extends GraftSuite {
   private val keys = (0 until 200).map(i => s"key$i")
   private val inSet = keys.take(120)
 
+  test("hll registers max-merge: sketch(a ∪ b) equals merged shard sketches") {
+    // the mergeability contract behind hll_distinct's 100 TB story:
+    // shards sketch independently, registers merge by element-wise max
+    val toks = graft.core.Tables.table(spark, sf0001, "documents")
+      .select(col("source"),
+        explode(graft.functions.TextFunctions.tokens(col("text"))).as("w"))
+      .distinct()
+    def regs(df: org.apache.spark.sql.DataFrame) =
+      Sketches.hllRegisters(df, "source", "w", 64, 24)
+        .as[(String, Long, Long)].collect().toSet
+    val parity = graft.functions.PolyHash.poly_hash(col("w")) % 2
+    val shardA = toks.where(parity === 0)
+    val shardB = toks.where(parity === 1)
+    val merged = Sketches.hllRegisters(shardA, "source", "w", 64, 24)
+      .unionByName(Sketches.hllRegisters(shardB, "source", "w", 64, 24))
+      .groupBy("source", "bucket")
+      .agg(org.apache.spark.sql.functions.max("m").as("m"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(merged == regs(toks), "max-merge must equal the union sketch")
+    assert(regs(shardA) != regs(toks), "shard A alone must differ (sanity)")
+  }
+
   test("bloom: no false negatives at any geometry") {
     val ks = inSet.toDF("k")
     for (m <- Seq(256, 1024); kh <- Seq(2, 4)) {
