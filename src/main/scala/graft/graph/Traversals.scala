@@ -151,6 +151,83 @@ object Traversals {
     ranks
   }
 
+  /** Personalized PageRank / random walk with restart (Jeh & Widom
+    * 2003): [[pageRank]] with the uniform teleport replaced by a seed
+    * vector — (1−d)/|S| lands on seed vertices only, and dangling mass
+    * restarts at the seeds instead of everywhere. The result scores
+    * every vertex by its proximity to the seed set, the graph-side
+    * relevance primitive (seed-expansion data selection, related-item
+    * retrieval). Identical plan shape and checkpoint discipline to
+    * [[pageRank]]: one contribution join + one map-side-combined sum
+    * per round, the dangling mass a 1-row broadcast, seed membership a
+    * flag column on the vertex table (no per-round seed join).
+    *
+    * @param seeds one `id` column; intersected with the graph's vertex
+    *              set (ids outside the graph are ignored).
+    * @return (id, pr) for every vertex; `pr` unrounded.
+    */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
+                           iters: Int = 5,
+                           damping: Double = 0.85): DataFrame = {
+    val ce = edges
+      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint(eager = false)
+    val verts = ce.select(col("src").as("id"))
+      .union(ce.select(col("dst").as("id"))).distinct()
+    val sflag = verts
+      .join(seeds.select(col("id").cast("long").as("id")).distinct()
+        .withColumn("s", lit(1)), Seq("id"), "left")
+      .select(col("id"), coalesce(col("s"), lit(0)).as("s"))
+      .localCheckpoint(eager = false)
+    val ns = sflag.where(col("s") === 1).count() // materializes ce + sflag
+    if (ns == 0) {
+      LineageCut.release(ce)
+      return sflag.select(col("id"), lit(0.0).as("pr"))
+    }
+
+    val outdeg = ce.groupBy("src").agg(count(lit(1)).cast("double").as("c"))
+    val contribEdges = ce.join(outdeg, "src").localCheckpoint(eager = false)
+    val dangling = sflag.select("id")
+      .join(outdeg.select(col("src").as("id")), Seq("id"), "left_anti")
+      .localCheckpoint(eager = false)
+    contribEdges.count()
+    dangling.count()
+    LineageCut.release(ce)
+
+    val base = when(col("s") === 1, lit((1.0 - damping) / ns))
+      .otherwise(lit(0.0))
+    var ranks = sflag
+      .select(col("id"),
+        when(col("s") === 1, lit(1.0 / ns)).otherwise(lit(0.0)).as("pr"))
+      .localCheckpoint(eager = false)
+    var it = 0
+    while (it < iters) {
+      val dang = ranks.join(dangling, Seq("id"), "left_semi")
+        .agg(coalesce(sum("pr"), lit(0.0)).as("dm"))
+      val contrib = contribEdges
+        .join(ranks.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), (col("pr") / col("c")).as("w"))
+        .groupBy("id").agg(sum("w").as("contrib"))
+      val next = sflag.join(contrib, Seq("id"), "left")
+        .crossJoin(broadcast(dang))
+        .select(col("id"),
+          (base + lit(damping) * (coalesce(col("contrib"), lit(0.0)) +
+            when(col("s") === 1, col("dm") / ns).otherwise(lit(0.0))))
+            .as("pr"))
+        .localCheckpoint(eager = false)
+      next.count()
+      LineageCut.release(ranks)
+      ranks = next
+      it += 1
+    }
+    LineageCut.release(contribEdges)
+    LineageCut.release(dangling)
+    if (iters > 0) LineageCut.release(sflag)
+    ranks
+  }
+
   /** Synchronous label propagation (Raghavan et al. 2007), the
     * deterministic variant: every vertex starts labeled with its own id;
     * each round it adopts the label most frequent among its neighbors,

@@ -25,6 +25,8 @@ object ClusterQueries {
   private val BfsMaxHops = 32
   private val PrIters = 5
   private val PrDamping = 0.85
+  /** ppr_scores seed set: graph vertices with id % PprSeedMod == 0. */
+  private val PprSeedMod = 17
   private val LpaIters = 3
   private val KCoreK = 4
   private val KCoreRounds = 6
@@ -348,6 +350,22 @@ object ClusterQueries {
         .orderBy("id")
     }),
 
+    // Personalized PageRank / random walk with restart: the teleport
+    // lands on a deterministic seed set (id % 17 == 0) instead of
+    // everywhere, scoring each point's graph proximity to the seeds —
+    // seed-expansion selection over the ε-graph. Same 5 unrolled rounds
+    // and 6dp rounding discipline as pagerank.
+    "ppr_scores" -> ((s, dir) => {
+      val edges = epsEdges(s, dir)
+      val verts = edges.select(col("src").as("id"))
+        .union(edges.select(col("dst").as("id"))).distinct()
+      Traversals.personalizedPageRank(edges,
+          verts.where(col("id") % PprSeedMod === 0),
+          iters = PrIters, damping = PrDamping)
+        .select(col("id"), round(col("pr"), 6).as("pr"))
+        .orderBy("id")
+    }),
+
     // Synchronous label propagation (3 fixed rounds, most-frequent
     // neighbor label, ties to the smallest): deterministic community
     // detection, pure integer counting — no float in the whole gate.
@@ -590,6 +608,7 @@ object ClusterQueries {
          |SELECT v.id, CAST(coalesce(pv.n_tri, 0) AS BIGINT) AS n_tri
          |FROM verts v LEFT JOIN pv USING (id) ORDER BY v.id""".stripMargin,
     "pagerank" -> sqlPagerank,
+    "ppr_scores" -> sqlPpr,
     "lpa_communities" -> sqlLpa,
     "modularity" -> sqlModularity,
     "kcore" -> sqlKcore)
@@ -694,6 +713,44 @@ object ClusterQueries {
        |outdeg AS MATERIALIZED (SELECT src, CAST(count(*) AS DOUBLE) AS c
        |  FROM ce GROUP BY src),
        |r0 AS (SELECT id, 1.0 / (SELECT n FROM nn) AS r FROM verts),
+       |$legs
+       |SELECT id, round(r, 6) AS pr FROM r$PrIters ORDER BY id""".stripMargin
+  }
+
+  /** [[sqlPagerank]] with the teleport restricted to the seed set —
+    * seed flag on the vertex CTE, (1−d)/|S| and the dangling restart
+    * CASE-gated exactly as the engine's flag column is. */
+  private def sqlPpr: String = {
+    val d = PrDamping
+    val legs = (1 to PrIters).map(t =>
+      s"""c$t AS (SELECT e.dst AS id, sum(p.r / o.c) AS contrib
+         |  FROM ce e JOIN r${t - 1} p ON p.id = e.src
+         |  JOIN outdeg o ON o.src = e.src
+         |  GROUP BY e.dst),
+         |dg$t AS (SELECT coalesce(sum(r), 0) AS dm FROM r${t - 1} dd
+         |  WHERE NOT EXISTS (SELECT 1 FROM outdeg o WHERE o.src = dd.id)),
+         |r$t AS MATERIALIZED (SELECT v.id,
+         |    (CASE WHEN v.s = 1 THEN (1.0 - $d) / (SELECT n FROM ns)
+         |      ELSE 0.0 END)
+         |    + $d * (coalesce(c.contrib, 0)
+         |      + CASE WHEN v.s = 1
+         |          THEN (SELECT dm FROM dg$t) / (SELECT n FROM ns)
+         |          ELSE 0.0 END) AS r
+         |  FROM sverts v LEFT JOIN c$t c ON c.id = v.id)""".stripMargin)
+      .mkString(",\n")
+    s"""WITH
+       |$sqlGraph,
+       |ce AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges
+       |  WHERE src <> dst),
+       |verts AS MATERIALIZED (SELECT src AS id FROM ce
+       |  UNION SELECT dst FROM ce),
+       |sverts AS MATERIALIZED (SELECT id,
+       |  CASE WHEN id % $PprSeedMod = 0 THEN 1 ELSE 0 END AS s FROM verts),
+       |ns AS MATERIALIZED (SELECT count(*) AS n FROM sverts WHERE s = 1),
+       |outdeg AS MATERIALIZED (SELECT src, CAST(count(*) AS DOUBLE) AS c
+       |  FROM ce GROUP BY src),
+       |r0 AS (SELECT id, CASE WHEN s = 1 THEN 1.0 / (SELECT n FROM ns)
+       |    ELSE 0.0 END AS r FROM sverts),
        |$legs
        |SELECT id, round(r, 6) AS pr FROM r$PrIters ORDER BY id""".stripMargin
   }

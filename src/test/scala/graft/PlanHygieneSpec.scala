@@ -272,6 +272,20 @@ class PlanHygieneSpec extends GraftSuite {
       s"support joins must broadcast:\n${p.take(800)}")
   }
 
+  test("dsir_weights selects through TakeOrdered with broadcast weights") {
+    val p = plan("dsir_weights")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k selection must never be a global sort/window:\n${p.take(800)}")
+    assert(!p.contains("SortMergeJoin"),
+      s"the 256-row weight table and lang attach must broadcast:\n${p.take(800)}")
+  }
+
+  test("compact_plan scans through a range partition, not a per-source window") {
+    val p = plan("compact_plan")
+    assert(p.contains("rangepartitioning"),
+      s"the running sum must range-partition (PrefixScan):\n${p.take(800)}")
+  }
+
   test("jl_project is a join-free projection (16 dot kernels, one pass)") {
     val p = plan("jl_project")
     assert(!p.contains("Join"),

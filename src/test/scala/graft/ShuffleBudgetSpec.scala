@@ -192,6 +192,9 @@ class ShuffleBudgetSpec extends GraftSuite {
     // sum + the two 256-row bucket-count aggs; the weight table and the
     // lang attach ride as broadcasts, selection is TakeOrdered)
     "dsir_weights" -> (36000L, 170000L),
+    // ppr_scores 595,658 (5 rounds x contribution join over the ε-graph,
+    // same shape as pagerank; the seed flag rides the vertex table)
+    "ppr_scores" -> (195000L, 900000L),
     // hll_distinct 448 (one (source, bucket) register groupBy + the tiny
     // per-source fold — the sketch side is O(sources·64) by construction)
     "hll_distinct" -> (150L, 700L),

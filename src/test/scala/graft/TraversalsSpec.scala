@@ -21,6 +21,26 @@ class TraversalsSpec extends GraftSuite {
     assert(got == Map(1L -> 0, 2L -> 1, 3L -> 1, 4L -> 0))
   }
 
+  test("personalized pagerank: unit mass, seed locality, empty-seed zeros") {
+    // two symmetric triangles bridged by one edge; seed in triangle A
+    val tri = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (3L, 1L), (1L, 3L),
+      (4L, 5L), (5L, 4L), (5L, 6L), (6L, 5L), (6L, 4L), (4L, 6L),
+      (3L, 4L), (4L, 3L))
+    val pr = Traversals.personalizedPageRank(tri.toDF("src", "dst"),
+        Seq(1L).toDF("id"), iters = 20)
+      .as[(Long, Double)].collect().toMap
+    assert(math.abs(pr.values.sum - 1.0) < 1e-9,
+      s"walk mass must stay a distribution: ${pr.values.sum}")
+    assert(pr(1L) > pr(4L) && pr(2L) > pr(5L) && pr(3L) > pr(6L),
+      s"seed triangle must dominate its mirror: $pr")
+    assert(pr(1L) == pr.values.max, "the seed itself scores highest")
+    val none = Traversals.personalizedPageRank(tri.toDF("src", "dst"),
+      Seq.empty[Long].toDF("id"), iters = 3)
+      .as[(Long, Double)].collect()
+    assert(none.length == 6 && none.forall(_._2 == 0.0),
+      "no seeds -> zero scores for every vertex")
+  }
+
   test("edges are undirected and duplicates/self-loops are harmless") {
     val got = hops(Seq((2L, 1L), (2L, 1L), (2L, 2L), (3L, 2L)), Seq(1L))
     assert(got == Map(1L -> 0, 2L -> 1, 3L -> 2))
