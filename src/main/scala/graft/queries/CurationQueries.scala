@@ -360,6 +360,42 @@ object CurationQueries {
         .orderBy("source")
     }),
 
+    // Cross-source quantile normalization (the batch-effect correction
+    // of bioinformatics, applied to quality scores): each doc's quality
+    // maps to its ppm percentile WITHIN its source, then to the global
+    // quality value at that percentile — so per-source scoring biases
+    // cancel and thresholds compare apples to apples across sources.
+    // Ranks are integer ppm (no float percentiles); the within-source
+    // rank is a source-keyed window, the global lookup table comes from
+    // the two-phase PrefixScan (data-scaled, not one global window), and
+    // the percentile→value mapping is an equi-join on the computed
+    // global rank. N rides as a 1-row broadcast.
+    "quantile_norm" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("source"),
+        TF.qualityScore(col("text")).as("q"))
+      val wSrc = Window.partitionBy("source").orderBy("q", "doc_id")
+      val withPct = d
+        .withColumn("rk", row_number().over(wSrc).cast("long"))
+        .withColumn("ns",
+          count(lit(1)).over(Window.partitionBy("source")))
+        .withColumn("pct_ppm",
+          when(col("ns") > 1,
+            expr("((rk - 1) * 1000000) div (ns - 1)")).otherwise(0L))
+      val globalVals = graft.operators.PrefixScan
+        .denseIds(d.select(col("q").as("gq"), col("doc_id").as("gid")),
+          Seq("gq", "gid"), "grank",
+          s.sparkContext.defaultParallelism)
+        .select(col("grank"), col("gq"))
+      val nTot = d.agg(count(lit(1)).as("nt"))
+      withPct.crossJoin(broadcast(nTot))
+        .withColumn("grank",
+          expr("(pct_ppm * (nt - 1)) div 1000000"))
+        .join(globalVals, Seq("grank"))
+        .select(col("doc_id"), col("source"), col("pct_ppm"),
+          col("gq").as("norm_q"))
+        .orderBy("doc_id")
+    }),
+
     // Sketch quantiles under a rank-error CONTRACT (ann_ivf-style
     // invariant gate): percentile_approx's mergeable sketch is the
     // 100 TB quantile path (map-side-combinable, one pass — where
@@ -953,6 +989,27 @@ object CurationQueries {
          |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
          |FROM c GROUP BY source, file_id
          |ORDER BY source, file_id""".stripMargin,
+    "quantile_norm" ->
+      s"""WITH $sqlToks,
+         |q AS (SELECT doc_id, $sqlQuality AS q FROM toks),
+         |j AS (SELECT d.source, q.doc_id, q.q
+         |  FROM documents d JOIN q ON d.doc_id = q.doc_id),
+         |r AS (SELECT source, doc_id, q,
+         |    CAST(row_number() OVER (PARTITION BY source
+         |      ORDER BY q, doc_id) AS BIGINT) AS rk,
+         |    count(*) OVER (PARTITION BY source) AS ns FROM j),
+         |p AS (SELECT source, doc_id,
+         |    CASE WHEN ns > 1 THEN ((rk - 1) * 1000000) // (ns - 1)
+         |      ELSE 0 END AS pct_ppm FROM r),
+         |g AS (SELECT q AS gq,
+         |    CAST(row_number() OVER (ORDER BY q, doc_id) - 1 AS BIGINT)
+         |      AS grank FROM j),
+         |nt AS (SELECT count(*) AS nt FROM j)
+         |SELECT p.doc_id, p.source,
+         |  CAST(p.pct_ppm AS BIGINT) AS pct_ppm, g.gq AS norm_q
+         |FROM p CROSS JOIN nt
+         |JOIN g ON g.grank = (p.pct_ppm * (nt.nt - 1)) // 1000000
+         |ORDER BY p.doc_id""".stripMargin,
     "dsir_weights" ->
       s"""WITH toks AS (SELECT doc_id, lang,
          |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])

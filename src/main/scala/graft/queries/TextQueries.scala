@@ -569,6 +569,25 @@ object TextQueries {
         .orderBy("doc_id", "rank")
     }),
 
+    // Conjunctive (AND) boolean retrieval over the postings shape: a doc
+    // qualifies iff it contains EVERY query term. The plan is term-count
+    // equality over an isin-filtered postings explode — one map-side-
+    // combined groupBy, no per-term corpus scans and no self-joins, so
+    // adding terms changes a literal filter, not the plan size (the same
+    // O(1)-in-terms argument as bm25_adhoc, with AND instead of ranked
+    // OR).
+    "bool_retrieval" -> ((s, dir) => {
+      val toks = docs(s, dir).select(col("doc_id"),
+        explode(TF.tokens(col("text"))).as("token"))
+        .where(col("token").isin(Bm25Terms: _*))
+      toks.groupBy("doc_id")
+        .agg(count_distinct(col("token")).cast("long").as("n_terms"),
+          count(lit(1)).as("total_tf"))
+        .where(col("n_terms") === Bm25Terms.length)
+        .select("doc_id", "total_tf")
+        .orderBy("doc_id")
+    }),
+
     // Sorted-neighborhood entity blocking (Hernández & Stolfo SIGMOD'95):
     // records sort by a cheap blocking key, a window of BlockW consecutive
     // records emits candidate pairs. The global rank comes from the
@@ -1126,6 +1145,17 @@ object TextQueries {
          |  FROM scored)
          |SELECT doc_id, token, tf, score, CAST(rank AS INT) AS rank
          |FROM ranked WHERE rank <= $TfidfTopN ORDER BY doc_id, rank""".stripMargin,
+    "bool_retrieval" -> {
+      val termList = Bm25Terms.map(t => s"'$t'").mkString("[", ", ", "]")
+      s"""WITH $sqlToks,
+         |post AS (SELECT doc_id, t2.tok AS token
+         |  FROM toks, unnest(t) AS t2(tok)
+         |  WHERE list_contains($termList, t2.tok))
+         |SELECT doc_id, count(*) AS total_tf
+         |FROM post GROUP BY doc_id
+         |HAVING count(DISTINCT token) = ${Bm25Terms.length}
+         |ORDER BY doc_id""".stripMargin
+    },
     "block_pairs" ->
       s"""WITH keyed AS (SELECT doc_id,
          |    lang || '|' || substring(text, 1, 16) AS bkey FROM documents),

@@ -195,6 +195,11 @@ class ShuffleBudgetSpec extends GraftSuite {
     // ppr_scores 595,658 (5 rounds x contribution join over the ε-graph,
     // same shape as pagerank; the seed flag rides the vertex table)
     "ppr_scores" -> (195000L, 900000L),
+    // bool_retrieval 13,530 (the isin-filtered postings groupBy — one
+    // keyed agg, no per-term scans); quantile_norm 17,825 (source-keyed
+    // rank window + PrefixScan range partition + the grank equi-join)
+    "bool_retrieval" -> (4500L, 21000L),
+    "quantile_norm" -> (5900L, 27000L),
     // hll_distinct 448 (one (source, bucket) register groupBy + the tiny
     // per-source fold — the sketch side is O(sources·64) by construction)
     "hll_distinct" -> (150L, 700L),
