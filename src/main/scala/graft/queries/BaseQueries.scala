@@ -124,6 +124,41 @@ object BaseQueries {
         .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
     }),
 
+    // TPC-H Q5 shape — the heaviest classic relational pattern: two fact
+    // tables (lineitem, orders) shuffle-joined on their keys, three
+    // dimensions broadcast, the local-supplier condition (c_nationkey =
+    // s_nationkey) riding the supplier equi-join, a date-range filter
+    // pushed to the orders scan, and revenue integerized to
+    // cents·(100−disc%) BEFORE the sum so the aggregate is exact across
+    // engines and summation orders.
+    "q11_region_revenue" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem").select(col("l_orderkey"),
+        col("l_suppkey"),
+        (floor(col("l_extendedprice") * 100).cast("long") *
+          (lit(100L) - floor(col("l_discount") * 100).cast("long")))
+          .as("rev"))
+      val o = table(s, dir, "orders")
+        .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
+        .select("o_orderkey", "o_custkey")
+      val c = table(s, dir, "customer").select("c_custkey", "c_nationkey")
+      val sup = table(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+      val n = broadcast(table(s, dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey"))
+      val r = broadcast(table(s, dir, "region")
+        .where(col("r_name") === "ASIA").select("r_regionkey"))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(n, col("s_nationkey") === col("n_nationkey"))
+        .join(r, col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n_items"),
+          sum("rev").cast("long").as("revenue_c2"))
+        .orderBy(col("revenue_c2").desc, col("n_name"))
+    }),
+
     // J1 (the reference's one join, made scalable): grid-blocked ε-neighborhood
     // self-join on (p_size, p_retailprice) points, exact L1 predicate — the
     // DuckDB oracle is the reference-faithful cartesian θ-join.
@@ -216,6 +251,22 @@ object BaseQueries {
       """SELECT p_partkey FROM part WHERE p_size <= 10
         |EXCEPT SELECT p_partkey FROM part WHERE p_retailprice > 1500
         |ORDER BY p_partkey""".stripMargin,
+    "q11_region_revenue" ->
+      """SELECT n_name, count(*) AS n_items,
+        |  CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)
+        |    * (100 - CAST(floor(l_discount * 100) AS BIGINT))) AS BIGINT)
+        |    AS revenue_c2
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |  AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1999-01-01'
+        |GROUP BY n_name ORDER BY revenue_c2 DESC, n_name""".stripMargin,
     "q10_running" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,
         |  round(sum(l_extendedprice) OVER (PARTITION BY l_suppkey

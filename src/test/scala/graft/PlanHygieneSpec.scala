@@ -272,6 +272,17 @@ class PlanHygieneSpec extends GraftSuite {
       s"support joins must broadcast:\n${p.take(800)}")
   }
 
+  test("q11 pushes the date filter to the orders scan and broadcasts dims") {
+    val p = plan("q11_region_revenue")
+    assert(p.contains("PushedFilters") &&
+      (p.contains("GreaterThanOrEqual(o_orderdate") ||
+        p.contains("IsNotNull(o_orderdate)")),
+      s"date range must reach the orders parquet scan:\n${p.take(900)}")
+    assert(p.contains("BroadcastHashJoin"),
+      "nation/region/supplier dims should broadcast")
+    assert(!p.contains("CartesianProduct"), "no cartesians in the Q5 shape")
+  }
+
   test("dsir_weights selects through TakeOrdered with broadcast weights") {
     val p = plan("dsir_weights")
     assert(p.contains("TakeOrderedAndProject"),

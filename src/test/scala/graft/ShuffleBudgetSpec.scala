@@ -200,6 +200,10 @@ class ShuffleBudgetSpec extends GraftSuite {
     // rank window + PrefixScan range partition + the grank equi-join)
     "bool_retrieval" -> (4500L, 21000L),
     "quantile_norm" -> (5900L, 27000L),
+    // q11_region_revenue 313 at sf0.01: every join fits broadcast at
+    // gate scale, so the only shuffle is the 5-row nation agg — the
+    // budget catches a broadcast regressing to a fact-table exchange
+    "q11_region_revenue" -> (100L, 1500L),
     // hll_distinct 448 (one (source, bucket) register groupBy + the tiny
     // per-source fold — the sketch side is O(sources·64) by construction)
     "hll_distinct" -> (150L, 700L),
