@@ -23,6 +23,8 @@ object EventQueries {
   // low enough that the gate is non-empty at the sf0.001 smoke scale
   // (max pair support there is 9)
   private val MinSupport = 3
+  /** item_recs neighbors per item. */
+  private val RecK = 3
 
   private def events(s: SparkSession, dir: String): DataFrame =
     table(s, dir, "events")
@@ -132,6 +134,42 @@ object EventQueries {
           round(col("nu") * col("support") /
             (col("ca").cast("double") * col("cb")), 6).as("lift"))
         .orderBy(col("support").desc, col("item_a"), col("item_b"))
+    }),
+
+    // Item-to-item recommendations off the basket co-occurrence graph:
+    // for each item, the top-3 co-occurring neighbors by (support desc,
+    // neighbor id) — the classic "users who touched X also touched Y"
+    // table. Same capped-basket pair generation as basket_pairs (user-
+    // keyed, fan-out bounded), symmetrized, ranked through an
+    // item-partitioned window (never a global one).
+    "item_recs" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val items = events(s, dir)
+        .select(col("user_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("item"))
+        .where(col("item").isNotNull)
+        .distinct()
+      val capped = items
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("user_id").orderBy("item")))
+        .where(col("rn") <= BasketCap)
+        .select("user_id", "item")
+      val a = capped.select(col("user_id"), col("item").as("item_a"))
+      val b = capped.select(col("user_id"), col("item").as("item_b"))
+      val pairs = a.join(b, Seq("user_id"))
+        .where(col("item_a") < col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(count(lit(1)).as("support"))
+        .where(col("support") >= MinSupport)
+      val sym = pairs.select(col("item_a").as("item"),
+          col("item_b").as("nbr"), col("support"))
+        .unionByName(pairs.select(col("item_b").as("item"),
+          col("item_a").as("nbr"), col("support")))
+      val w = Window.partitionBy("item")
+        .orderBy(col("support").desc, col("nbr"))
+      sym.withColumn("rank", row_number().over(w))
+        .where(col("rank") <= RecK)
+        .orderBy("item", "rank")
     }),
 
     // First-touch attribution: every purchase credits the FIRST event of
@@ -251,6 +289,27 @@ object EventQueries {
          |JOIN cnt ca ON ca.item = p.item_a
          |JOIN cnt cb ON cb.item = p.item_b
          |ORDER BY p.support DESC, p.item_a, p.item_b""".stripMargin,
+    "item_recs" ->
+      s"""WITH items AS (SELECT DISTINCT user_id,
+         |    CAST(json_extract_string(props, '$$.k') AS BIGINT) AS item
+         |  FROM events
+         |  WHERE json_extract_string(props, '$$.k') IS NOT NULL),
+         |capped AS (SELECT user_id, item FROM (
+         |    SELECT user_id, item, row_number() OVER (
+         |      PARTITION BY user_id ORDER BY item) AS rn FROM items)
+         |  WHERE rn <= $BasketCap),
+         |pairs AS (SELECT a.item AS item_a, b.item AS item_b,
+         |    count(*) AS support
+         |  FROM capped a JOIN capped b
+         |    ON a.user_id = b.user_id AND a.item < b.item
+         |  GROUP BY 1, 2 HAVING count(*) >= $MinSupport),
+         |sym AS (SELECT item_a AS item, item_b AS nbr, support FROM pairs
+         |  UNION ALL SELECT item_b, item_a, support FROM pairs),
+         |ranked AS (SELECT item, nbr, support, row_number() OVER (
+         |    PARTITION BY item ORDER BY support DESC, nbr) AS rank
+         |  FROM sym)
+         |SELECT item, nbr, support, CAST(rank AS INT) AS rank FROM ranked
+         |WHERE rank <= $RecK ORDER BY item, rank""".stripMargin,
     "attribution" ->
       s"""WITH e AS (SELECT event_id, user_id, event_type, value,
          |    epoch_us(ts) AS us FROM events),

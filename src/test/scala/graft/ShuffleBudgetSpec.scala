@@ -200,6 +200,9 @@ class ShuffleBudgetSpec extends GraftSuite {
     // rank window + PrefixScan range partition + the grank equi-join)
     "bool_retrieval" -> (4500L, 21000L),
     "quantile_norm" -> (5900L, 27000L),
+    // item_recs 163,291 (basket_pairs' capped self-join + the
+    // item-partitioned rank window over the symmetrized pair list)
+    "item_recs" -> (54000L, 245000L),
     // q11_region_revenue 313 at sf0.01: every join fits broadcast at
     // gate scale, so the only shuffle is the 5-row nation agg — the
     // budget catches a broadcast regressing to a fact-table exchange
