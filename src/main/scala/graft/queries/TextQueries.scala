@@ -37,6 +37,8 @@ object TextQueries {
   private val WinnowW = 4
   /** block_pairs sorted-neighborhood window size. */
   private val BlockW = 4
+  /** hash_embed feature-hashing dimensionality. */
+  private val HashDim = 64
   private val WinnowShare = 10L
   /** winnow_pairs boilerplate-fingerprint cap (df ≤ cap survives the
     * index). A no-op at the sf0.01 oracle SF (max fingerprint df 43) —
@@ -567,6 +569,28 @@ object TextQueries {
         .select(col("doc_id"), col("token"), col("tf"), col("score"),
           col("rank"))
         .orderBy("doc_id", "rank")
+    }),
+
+    // Feature-hashing text embedding (Weinberger et al. ICML'09): tokens
+    // hash into HashDim signed buckets (sign from an independent hash
+    // bit), giving each doc a sparse integer vector with NO vocabulary
+    // table — the model-free featurizer in front of the linear/ANN ops.
+    // Everything is exact integers (signed counts, Σv², nnz), so the
+    // gate is value-exact with zero float discipline needed; the plan is
+    // one map-side-combined (doc, bucket) groupBy + one per-doc fold.
+    "hash_embed" -> ((s, dir) => {
+      val cells = docs(s, dir)
+        .select(col("doc_id"), explode(TF.tokens(col("text"))).as("w"))
+        .select(col("doc_id"), PolyHash.poly_hash(col("w")).as("h"))
+        .select(col("doc_id"), expr(s"h % $HashDim").as("b"),
+          when(expr(s"(h div $HashDim) % 2") === 0, 1L).otherwise(-1L)
+            .as("sg"))
+        .groupBy("doc_id", "b").agg(sum("sg").as("v"))
+      cells.groupBy("doc_id").agg(
+          count(when(col("v") =!= 0, 1)).as("nnz"),
+          sum(col("v") * col("v")).as("norm2"),
+          coalesce(max(when(col("b") === 0, col("v"))), lit(0L)).as("b0"))
+        .orderBy("doc_id")
     }),
 
     // Conjunctive (AND) boolean retrieval over the postings shape: a doc
@@ -1145,6 +1169,20 @@ object TextQueries {
          |  FROM scored)
          |SELECT doc_id, token, tf, score, CAST(rank AS INT) AS rank
          |FROM ranked WHERE rank <= $TfidfTopN ORDER BY doc_id, rank""".stripMargin,
+    "hash_embed" ->
+      s"""WITH $sqlToks,
+         |hh AS (SELECT doc_id, ${sqlPolyHash("w")} AS h
+         |  FROM toks, unnest(t) AS t2(w)),
+         |cells AS (SELECT doc_id, h % $HashDim AS b,
+         |    CAST(sum(CASE WHEN (h // $HashDim) % 2 = 0 THEN 1
+         |      ELSE -1 END) AS BIGINT) AS v
+         |  FROM hh GROUP BY doc_id, h % $HashDim)
+         |SELECT doc_id,
+         |  CAST(count(CASE WHEN v <> 0 THEN 1 END) AS BIGINT) AS nnz,
+         |  CAST(sum(v * v) AS BIGINT) AS norm2,
+         |  CAST(coalesce(max(CASE WHEN b = 0 THEN v END), 0) AS BIGINT)
+         |    AS b0
+         |FROM cells GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "bool_retrieval" -> {
       val termList = Bm25Terms.map(t => s"'$t'").mkString("[", ", ", "]")
       s"""WITH $sqlToks,

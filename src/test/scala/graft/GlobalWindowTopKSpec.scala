@@ -66,6 +66,39 @@ class GlobalWindowTopKSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(lower.count() == 995)
   }
 
+  test("rewrite equals the unrewritten plan on random data and k (property)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val gen = for {
+      n <- Gen.choose(0, 300)   // includes n = 0 and n < k
+      k <- Gen.choose(1, 40)
+      seed <- Gen.choose(0L, 100000L)
+    } yield (n, k, seed)
+    val cases = (0 until 8)
+      .flatMap(i => gen.apply(Gen.Parameters.default, Seed(7L + i)))
+    cases.foreach { case (n, k, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val seedData = (0 until n).map(i => (i.toLong, rnd.nextInt(50).toLong))
+      // unique order (score, id) so both plans are deterministic
+      val ww = Window.orderBy(col("score").desc, col("id"))
+      def run(d: org.apache.spark.sql.DataFrame) =
+        d.withColumn("rank", row_number().over(ww))
+          .where(col("rank") <= k)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+          .sortBy(_._3).toSeq
+      val got = {
+        import s.implicits._
+        run(seedData.toDF("id", "score"))
+      }
+      val plain = SparkTestBase.spark
+      val exp = {
+        import plain.implicits._
+        run(seedData.toDF("id", "score"))
+      }
+      assert(got == exp, s"n=$n k=$k seed=$seed")
+    }
+  }
+
   test("rewrite is stable under the fixed-point batch (no double wrap)") {
     val q = data(s).withColumn("rank", row_number().over(w))
       .where(col("rank") <= 5)

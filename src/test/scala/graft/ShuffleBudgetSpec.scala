@@ -200,6 +200,9 @@ class ShuffleBudgetSpec extends GraftSuite {
     // rank window + PrefixScan range partition + the grank equi-join)
     "bool_retrieval" -> (4500L, 21000L),
     "quantile_norm" -> (5900L, 27000L),
+    // hash_embed 3,753 (the (doc, bucket) signed-count groupBy + the
+    // per-doc fold — bounded at HashDim rows per doc)
+    "hash_embed" -> (1200L, 5700L),
     // item_recs 163,291 (basket_pairs' capped self-join + the
     // item-partitioned rank window over the symmetrized pair list)
     "item_recs" -> (54000L, 245000L),
