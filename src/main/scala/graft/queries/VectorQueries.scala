@@ -393,6 +393,38 @@ object VectorQueries {
             6).as("assortativity"))
     }),
 
+    // Embedding-distribution drift between corpus snapshots — the
+    // monitoring twin of token_drift for the vector side: the corpus
+    // splits into an "old" and "new" half (vec_id parity — the
+    // deterministic stand-in for snapshot ids), and each label reports
+    // its centroid's L2 shift plus the population delta. Two meanPool
+    // passes (label-keyed, map-side-combined) + one 10-row join; the
+    // centroid join is broadcast, so the plan is two scans at any
+    // corpus size.
+    "embed_drift" -> ((s, dir) => {
+      val e = embs(s, dir).select(col("label"), col("vec_id"),
+        col("embedding").cast("array<double>").as("emb"))
+      def pool(half: DataFrame) = SimilaritySearch.meanPool(
+        half.select(col("label").as("group_id"), col("emb").as("embedding")),
+        "group_id", "embedding", dim = 64)
+      val old = e.where(col("vec_id") % 2 === 0)
+      val nw = e.where(col("vec_id") % 2 =!= 0)
+      val po = pool(old).select(col("group_id").as("label"),
+        col("pooled").as("po"))
+      val pn = pool(nw).select(col("group_id").as("label"),
+        col("pooled").as("pn"))
+      val counts = e.groupBy("label").agg(
+        count(when(col("vec_id") % 2 === 0, 1)).as("n_old"),
+        count(when(col("vec_id") % 2 =!= 0, 1)).as("n_new"))
+      counts.join(broadcast(po), Seq("label"))
+        .join(broadcast(pn), Seq("label"))
+        .select(col("label"), col("n_old"), col("n_new"),
+          round(graft.functions.Distances.norm(
+            zip_with(col("po"), col("pn"), (x, y) => x - y)), 6)
+            .as("drift"))
+        .orderBy("label")
+    }),
+
     // Johnson–Lindenstrauss random projection 64 → 16 dims with a ±1
     // sign matrix (Achlioptas 2003) — the cheap dim-reduction in front
     // of ANN/clustering at scale. Each output dim is ONE pass of the
@@ -715,6 +747,31 @@ object VectorQueries {
          |    / CAST(s.m * s.sxx - s.sx * s.sx AS DOUBLE), 6)
          |    AS assortativity
          |FROM dd CROSS JOIN s""".stripMargin,
+    "embed_drift" ->
+      s"""WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+         |  FROM embeddings),
+         |od AS (SELECT label, u.i AS i, avg(e[u.i]) AS c
+         |  FROM v, unnest(range(1, 65)) u(i)
+         |  WHERE vec_id % 2 = 0 GROUP BY label, u.i),
+         |nd AS (SELECT label, u.i AS i, avg(e[u.i]) AS c
+         |  FROM v, unnest(range(1, 65)) u(i)
+         |  WHERE vec_id % 2 <> 0 GROUP BY label, u.i),
+         |ol AS (SELECT label, list(c ORDER BY i) AS po FROM od
+         |  GROUP BY label),
+         |nl AS (SELECT label, list(c ORDER BY i) AS pn FROM nd
+         |  GROUP BY label),
+         |cnt AS (SELECT label,
+         |    count(CASE WHEN vec_id % 2 = 0 THEN 1 END) AS n_old,
+         |    count(CASE WHEN vec_id % 2 <> 0 THEN 1 END) AS n_new
+         |  FROM v GROUP BY label)
+         |SELECT c.label, c.n_old, c.n_new,
+         |  round(sqrt(list_dot_product(
+         |    list_transform(range(1, 65), i -> ol.po[i] - nl.pn[i]),
+         |    list_transform(range(1, 65), i -> ol.po[i] - nl.pn[i]))), 6)
+         |    AS drift
+         |FROM cnt c JOIN ol ON ol.label = c.label
+         |JOIN nl ON nl.label = c.label
+         |ORDER BY c.label""".stripMargin,
     "jl_project" -> {
       def row(k: Int): String = jlSigns(k)
         .map(s => if (s > 0) "1.0" else "-1.0")

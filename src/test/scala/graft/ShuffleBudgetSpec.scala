@@ -203,6 +203,9 @@ class ShuffleBudgetSpec extends GraftSuite {
     // hash_embed 3,753 (the (doc, bucket) signed-count groupBy + the
     // per-doc fold — bounded at HashDim rows per doc)
     "hash_embed" -> (1200L, 5700L),
+    // embed_drift 735 (two label-keyed meanPool aggs + the 10-row
+    // count agg; the centroid joins broadcast)
+    "embed_drift" -> (240L, 1200L),
     // item_recs 163,291 (basket_pairs' capped self-join + the
     // item-partitioned rank window over the symmetrized pair list)
     "item_recs" -> (54000L, 245000L),
