@@ -244,6 +244,28 @@ object TextQueries {
         Bands, Rows).orderBy("id_a", "id_b")
     }),
 
+    // Sketch-quality evaluation as data: MinHash-LSH recall against the
+    // exact Jaccard pair set at the same tau. Because minhashPairs
+    // exact-verifies its banded candidates, lsh ⊆ brute and recall_ppm =
+    // |lsh ∩ brute|·1e6 div |brute| measures exactly what the banding
+    // loses — the number a pipeline owner needs before trusting LSH
+    // parameters at scale. All counts integer; the brute side reuses the
+    // shared PPJoin pair set.
+    "lsh_recall" -> ((s, dir) => {
+      val brute = sharedJaccardPairs(s, dir).select("id_a", "id_b")
+      val lsh = Dedup.minhashPairs(docs(s, dir), "doc_id", "text", ShingleN,
+        JaccardTau, Bands, Rows).select("id_a", "id_b")
+      val nb = brute.agg(count(lit(1)).as("n_brute"))
+      val nl = lsh.agg(count(lit(1)).as("n_lsh"))
+      val nc = brute.join(lsh, Seq("id_a", "id_b"), "left_semi")
+        .agg(count(lit(1)).as("n_common"))
+      nb.crossJoin(broadcast(nl)).crossJoin(broadcast(nc))
+        .select(col("n_brute"), col("n_lsh"), col("n_common"),
+          when(col("n_brute") > 0,
+            expr("(n_common * 1000000) div n_brute"))
+            .otherwise(1000000L).as("recall_ppm"))
+    }),
+
     // SimHash fingerprints (60-bit)
     "simhash_fp" -> ((s, dir) => {
       docs(s, dir).select(col("doc_id"),
@@ -1115,6 +1137,31 @@ object TextQueries {
          |WHERE round(CAST(i.c AS DOUBLE) / (sa.n + sb.n - i.c), 6)
          |  >= $JaccardTau
          |ORDER BY c.id_a, c.id_b""".stripMargin,
+    "lsh_recall" ->
+      s"""WITH $sqlToks,
+         |$sqlShingles,
+         |$sqlShingleHashes,
+         |$sqlMinhash,
+         |brute AS (SELECT i.id_a, i.id_b FROM inter i
+         |  JOIN sizes sa ON i.id_a = sa.doc_id
+         |  JOIN sizes sb ON i.id_b = sb.doc_id
+         |  WHERE round(CAST(i.c AS DOUBLE) / (sa.n + sb.n - i.c), 6)
+         |    >= $JaccardTau),
+         |lsh AS (SELECT c.id_a, c.id_b FROM cand c
+         |  JOIN inter i ON c.id_a = i.id_a AND c.id_b = i.id_b
+         |  JOIN sizes sa ON c.id_a = sa.doc_id
+         |  JOIN sizes sb ON c.id_b = sb.doc_id
+         |  WHERE round(CAST(i.c AS DOUBLE) / (sa.n + sb.n - i.c), 6)
+         |    >= $JaccardTau),
+         |nb AS (SELECT count(*) AS n_brute FROM brute),
+         |nl AS (SELECT count(*) AS n_lsh FROM lsh),
+         |nc AS (SELECT count(*) AS n_common FROM brute b
+         |  JOIN lsh l ON b.id_a = l.id_a AND b.id_b = l.id_b)
+         |SELECT nb.n_brute, nl.n_lsh, nc.n_common,
+         |  CAST(CASE WHEN nb.n_brute > 0
+         |    THEN (nc.n_common * 1000000) // nb.n_brute
+         |    ELSE 1000000 END AS BIGINT) AS recall_ppm
+         |FROM nb CROSS JOIN nl CROSS JOIN nc""".stripMargin,
     "simhash_fp" ->
       s"""WITH $sqlToks,
          |$sqlShingles,

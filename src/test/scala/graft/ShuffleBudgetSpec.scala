@@ -206,6 +206,9 @@ class ShuffleBudgetSpec extends GraftSuite {
     // embed_drift 735 (two label-keyed meanPool aggs + the 10-row
     // count agg; the centroid joins broadcast)
     "embed_drift" -> (240L, 1200L),
+    // lsh_recall 33,377 (the minhash banded build + the pair-set
+    // semi-join; the brute side reads the shared PPJoin memo)
+    "lsh_recall" -> (11000L, 50000L),
     // item_recs 163,291 (basket_pairs' capped self-join + the
     // item-partitioned rank window over the symmetrized pair list)
     "item_recs" -> (54000L, 245000L),
