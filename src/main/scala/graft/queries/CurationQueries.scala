@@ -360,6 +360,36 @@ object CurationQueries {
         .orderBy("source")
     }),
 
+    // Classifier-evaluation AUC (Mann-Whitney U over ranks), exact
+    // integers end-to-end: tied scores take average ranks via the
+    // doubled form 2·avg = 2·minrank + |tie group| − 1 (always integer),
+    // so auc_ppm = ((ΣR2_pos − n_pos(n_pos+1))·1e6) div (2·n_pos·n_neg)
+    // needs no floats at all. The rank table is per-DISTINCT-score
+    // (PrefixScan cumulative counts, broadcast back), so no global
+    // window touches the corpus. Scored here: quality predicting the
+    // lang='en' slice — ≈0.5 on this corpus by construction (shared
+    // vocabulary), which is itself the correct eval answer.
+    "quality_auc" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"),
+        (col("lang") === DsirLang).cast("int").as("pos"),
+        TF.qualityScore(col("text")).as("q"))
+      val sc = d.groupBy("q").agg(count(lit(1)).as("cnt"))
+      val ranked = graft.operators.PrefixScan.exclusiveCumsum(
+          sc.withColumn("__all", lit(1)), "__all", Seq("q"), "cnt", "cum",
+          numParts = s.sparkContext.defaultParallelism)
+        .select(col("q"), col("cnt"), (col("cum") + 1).as("minrank"))
+      val agg = d.join(broadcast(ranked), Seq("q"))
+        .select(col("pos"),
+          (lit(2) * col("minrank") + col("cnt") - 1).as("r2"))
+        .agg(sum(when(col("pos") === 1, col("r2"))).as("r2pos"),
+          sum(col("pos").cast("long")).as("np"),
+          sum((lit(1) - col("pos")).cast("long")).as("nn"))
+      agg.select(col("np").as("n_pos"), col("nn").as("n_neg"),
+        when(col("np") > 0 && col("nn") > 0,
+          expr("((r2pos - np * (np + 1)) * 1000000) div (2 * np * nn)"))
+          .otherwise(500000L).as("auc_ppm"))
+    }),
+
     // Cross-source quantile normalization (the batch-effect correction
     // of bioinformatics, applied to quality scores): each doc's quality
     // maps to its ppm percentile WITHIN its source, then to the global
@@ -989,6 +1019,23 @@ object CurationQueries {
          |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
          |FROM c GROUP BY source, file_id
          |ORDER BY source, file_id""".stripMargin,
+    "quality_auc" ->
+      s"""WITH $sqlToks,
+         |q AS (SELECT doc_id, $sqlQuality AS q FROM toks),
+         |j AS (SELECT CASE WHEN d.lang = '$DsirLang' THEN 1 ELSE 0 END
+         |    AS pos, q.q
+         |  FROM documents d JOIN q ON d.doc_id = q.doc_id),
+         |r AS (SELECT pos, 2 * rank() OVER (ORDER BY q)
+         |    + count(*) OVER (PARTITION BY q) - 1 AS r2 FROM j),
+         |a AS (SELECT CAST(sum(CASE WHEN pos = 1 THEN r2 END) AS BIGINT)
+         |      AS r2pos,
+         |    CAST(sum(pos) AS BIGINT) AS np,
+         |    CAST(sum(1 - pos) AS BIGINT) AS nn FROM r)
+         |SELECT np AS n_pos, nn AS n_neg,
+         |  CAST(CASE WHEN np > 0 AND nn > 0
+         |    THEN ((r2pos - np * (np + 1)) * 1000000) // (2 * np * nn)
+         |    ELSE 500000 END AS BIGINT) AS auc_ppm
+         |FROM a""".stripMargin,
     "quantile_norm" ->
       s"""WITH $sqlToks,
          |q AS (SELECT doc_id, $sqlQuality AS q FROM toks),

@@ -209,6 +209,9 @@ class ShuffleBudgetSpec extends GraftSuite {
     // lsh_recall 33,377 (the minhash banded build + the pair-set
     // semi-join; the brute side reads the shared PPJoin memo)
     "lsh_recall" -> (11000L, 50000L),
+    // quality_auc 306 (the distinct-score count agg + PrefixScan range
+    // partition + one global reduce; the rank table broadcasts)
+    "quality_auc" -> (100L, 1400L),
     // item_recs 163,291 (basket_pairs' capped self-join + the
     // item-partitioned rank window over the symmetrized pair list)
     "item_recs" -> (54000L, 245000L),
