@@ -357,4 +357,47 @@ object Traversals {
     deg.join(perVertex, Seq("id"), "left")
       .select(col("id"), coalesce(col("n_tri"), lit(0L)).as("n_tri"))
   }
+
+  /** Common-neighbor link prediction (Liben-Nowell & Kleinberg, CIKM'03)
+    * over an undirected simple view of `edges`: for every NON-adjacent
+    * vertex pair at distance 2, the common-neighbor count `cn` and the
+    * resource-allocation index (Zhou, Lü & Zhang, EPJ B 2009)
+    * Σ_w 1/deg(w) over the shared neighbors w — the curation-side "these
+    * two docs share context" signal. RA is kept EXACT as integer ppm
+    * (`1000000 div deg(w)` per wedge, summed as longs), so the per-pair
+    * score is order-independent — no float ever exists and the result
+    * hashes identically in any engine.
+    *
+    * Plan: wedges enumerate per center w (two passes over w's adjacency,
+    * tips ordered a < b so each pair appears once per shared neighbor),
+    * then a pair-keyed aggregation and a keyed left-anti join against
+    * the existing edge set. Per-center fan-out is C(deg(w), 2) — bounded
+    * on an ε-graph (ball-packing bounds the degree); on a power-law
+    * graph the standard mitigation is capping or sampling hub centers
+    * before the wedge join (their RA terms are the smallest), which
+    * callers can do by filtering `edges` — not built in because every
+    * gate graph is degree-bounded.
+    */
+  def linkPredict(edges: DataFrame): DataFrame = {
+    val canon = edges
+      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .where(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    val sym = canon.select(col("a").as("id"), col("b").as("nbr"))
+      .union(canon.select(col("b").as("id"), col("a").as("nbr")))
+    val deg = sym.groupBy("id").agg(count(lit(1)).as("deg"))
+    val adj = sym.join(deg, "id")
+    val w1 = adj.select(col("id").as("w"), col("nbr").as("a"), col("deg"))
+    val w2 = adj.select(col("id").as("w"), col("nbr").as("b"))
+    val scored = w1.join(w2, "w")
+      .where(col("a") < col("b"))
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("cn"),
+        sum(expr("1000000L div deg")).as("ra_ppm"))
+    scored.join(canon, Seq("a", "b"), "left_anti")
+      .select(col("a").as("id_a"), col("b").as("id_b"),
+        col("cn"), col("ra_ppm"))
+  }
 }

@@ -30,6 +30,8 @@ object ClusterQueries {
   private val LpaIters = 3
   private val KCoreK = 4
   private val KCoreRounds = 6
+  /** link_predict result-set size. */
+  private val LinkTopN = 100
 
   private def pts(s: SparkSession, dir: String): DataFrame =
     table(s, dir, "part").select(col("p_partkey").as("id"),
@@ -410,6 +412,18 @@ object ClusterQueries {
     "kcore" -> ((s, dir) => {
       Traversals.kCore(epsEdges(s, dir), k = KCoreK, rounds = KCoreRounds)
         .orderBy("id")
+    }),
+
+    // Link prediction on the ε-graph: top non-adjacent distance-2 pairs
+    // by (common neighbors, resource-allocation ppm) — both exact
+    // integers, so the cut is deterministic under the full
+    // (cn desc, ra_ppm desc, id) tiebreak and TakeOrdered keeps the
+    // top-N parallel. Oracle = the same wedge enumeration in SQL.
+    "link_predict" -> ((s, dir) => {
+      Traversals.linkPredict(epsEdges(s, dir))
+        .orderBy(col("cn").desc, col("ra_ppm").desc, col("id_a"),
+          col("id_b"))
+        .limit(LinkTopN)
     }))
 
   /** One sweep leg as a self-contained derived table: the dbscan_errors
@@ -611,7 +625,29 @@ object ClusterQueries {
     "ppr_scores" -> sqlPpr,
     "lpa_communities" -> sqlLpa,
     "modularity" -> sqlModularity,
-    "kcore" -> sqlKcore)
+    "kcore" -> sqlKcore,
+    // wedge enumeration per center with ordered tips, pair aggregation,
+    // anti-join against the edge set — RA summed as exact integer ppm
+    // (1000000 // deg), so the top-N cut can't be flipped by float order
+    "link_predict" ->
+      s"""WITH
+         |$sqlGraph,
+         |ce AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |       FROM edges WHERE src <> dst),
+         |sym AS (SELECT a AS id, b AS nbr FROM ce
+         |  UNION ALL SELECT b, a FROM ce),
+         |deg AS (SELECT id, count(*) AS deg FROM sym GROUP BY id),
+         |wed AS (SELECT s1.nbr AS a, s2.nbr AS b, d.deg
+         |  FROM sym s1 JOIN sym s2 ON s1.id = s2.id AND s1.nbr < s2.nbr
+         |  JOIN deg d ON d.id = s1.id),
+         |sc AS (SELECT a, b, CAST(count(*) AS BIGINT) AS cn,
+         |    CAST(sum(1000000 // deg) AS BIGINT) AS ra_ppm
+         |  FROM wed GROUP BY a, b),
+         |nonadj AS (SELECT sc.a, sc.b, sc.cn, sc.ra_ppm FROM sc
+         |  LEFT JOIN ce ON sc.a = ce.a AND sc.b = ce.b
+         |  WHERE ce.a IS NULL)
+         |SELECT a AS id_a, b AS id_b, cn, ra_ppm FROM nonadj
+         |ORDER BY cn DESC, ra_ppm DESC, id_a, id_b LIMIT $LinkTopN""".stripMargin)
 
   /** Label propagation unrolled to LpaIters legs — neighbor-label
     * delivery, (vertex, label) count, argmax by (count desc, label asc)

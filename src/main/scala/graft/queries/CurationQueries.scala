@@ -390,6 +390,41 @@ object CurationQueries {
           .otherwise(500000L).as("auc_ppm"))
     }),
 
+    // Two-sample Kolmogorov–Smirnov distance between the doc-length
+    // distributions of the corpus's two snapshot halves (doc_id parity —
+    // the deterministic stand-in for snapshot ids), exact integers
+    // end-to-end: with samples of size n_a/n_b, D·n_a·n_b is the max
+    // over values v of |n_b·cumA(v) − n_a·cumB(v)|, a running sum of
+    // per-value integer deltas. Per-value counts are one map-side-
+    // combined groupBy (domain-bounded, like quality_auc's rank table),
+    // the running sum is the two-phase PrefixScan (no global window over
+    // data), and the argmax ships through TakeOrdered(1) with a full
+    // (d desc, v asc) tiebreak. The single float — D itself — is one
+    // division of exact integers, identical in any engine.
+    "ks_test" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("n_chars").as("v"),
+        (col("doc_id") % 2 === 0).cast("long").as("is_a"))
+      val counts = d.groupBy("v").agg(
+        sum(col("is_a")).as("ca"),
+        sum(lit(1L) - col("is_a")).as("cb"))
+      val tot = counts.agg(sum("ca").as("na"), sum("cb").as("nb"))
+      val delta = counts.crossJoin(broadcast(tot))
+        .select(col("v"),
+          (col("nb") * col("ca") - col("na") * col("cb")).as("delta"),
+          col("na"), col("nb"))
+        .withColumn("__all", lit(1))
+      graft.operators.PrefixScan.exclusiveCumsum(delta, "__all", Seq("v"),
+          "delta", "cum", numParts = s.sparkContext.defaultParallelism)
+        .select(col("v"), abs(col("cum") + col("delta")).as("d_nm"),
+          col("na"), col("nb"))
+        .orderBy(col("d_nm").desc, col("v"))
+        .limit(1)
+        .select(col("na").as("n_a"), col("nb").as("n_b"), col("d_nm"),
+          round(col("d_nm").cast("double") / (col("na") * col("nb")), 6)
+            .as("ks6"),
+          col("v").as("at_value"))
+    }),
+
     // Cross-source quantile normalization (the batch-effect correction
     // of bioinformatics, applied to quality scores): each doc's quality
     // maps to its ppm percentile WITHIN its source, then to the global
@@ -1036,6 +1071,26 @@ object CurationQueries {
          |    THEN ((r2pos - np * (np + 1)) * 1000000) // (2 * np * nn)
          |    ELSE 500000 END AS BIGINT) AS auc_ppm
          |FROM a""".stripMargin,
+    // per-value parity counts, one window running sum over the value
+    // domain (the oracle may window freely), argmax with (d desc, v)
+    // tiebreak; every quantity integral until the single D division
+    "ks_test" ->
+      """WITH c AS (SELECT n_chars AS v,
+        |    CAST(count(CASE WHEN doc_id % 2 = 0 THEN 1 END) AS BIGINT)
+        |      AS ca,
+        |    CAST(count(CASE WHEN doc_id % 2 <> 0 THEN 1 END) AS BIGINT)
+        |      AS cb
+        |  FROM documents GROUP BY n_chars),
+        |t AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+        |    CAST(sum(cb) AS BIGINT) AS nb FROM c),
+        |cum AS (SELECT c.v, t.na, t.nb,
+        |    abs(CAST(sum(t.nb * c.ca - t.na * c.cb)
+        |      OVER (ORDER BY c.v) AS BIGINT)) AS d_nm
+        |  FROM c CROSS JOIN t)
+        |SELECT na AS n_a, nb AS n_b, d_nm,
+        |  round(CAST(d_nm AS DOUBLE) / (na * nb), 6) AS ks6,
+        |  v AS at_value
+        |FROM cum ORDER BY d_nm DESC, v LIMIT 1""".stripMargin,
     "quantile_norm" ->
       s"""WITH $sqlToks,
          |q AS (SELECT doc_id, $sqlQuality AS q FROM toks),

@@ -546,6 +546,45 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Leakage-safe train/val/test split: the assignment hashes the
+    // near-dup GROUP id (the shared CC labels), not the doc id, so
+    // near-duplicates can never straddle a split boundary — the
+    // held-out-contamination bug a per-doc hash split ships. Per-split
+    // counts plus the number of near-dup pairs crossing OUT of each
+    // split, which the oracle RECOMPUTES from its own pair graph + CC
+    // (a doc-keyed split would read nonzero there and hash-mismatch).
+    // Plan: one keyed label join, one split-keyed agg (countDistinct is
+    // map-side partially aggregated), and two doc-keyed joins of the
+    // pair set — nothing touches the driver.
+    "leakage_split" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val comp = sharedJaccardComp(s, dir)
+      val labeled = d.select(col("doc_id"))
+        .join(comp, d("doc_id") === comp("id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("group_id"))
+        .withColumn("split_id",
+          PolyHash.poly_hash(col("group_id").cast("string")) % 10)
+        .withColumn("split",
+          when(col("split_id") <= 7, "train")
+            .when(col("split_id") === 8, "val").otherwise("test"))
+      val summary = labeled.groupBy("split").agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct("group_id").as("n_groups"))
+      val pairs = sharedJaccardPairs(s, dir).select("id_a", "id_b")
+      val leaks = pairs
+        .join(labeled.select(col("doc_id").as("id_a"), col("split").as("sa")),
+          "id_a")
+        .join(labeled.select(col("doc_id").as("id_b"), col("split").as("sb")),
+          "id_b")
+        .where(col("sa") =!= col("sb"))
+        .groupBy(col("sa").as("split")).agg(count(lit(1)).as("lk"))
+      summary.join(leaks, Seq("split"), "left")
+        .select(col("split"), col("n_docs"), col("n_groups"),
+          coalesce(col("lk"), lit(0L)).as("leaked_pairs"))
+        .orderBy("split")
+    }),
+
     // Exact-substring span dedup (Lee et al. ACL'22) at 5-gram
     // resolution: per doc, the maximal token spans whose every 5-gram
     // also occurs elsewhere in the corpus — minus the corpus-wide first
@@ -1077,6 +1116,47 @@ object TextQueries {
          |SELECT d.doc_id, coalesce(c.gid, d.doc_id) AS group_id
          |FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
          |ORDER BY doc_id""".stripMargin,
+    // same jaccard graph + CC as dedup_groups; split = PolyHash(group)
+    // mod 10 → 8/1/1, leaks recomputed from the oracle's own pair set
+    "leakage_split" ->
+      s"""WITH RECURSIVE $sqlToks,
+         |$sqlShingles,
+         |$sqlShingleHashes,
+         |sizes AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+         |  FROM shh a JOIN shh b ON a.h = b.h AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |pairs AS (SELECT id_a, id_b FROM inter
+         |  JOIN sizes sa ON id_a = sa.doc_id
+         |  JOIN sizes sb ON id_b = sb.doc_id
+         |  WHERE round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6)
+         |    >= $JaccardTau),
+         |sym AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs),
+         |verts AS (SELECT DISTINCT src AS id FROM sym),
+         |walk(id, reach) AS (
+         |  SELECT id, id FROM verts
+         |  UNION
+         |  SELECT s.dst, w.reach FROM walk w JOIN sym s ON s.src = w.id),
+         |comp AS (SELECT id, min(reach) AS gid FROM walk GROUP BY id),
+         |lab AS (SELECT d.doc_id,
+         |    coalesce(c.gid, d.doc_id) AS group_id,
+         |    CASE WHEN ${sqlPolyHash("CAST(coalesce(c.gid, d.doc_id) AS VARCHAR)")} % 10 <= 7
+         |      THEN 'train'
+         |      WHEN ${sqlPolyHash("CAST(coalesce(c.gid, d.doc_id) AS VARCHAR)")} % 10 = 8
+         |      THEN 'val' ELSE 'test' END AS split
+         |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.id),
+         |summary AS (SELECT split, count(*) AS n_docs,
+         |    count(DISTINCT group_id) AS n_groups FROM lab GROUP BY split),
+         |leaks AS (SELECT la.split, count(*) AS lk
+         |  FROM pairs p JOIN lab la ON p.id_a = la.doc_id
+         |  JOIN lab lb ON p.id_b = lb.doc_id
+         |  WHERE la.split <> lb.split GROUP BY la.split)
+         |SELECT s.split, CAST(s.n_docs AS BIGINT) AS n_docs,
+         |  CAST(s.n_groups AS BIGINT) AS n_groups,
+         |  CAST(coalesce(l.lk, 0) AS BIGINT) AS leaked_pairs
+         |FROM summary s LEFT JOIN leaks l ON s.split = l.split
+         |ORDER BY s.split""".stripMargin,
     // starts replayed as the list range(1, n+1, stride); chunk_idx is
     // pure integer arithmetic ((start-1) div stride); list_slice clamps
     // the final short chunk exactly like Spark's slice

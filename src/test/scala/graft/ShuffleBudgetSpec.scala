@@ -225,7 +225,17 @@ class ShuffleBudgetSpec extends GraftSuite {
     "block_pairs" -> (7000L, 32000L),
     "compact_plan" -> (3400L, 16000L),
     "degree_hist" -> (580L, 2600L),
-    "assortativity" -> (460L, 2100L))
+    "assortativity" -> (460L, 2100L),
+    // round-8 closing pins — measured: link_predict 171,296 (the
+    // center-keyed wedge join + pair groupBy + anti-join; a blown budget
+    // means the wedge fan-out or the anti-join's key shape broke);
+    // ks_test 4,321 (per-value parity groupBy + PrefixScan range
+    // partition + TakeOrdered(1)); leakage_split 4,661 (the label join
+    // + split-keyed distinct agg + the two doc-keyed pair joins over the
+    // memoized jaccard graph)
+    "link_predict" -> (56000L, 260000L),
+    "ks_test" -> (1400L, 6600L),
+    "leakage_split" -> (1500L, 7100L))
 
   /** Memo keys to evict after the warm pass so the measured pass runs the
     * gate's build plan instead of reading a checkpoint. dedup_groups
