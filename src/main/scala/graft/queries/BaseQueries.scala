@@ -159,6 +159,28 @@ object BaseQueries {
         .orderBy(col("revenue_c2").desc, col("n_name"))
     }),
 
+    // TPC-H Q17 shape — the correlated aggregate subquery, decorrelated:
+    // "line items under 20% of their part's average quantity". The
+    // per-part average becomes a keyed aggregate joined back to the fact
+    // table on the SAME key: at gate SF the agg side broadcasts (the
+    // fact scan never shuffles — one exchange total, the agg's own);
+    // past the broadcast threshold it becomes a sort-merge join where
+    // both sides hash-partition on l_partkey, the co-located layout a
+    // bucketed table serves for free. The 0.2·avg threshold is compared
+    // in exact integers (qty·5·cnt < Σqty in centi-units), so no float
+    // ever decides membership.
+    "q12_small_qty" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem").select(col("l_partkey"),
+        floor(col("l_quantity") * 100).cast("long").as("q_c"),
+        floor(col("l_extendedprice") * 100).cast("long").as("price_c"))
+      val avgq = li.groupBy("l_partkey")
+        .agg(sum("q_c").as("sum_qc"), count(lit(1)).as("cnt"))
+      li.join(avgq, "l_partkey")
+        .where(col("q_c") * 5 * col("cnt") < col("sum_qc"))
+        .agg(count(lit(1)).as("n_items"),
+          sum("price_c").cast("long").as("revenue_c"))
+    }),
+
     // J1 (the reference's one join, made scalable): grid-blocked ε-neighborhood
     // self-join on (p_size, p_retailprice) points, exact L1 predicate — the
     // DuckDB oracle is the reference-faithful cartesian θ-join.
@@ -267,6 +289,17 @@ object BaseQueries {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
         |  AND o_orderdate < TIMESTAMP '1999-01-01'
         |GROUP BY n_name ORDER BY revenue_c2 DESC, n_name""".stripMargin,
+    "q12_small_qty" ->
+      """WITH li AS (SELECT l_partkey,
+        |    CAST(floor(l_quantity * 100) AS BIGINT) AS q_c,
+        |    CAST(floor(l_extendedprice * 100) AS BIGINT) AS price_c
+        |  FROM lineitem),
+        |a AS (SELECT l_partkey, CAST(sum(q_c) AS BIGINT) AS sum_qc,
+        |    CAST(count(*) AS BIGINT) AS cnt FROM li GROUP BY l_partkey)
+        |SELECT CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(sum(li.price_c) AS BIGINT) AS revenue_c
+        |FROM li JOIN a USING (l_partkey)
+        |WHERE li.q_c * 5 * a.cnt < a.sum_qc""".stripMargin,
     "q10_running" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,
         |  round(sum(l_extendedprice) OVER (PARTITION BY l_suppkey

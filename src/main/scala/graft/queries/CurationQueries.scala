@@ -390,6 +390,40 @@ object CurationQueries {
           .otherwise(500000L).as("auc_ppm"))
     }),
 
+    // Vocabulary growth curve (the Heaps'-law measurement behind "is
+    // more data still adding new phrases?") over word BIGRAMS — the
+    // unigram vocab of the synthetic corpus saturates in the first
+    // slice, so the bigram space is where growth is observable: the
+    // corpus in doc-id order split into 10 equal slices, each reporting
+    // the bigrams whose FIRST occurrence falls in it plus the running
+    // vocabulary size. Integer-exact end-to-end: first occurrence is a
+    // bigram-keyed min (map-side combined), the slice is integer
+    // arithmetic on (first·10) div n, and the 10-row cumulative closes
+    // over a broadcast triangle join on a literal decile spine — no
+    // window ever touches token-level data.
+    "vocab_growth" -> ((s, dir) => {
+      val n = docs(s, dir).agg((max("doc_id") + 1).as("n"))
+      val toks = docs(s, dir).select(col("doc_id"),
+        TF.tokens(col("text")).as("t"))
+      val grams = toks.select(col("doc_id"), explode(
+        when(size(col("t")) < 2, array().cast("array<string>"))
+          .otherwise(expr(
+            "transform(slice(t, 1, size(t) - 1), (x, i) -> concat(x, ' ', t[i + 1]))")))
+        .as("g"))
+      val first = grams.groupBy("g").agg(min("doc_id").as("fd"))
+      val slice = first.crossJoin(broadcast(n))
+        .select(expr("(fd * 10) div n").as("decile"))
+        .groupBy("decile").agg(count(lit(1)).as("c"))
+      val spine = s.range(10).select(col("id").as("decile"))
+      val filled = spine.join(slice, Seq("decile"), "left")
+        .select(col("decile"), coalesce(col("c"), lit(0L)).as("n_new_bigrams"))
+      val b = filled.select(col("decile").as("d2"), col("n_new_bigrams").as("c2"))
+      filled.join(broadcast(b), col("d2") <= col("decile"))
+        .groupBy("decile", "n_new_bigrams")
+        .agg(sum("c2").as("vocab_size"))
+        .orderBy("decile")
+    }),
+
     // Two-sample Kolmogorov–Smirnov distance between the doc-length
     // distributions of the corpus's two snapshot halves (doc_id parity —
     // the deterministic stand-in for snapshot ids), exact integers
@@ -1071,6 +1105,25 @@ object CurationQueries {
          |    THEN ((r2pos - np * (np + 1)) * 1000000) // (2 * np * nn)
          |    ELSE 500000 END AS BIGINT) AS auc_ppm
          |FROM a""".stripMargin,
+    "vocab_growth" ->
+      s"""WITH $sqlToks,
+         |sg AS (SELECT doc_id, unnest(CASE WHEN len(t) < 2
+         |      THEN CAST([] AS VARCHAR[])
+         |      ELSE list_transform(range(1, len(t)),
+         |        i -> t[i] || ' ' || t[i + 1]) END) AS g
+         |  FROM toks),
+         |n AS (SELECT max(doc_id) + 1 AS n FROM documents),
+         |f AS (SELECT g, min(doc_id) AS fd FROM sg GROUP BY g),
+         |sl AS (SELECT (fd * 10) // n.n AS decile, count(*) AS c
+         |  FROM f, n GROUP BY 1),
+         |spine AS (SELECT unnest(range(0, 10)) AS decile),
+         |filled AS (SELECT sp.decile,
+         |    CAST(coalesce(sl.c, 0) AS BIGINT) AS n_new_bigrams
+         |  FROM spine sp LEFT JOIN sl ON sp.decile = sl.decile)
+         |SELECT decile, n_new_bigrams,
+         |  CAST(sum(n_new_bigrams) OVER (ORDER BY decile) AS BIGINT)
+         |    AS vocab_size
+         |FROM filled ORDER BY decile""".stripMargin,
     // per-value parity counts, one window running sum over the value
     // domain (the oracle may window freely), argmax with (d desc, v)
     // tiebreak; every quantity integral until the single D division

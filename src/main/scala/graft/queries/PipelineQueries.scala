@@ -53,6 +53,8 @@ object PipelineQueries {
   private val SkipTopK = 50
   /** token_drift emitted rows. */
   private val DriftTopK = 25
+  /** event_paths emitted trigrams. */
+  private val PathTopN = 25
 
   /** QueryCache key of the shared BPE fit (ShuffleBudgetSpec evicts it
     * to pin the build plan). */
@@ -176,6 +178,24 @@ object PipelineQueries {
         .orderBy("from_type", "to_type")
     }),
 
+    // Journey path mining: the top event-type trigrams over each user's
+    // time-ordered stream — "what do users do next", three steps deep.
+    // One user-keyed double-lag window (ties broken by event_id), one
+    // map-side-combined trigram groupBy, TakeOrdered for the cut — the
+    // same scale shape as event_transitions, one lag deeper.
+    "event_paths" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+      table(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          col("event_type").as("e3"), unix_micros(col("ts")).as("us"))
+        .withColumn("e2", lag(col("e3"), 1).over(w))
+        .withColumn("e1", lag(col("e3"), 2).over(w))
+        .where(col("e1").isNotNull)
+        .groupBy("e1", "e2", "e3").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("e1"), col("e2"), col("e3"))
+        .limit(PathTopN)
+    }),
+
     // Retention cohort matrix: users grouped by first-seen day, counted
     // on each later active day offset — the activation/retention view
     // every event warehouse serves. distinct (user, day) → per-user min
@@ -244,6 +264,27 @@ object PipelineQueries {
             'ship_before_order', shipb) AS (check_name, n_violations)"""),
           col("n").as("n_checked"))
         .orderBy("check_name")
+    }),
+
+    // Column-level data profiling (the other half of validate_rows'
+    // dashboard): null count, distinct count, min/max per profiled
+    // column — all columns in ONE scan via a melt (explode of
+    // (name, value) structs) and one 4-key map-side-combined groupBy,
+    // so adding a profiled column never adds a scan. min/max carry the
+    // raw values (no arithmetic), so the row is exact cross-engine.
+    "profile_columns" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem")
+      def m(name: String) =
+        struct(lit(name).as("col_name"), col(name).cast("double").as("v"))
+      li.select(explode(array(m("l_quantity"), m("l_extendedprice"),
+          m("l_discount"), m("l_suppkey"))).as("mm"))
+        .select(col("mm.col_name"), col("mm.v"))
+        .groupBy("col_name")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("v").isNull.cast("long")).as("n_null"),
+          countDistinct("v").as("n_distinct"),
+          min("v").as("min_v"), max("v").as("max_v"))
+        .orderBy("col_name")
     }),
 
     // Cross-source duplication matrix: how many distinct word-bigram
@@ -919,6 +960,34 @@ object PipelineQueries {
         |  (c.cnt * 1000000) // t.tot AS p_ppm
         |FROM c JOIN t USING (from_type)
         |ORDER BY from_type, to_type""".stripMargin,
+    "event_paths" ->
+      s"""WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+         |  FROM events),
+         |s AS (SELECT event_type AS e3,
+         |    lag(event_type, 1) OVER (PARTITION BY user_id
+         |      ORDER BY us, event_id) AS e2,
+         |    lag(event_type, 2) OVER (PARTITION BY user_id
+         |      ORDER BY us, event_id) AS e1
+         |  FROM e)
+         |SELECT e1, e2, e3, CAST(count(*) AS BIGINT) AS n
+         |FROM s WHERE e1 IS NOT NULL GROUP BY 1, 2, 3
+         |ORDER BY n DESC, e1, e2, e3 LIMIT $PathTopN""".stripMargin,
+    "profile_columns" ->
+      """WITH p AS (
+        |  SELECT 'l_quantity' AS col_name, CAST(l_quantity AS DOUBLE) AS v
+        |    FROM lineitem
+        |  UNION ALL SELECT 'l_extendedprice', CAST(l_extendedprice AS DOUBLE)
+        |    FROM lineitem
+        |  UNION ALL SELECT 'l_discount', CAST(l_discount AS DOUBLE)
+        |    FROM lineitem
+        |  UNION ALL SELECT 'l_suppkey', CAST(l_suppkey AS DOUBLE)
+        |    FROM lineitem)
+        |SELECT col_name, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_null,
+        |  CAST(count(DISTINCT v) AS BIGINT) AS n_distinct,
+        |  min(v) AS min_v, max(v) AS max_v
+        |FROM p GROUP BY col_name ORDER BY col_name""".stripMargin,
     "retention_cohorts" ->
       """WITH d AS (SELECT DISTINCT user_id,
         |    epoch_us(ts) // 86400000000 AS day FROM events),

@@ -235,7 +235,20 @@ class ShuffleBudgetSpec extends GraftSuite {
     // memoized jaccard graph)
     "link_predict" -> (56000L, 260000L),
     "ks_test" -> (1400L, 6600L),
-    "leakage_split" -> (1500L, 7100L))
+    "leakage_split" -> (1500L, 7100L),
+    // measured: q12_small_qty 25,224 (the per-part aggregate's one
+    // l_partkey exchange; the join back rides a broadcast of the agg, so
+    // the fact scan never shuffles — a regression to a fact-side
+    // exchange blows this); vocab_growth 15,180 (bigram-keyed
+    // first-occurrence groupBy + the 10-row decile agg); event_paths
+    // 201,817 (the one user-keyed double-lag window + trigram groupBy);
+    // profile_columns 310 (the melt is a projection — only the 4-key
+    // profile agg shuffles; a blown budget means the one-scan melt
+    // regressed to per-column scans)
+    "q12_small_qty" -> (8400L, 38000L),
+    "vocab_growth" -> (5000L, 23000L),
+    "event_paths" -> (67000L, 305000L),
+    "profile_columns" -> (100L, 1500L))
 
   /** Memo keys to evict after the warm pass so the measured pass runs the
     * gate's build plan instead of reading a checkpoint. dedup_groups
