@@ -162,4 +162,34 @@ class TraversalsSpec extends GraftSuite {
     val expected = verts.map(v => v -> naive.getOrElse(v, 0L)).toMap
     assert(fast == expected)
   }
+
+  test("linkPredict matches a brute common-neighbor/RA enumeration") {
+    val rnd = new scala.util.Random(11)
+    val edges = Seq.fill(200)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+      .filter { case (a, b) => a != b }
+    val got = Traversals.linkPredict(edges.toDF("src", "dst"))
+      .as[(Long, Long, Long, Long)].collect()
+      .map { case (a, b, cn, ra) => (a, b) -> ((cn, ra)) }.toMap
+
+    val ce = edges.map { case (a, b) => (a min b, a max b) }.distinct
+    val adj = (ce ++ ce.map(_.swap)).groupBy(_._1)
+      .map { case (v, es) => v -> es.map(_._2).toSet }
+    val deg = adj.map { case (v, ns) => v -> ns.size.toLong }
+    val ceSet = ce.toSet
+    val vs = adj.keys.toSeq.sorted
+    val expected = (for {
+      a <- vs; b <- vs if a < b && !ceSet((a, b))
+      common = adj(a).intersect(adj(b)) if common.nonEmpty
+    } yield (a, b) -> ((common.size.toLong,
+      common.toSeq.map(w => 1000000L / deg(w)).sum))).toMap
+    assert(got == expected)
+  }
+
+  test("linkPredict excludes adjacent pairs and handles the empty graph") {
+    // triangle: every 2-hop pair is already an edge -> nothing predicted
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L))
+    assert(Traversals.linkPredict(tri.toDF("src", "dst")).count() == 0)
+    assert(Traversals.linkPredict(
+      Seq.empty[(Long, Long)].toDF("src", "dst")).count() == 0)
+  }
 }
