@@ -424,6 +424,37 @@ object CurationQueries {
         .orderBy("decile")
     }),
 
+    // Robust per-source scaling statistics (median + MAD — the outlier-
+    // resistant siblings of anomaly_flags' moment z-scores): both are
+    // EXACT lower-medians picked by rank (rk = (n+1) div 2), so every
+    // reported value is a corpus member, not an interpolation —
+    // deterministic and hashable in any engine. Two rank passes (values,
+    // then absolute deviations from the per-source median), each a
+    // source-keyed window + a 20-row broadcast back; work distributes
+    // over sources, skew ceiling = largest single source.
+    "robust_scale" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("source"), col("doc_id"),
+        col("n_chars"))
+      val w1 = Window.partitionBy("source")
+        .orderBy(col("n_chars"), col("doc_id"))
+      val cw = Window.partitionBy("source")
+      val med = d.withColumn("rk", row_number().over(w1).cast("long"))
+        .withColumn("n", count(lit(1)).over(cw))
+        .where(expr("rk = (n + 1) div 2"))
+        .select(col("source"), col("n").as("n_docs"),
+          col("n_chars").as("med_chars"))
+      val dev = d.join(broadcast(med), Seq("source"))
+        .select(col("source"), col("doc_id"), col("n_docs"),
+          col("med_chars"),
+          abs(col("n_chars") - col("med_chars")).as("ad"))
+      val w2 = Window.partitionBy("source").orderBy(col("ad"), col("doc_id"))
+      dev.withColumn("rk", row_number().over(w2).cast("long"))
+        .where(expr("rk = (n_docs + 1) div 2"))
+        .select(col("source"), col("n_docs"), col("med_chars"),
+          col("ad").as("mad_chars"))
+        .orderBy("source")
+    }),
+
     // Two-sample Kolmogorov–Smirnov distance between the doc-length
     // distributions of the corpus's two snapshot halves (doc_id parity —
     // the deterministic stand-in for snapshot ids), exact integers
@@ -1124,6 +1155,23 @@ object CurationQueries {
          |  CAST(sum(n_new_bigrams) OVER (ORDER BY decile) AS BIGINT)
          |    AS vocab_size
          |FROM filled ORDER BY decile""".stripMargin,
+    "robust_scale" ->
+      """WITH r AS (SELECT source, doc_id, n_chars,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars, doc_id) AS BIGINT) AS rk,
+        |    CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
+        |  FROM documents),
+        |med AS (SELECT source, n AS n_docs, n_chars AS med_chars FROM r
+        |  WHERE rk = (n + 1) // 2),
+        |dev AS (SELECT d.source, d.doc_id, m.n_docs, m.med_chars,
+        |    abs(d.n_chars - m.med_chars) AS ad
+        |  FROM documents d JOIN med m USING (source)),
+        |r2 AS (SELECT source, n_docs, med_chars, ad,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY ad, doc_id) AS BIGINT) AS rk
+        |  FROM dev)
+        |SELECT source, n_docs, med_chars, ad AS mad_chars FROM r2
+        |WHERE rk = (n_docs + 1) // 2 ORDER BY source""".stripMargin,
     // per-value parity counts, one window running sum over the value
     // domain (the oracle may window freely), argmax with (d desc, v)
     // tiebreak; every quantity integral until the single D division

@@ -206,6 +206,50 @@ object EventQueries {
         .agg(count(lit(1)).as("n_purchases"),
           sum("cents").cast("long").as("attributed_cents"))
         .orderBy("first_type")
+    }),
+
+    // Multi-touch attribution over the same gap sessions: every
+    // non-purchase touch in a purchasing session shares the session's
+    // purchase cents under two standard position models — linear
+    // (1/n each) and U-shaped (40/20/40: first and last 400000 ppm,
+    // middles splitting 200000) — with every weight an INTEGER ppm
+    // (1000000 div n), so credit sums are exact in any engine and any
+    // summation order. One (user, session)-keyed position window, one
+    // keyed join of the per-session purchase totals, one tiny-key
+    // groupBy; same scale shape as attribution.
+    "attribution_multi" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val gapUs = GapMinutes * 60L * 1000000L
+      val e = events(s, dir).withColumn("us", unix_micros(col("ts")))
+      val wUser = Window.partitionBy("user_id").orderBy("us", "event_id")
+      val flagged = e
+        .withColumn("prev", lag("us", 1).over(wUser))
+        .withColumn("new_s",
+          when(col("prev").isNull || col("us") - col("prev") > gapUs, 1)
+            .otherwise(0))
+        .withColumn("sid", sum("new_s").over(wUser
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val purchases = flagged.where(col("event_type") === "purchase")
+        .groupBy("user_id", "sid")
+        .agg(sum(floor(col("value") * 100).cast("long")).as("cents"))
+      val wSess = Window.partitionBy("user_id", "sid")
+        .orderBy("us", "event_id")
+      val cSess = Window.partitionBy("user_id", "sid")
+      val pos = flagged.where(col("event_type") =!= "purchase")
+        .withColumn("pos", row_number().over(wSess).cast("long"))
+        .withColumn("n", count(lit(1)).over(cSess))
+      pos.join(purchases, Seq("user_id", "sid"))
+        .withColumn("lin_ppm", expr("1000000L div n"))
+        .withColumn("u_ppm",
+          when(col("n") === 1, lit(1000000L))
+            .when(col("n") === 2, lit(500000L))
+            .when(col("pos") === 1 || col("pos") === col("n"), lit(400000L))
+            .otherwise(expr("200000L div (n - 2)")))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_touches"),
+          sum(col("lin_ppm") * col("cents")).cast("long").as("linear_credit"),
+          sum(col("u_ppm") * col("cents")).cast("long").as("ushape_credit"))
+        .orderBy("event_type")
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -332,5 +376,35 @@ object EventQueries {
          |  CAST(sum(p.cents) AS BIGINT) AS attributed_cents
          |FROM p JOIN firsts fi
          |  ON p.user_id = fi.user_id AND p.sid = fi.sid
-         |GROUP BY fi.first_type ORDER BY fi.first_type""".stripMargin)
+         |GROUP BY fi.first_type ORDER BY fi.first_type""".stripMargin,
+    "attribution_multi" ->
+      s"""WITH e AS (SELECT event_id, user_id, event_type, value,
+         |    epoch_us(ts) AS us FROM events),
+         |g AS (SELECT *, lag(us) OVER (
+         |    PARTITION BY user_id ORDER BY us, event_id) AS prev FROM e),
+         |f AS (SELECT *, CASE WHEN prev IS NULL
+         |      OR us - prev > ${GapMinutes * 60L * 1000000L}
+         |      THEN 1 ELSE 0 END AS new_s FROM g),
+         |sess AS (SELECT *, sum(new_s) OVER (
+         |    PARTITION BY user_id ORDER BY us, event_id
+         |    ROWS UNBOUNDED PRECEDING) AS sid FROM f),
+         |p AS (SELECT user_id, sid,
+         |    CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+         |  FROM sess WHERE event_type = 'purchase' GROUP BY user_id, sid),
+         |t AS (SELECT user_id, sid, event_type,
+         |    CAST(row_number() OVER (PARTITION BY user_id, sid
+         |      ORDER BY us, event_id) AS BIGINT) AS pos,
+         |    CAST(count(*) OVER (PARTITION BY user_id, sid) AS BIGINT) AS n
+         |  FROM sess WHERE event_type <> 'purchase'),
+         |wt AS (SELECT t.event_type, p.cents,
+         |    1000000 // t.n AS lin_ppm,
+         |    CASE WHEN t.n = 1 THEN 1000000
+         |         WHEN t.n = 2 THEN 500000
+         |         WHEN t.pos = 1 OR t.pos = t.n THEN 400000
+         |         ELSE 200000 // (t.n - 2) END AS u_ppm
+         |  FROM t JOIN p ON t.user_id = p.user_id AND t.sid = p.sid)
+         |SELECT event_type, count(*) AS n_touches,
+         |  CAST(sum(lin_ppm * cents) AS BIGINT) AS linear_credit,
+         |  CAST(sum(u_ppm * cents) AS BIGINT) AS ushape_credit
+         |FROM wt GROUP BY event_type ORDER BY event_type""".stripMargin)
 }

@@ -248,7 +248,13 @@ class ShuffleBudgetSpec extends GraftSuite {
     "q12_small_qty" -> (8400L, 38000L),
     "vocab_growth" -> (5000L, 23000L),
     "event_paths" -> (67000L, 305000L),
-    "profile_columns" -> (100L, 1500L))
+    "profile_columns" -> (100L, 1500L),
+    // attribution_multi 197,574 (the user-keyed session window + the
+    // (user, session) position window + purchase join — same order as
+    // attribution); robust_scale 15,123 (two source-keyed rank windows;
+    // the 20-row median table broadcasts back)
+    "attribution_multi" -> (65000L, 300000L),
+    "robust_scale" -> (5000L, 23000L))
 
   /** Memo keys to evict after the warm pass so the measured pass runs the
     * gate's build plan instead of reading a checkpoint. dedup_groups
