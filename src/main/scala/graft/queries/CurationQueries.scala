@@ -57,6 +57,19 @@ object CurationQueries {
   private def docs(s: SparkSession, dir: String): DataFrame =
     table(s, dir, "documents")
 
+  /** (doc_id, g) word-bigram stream — vocab_growth's and doc_novelty's
+    * shared extraction (a zero-shuffle projection + explode; cheap
+    * enough that each gate builds its own rather than memoizing). */
+  private def bigrams(s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir).select(col("doc_id"),
+      TF.tokens(col("text")).as("t"))
+    toks.select(col("doc_id"), explode(
+        when(size(col("t")) < 2, array().cast("array<string>"))
+          .otherwise(expr(
+            "transform(slice(t, 1, size(t) - 1), (x, i) -> concat(x, ' ', t[i + 1]))")))
+      .as("g"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // C4-style intra-document line dedup (TextFunctions.dedupLines): a
     // pure per-row projection — no shuffle at any corpus size. The
@@ -403,14 +416,7 @@ object CurationQueries {
     // window ever touches token-level data.
     "vocab_growth" -> ((s, dir) => {
       val n = docs(s, dir).agg((max("doc_id") + 1).as("n"))
-      val toks = docs(s, dir).select(col("doc_id"),
-        TF.tokens(col("text")).as("t"))
-      val grams = toks.select(col("doc_id"), explode(
-        when(size(col("t")) < 2, array().cast("array<string>"))
-          .otherwise(expr(
-            "transform(slice(t, 1, size(t) - 1), (x, i) -> concat(x, ' ', t[i + 1]))")))
-        .as("g"))
-      val first = grams.groupBy("g").agg(min("doc_id").as("fd"))
+      val first = bigrams(s, dir).groupBy("g").agg(min("doc_id").as("fd"))
       val slice = first.crossJoin(broadcast(n))
         .select(expr("(fd * 10) div n").as("decile"))
         .groupBy("decile").agg(count(lit(1)).as("c"))
@@ -422,6 +428,24 @@ object CurationQueries {
         .groupBy("decile", "n_new_bigrams")
         .agg(sum("c2").as("vocab_size"))
         .orderBy("decile")
+    }),
+
+    // Per-document novelty: what fraction of a doc's word bigrams first
+    // appear in THAT doc (doc-id order = ingestion order) — the "is this
+    // doc adding anything" signal dedup-aware sampling weights by, and
+    // vocab_growth's per-doc twin. Integer-exact: first occurrence is a
+    // bigram-keyed min, the join back is bigram-keyed, novelty is an
+    // integer ppm division. Docs without a bigram are absent by
+    // definition (mirrored in the oracle).
+    "doc_novelty" -> ((s, dir) => {
+      val g = bigrams(s, dir)
+      val first = g.groupBy("g").agg(min("doc_id").as("fd"))
+      g.join(first, "g")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum((col("fd") === col("doc_id")).cast("long")).as("n_novel"))
+        .withColumn("novel_ppm", expr("n_novel * 1000000 div n_bigrams"))
+        .orderBy("doc_id")
     }),
 
     // Robust per-source scaling statistics (median + MAD — the outlier-
@@ -1155,6 +1179,21 @@ object CurationQueries {
          |  CAST(sum(n_new_bigrams) OVER (ORDER BY decile) AS BIGINT)
          |    AS vocab_size
          |FROM filled ORDER BY decile""".stripMargin,
+    "doc_novelty" ->
+      s"""WITH $sqlToks,
+         |sg AS (SELECT doc_id, unnest(CASE WHEN len(t) < 2
+         |      THEN CAST([] AS VARCHAR[])
+         |      ELSE list_transform(range(1, len(t)),
+         |        i -> t[i] || ' ' || t[i + 1]) END) AS g
+         |  FROM toks),
+         |f AS (SELECT g, min(doc_id) AS fd FROM sg GROUP BY g)
+         |SELECT sg.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |  CAST(sum(CASE WHEN f.fd = sg.doc_id THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_novel,
+         |  CAST((CAST(sum(CASE WHEN f.fd = sg.doc_id THEN 1 ELSE 0 END)
+         |    AS BIGINT) * 1000000) // count(*) AS BIGINT) AS novel_ppm
+         |FROM sg JOIN f USING (g) GROUP BY sg.doc_id
+         |ORDER BY sg.doc_id""".stripMargin,
     "robust_scale" ->
       """WITH r AS (SELECT source, doc_id, n_chars,
         |    CAST(row_number() OVER (PARTITION BY source

@@ -254,7 +254,10 @@ class ShuffleBudgetSpec extends GraftSuite {
     // attribution); robust_scale 15,123 (two source-keyed rank windows;
     // the 20-row median table broadcasts back)
     "attribution_multi" -> (65000L, 300000L),
-    "robust_scale" -> (5000L, 23000L))
+    "robust_scale" -> (5000L, 23000L),
+    // doc_novelty 15,783 (the bigram-keyed first-occurrence groupBy +
+    // bigram-keyed join back + doc-keyed agg — all three keyed)
+    "doc_novelty" -> (5200L, 24000L))
 
   /** Memo keys to evict after the warm pass so the measured pass runs the
     * gate's build plan instead of reading a checkpoint. dedup_groups
