@@ -430,6 +430,33 @@ object CurationQueries {
         .orderBy("decile")
     }),
 
+    // Classifier calibration bins (the reliability diagram behind
+    // quality_auc's single number): docs ranked by quality via the same
+    // distinct-score PrefixScan rank table, split into 10 equal-RANK
+    // bins (score ties share a bin by minrank, so the cut is
+    // deterministic), each reporting size, positive count, positive
+    // rate in integer ppm, and the exact score span (raw member values,
+    // no interpolation). Integer arithmetic end-to-end; the rank table
+    // and the 1-row total ride as broadcasts.
+    "calibration_bins" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"),
+        (col("lang") === DsirLang).cast("long").as("pos"),
+        TF.qualityScore(col("text")).as("q"))
+      val sc = d.groupBy("q").agg(count(lit(1)).as("cnt"))
+      val ranked = graft.operators.PrefixScan.exclusiveCumsum(
+          sc.withColumn("__all", lit(1)), "__all", Seq("q"), "cnt", "cum",
+          numParts = s.sparkContext.defaultParallelism)
+        .select(col("q"), (col("cum") + 1).as("minrank"))
+      val nTot = d.agg(count(lit(1)).as("nt"))
+      d.join(broadcast(ranked), Seq("q")).crossJoin(broadcast(nTot))
+        .withColumn("bin", expr("((minrank - 1) * 10) div nt"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_docs"), sum("pos").as("n_pos"),
+          min("q").as("min_q"), max("q").as("max_q"))
+        .withColumn("pos_ppm", expr("n_pos * 1000000 div n_docs"))
+        .orderBy("bin")
+    }),
+
     // Per-document novelty: what fraction of a doc's word bigrams first
     // appear in THAT doc (doc-id order = ingestion order) — the "is this
     // doc adding anything" signal dedup-aware sampling weights by, and
@@ -1179,6 +1206,23 @@ object CurationQueries {
          |  CAST(sum(n_new_bigrams) OVER (ORDER BY decile) AS BIGINT)
          |    AS vocab_size
          |FROM filled ORDER BY decile""".stripMargin,
+    // rank() (= minrank over ties) reproduces the PrefixScan cum+1
+    "calibration_bins" ->
+      s"""WITH $sqlToks,
+         |qq AS (SELECT doc_id, $sqlQuality AS q FROM toks),
+         |j AS (SELECT d.doc_id,
+         |    CASE WHEN d.lang = '$DsirLang' THEN 1 ELSE 0 END AS pos, qq.q
+         |  FROM documents d JOIN qq ON d.doc_id = qq.doc_id),
+         |r AS (SELECT pos, q,
+         |    CAST(rank() OVER (ORDER BY q) AS BIGINT) AS minrank,
+         |    CAST(count(*) OVER () AS BIGINT) AS nt FROM j),
+         |b AS (SELECT ((minrank - 1) * 10) // nt AS bin, pos, q FROM r)
+         |SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(pos) AS BIGINT) AS n_pos,
+         |  min(q) AS min_q, max(q) AS max_q,
+         |  CAST((CAST(sum(pos) AS BIGINT) * 1000000) // count(*) AS BIGINT)
+         |    AS pos_ppm
+         |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
     "doc_novelty" ->
       s"""WITH $sqlToks,
          |sg AS (SELECT doc_id, unnest(CASE WHEN len(t) < 2

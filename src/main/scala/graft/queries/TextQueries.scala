@@ -480,6 +480,37 @@ object TextQueries {
         .orderBy("rank")
     }),
 
+    // Retrieval-evaluation MRR over deterministic qrels: for each query
+    // term the "relevant" doc is the lowest-id doc containing it (a
+    // synthetic but fully reproducible qrel), the ranking is
+    // tf-retrieval ((tf desc, doc_id) over the term's postings), and
+    // the reciprocal rank is integer ppm (1e6 div rank). The relevant
+    // doc's rank is COUNTED (one conditional agg over the postings),
+    // never materialized as a rank window — per-term work is one keyed
+    // postings groupBy + a |terms|-row broadcast join, linear in
+    // postings at any corpus size.
+    "mrr_eval" -> ((s, dir) => {
+      val postings = docs(s, dir)
+        .select(col("doc_id"), explode(TF.tokens(col("text"))).as("token"))
+        .where(col("token").isin(Bm25Terms: _*))
+        .groupBy("token", "doc_id").agg(count(lit(1)).as("tf"))
+      val rel = postings.groupBy("token").agg(min("doc_id").as("rel_id"))
+      val relTf = postings.alias("p")
+        .join(broadcast(rel.alias("r")),
+          col("p.token") === col("r.token") &&
+            col("p.doc_id") === col("r.rel_id"))
+        .select(col("p.token").as("token"), col("r.rel_id").as("rel_id"),
+          col("p.tf").as("rel_tf"))
+      postings.join(broadcast(relTf), Seq("token"))
+        .groupBy("token")
+        .agg(count(lit(1)).as("n_matching"),
+          (sum(when(col("tf") > col("rel_tf"), 1L).otherwise(0L)) + 1)
+            .as("rel_rank"),
+          max("rel_id").as("rel_id"))
+        .withColumn("rr_ppm", expr("1000000 div rel_rank"))
+        .orderBy("token")
+    }),
+
     // the operator a dedup pipeline actually ends with: near-dup PAIRS →
     // connected components → one group id (min member) per document;
     // singletons are their own group. Composes Dedup.jaccardPairs with
@@ -960,6 +991,27 @@ object TextQueries {
     // 6dp weights lifted to exact integers (round(w·10⁶) → BIGINT, both
     // engines round-half-away on the non-negative weights, then the cast
     // is exact) → order-free integer sum → one division + 6dp round
+    // rank of the relevant (lowest-id) doc under (tf desc, doc_id) =
+    // 1 + |{tf > rel_tf}| — the tie clause vanishes because no matching
+    // doc has a smaller id than the qrel by construction
+    "mrr_eval" -> {
+      val termList = Bm25Terms.map(t => s"'$t'").mkString("(", ", ", ")")
+      s"""WITH $sqlToks,
+         |tok AS (SELECT doc_id, unnest(t) AS token FROM toks),
+         |p AS (SELECT token, doc_id, CAST(count(*) AS BIGINT) AS tf
+         |  FROM tok WHERE token IN $termList GROUP BY 1, 2),
+         |rel AS (SELECT token, min(doc_id) AS rel_id FROM p GROUP BY 1),
+         |rt AS (SELECT p.token, r.rel_id, p.tf AS rel_tf
+         |  FROM p JOIN rel r ON p.token = r.token AND p.doc_id = r.rel_id),
+         |a AS (SELECT p.token, CAST(count(*) AS BIGINT) AS n_matching,
+         |    CAST(sum(CASE WHEN p.tf > rt.rel_tf THEN 1 ELSE 0 END) + 1
+         |      AS BIGINT) AS rel_rank,
+         |    max(rt.rel_id) AS rel_id
+         |  FROM p JOIN rt USING (token) GROUP BY p.token)
+         |SELECT token, n_matching, rel_rank, rel_id,
+         |  CAST(1000000 // rel_rank AS BIGINT) AS rr_ppm
+         |FROM a ORDER BY token""".stripMargin
+    },
     "bm25_adhoc" -> {
       val termList = Bm25Terms.map(t => s"'$t'").mkString("(", ", ", ")")
       s"""WITH $sqlToks,

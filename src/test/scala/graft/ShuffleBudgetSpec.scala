@@ -257,7 +257,14 @@ class ShuffleBudgetSpec extends GraftSuite {
     "robust_scale" -> (5000L, 23000L),
     // doc_novelty 15,783 (the bigram-keyed first-occurrence groupBy +
     // bigram-keyed join back + doc-keyed agg — all three keyed)
-    "doc_novelty" -> (5200L, 24000L))
+    "doc_novelty" -> (5200L, 24000L),
+    // mrr_eval 21,269 (the filtered (term, doc) postings groupBy + the
+    // 3-row qrel broadcasts — a blown budget means the term filter
+    // stopped pruning the explode); calibration_bins 4,449
+    // (distinct-score count agg + PrefixScan range partition + the
+    // 10-key bin agg; the rank table broadcasts)
+    "mrr_eval" -> (7000L, 32000L),
+    "calibration_bins" -> (1400L, 6700L))
 
   /** Memo keys to evict after the warm pass so the measured pass runs the
     * gate's build plan instead of reading a checkpoint. dedup_groups
