@@ -23,6 +23,8 @@ object TextQueries {
   private val Bands = 16
   private val Rows = 4
   private val P = PolyHash.Prime
+  /** tau_sweep threshold grid (all ≥ the JaccardTau candidate floor). */
+  private val TauGrid = Seq(0.3, 0.4, 0.5, 0.6)
   private val QualityMin = 0.5
   private val SeqLen = 2048
   private val ChunkLen = 16
@@ -478,6 +480,44 @@ object TextQueries {
           "text", Bm25Terms, Bm25TopN, Bm25K1, Bm25B)
         .select(col("doc_id"), col("score"), col("rank"))
         .orderBy("rank")
+    }),
+
+    // Dedup threshold tuning curve: pair count and affected-doc count at
+    // each candidate Jaccard tau — the sweep a pipeline runs before
+    // committing to a threshold. Every leg is a FILTER over the memoized
+    // pair set (computed once at the 0.3 floor; J >= tau' ⟹ J >= tau
+    // for tau' > tau, the same hoist dbscan_sweep uses for ε), so the
+    // whole curve costs one candidate join at any corpus size.
+    // Comparisons are on the 6dp-rounded jaccard in both engines.
+    "tau_sweep" -> ((s, dir) => {
+      val pairs = sharedJaccardPairs(s, dir)
+        .select("id_a", "id_b", "jaccard")
+      TauGrid.map { tau =>
+        val p = pairs.where(col("jaccard") >= tau)
+        val affected = p.select(col("id_a").as("id"))
+          .union(p.select(col("id_b").as("id")))
+        p.agg(count(lit(1)).as("n_pairs"))
+          .crossJoin(affected.agg(
+            countDistinct("id").as("n_docs_affected")))
+          .select(lit(math.round(tau * 100).toInt).as("tau_pct"),
+            col("n_pairs"), col("n_docs_affected"))
+      }.reduce(_.unionByName(_)).orderBy("tau_pct")
+    }),
+
+    // Near-dup group-size histogram over the dedup components
+    // (singletons included) — the cluster-blowup diagnostic read next to
+    // degree_hist: a fat tail here is a template cluster about to
+    // dominate the keep-one pass. Two keyed map-side-combined
+    // aggregations over the shared labels.
+    "dup_size_hist" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val comp = sharedJaccardComp(s, dir)
+      d.select(col("doc_id"))
+        .join(comp, d("doc_id") === comp("id"), "left")
+        .select(coalesce(col("component"), col("doc_id")).as("group_id"))
+        .groupBy("group_id").agg(count(lit(1)).as("gsize"))
+        .groupBy("gsize").agg(count(lit(1)).as("n_groups"))
+        .orderBy("gsize")
     }),
 
     // Retrieval-evaluation MRR over deterministic qrels: for each query
@@ -991,6 +1031,63 @@ object TextQueries {
     // 6dp weights lifted to exact integers (round(w·10⁶) → BIGINT, both
     // engines round-half-away on the non-negative weights, then the cast
     // is exact) → order-free integer sum → one division + 6dp round
+    // one shared pair CTE, one leg per tau over the rounded jaccard
+    "tau_sweep" -> {
+      val legs = TauGrid.map { tau =>
+        val pct = math.round(tau * 100).toInt
+        s"""SELECT $pct AS tau_pct,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM pj WHERE j >= $tau)
+           |    AS n_pairs,
+           |  (SELECT CAST(count(DISTINCT id) AS BIGINT) FROM (
+           |     SELECT id_a AS id FROM pj WHERE j >= $tau
+           |     UNION ALL SELECT id_b FROM pj WHERE j >= $tau))
+           |    AS n_docs_affected""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH $sqlToks,
+         |$sqlShingles,
+         |$sqlShingleHashes,
+         |sizes AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+         |  FROM shh a JOIN shh b ON a.h = b.h AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |pj AS (SELECT id_a, id_b,
+         |    round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) AS j
+         |  FROM inter JOIN sizes sa ON id_a = sa.doc_id
+         |  JOIN sizes sb ON id_b = sb.doc_id
+         |  WHERE round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6)
+         |    >= $JaccardTau)
+         |$legs
+         |ORDER BY tau_pct""".stripMargin
+    },
+    // dedup_groups' component CTE aggregated twice: group -> size ->
+    // size histogram, singletons included via the left join
+    "dup_size_hist" ->
+      s"""WITH RECURSIVE $sqlToks,
+         |$sqlShingles,
+         |$sqlShingleHashes,
+         |sizes AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+         |  FROM shh a JOIN shh b ON a.h = b.h AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |pairs AS (SELECT id_a, id_b FROM inter
+         |  JOIN sizes sa ON id_a = sa.doc_id
+         |  JOIN sizes sb ON id_b = sb.doc_id
+         |  WHERE round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6)
+         |    >= $JaccardTau),
+         |sym AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs),
+         |verts AS (SELECT DISTINCT src AS id FROM sym),
+         |walk(id, reach) AS (
+         |  SELECT id, id FROM verts
+         |  UNION
+         |  SELECT s.dst, w.reach FROM walk w JOIN sym s ON s.src = w.id),
+         |comp AS (SELECT id, min(reach) AS gid FROM walk GROUP BY id),
+         |lab AS (SELECT d.doc_id, coalesce(c.gid, d.doc_id) AS group_id
+         |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.id),
+         |gs AS (SELECT group_id, CAST(count(*) AS BIGINT) AS gsize
+         |  FROM lab GROUP BY group_id)
+         |SELECT gsize, CAST(count(*) AS BIGINT) AS n_groups
+         |FROM gs GROUP BY gsize ORDER BY gsize""".stripMargin,
     // rank of the relevant (lowest-id) doc under (tf desc, doc_id) =
     // 1 + |{tf > rel_tf}| — the tie clause vanishes because no matching
     // doc has a smaller id than the qrel by construction

@@ -20,6 +20,8 @@ object VectorQueries {
   private val NProbe = 3
   /** knn_graph neighbors per vector. */
   private val KnnK = 3
+  /** ivf_nprobe_curve sweeps nprobe 1..NProbeMax. */
+  private val NProbeMax = 4
   /** ann_refine first-stage (ADC) candidate count per query. */
   private val RefineN = 50
 
@@ -267,6 +269,36 @@ object VectorQueries {
       val idx = SimilaritySearch.ivfIndexFixed(e, "vec_id", "embedding", cents)
       idx.search(e.where(col("vec_id") < NQueries), "vec_id", "embedding",
         TopK, nprobe = NProbe).orderBy("q_id", "rank")
+    }),
+
+    // The nprobe tuning curve for fixed-quantizer IVF — recall@k vs
+    // probe count, the plot an ANN deployment is tuned from — fully
+    // VALUE-exact (unlike the Lloyd gates' contract rows) because the
+    // quantizer is ann_ivf_fixed's: deterministic fixed centroids make
+    // probing, ranking, and the brute cross-check all SQL-expressible.
+    // Recall is integer ppm over the constant q·k denominator; the
+    // curve is monotone by construction (probe sets nest). Each leg
+    // reuses the same index; candidate work stays bucket-bounded.
+    "ivf_nprobe_curve" -> ((s, dir) => {
+      val e = embs(s, dir).where(col("vec_id") < BruteCap)
+      val q = e.where(col("vec_id") < NQueries)
+      val cents = e.where(col("vec_id") < NList)
+        .select(col("vec_id").cast("int"),
+          col("embedding").cast("array<double>"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+      val idx = SimilaritySearch.ivfIndexFixed(e, "vec_id", "embedding",
+        cents)
+      val brute = SimilaritySearch.cosineTopK(e, q, "vec_id", "embedding",
+        TopK).select(col("q_id"), col("id"))
+      (1 to NProbeMax).map { np =>
+        idx.search(q, "vec_id", "embedding", TopK, nprobe = np)
+          .join(brute, Seq("q_id", "id"), "left_semi")
+          .agg(count(lit(1)).as("n_hits"))
+          .select(lit(np).as("nprobe"), col("n_hits"),
+            expr(s"n_hits * 1000000 div ${NQueries * TopK}")
+              .as("recall_ppm"))
+      }.reduce(_.unionByName(_)).orderBy("nprobe")
     }),
 
     // Product quantization, fixed deterministic codebook (subvectors of
@@ -573,6 +605,58 @@ object VectorQueries {
          |  FROM scored)
          |SELECT q_id, id, sim, CAST(rank AS INT) AS rank FROM ranked
          |WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin
+    },
+    // the full fixed-IVF pipeline per nprobe leg (shared bucket
+    // assignment + brute CTEs, one probe→score→rank→hit-count chain per
+    // leg), mirroring ann_ivf_fixed's ordering discipline exactly
+    "ivf_nprobe_curve" -> {
+      val cos = (x: String, y: String) =>
+        s"list_dot_product($x, $y) / (sqrt(list_dot_product($x, $x)) * sqrt(list_dot_product($y, $y)))"
+      val denom = NQueries * TopK
+      val legCtes = (1 to NProbeMax).map { np =>
+        s"""qp$np AS (SELECT q_id, bucket FROM qa WHERE rn <= $np),
+           |sc$np AS (SELECT qp.q_id, vb.vec_id AS id,
+           |    round(${cos("qv.e", "b.e")}, 6) AS sim
+           |  FROM qp$np qp JOIN vb ON qp.bucket = vb.bucket
+           |  JOIN v qv ON qv.vec_id = qp.q_id
+           |  JOIN v b ON b.vec_id = vb.vec_id
+           |  WHERE vb.vec_id <> qp.q_id),
+           |tp$np AS (SELECT q_id, id FROM (
+           |    SELECT q_id, id, row_number() OVER (PARTITION BY q_id
+           |      ORDER BY sim DESC, id) AS rk FROM sc$np)
+           |  WHERE rk <= $TopK),
+           |h$np AS (SELECT CAST(count(*) AS BIGINT) AS n
+           |  FROM tp$np JOIN brute USING (q_id, id))""".stripMargin
+      }.mkString(",\n")
+      val legs = (1 to NProbeMax).map { np =>
+        s"""SELECT $np AS nprobe, (SELECT n FROM h$np) AS n_hits,
+           |  CAST((SELECT n FROM h$np) * 1000000 // $denom AS BIGINT)
+           |    AS recall_ppm""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+         |  FROM embeddings WHERE vec_id < $BruteCap),
+         |cents AS (SELECT vec_id AS cluster, e AS c FROM v
+         |  WHERE vec_id < $NList),
+         |vb AS (SELECT vec_id, cluster AS bucket FROM (
+         |    SELECT a.vec_id, c.cluster,
+         |      row_number() OVER (PARTITION BY a.vec_id
+         |        ORDER BY -(${cos("a.e", "c.c")}), c.cluster) AS rn
+         |    FROM v a CROSS JOIN cents c) WHERE rn = 1),
+         |qa AS (SELECT a.vec_id AS q_id, c.cluster AS bucket,
+         |      row_number() OVER (PARTITION BY a.vec_id
+         |        ORDER BY -(${cos("a.e", "c.c")}), c.cluster) AS rn
+         |    FROM v a CROSS JOIN cents c WHERE a.vec_id < $NQueries),
+         |brute AS (SELECT q_id, id FROM (
+         |    SELECT a.vec_id AS q_id, b.vec_id AS id,
+         |      row_number() OVER (PARTITION BY a.vec_id
+         |        ORDER BY round(${cos("a.e", "b.e")}, 6) DESC, b.vec_id)
+         |        AS rk
+         |    FROM v a JOIN v b ON a.vec_id < $NQueries
+         |      AND a.vec_id <> b.vec_id)
+         |  WHERE rk <= $TopK),
+         |$legCtes
+         |$legs
+         |ORDER BY nprobe""".stripMargin
     },
     // clustered-data IVF contract: counts recomputed from the table; the
     // 0.9 recall floor's teeth are the in-engine brute cross-check — a

@@ -264,7 +264,16 @@ class ShuffleBudgetSpec extends GraftSuite {
     // (distinct-score count agg + PrefixScan range partition + the
     // 10-key bin agg; the rank table broadcasts)
     "mrr_eval" -> (7000L, 32000L),
-    "calibration_bins" -> (1400L, 6700L))
+    "calibration_bins" -> (1400L, 6700L),
+    // tau_sweep 552 (four filter legs over the memoized pair set — the
+    // tiny residue IS the point: the sweep pays no second candidate
+    // join); dup_size_hist 9,819 (label join + two keyed aggs over the
+    // memoized components); ivf_nprobe_curve 4,448 (four bucket
+    // equi-join probes + O(q·k) rank shuffles — candidate work stays
+    // bucket-bounded per leg)
+    "tau_sweep" -> (180L, 850L),
+    "dup_size_hist" -> (3200L, 15000L),
+    "ivf_nprobe_curve" -> (1400L, 6700L))
 
   /** Memo keys to evict after the warm pass so the measured pass runs the
     * gate's build plan instead of reading a checkpoint. dedup_groups
