@@ -528,22 +528,7 @@ object Dedup {
       .where(size(col("sh")) > 0)
       .withColumn("shs", sort_array(col("sh")))
 
-    val sigs = shingleSets.select(col("id"),
-      graft.functions.TextKernels.minhash_sig(col("sh"), bands * rows).as("sig"))
-
-    // band key = polynomial fold of the band's signature slice
-    val banded = sigs.select(col("id"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
-        aggregate(slice(col("sig"), b * rows + lit(1), lit(rows)), lit(0L),
-          (acc, v) => (acc * 31 + v) % PolyHash.Prime))))
-      .select(col("id"), col("pos").as("band"), col("col").as("key"))
-      .where(col("key").isNotNull)
-
-    val cand = banded.as("a").join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.key") === col("b.key")
-          && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
+    val cand = bandedCandidates(shingleSets, bands, rows)
 
     // exact-Jaccard verification of the candidates only, against the
     // precomputed hash-sorted shingle sets (native merge-count — no
@@ -557,6 +542,41 @@ object Dedup {
         round(inter.cast("double") / (size(col("sh_a")) + size(col("sh_b")) - inter), 6))
       .where(col("jaccard") >= tau)
       .select("id_a", "id_b", "jaccard")
+  }
+
+  /** The banded MinHash candidate stream [[minhashPairs]] verifies —
+    * band-key equi-join over the signature slices, PRE-verify — exposed
+    * so sketch-quality evaluation (lsh_precision) can measure the band
+    * geometry itself: precision is a property of the candidates, not of
+    * the verified output. Same plan shape as inside minhashPairs. */
+  def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int, bands: Int = 16, rows: Int = 4): DataFrame = {
+    val shingleSets = docs.select(col(idCol).as("id"),
+      graft.functions.TextKernels.shingle_hashes(col(textCol), lit(n)).as("sh"))
+      .where(size(col("sh")) > 0)
+    bandedCandidates(shingleSets, bands, rows)
+  }
+
+  /** (id_a, id_b) band-collision pairs over a precomputed shingle-set
+    * table with kernel-order `sh` hashes. */
+  private def bandedCandidates(shingleSets: DataFrame, bands: Int,
+                               rows: Int): DataFrame = {
+    val sigs = shingleSets.select(col("id"),
+      graft.functions.TextKernels.minhash_sig(col("sh"), bands * rows).as("sig"))
+
+    // band key = polynomial fold of the band's signature slice
+    val banded = sigs.select(col("id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
+        aggregate(slice(col("sig"), b * rows + lit(1), lit(rows)), lit(0L),
+          (acc, v) => (acc * 31 + v) % PolyHash.Prime))))
+      .select(col("id"), col("pos").as("band"), col("col").as("key"))
+      .where(col("key").isNotNull)
+
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key")
+          && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
   }
 
 

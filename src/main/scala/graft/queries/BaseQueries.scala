@@ -181,6 +181,23 @@ object BaseQueries {
           sum("price_c").cast("long").as("revenue_c"))
     }),
 
+    // TPC-H Q13 shape — the count-of-counts distribution: orders per
+    // customer through a LEFT join (zero-order customers kept), then the
+    // histogram of those counts. Both aggregations are keyed and
+    // map-side combined; the second one's key domain is the count range,
+    // so the plan is two exchanges at any scale. count(o_custkey)
+    // counts non-null rows only — the left-join null row of an
+    // orderless customer contributes 0, exactly TPC-H's semantics.
+    "q13_order_dist" -> ((s, dir) => {
+      val c = table(s, dir, "customer").select("c_custkey")
+      val o = table(s, dir, "orders").select("o_custkey")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_custkey")).as("c_count"))
+        .groupBy("c_count").agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
     // J1 (the reference's one join, made scalable): grid-blocked ε-neighborhood
     // self-join on (p_size, p_retailprice) points, exact L1 predicate — the
     // DuckDB oracle is the reference-faithful cartesian θ-join.
@@ -300,6 +317,14 @@ object BaseQueries {
         |  CAST(sum(li.price_c) AS BIGINT) AS revenue_c
         |FROM li JOIN a USING (l_partkey)
         |WHERE li.q_c * 5 * a.cnt < a.sum_qc""".stripMargin,
+    "q13_order_dist" ->
+      """WITH cc AS (SELECT c.c_custkey,
+        |    CAST(count(o.o_custkey) AS BIGINT) AS c_count
+        |  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        |  GROUP BY c.c_custkey)
+        |SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        |FROM cc GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
     "q10_running" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,
         |  round(sum(l_extendedprice) OVER (PARTITION BY l_suppkey

@@ -208,6 +208,35 @@ object EventQueries {
         .orderBy("first_type")
     }),
 
+    // Per-entry-type bounce rate over the same gap sessions: sessions
+    // grouped by their FIRST event's type, counting one-event sessions
+    // (bounces) — the engagement health metric next to attribution.
+    // One (user, session) min-struct agg (no per-session sort), one
+    // tiny-key groupBy, bounce rate in integer ppm.
+    "session_bounce" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val gapUs = GapMinutes * 60L * 1000000L
+      val e = events(s, dir).withColumn("us", unix_micros(col("ts")))
+      val wUser = Window.partitionBy("user_id").orderBy("us", "event_id")
+      val flagged = e
+        .withColumn("prev", lag("us", 1).over(wUser))
+        .withColumn("new_s",
+          when(col("prev").isNull || col("us") - col("prev") > gapUs, 1)
+            .otherwise(0))
+        .withColumn("sid", sum("new_s").over(wUser
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      flagged.groupBy("user_id", "sid")
+        .agg(min(struct(col("us"), col("event_id"), col("event_type")))
+          .as("f"), count(lit(1)).as("n"))
+        .select(col("f.event_type").as("entry_type"), col("n"))
+        .groupBy("entry_type")
+        .agg(count(lit(1)).as("n_sessions"),
+          sum((col("n") === 1).cast("long")).as("n_bounces"))
+        .withColumn("bounce_ppm",
+          expr("n_bounces * 1000000 div n_sessions"))
+        .orderBy("entry_type")
+    }),
+
     // Multi-touch attribution over the same gap sessions: every
     // non-purchase touch in a purchasing session shares the session's
     // purchase cents under two standard position models — linear
@@ -377,6 +406,31 @@ object EventQueries {
          |FROM p JOIN firsts fi
          |  ON p.user_id = fi.user_id AND p.sid = fi.sid
          |GROUP BY fi.first_type ORDER BY fi.first_type""".stripMargin,
+    "session_bounce" ->
+      s"""WITH e AS (SELECT event_id, user_id, event_type,
+         |    epoch_us(ts) AS us FROM events),
+         |g AS (SELECT *, lag(us) OVER (
+         |    PARTITION BY user_id ORDER BY us, event_id) AS prev FROM e),
+         |f AS (SELECT *, CASE WHEN prev IS NULL
+         |      OR us - prev > ${GapMinutes * 60L * 1000000L}
+         |      THEN 1 ELSE 0 END AS new_s FROM g),
+         |sess AS (SELECT *, sum(new_s) OVER (
+         |    PARTITION BY user_id ORDER BY us, event_id
+         |    ROWS UNBOUNDED PRECEDING) AS sid FROM f),
+         |firsts AS (SELECT user_id, sid, event_type AS entry_type FROM (
+         |    SELECT user_id, sid, event_type, row_number() OVER (
+         |      PARTITION BY user_id, sid ORDER BY us, event_id) AS rn
+         |    FROM sess) WHERE rn = 1),
+         |cnt AS (SELECT user_id, sid, CAST(count(*) AS BIGINT) AS n
+         |  FROM sess GROUP BY user_id, sid),
+         |per AS (SELECT f.entry_type, c.n FROM firsts f
+         |  JOIN cnt c ON f.user_id = c.user_id AND f.sid = c.sid)
+         |SELECT entry_type, CAST(count(*) AS BIGINT) AS n_sessions,
+         |  CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_bounces,
+         |  CAST((CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    * 1000000) // count(*) AS BIGINT) AS bounce_ppm
+         |FROM per GROUP BY entry_type ORDER BY entry_type""".stripMargin,
     "attribution_multi" ->
       s"""WITH e AS (SELECT event_id, user_id, event_type, value,
          |    epoch_us(ts) AS us FROM events),

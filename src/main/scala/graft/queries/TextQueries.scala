@@ -268,6 +268,26 @@ object TextQueries {
             .otherwise(1000000L).as("recall_ppm"))
     }),
 
+    // The banding's PRECISION — lsh_recall's complement: how much of
+    // the raw band-collision candidate stream survives exact-Jaccard
+    // verification. Together the two numbers are the (wasted-verify
+    // cost, missed-pair risk) trade a band geometry is tuned by;
+    // measured on the candidates BEFORE verify (precision is a property
+    // of the geometry, not of the verified output). Integer ppm.
+    "lsh_precision" -> ((s, dir) => {
+      val cand = Dedup.minhashCandidates(docs(s, dir), "doc_id", "text",
+        ShingleN, Bands, Rows)
+      val truePairs = sharedJaccardPairs(s, dir).select("id_a", "id_b")
+      val nc = cand.agg(count(lit(1)).as("n_candidates"))
+      val nt = cand.join(truePairs, Seq("id_a", "id_b"), "left_semi")
+        .agg(count(lit(1)).as("n_true"))
+      nc.crossJoin(broadcast(nt))
+        .select(col("n_candidates"), col("n_true"),
+          when(col("n_candidates") > 0,
+            expr("(n_true * 1000000) div n_candidates"))
+            .otherwise(1000000L).as("precision_ppm"))
+    }),
+
     // SimHash fingerprints (60-bit)
     "simhash_fp" -> ((s, dir) => {
       docs(s, dir).select(col("doc_id"),
@@ -1391,6 +1411,27 @@ object TextQueries {
          |    THEN (nc.n_common * 1000000) // nb.n_brute
          |    ELSE 1000000 END AS BIGINT) AS recall_ppm
          |FROM nb CROSS JOIN nl CROSS JOIN nc""".stripMargin,
+    // cand (the banded candidates) from the shared minhash CTEs; a true
+    // candidate is one whose exact Jaccard clears the tau floor
+    "lsh_precision" ->
+      s"""WITH $sqlToks,
+         |$sqlShingles,
+         |$sqlShingleHashes,
+         |$sqlMinhash,
+         |tr AS (SELECT c.id_a, c.id_b FROM cand c
+         |  JOIN inter i ON c.id_a = i.id_a AND c.id_b = i.id_b
+         |  JOIN sizes sa ON c.id_a = sa.doc_id
+         |  JOIN sizes sb ON c.id_b = sb.doc_id
+         |  WHERE round(CAST(i.c AS DOUBLE) / (sa.n + sb.n - i.c), 6)
+         |    >= $JaccardTau),
+         |nc AS (SELECT count(*) AS n_candidates FROM cand),
+         |nt AS (SELECT count(*) AS n_true FROM tr)
+         |SELECT CAST(nc.n_candidates AS BIGINT) AS n_candidates,
+         |  CAST(nt.n_true AS BIGINT) AS n_true,
+         |  CAST(CASE WHEN nc.n_candidates > 0
+         |    THEN (nt.n_true * 1000000) // nc.n_candidates
+         |    ELSE 1000000 END AS BIGINT) AS precision_ppm
+         |FROM nc CROSS JOIN nt""".stripMargin,
     "simhash_fp" ->
       s"""WITH $sqlToks,
          |$sqlShingles,

@@ -273,7 +273,16 @@ class ShuffleBudgetSpec extends GraftSuite {
     // bucket-bounded per leg)
     "tau_sweep" -> (180L, 850L),
     "dup_size_hist" -> (3200L, 15000L),
-    "ivf_nprobe_curve" -> (1400L, 6700L))
+    "ivf_nprobe_curve" -> (1400L, 6700L),
+    // q13_order_dist 12,870 (the customer-keyed left-join agg + the
+    // count-domain histogram agg — two keyed exchanges);
+    // session_bounce 197,589 (the one user-keyed session window +
+    // (user, session) agg, same order as attribution);
+    // lsh_precision 12,345 (the banded signature self-join + distinct —
+    // a blown budget means the band join's candidate stream exploded)
+    "q13_order_dist" -> (4200L, 20000L),
+    "session_bounce" -> (65000L, 300000L),
+    "lsh_precision" -> (4100L, 19000L))
 
   /** Memo keys to evict after the warm pass so the measured pass runs the
     * gate's build plan instead of reading a checkpoint. dedup_groups
