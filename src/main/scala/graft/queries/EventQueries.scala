@@ -25,6 +25,9 @@ object EventQueries {
   private val MinSupport = 3
   /** item_recs neighbors per item. */
   private val RecK = 3
+  /** resample_ffill / moving_window user cap (bounds the gate's daily
+    * spine; the operators themselves are user-keyed at any scale). */
+  private val FillUsers = 10
 
   private def events(s: SparkSession, dir: String): DataFrame =
     table(s, dir, "events")
@@ -206,6 +209,54 @@ object EventQueries {
         .agg(count(lit(1)).as("n_purchases"),
           sum("cents").cast("long").as("attributed_cents"))
         .orderBy("first_type")
+    }),
+
+    // Calendar resampling with forward fill: each (user, day) cell of a
+    // dense daily spine carries the user's most recent ACTIVE day's
+    // spend — the gap-filling step feature stores and BI both need
+    // before joins against daily grids. The spine is |users| × |days|
+    // BY DEFINITION of resampling (the gate caps users; the day list is
+    // a 1-row-derived broadcast); the fill is one user-keyed
+    // ignore-nulls `last` window — no self-join, no per-day scans.
+    // Cents are exact integers.
+    "resample_ffill" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = events(s, dir).where(col("user_id") < FillUsers)
+        .select(col("user_id"),
+          expr("unix_micros(ts) div 86400000000").as("day"),
+          floor(col("value") * 100).cast("long").as("cents"))
+      val daily = e.groupBy("user_id", "day")
+        .agg(sum("cents").as("cents"), count(lit(1)).as("n"))
+      val days = e.agg(min("day").as("d0"), max("day").as("d1"))
+        .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+      val spine = e.select("user_id").distinct().crossJoin(broadcast(days))
+      val w = Window.partitionBy("user_id").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.join(daily, Seq("user_id", "day"), "left")
+        .withColumn("filled_cents",
+          last(col("cents"), ignoreNulls = true).over(w))
+        .select(col("user_id"), col("day"),
+          coalesce(col("n"), lit(0L)).as("n_events"),
+          coalesce(col("filled_cents"), lit(0L)).as("filled_cents"))
+        .orderBy("user_id", "day")
+    }),
+
+    // RANGE-frame rolling aggregate: per user, each active day's spend
+    // plus the 3-day trailing sum — the moving-average family, framed by
+    // VALUE (RANGE BETWEEN 2 PRECEDING), so calendar gaps are respected
+    // without materializing a spine. One user-keyed window over the
+    // daily aggregate; integer cents.
+    "moving_window" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = events(s, dir).where(col("user_id") < FillUsers)
+        .select(col("user_id"),
+          expr("unix_micros(ts) div 86400000000").as("day"),
+          floor(col("value") * 100).cast("long").as("cents"))
+        .groupBy("user_id", "day").agg(sum("cents").as("cents"))
+      val w = Window.partitionBy("user_id").orderBy("day")
+        .rangeBetween(-2, 0)
+      daily.withColumn("mov3_cents", sum("cents").over(w))
+        .orderBy("user_id", "day")
     }),
 
     // Per-entry-type bounce rate over the same gap sessions: sessions
@@ -406,6 +457,36 @@ object EventQueries {
          |FROM p JOIN firsts fi
          |  ON p.user_id = fi.user_id AND p.sid = fi.sid
          |GROUP BY fi.first_type ORDER BY fi.first_type""".stripMargin,
+    "resample_ffill" ->
+      s"""WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+         |    CAST(floor(value * 100) AS BIGINT) AS cents
+         |  FROM events WHERE user_id < $FillUsers),
+         |daily AS (SELECT user_id, day, CAST(sum(cents) AS BIGINT) AS cents,
+         |    CAST(count(*) AS BIGINT) AS n FROM e GROUP BY 1, 2),
+         |span AS (SELECT min(day) AS d0, max(day) AS d1 FROM e),
+         |days AS (SELECT unnest(range(d0, d1 + 1)) AS day FROM span),
+         |users AS (SELECT DISTINCT user_id FROM e),
+         |spine AS (SELECT u.user_id, d.day FROM users u CROSS JOIN days d),
+         |j AS (SELECT s.user_id, s.day, daily.cents, daily.n FROM spine s
+         |  LEFT JOIN daily ON s.user_id = daily.user_id
+         |    AND s.day = daily.day),
+         |f AS (SELECT user_id, day, n,
+         |    last_value(cents IGNORE NULLS) OVER (PARTITION BY user_id
+         |      ORDER BY day ROWS UNBOUNDED PRECEDING) AS fc FROM j)
+         |SELECT user_id, day, CAST(coalesce(n, 0) AS BIGINT) AS n_events,
+         |  CAST(coalesce(fc, 0) AS BIGINT) AS filled_cents
+         |FROM f ORDER BY user_id, day""".stripMargin,
+    "moving_window" ->
+      s"""WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+         |    CAST(floor(value * 100) AS BIGINT) AS cents
+         |  FROM events WHERE user_id < $FillUsers),
+         |daily AS (SELECT user_id, day, CAST(sum(cents) AS BIGINT) AS cents
+         |  FROM e GROUP BY 1, 2)
+         |SELECT user_id, day, cents,
+         |  CAST(sum(cents) OVER (PARTITION BY user_id ORDER BY day
+         |    RANGE BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT)
+         |    AS mov3_cents
+         |FROM daily ORDER BY user_id, day""".stripMargin,
     "session_bounce" ->
       s"""WITH e AS (SELECT event_id, user_id, event_type,
          |    epoch_us(ts) AS us FROM events),

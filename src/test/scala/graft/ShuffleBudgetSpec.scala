@@ -282,7 +282,12 @@ class ShuffleBudgetSpec extends GraftSuite {
     // a blown budget means the band join's candidate stream exploded)
     "q13_order_dist" -> (4200L, 20000L),
     "session_bounce" -> (65000L, 300000L),
-    "lsh_precision" -> (4100L, 19000L))
+    "lsh_precision" -> (4100L, 19000L),
+    // moving_window 2,247 ((user, day) daily agg + the user-keyed RANGE
+    // window); resample_ffill 354 (capped users: the daily agg + fill
+    // window ride the tiny exchange, the day spine is a broadcast)
+    "moving_window" -> (740L, 3400L),
+    "resample_ffill" -> (110L, 550L))
 
   /** Memo keys to evict after the warm pass so the measured pass runs the
     * gate's build plan instead of reading a checkpoint. dedup_groups
