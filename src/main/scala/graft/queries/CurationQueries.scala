@@ -430,6 +430,33 @@ object CurationQueries {
         .orderBy("decile")
     }),
 
+    // Source-concentration Gini coefficient — "is the corpus dominated
+    // by a few domains?", the diversity red-flag read next to
+    // domain_mix. Exact integers to the last step: with source doc
+    // counts x_1≤…≤x_n (ties broken by source name for a total order),
+    // G = (2·Σ i·x_i − (n+1)·Σ x_i) / (n·Σ x_i) — both numerator and
+    // denominator are emitted as exact BIGINTs plus the one 6dp
+    // division. The rank i comes from a broadcast triangle join over
+    // the |sources|-row aggregate (domain counts are tiny-key at any
+    // corpus size), keeping the no-unpartitioned-window discipline
+    // absolute — same idiom as vocab_growth's cumulative.
+    "gini_sources" -> ((s, dir) => {
+      val counts = docs(s, dir).groupBy("source")
+        .agg(count(lit(1)).as("x"))
+      val b = counts.select(col("source").as("s2"), col("x").as("x2"))
+      val ranked = counts.join(broadcast(b),
+          col("x2") < col("x") ||
+            (col("x2") === col("x") && col("s2") <= col("source")))
+        .groupBy("source", "x").agg(count(lit(1)).as("i"))
+      ranked.agg(count(lit(1)).as("n_sources"),
+          sum("x").as("total_docs"),
+          (lit(2) * sum(col("i") * col("x"))
+            - (count(lit(1)) + 1) * sum("x")).as("gini_num"),
+          (count(lit(1)) * sum("x")).as("gini_den"))
+        .withColumn("gini6",
+          round(col("gini_num").cast("double") / col("gini_den"), 6))
+    }),
+
     // Classifier calibration bins (the reliability diagram behind
     // quality_auc's single number): docs ranked by quality via the same
     // distinct-score PrefixScan rank table, split into 10 equal-RANK
@@ -1206,6 +1233,20 @@ object CurationQueries {
          |  CAST(sum(n_new_bigrams) OVER (ORDER BY decile) AS BIGINT)
          |    AS vocab_size
          |FROM filled ORDER BY decile""".stripMargin,
+    "gini_sources" ->
+      """WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS x
+        |  FROM documents GROUP BY source),
+        |r AS (SELECT x, CAST(row_number() OVER (ORDER BY x, source)
+        |    AS BIGINT) AS i FROM c),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx,
+        |    CAST(sum(i * x) AS BIGINT) AS six FROM r)
+        |SELECT n AS n_sources, sx AS total_docs,
+        |  CAST(2 * six - (n + 1) * sx AS BIGINT) AS gini_num,
+        |  CAST(n * sx AS BIGINT) AS gini_den,
+        |  round(CAST(2 * six - (n + 1) * sx AS DOUBLE) / (n * sx), 6)
+        |    AS gini6
+        |FROM a""".stripMargin,
     // rank() (= minrank over ties) reproduces the PrefixScan cum+1
     "calibration_bins" ->
       s"""WITH $sqlToks,

@@ -287,7 +287,10 @@ class ShuffleBudgetSpec extends GraftSuite {
     // window); resample_ffill 354 (capped users: the daily agg + fill
     // window ride the tiny exchange, the day spine is a broadcast)
     "moving_window" -> (740L, 3400L),
-    "resample_ffill" -> (110L, 550L))
+    "resample_ffill" -> (110L, 550L),
+    // gini_sources 455 (the tiny-key source groupBy; the rank triangle
+    // join rides a broadcast of the 20-row aggregate)
+    "gini_sources" -> (150L, 700L))
 
   /** Memo keys to evict after the warm pass so the measured pass runs the
     * gate's build plan instead of reading a checkpoint. dedup_groups
