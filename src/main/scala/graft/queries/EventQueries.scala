@@ -211,6 +211,48 @@ object EventQueries {
         .orderBy("first_type")
     }),
 
+    // RFM customer scoring — the classic warehouse segmentation: per
+    // purchasing user, recency (days since last purchase, vs the log's
+    // last day), frequency (purchase count), monetary (cents), each
+    // mapped to a 1-5 quintile by EXACT rank. Ranks come from three
+    // PrefixScan denseIds passes (data-scaled — never a global window
+    // over users); quintile = rank·5 div n + 1 is pure integer
+    // arithmetic, ties broken by user_id so the cut is total. The
+    // output is every user's (r, f, m) plus the concatenated segment
+    // code marketing filters on.
+    "rfm_scores" -> ((s, dir) => {
+      val p = events(s, dir).where(col("event_type") === "purchase")
+        .select(col("user_id"),
+          expr("unix_micros(ts) div 86400000000").as("day"),
+          floor(col("value") * 100).cast("long").as("cents"))
+      val gmax = p.agg(max("day").as("gmax"))
+      val base = p.groupBy("user_id")
+        .agg(max("day").as("last_day"), count(lit(1)).as("freq"),
+          sum("cents").as("mon"))
+        .crossJoin(broadcast(gmax))
+        .select(col("user_id"), (col("gmax") - col("last_day")).as("rec"),
+          col("freq"), col("mon"))
+      val n = base.count()
+      def quint(metric: String, asc: Boolean, out: String) = {
+        val ordered =
+          if (asc) base.select(col("user_id"), col(metric).as("v"))
+          else base.select(col("user_id"), (-col(metric)).as("v"))
+        graft.operators.PrefixScan.denseIds(ordered, Seq("v", "user_id"),
+            "rk", numParts = s.sparkContext.defaultParallelism)
+          .select(col("user_id"),
+            expr(s"CAST(rk * 5 div ${n}L + 1 AS INT)").as(out))
+      }
+      // recency: smaller = better = higher score -> rank desc on rec
+      base.join(quint("rec", asc = false, "r_score"), "user_id")
+        .join(quint("freq", asc = true, "f_score"), "user_id")
+        .join(quint("mon", asc = true, "m_score"), "user_id")
+        .select(col("user_id"), col("rec"), col("freq"), col("mon"),
+          col("r_score"), col("f_score"), col("m_score"),
+          concat(col("r_score").cast("string"), col("f_score").cast("string"),
+            col("m_score").cast("string")).as("segment"))
+        .orderBy("user_id")
+    }),
+
     // Calendar resampling with forward fill: each (user, day) cell of a
     // dense daily spine carries the user's most recent ACTIVE day's
     // spend — the gap-filling step feature stores and BI both need
@@ -457,6 +499,34 @@ object EventQueries {
          |FROM p JOIN firsts fi
          |  ON p.user_id = fi.user_id AND p.sid = fi.sid
          |GROUP BY fi.first_type ORDER BY fi.first_type""".stripMargin,
+    // denseIds ≡ row_number()-1 over the identical (value, user) order;
+    // quintile = rank*5 // n + 1 in integers on both sides
+    "rfm_scores" ->
+      """WITH p AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(floor(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |g AS (SELECT max(day) AS gmax FROM p),
+        |base AS (SELECT user_id, g.gmax - max(day) AS rec,
+        |    CAST(count(*) AS BIGINT) AS freq,
+        |    CAST(sum(cents) AS BIGINT) AS mon
+        |  FROM p, g GROUP BY user_id, g.gmax),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base),
+        |r AS (SELECT user_id,
+        |    row_number() OVER (ORDER BY -rec, user_id) - 1 AS rk_r,
+        |    row_number() OVER (ORDER BY freq, user_id) - 1 AS rk_f,
+        |    row_number() OVER (ORDER BY mon, user_id) - 1 AS rk_m
+        |  FROM base),
+        |sc AS (SELECT r.user_id,
+        |    CAST(rk_r * 5 // n.n + 1 AS INT) AS r_score,
+        |    CAST(rk_f * 5 // n.n + 1 AS INT) AS f_score,
+        |    CAST(rk_m * 5 // n.n + 1 AS INT) AS m_score
+        |  FROM r, n)
+        |SELECT b.user_id, b.rec, b.freq, b.mon,
+        |  sc.r_score, sc.f_score, sc.m_score,
+        |  CAST(sc.r_score AS VARCHAR) || CAST(sc.f_score AS VARCHAR)
+        |    || CAST(sc.m_score AS VARCHAR) AS segment
+        |FROM base b JOIN sc ON b.user_id = sc.user_id
+        |ORDER BY b.user_id""".stripMargin,
     "resample_ffill" ->
       s"""WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day,
          |    CAST(floor(value * 100) AS BIGINT) AS cents

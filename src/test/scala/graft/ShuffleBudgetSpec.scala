@@ -290,7 +290,10 @@ class ShuffleBudgetSpec extends GraftSuite {
     "resample_ffill" -> (110L, 550L),
     // gini_sources 455 (the tiny-key source groupBy; the rank triangle
     // join rides a broadcast of the 20-row aggregate)
-    "gini_sources" -> (150L, 700L))
+    "gini_sources" -> (150L, 700L),
+    // rfm_scores 4,266 (the user-keyed purchase agg + three PrefixScan
+    // range partitions + the user-keyed score joins)
+    "rfm_scores" -> (1400L, 6400L))
 
   /** Memo keys to evict after the warm pass so the measured pass runs the
     * gate's build plan instead of reading a checkpoint. dedup_groups
