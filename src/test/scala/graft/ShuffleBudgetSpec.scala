@@ -273,7 +273,9 @@ class ShuffleBudgetSpec extends GraftSuite {
     // bucket-bounded per leg)
     "tau_sweep" -> (180L, 850L),
     "dup_size_hist" -> (3200L, 15000L),
-    "ivf_nprobe_curve" -> (1400L, 6700L),
+    // measured 4,448 isolated / 7,222 in-suite (exchange reuse of the
+    // brute/probe subplans differs by context) — budget spans both
+    "ivf_nprobe_curve" -> (1400L, 11000L),
     // q13_order_dist 12,870 (the customer-keyed left-join agg + the
     // count-domain histogram agg — two keyed exchanges);
     // session_bounce 197,589 (the one user-keyed session window +
