@@ -430,6 +430,50 @@ object CurationQueries {
         .orderBy("decile")
     }),
 
+    // Spearman rank correlation between two doc signals (quality vs
+    // length) — the signal-redundancy check run before adding a filter
+    // to a curation stack. Tie-averaged ranks stay INTEGRAL via the
+    // doubled form 2·avg = 2·minrank + ties − 1 (quality_auc's trick),
+    // so every moment (n, Σxy, Σx², …) is an exact integer in both
+    // engines and the single float is the final rho = (nΣxy − ΣxΣy) /
+    // √((nΣx²−(Σx)²)(nΣy²−(Σy)²)), identical cross-engine from
+    // identical integers. Rank tables are distinct-value PrefixScan
+    // cumulatives (broadcast back) — no window over docs.
+    "rank_corr" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"),
+        TF.qualityScore(col("text")).as("q"),
+        col("n_chars").as("len"))
+      def rankTable(src: DataFrame, vCol: String) = {
+        val sc = src.groupBy(vCol).agg(count(lit(1)).as("cnt"))
+        graft.operators.PrefixScan.exclusiveCumsum(
+            sc.withColumn("__all", lit(1)), "__all", Seq(vCol), "cnt",
+            "cum", numParts = s.sparkContext.defaultParallelism)
+          .select(col(vCol),
+            (lit(2) * (col("cum") + 1) + col("cnt") - 1).as(s"r2_$vCol"))
+      }
+      val withRanks = d
+        .join(broadcast(rankTable(d, "q")), Seq("q"))
+        .join(broadcast(rankTable(d, "len")), Seq("len"))
+        .select(col("r2_q").as("x"), col("r2_len").as("y"))
+      // num/aa/bb are exact longs (< 2^53, so their double images are
+      // exact); the aa·bb product is formed in DOUBLES because the
+      // integer product would overflow 64 bits — one IEEE multiply,
+      // identical in both engines
+      withRanks.agg(count(lit(1)).as("n"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+        .select(col("n"),
+          (col("n") * col("sxy") - col("sx") * col("sy")).as("num"),
+          (col("n") * col("sxx") - col("sx") * col("sx")).as("aa"),
+          (col("n") * col("syy") - col("sy") * col("sy")).as("bb"))
+        .select(col("n"),
+          round(col("num").cast("double") /
+            sqrt(col("aa").cast("double") * col("bb").cast("double")), 6)
+            .as("rho6"))
+    }),
+
     // Source-concentration Gini coefficient — "is the corpus dominated
     // by a few domains?", the diversity red-flag read next to
     // domain_mix. Exact integers to the last step: with source doc
@@ -1233,6 +1277,30 @@ object CurationQueries {
          |  CAST(sum(n_new_bigrams) OVER (ORDER BY decile) AS BIGINT)
          |    AS vocab_size
          |FROM filled ORDER BY decile""".stripMargin,
+    // rank()/count() windows reproduce the doubled tie-averaged ranks;
+    // aa·bb formed in doubles exactly as the engine does
+    "rank_corr" ->
+      s"""WITH $sqlToks,
+         |qq AS (SELECT doc_id, $sqlQuality AS q FROM toks),
+         |d AS (SELECT dd.doc_id, qq.q, dd.n_chars AS len
+         |  FROM documents dd JOIN qq ON dd.doc_id = qq.doc_id),
+         |r AS (SELECT doc_id,
+         |    CAST(2 * rank() OVER (ORDER BY q)
+         |      + count(*) OVER (PARTITION BY q) - 1 AS BIGINT) AS x,
+         |    CAST(2 * rank() OVER (ORDER BY len)
+         |      + count(*) OVER (PARTITION BY len) - 1 AS BIGINT) AS y
+         |  FROM d),
+         |a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(x * y) AS BIGINT) AS sxy,
+         |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |    CAST(sum(x * x) AS BIGINT) AS sxx,
+         |    CAST(sum(y * y) AS BIGINT) AS syy FROM r),
+         |m AS (SELECT n, CAST(n * sxy - sx * sy AS BIGINT) AS num,
+         |    CAST(n * sxx - sx * sx AS BIGINT) AS aa,
+         |    CAST(n * syy - sy * sy AS BIGINT) AS bb FROM a)
+         |SELECT n, round(CAST(num AS DOUBLE)
+         |  / sqrt(CAST(aa AS DOUBLE) * CAST(bb AS DOUBLE)), 6) AS rho6
+         |FROM m""".stripMargin,
     "gini_sources" ->
       """WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS x
         |  FROM documents GROUP BY source),

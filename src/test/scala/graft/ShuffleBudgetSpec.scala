@@ -295,7 +295,10 @@ class ShuffleBudgetSpec extends GraftSuite {
     "gini_sources" -> (150L, 700L),
     // rfm_scores 4,266 (the user-keyed purchase agg + three PrefixScan
     // range partitions + the user-keyed score joins)
-    "rfm_scores" -> (1400L, 6400L))
+    "rfm_scores" -> (1400L, 6400L),
+    // rank_corr 566 (two distinct-value count aggs + PrefixScan range
+    // partitions + one global moment agg; both rank tables broadcast)
+    "rank_corr" -> (180L, 900L))
 
   /** Memo keys to evict after the warm pass so the measured pass runs the
     * gate's build plan instead of reading a checkpoint. dedup_groups
