@@ -637,6 +637,26 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Per-source dedup loss report: what fraction of each source's docs
+    // a min-member keep-one pass drops — the "which domain is full of
+    // templates" dashboard row that decides where dedup budget goes.
+    // One keyed label join over the shared components + a tiny-key
+    // source agg; drop rate in integer ppm.
+    "dedup_rate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val comp = sharedJaccardComp(s, dir)
+      d.select(col("doc_id"), col("source"))
+        .join(comp, d("doc_id") === comp("id"), "left")
+        .select(col("source"),
+          (col("doc_id") ===
+            coalesce(col("component"), col("doc_id"))).as("is_kept"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum((!col("is_kept")).cast("long")).as("n_dropped"))
+        .withColumn("drop_ppm", expr("n_dropped * 1000000 div n_docs"))
+        .orderBy("source")
+    }),
+
     // Leakage-safe train/val/test split: the assignment hashes the
     // near-dup GROUP id (the shared CC labels), not the doc id, so
     // near-duplicates can never straddle a split boundary — the
@@ -1285,6 +1305,38 @@ object TextQueries {
          |SELECT d.doc_id, coalesce(c.gid, d.doc_id) AS group_id
          |FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
          |ORDER BY doc_id""".stripMargin,
+    // dedup_groups' component CTE joined back to sources; kept = the
+    // component minimum (or a singleton)
+    "dedup_rate" ->
+      s"""WITH RECURSIVE $sqlToks,
+         |$sqlShingles,
+         |$sqlShingleHashes,
+         |sizes AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+         |  FROM shh a JOIN shh b ON a.h = b.h AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |pairs AS (SELECT id_a, id_b FROM inter
+         |  JOIN sizes sa ON id_a = sa.doc_id
+         |  JOIN sizes sb ON id_b = sb.doc_id
+         |  WHERE round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6)
+         |    >= $JaccardTau),
+         |sym AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs),
+         |verts AS (SELECT DISTINCT src AS id FROM sym),
+         |walk(id, reach) AS (
+         |  SELECT id, id FROM verts
+         |  UNION
+         |  SELECT s.dst, w.reach FROM walk w JOIN sym s ON s.src = w.id),
+         |comp AS (SELECT id, min(reach) AS gid FROM walk GROUP BY id),
+         |lab AS (SELECT d.source,
+         |    CASE WHEN d.doc_id = coalesce(c.gid, d.doc_id)
+         |      THEN 0 ELSE 1 END AS dropped
+         |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.id)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(dropped) AS BIGINT) AS n_dropped,
+         |  CAST((CAST(sum(dropped) AS BIGINT) * 1000000) // count(*)
+         |    AS BIGINT) AS drop_ppm
+         |FROM lab GROUP BY source ORDER BY source""".stripMargin,
     // same jaccard graph + CC as dedup_groups; split = PolyHash(group)
     // mod 10 → 8/1/1, leaks recomputed from the oracle's own pair set
     "leakage_split" ->

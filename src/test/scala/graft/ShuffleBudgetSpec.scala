@@ -298,7 +298,10 @@ class ShuffleBudgetSpec extends GraftSuite {
     "rfm_scores" -> (1400L, 6400L),
     // rank_corr 566 (two distinct-value count aggs + PrefixScan range
     // partitions + one global moment agg; both rank tables broadcast)
-    "rank_corr" -> (180L, 900L))
+    "rank_corr" -> (180L, 900L),
+    // dedup_rate 448 (the label join over the memoized components +
+    // the tiny-key source agg)
+    "dedup_rate" -> (140L, 700L))
 
   /** Memo keys to evict after the warm pass so the measured pass runs the
     * gate's build plan instead of reading a checkpoint. dedup_groups
