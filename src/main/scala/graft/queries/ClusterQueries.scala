@@ -32,6 +32,8 @@ object ClusterQueries {
   private val KCoreRounds = 6
   /** link_predict result-set size. */
   private val LinkTopN = 100
+  /** eigencentrality power-iteration rounds (walk length). */
+  private val EigenIters = 3
 
   private def pts(s: SparkSession, dir: String): DataFrame =
     table(s, dir, "part").select(col("p_partkey").as("id"),
@@ -424,6 +426,19 @@ object ClusterQueries {
         .orderBy(col("cn").desc, col("ra_ppm").desc, col("id_a"),
           col("id_b"))
         .limit(LinkTopN)
+    }),
+
+    // Eigenvector centrality (power iteration, EigenIters rounds) on the
+    // ε-graph: the walk-count iteration is pure Long arithmetic (x_k(v) =
+    // k-walks ending at v), so the only float in the gate is the final
+    // max-normalization — a single IEEE division both engines replay
+    // bit-equally, then 6dp. Completes the centrality family next to
+    // degree/pagerank/ppr with a measure that weighs neighbors by their
+    // own centrality instead of splitting mass.
+    "eigencentrality" -> ((s, dir) => {
+      Traversals.eigenCentrality(epsEdges(s, dir), iters = EigenIters)
+        .select(col("id"), col("walks"), round(col("score"), 6).as("score"))
+        .orderBy("id")
     }))
 
   /** One sweep leg as a self-contained derived table: the dbscan_errors
@@ -626,6 +641,7 @@ object ClusterQueries {
     "lpa_communities" -> sqlLpa,
     "modularity" -> sqlModularity,
     "kcore" -> sqlKcore,
+    "eigencentrality" -> sqlEigen,
     // wedge enumeration per center with ordered tips, pair aggregation,
     // anti-join against the edge set — RA summed as exact integer ppm
     // (1000000 // deg), so the top-N cut can't be flipped by float order
@@ -717,6 +733,25 @@ object ClusterQueries {
        |$legs
        |SELECT src AS id, count(*) AS deg FROM e$KCoreRounds
        |GROUP BY src ORDER BY id""".stripMargin
+  }
+
+  /** Eigencentrality unrolled to EigenIters integer walk-count legs —
+    * one neighbor-sum per round, then the single max-normalization. */
+  private def sqlEigen: String = {
+    val legs = (1 to EigenIters).map(t =>
+      s"""x$t AS MATERIALIZED (SELECT s.dst AS id, sum(x.w) AS w
+         |  FROM sym s JOIN x${t - 1} x ON x.id = s.src
+         |  GROUP BY s.dst)""".stripMargin).mkString(",\n")
+    s"""WITH
+       |$sqlGraph,
+       |sym AS MATERIALIZED (SELECT src, dst FROM edges WHERE src <> dst
+       |  UNION SELECT dst, src FROM edges WHERE src <> dst),
+       |x0 AS (SELECT DISTINCT src AS id, CAST(1 AS BIGINT) AS w FROM sym),
+       |$legs,
+       |mx AS (SELECT max(w) AS m FROM x$EigenIters)
+       |SELECT id, CAST(w AS BIGINT) AS walks,
+       |  round(CAST(w AS DOUBLE) / CAST(m AS DOUBLE), 6) AS score
+       |FROM x$EigenIters, mx ORDER BY id""".stripMargin
   }
 
   /** The PageRank power iteration unrolled to PrIters explicit legs —

@@ -3,7 +3,7 @@ package graft.queries
 import graft.core.Tables.table
 import graft.functions.{PolyHash, TextFunctions => TF}
 import graft.operators.Dedup
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis + deduplication gate queries on the `documents` table.
@@ -35,6 +35,16 @@ object TextQueries {
   private val Bm25B = 0.75
   private val Bm25TopN = 15
   private val ContamTau = 0.05
+  /** phrase_match query phrase (positional-index intersection). */
+  private val Phrase = Seq("row", "column", "sort")
+  /** ndcg_eval ranking depth (top-K cut of the per-term postings). */
+  private val NdcgK = 10
+  /** ndcg_eval rank discounts 1/log2(rank+1) for ranks 1..NdcgK, baked
+    * once in Scala and injected into BOTH engines as literals — the gate
+    * never evaluates a transcendental at query time, so engine libm
+    * differences can't produce an ulp split. */
+  private val NdcgDiscounts: Seq[Double] =
+    (1 to NdcgK).map(r => 1.0 / (math.log(r + 1.0) / math.log(2.0)))
   private val ContainTau = 0.9
   private val WinnowW = 4
   /** block_pairs sorted-neighborhood window size. */
@@ -569,6 +579,82 @@ object TextQueries {
           max("rel_id").as("rel_id"))
         .withColumn("rr_ppm", expr("1000000 div rel_rank"))
         .orderBy("token")
+    }),
+
+    // Retrieval-evaluation nDCG@K over graded deterministic qrels: rel=3
+    // for the term's lowest-id doc (the mrr_eval qrel), 2/1 by doc_id
+    // residue (editorial grades independent of the ranker), 0 otherwise.
+    // The actual ranking is (tf desc, doc_id); both the actual and the
+    // ideal top-K come from the partial top-k aggregate (k-bounded
+    // map-side buffers — no per-term sort of the full postings, the
+    // bm25TopK lesson), and the rank discounts are baked literals shared
+    // with the oracle, so no engine evaluates log2 at query time.
+    "ndcg_eval" -> ((s, dir) => {
+      val postings = docs(s, dir)
+        .select(col("doc_id"), explode(TF.tokens(col("text"))).as("token"))
+        .where(col("token").isin(Bm25Terms: _*))
+        .groupBy("token", "doc_id").agg(count(lit(1)).as("tf"))
+      val rel0 = postings.groupBy("token").agg(min("doc_id").as("rel_id"))
+      val graded = postings.join(broadcast(rel0), Seq("token"))
+        .select(col("token"), col("doc_id"), col("tf"),
+          when(col("doc_id") === col("rel_id"), 3L)
+            .when(col("doc_id") % 7 === 0, 2L)
+            .when(col("doc_id") % 3 === 0, 1L)
+            .otherwise(0L).as("rel"))
+      val disc = array(NdcgDiscounts.map(lit): _*)
+      // gain (2^rel - 1) looked up from a literal table (rel is 0..3, so
+      // the four exact values beat a runtime shift); discount lookup is
+      // element_at over the literal array — rank = pos + 1
+      val gains = array(Seq(0.0, 1.0, 3.0, 7.0).map(lit): _*)
+      def dcgOf(top: DataFrame, relCol: Column): DataFrame = top
+        .select(col("token"),
+          (element_at(gains, relCol.cast("int") + 1) *
+            element_at(disc, col("pos") + 1)).as("g"))
+        .groupBy("token").agg(sum("g").as("dcg"))
+      val top = graded.groupBy("token")
+        .agg(graft.functions.TopKAgg.topk_sim(
+          col("tf").cast("double"), col("doc_id"), NdcgK).as("tk"))
+        .select(col("token"), posexplode(col("tk")))
+        .toDF("token", "pos", "e")
+        .select(col("token"), col("pos"), col("e.id").as("doc_id"))
+        .join(graded.select(col("token"), col("doc_id"), col("rel")),
+          Seq("token", "doc_id"))
+      val itop = graded.groupBy("token")
+        .agg(graft.functions.TopKAgg.topk_sim(
+          col("rel").cast("double"), col("doc_id"), NdcgK).as("tk"))
+        .select(col("token"), posexplode(col("tk")))
+        .toDF("token", "pos", "e")
+      val dcg = dcgOf(top, col("rel"))
+      val idcg = dcgOf(itop, col("e.sim")).withColumnRenamed("dcg", "idcg")
+      val nm = graded.groupBy("token").agg(count(lit(1)).as("n_matching"))
+      nm.join(dcg, Seq("token")).join(idcg, Seq("token"))
+        .select(col("token"), col("n_matching"),
+          round(col("dcg"), 6).as("dcg"), round(col("idcg"), 6).as("idcg"),
+          round(col("dcg") / col("idcg"), 6).as("ndcg"))
+        .orderBy("token")
+    }),
+
+    // Positional phrase matching: per-term positional postings joined on
+    // (doc, start-position) — the inverted-index intersection a phrase
+    // query runs, never a substring scan over full texts. Each leg is a
+    // filtered projection of the positional explode; the |phrase|-way
+    // join is keyed by (doc_id, p), so work is linear in the rarest
+    // term's postings at any corpus size.
+    "phrase_match" -> ((s, dir) => {
+      val pos = docs(s, dir)
+        .select(col("doc_id"), posexplode(TF.tokens(col("text"))))
+        .toDF("doc_id", "p", "token")
+        .where(col("token").isin(Phrase: _*))
+      val first = pos.where(col("token") === Phrase.head)
+        .select(col("doc_id"), col("p"))
+      val hits = Phrase.zipWithIndex.drop(1).foldLeft(first) {
+        case (acc, (w, i)) =>
+          acc.join(pos.where(col("token") === w)
+            .select(col("doc_id"), (col("p") - i).as("p")),
+            Seq("doc_id", "p"))
+      }
+      hits.groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+        .orderBy("doc_id")
     }),
 
     // the operator a dedup pipeline actually ends with: near-dup PAIRS →
@@ -1148,6 +1234,63 @@ object TextQueries {
          |SELECT token, n_matching, rel_rank, rel_id,
          |  CAST(1000000 // rel_rank AS BIGINT) AS rr_ppm
          |FROM a ORDER BY token""".stripMargin
+    },
+    // same postings + graded qrels; ranks via per-token row_number, rank
+    // discounts the SAME baked literals the Spark side uses (VARCHAR →
+    // DOUBLE cast = strtod = the JVM's parse, so the bits match by
+    // construction)
+    "ndcg_eval" -> {
+      val termList = Bm25Terms.map(t => s"'$t'").mkString("(", ", ", ")")
+      val discRows = NdcgDiscounts.zipWithIndex.map { case (d, i) =>
+        s"(${i + 1}, CAST('$d' AS DOUBLE))"
+      }.mkString(",\n  ")
+      s"""WITH $sqlToks,
+         |tok AS (SELECT doc_id, unnest(t) AS token FROM toks),
+         |p AS (SELECT token, doc_id, CAST(count(*) AS BIGINT) AS tf
+         |  FROM tok WHERE token IN $termList GROUP BY 1, 2),
+         |rel0 AS (SELECT token, min(doc_id) AS rel_id FROM p GROUP BY 1),
+         |g AS (SELECT p.token, p.doc_id, p.tf,
+         |    CASE WHEN p.doc_id = r.rel_id THEN 3
+         |         WHEN p.doc_id % 7 = 0 THEN 2
+         |         WHEN p.doc_id % 3 = 0 THEN 1 ELSE 0 END AS rel
+         |  FROM p JOIN rel0 r USING (token)),
+         |d AS (SELECT * FROM (VALUES
+         |  $discRows) t(rk, disc)),
+         |ranked AS (SELECT token, doc_id, rel, row_number() OVER (
+         |    PARTITION BY token ORDER BY tf DESC, doc_id) AS rk FROM g),
+         |dcg AS (SELECT token,
+         |    sum(CAST((1 << rel) - 1 AS DOUBLE) * disc) AS dcg
+         |  FROM ranked JOIN d USING (rk) WHERE rk <= $NdcgK
+         |  GROUP BY token),
+         |iranked AS (SELECT token, rel, row_number() OVER (
+         |    PARTITION BY token ORDER BY rel DESC, doc_id) AS rk FROM g),
+         |idcg AS (SELECT token,
+         |    sum(CAST((1 << rel) - 1 AS DOUBLE) * disc) AS idcg
+         |  FROM iranked JOIN d USING (rk) WHERE rk <= $NdcgK
+         |  GROUP BY token),
+         |nm AS (SELECT token, CAST(count(*) AS BIGINT) AS n_matching
+         |  FROM g GROUP BY token)
+         |SELECT token, n_matching, round(dcg, 6) AS dcg,
+         |  round(idcg, 6) AS idcg, round(dcg / idcg, 6) AS ndcg
+         |FROM nm JOIN dcg USING (token) JOIN idcg USING (token)
+         |ORDER BY token""".stripMargin
+    },
+    // positional postings per phrase term, shifted to a common start
+    // position and intersected — the base offset (Spark 0-based, range()
+    // 1-based) cancels inside each engine's own join
+    "phrase_match" -> {
+      val legs = Phrase.zipWithIndex.map { case (w, i) =>
+        s"m$i AS (SELECT doc_id, p - $i AS p FROM pos WHERE w = '$w')"
+      }.mkString(",\n")
+      val joins = (1 until Phrase.length)
+        .map(i => s"JOIN m$i USING (doc_id, p)").mkString(" ")
+      s"""WITH $sqlToks,
+         |pos AS (SELECT doc_id, unnest(range(1, len(t) + 1)) AS p,
+         |    unnest(t) AS w FROM toks),
+         |$legs
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+         |FROM m0 $joins
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
     "bm25_adhoc" -> {
       val termList = Bm25Terms.map(t => s"'$t'").mkString("(", ", ", ")")

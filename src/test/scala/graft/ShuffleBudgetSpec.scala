@@ -301,7 +301,18 @@ class ShuffleBudgetSpec extends GraftSuite {
     "rank_corr" -> (180L, 900L),
     // dedup_rate 448 (the label join over the memoized components +
     // the tiny-key source agg)
-    "dedup_rate" -> (140L, 700L))
+    "dedup_rate" -> (140L, 700L),
+    // eigencentrality 186,719 (3 integer walk-count rounds — one
+    // edge-keyed join + map-side-combined sum each — over the memoized
+    // ε-edge checkpoint; the max normalizer is a 1-row broadcast);
+    // ndcg_eval 35,829 (filtered postings groupBy + the two k-bounded
+    // top-k aggs — a blown budget means the partial top-k regressed to a
+    // full per-term sort); phrase_match 215 (three filtered positional
+    // posting legs joined on (doc, start) — at gate scale every leg
+    // broadcasts, so only the per-doc hit count shuffles)
+    "eigencentrality" -> (62000L, 280000L),
+    "ndcg_eval" -> (12000L, 54000L),
+    "phrase_match" -> (70L, 330L))
 
   /** Memo keys to evict after the warm pass so the measured pass runs the
     * gate's build plan instead of reading a checkpoint. dedup_groups
