@@ -198,6 +198,120 @@ object BaseQueries {
         .orderBy(col("custdist").desc, col("c_count").desc)
     }),
 
+    // TPC-H Q14 shape — conditional aggregation over a fact⋈dim join:
+    // promo revenue share in one shipdate quarter. Revenue is integerized
+    // to cents·(100−disc%) BEFORE both sums, so the only float in the
+    // gate is ONE division of two exact longs — bit-equal in any engine
+    // and any summation order. part rides a keyed equi-join that AQE
+    // broadcasts at gate SF; past the threshold both sides hash-partition
+    // on partkey.
+    "q14_promo" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .select(col("l_partkey"),
+          (floor(col("l_extendedprice") * 100).cast("long") *
+            (lit(100L) - floor(col("l_discount") * 100).cast("long")))
+            .as("rev"))
+      val p = table(s, dir, "part").select("p_partkey", "p_type")
+      li.join(p, col("l_partkey") === col("p_partkey"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(when(col("p_type") === "PROMO", col("rev")).otherwise(0L))
+            .cast("long").as("promo_c2"),
+          sum("rev").cast("long").as("total_c2"))
+        .select(col("n_items"), col("promo_c2"), col("total_c2"),
+          round(col("promo_c2").cast("double") /
+            col("total_c2").cast("double"), 6).as("promo_share"))
+    }),
+
+    // TPC-H Q15 shape — the top-revenue-supplier scalar subquery: keyed
+    // revenue aggregate, global max as a 1-row broadcast, equality join
+    // back on the EXACT long revenue (no float ever decides the argmax).
+    // The aggregate is map-side combined; the max is O(1) driver state.
+    "q15_topsupp" -> ((s, dir) => {
+      val rev = table(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-07-01").cast("timestamp"))
+        .groupBy("l_suppkey")
+        .agg(sum(floor(col("l_extendedprice") * 100).cast("long") *
+          (lit(100L) - floor(col("l_discount") * 100).cast("long")))
+          .cast("long").as("total_rev_c2"))
+      val mx = rev.agg(max("total_rev_c2").as("mx"))
+      table(s, dir, "supplier")
+        .join(rev, col("s_suppkey") === col("l_suppkey"))
+        .join(broadcast(mx), col("total_rev_c2") === col("mx"))
+        .select(col("s_suppkey"), col("s_name"), col("total_rev_c2"))
+        .orderBy("s_suppkey")
+    }),
+
+    // TPC-H Q18 shape — large-volume orders: per-order quantity sum in
+    // exact centi-units with HAVING, joined back to orders + customer.
+    // The HAVING aggregate and both joins are keyed on orderkey/custkey;
+    // the survivor set is tiny at any SF, so the join-back broadcasts.
+    "q18_large" -> ((s, dir) => {
+      val big = table(s, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(sum(floor(col("l_quantity") * 100).cast("long"))
+          .cast("long").as("sum_qty_c"))
+        .where(col("sum_qty_c") > 25000L)
+      table(s, dir, "orders")
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(table(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          col("o_totalprice"), col("sum_qty_c"))
+        .orderBy(col("sum_qty_c").desc, col("o_orderkey"))
+    }),
+
+    // TPC-H Q19 shape — disjunctive multi-attribute predicates across a
+    // join: three (brand, size-range, quantity-range) arms OR-ed
+    // together. Catalyst pushes the per-side conjuncts of the common
+    // envelope to both scans; the residual disjunction evaluates inside
+    // whole-stage codegen after the keyed join.
+    "q19_disjunct" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem").select(col("l_partkey"),
+        col("l_quantity"),
+        (floor(col("l_extendedprice") * 100).cast("long") *
+          (lit(100L) - floor(col("l_discount") * 100).cast("long")))
+          .as("rev"))
+      val p = table(s, dir, "part").select("p_partkey", "p_brand", "p_size")
+      val arm1 = col("p_brand") === "Brand#12" &&
+        col("p_size").between(1, 5) && col("l_quantity").between(1, 11)
+      val arm2 = col("p_brand") === "Brand#23" &&
+        col("p_size").between(1, 10) && col("l_quantity").between(10, 20)
+      val arm3 = col("p_brand") === "Brand#3" &&
+        col("p_size").between(1, 15) && col("l_quantity").between(20, 30)
+      li.join(p, col("l_partkey") === col("p_partkey"))
+        .where(arm1 || arm2 || arm3)
+        .agg(count(lit(1)).as("n_items"),
+          sum("rev").cast("long").as("revenue_c2"))
+    }),
+
+    // TPC-H Q22 shape adapted to the testdata (every customer has
+    // orders): above-average-balance, low-activity customers per nation.
+    // The "above average" threshold is the classic float trap — avg's
+    // partial-combine order differs between engines — so membership is
+    // decided by exact integer cross-multiplication instead:
+    // bal_c · n > Σbal_c over positive balances. The global (Σ, n) pair
+    // is a 1-row broadcast; the order-count side is one keyed left join.
+    "q22_balance" -> ((s, dir) => {
+      val c = table(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"),
+          floor(col("c_acctbal") * 100).cast("long").as("bal_c"))
+      val pos = c.where(col("bal_c") > 0)
+        .agg(sum("bal_c").as("s"), count(lit(1)).as("n"))
+      val nOrd = table(s, dir, "orders")
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_ord"))
+      c.join(nOrd, col("c_custkey") === col("o_custkey"), "left")
+        .crossJoin(broadcast(pos))
+        .where(col("bal_c") * col("n") > col("s") &&
+          coalesce(col("n_ord"), lit(0L)) <= 5)
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n_cust"),
+          sum("bal_c").cast("long").as("sum_bal_c"))
+        .orderBy("c_nationkey")
+    }),
+
     // J1 (the reference's one join, made scalable): grid-blocked ε-neighborhood
     // self-join on (p_size, p_retailprice) points, exact L1 predicate — the
     // DuckDB oracle is the reference-faithful cartesian θ-join.
@@ -345,6 +459,68 @@ object BaseQueries {
         |    + abs(a.p_retailprice - b.p_retailprice) < 5.0
         |GROUP BY a.p_partkey HAVING count(*) >= 10
         |ORDER BY p_partkey""".stripMargin,
+    "q14_promo" ->
+      """WITH j AS (SELECT p_type,
+        |    CAST(floor(l_extendedprice * 100) AS BIGINT)
+        |      * (100 - CAST(floor(l_discount * 100) AS BIGINT)) AS rev
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01')
+        |SELECT count(*) AS n_items,
+        |  CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END)
+        |    AS BIGINT) AS promo_c2,
+        |  CAST(sum(rev) AS BIGINT) AS total_c2,
+        |  round(CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END)
+        |      AS DOUBLE) / CAST(sum(rev) AS DOUBLE), 6) AS promo_share
+        |FROM j""".stripMargin,
+    "q15_topsupp" ->
+      """WITH r AS (SELECT l_suppkey,
+        |    CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)
+        |      * (100 - CAST(floor(l_discount * 100) AS BIGINT)))
+        |      AS BIGINT) AS total_rev_c2
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-07-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_rev_c2
+        |FROM supplier JOIN r ON s_suppkey = l_suppkey
+        |WHERE total_rev_c2 = (SELECT max(total_rev_c2) FROM r)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q18_large" ->
+      """WITH big AS (SELECT l_orderkey,
+        |    CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT)
+        |      AS sum_qty_c
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING sum(CAST(floor(l_quantity * 100) AS BIGINT)) > 25000)
+        |SELECT c_custkey, c_name, o_orderkey, o_totalprice, sum_qty_c
+        |FROM orders JOIN big ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY sum_qty_c DESC, o_orderkey""".stripMargin,
+    "q19_disjunct" ->
+      """SELECT count(*) AS n_items,
+        |  CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)
+        |    * (100 - CAST(floor(l_discount * 100) AS BIGINT)))
+        |    AS BIGINT) AS revenue_c2
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+        |    AND l_quantity BETWEEN 1 AND 11)
+        |  OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+        |    AND l_quantity BETWEEN 10 AND 20)
+        |  OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+        |    AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    "q22_balance" ->
+      """WITH c AS (SELECT c_custkey, c_nationkey,
+        |    CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_c
+        |  FROM customer),
+        |pos AS (SELECT CAST(sum(bal_c) AS BIGINT) AS s,
+        |    CAST(count(*) AS BIGINT) AS n FROM c WHERE bal_c > 0),
+        |oc AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_ord
+        |  FROM orders GROUP BY o_custkey)
+        |SELECT c_nationkey, count(*) AS n_cust,
+        |  CAST(sum(bal_c) AS BIGINT) AS sum_bal_c
+        |FROM c LEFT JOIN oc ON c_custkey = o_custkey, pos
+        |WHERE bal_c * pos.n > pos.s AND coalesce(n_ord, 0) <= 5
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
     // same shift/mask/or interleave terms, generated from one definition
     "zorder_key" ->
       s"""WITH z AS (SELECT

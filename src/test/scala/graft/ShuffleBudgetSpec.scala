@@ -312,7 +312,21 @@ class ShuffleBudgetSpec extends GraftSuite {
     // broadcasts, so only the per-doc hit count shuffles)
     "eigencentrality" -> (62000L, 280000L),
     "ndcg_eval" -> (12000L, 54000L),
-    "phrase_match" -> (70L, 330L))
+    "phrase_match" -> (70L, 330L),
+    // TPC-H-shape batch: q14_promo 46 / q19_disjunct 46 (single-row
+    // global aggs — the fact⋈part join broadcasts at gate SF, so only
+    // the 1-row partial-agg exchange shuffles); q15_topsupp 2,910 (the
+    // supplier revenue agg; the max is a 1-row broadcast); q18_large
+    // 132,514 (the per-order quantity agg is the gate's real shuffle —
+    // a blown budget means the HAVING stopped pruning before the
+    // join-back); q22_balance 13,195 (the per-customer order-count agg
+    // + the customer-keyed left join; the (Σ,n) threshold pair is a
+    // 1-row broadcast)
+    "q14_promo" -> (15L, 120L),
+    "q15_topsupp" -> (950L, 4400L),
+    "q18_large" -> (44000L, 200000L),
+    "q19_disjunct" -> (15L, 120L),
+    "q22_balance" -> (4400L, 20000L))
 
   /** Memo keys to evict after the warm pass so the measured pass runs the
     * gate's build plan instead of reading a checkpoint. dedup_groups
