@@ -401,6 +401,36 @@ object Traversals {
         col("cn"), col("ra_ppm"))
   }
 
+  /** Local clustering coefficient per vertex (Watts & Strogatz 1998):
+    * 2·tri(v) / (deg(v)·(deg(v)−1)) over the undirected simple view of
+    * `edges`, kept EXACT as integer ppm — `2000000·tri div deg·(deg−1)`
+    * in Long arithmetic, 0 for deg < 2 — so the result is
+    * order-independent and hashes identically in any engine.
+    *
+    * Plan: per-vertex triangle counts from [[triangles]] (the
+    * degree-ordered wedge join — each triangle counted once), plus one
+    * map-side-combined degree aggregate, joined on vertex id. Both
+    * shuffles are keyed; nothing all-pairs.
+    *
+    * @return (id, deg, n_tri, coeff_ppm) per vertex of the simple graph.
+    */
+  def clusteringCoeff(edges: DataFrame): DataFrame = {
+    val canon = edges
+      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .where(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    val deg = canon.select(col("a").as("id"))
+      .union(canon.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    deg.join(triangles(edges), Seq("id"))
+      .select(col("id"), col("deg"), col("n_tri"),
+        when(col("deg") < 2, lit(0L))
+          .otherwise(expr("(2000000L * n_tri) div (deg * (deg - 1L))"))
+          .as("coeff_ppm"))
+  }
+
   /** Eigenvector centrality by power iteration on the undirected graph,
     * kept EXACT: starting from the all-ones vector, `iters` rounds of
     * x ← A·x stay in Long arithmetic (x_k(v) = number of k-walks ending

@@ -439,6 +439,14 @@ object ClusterQueries {
       Traversals.eigenCentrality(epsEdges(s, dir), iters = EigenIters)
         .select(col("id"), col("walks"), round(col("score"), 6).as("score"))
         .orderBy("id")
+    }),
+
+    // Local clustering coefficient (Watts-Strogatz) per ε-graph vertex:
+    // triangle density around each point — the transitivity signal next
+    // to the global triangles/modularity gates. Exact integer ppm
+    // (2000000·tri div deg·(deg−1)), so no float exists anywhere.
+    "clustering_coeff" -> ((s, dir) => {
+      Traversals.clusteringCoeff(epsEdges(s, dir)).orderBy("id")
     }))
 
   /** One sweep leg as a self-contained derived table: the dbscan_errors
@@ -642,6 +650,26 @@ object ClusterQueries {
     "modularity" -> sqlModularity,
     "kcore" -> sqlKcore,
     "eigencentrality" -> sqlEigen,
+    // same degree-agg + triangle enumeration as the triangles oracle,
+    // coefficient as exact integer ppm via // (0 when deg < 2)
+    "clustering_coeff" ->
+      s"""WITH
+         |$sqlGraph,
+         |ce AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |       FROM edges WHERE src <> dst),
+         |deg AS (SELECT id, CAST(count(*) AS BIGINT) AS deg FROM
+         |  (SELECT a AS id FROM ce UNION ALL SELECT b FROM ce) GROUP BY id),
+         |tri AS (SELECT e1.a AS u, e1.b AS v, e2.b AS w
+         |  FROM ce e1 JOIN ce e2 ON e2.a = e1.b
+         |  JOIN ce e3 ON e3.a = e1.a AND e3.b = e2.b),
+         |pv AS (SELECT id, count(*) AS n_tri FROM
+         |  (SELECT unnest([u, v, w]) AS id FROM tri) GROUP BY id)
+         |SELECT d.id, d.deg,
+         |  CAST(coalesce(pv.n_tri, 0) AS BIGINT) AS n_tri,
+         |  CAST(CASE WHEN d.deg < 2 THEN 0
+         |    ELSE (2000000 * coalesce(pv.n_tri, 0)) // (d.deg * (d.deg - 1))
+         |    END AS BIGINT) AS coeff_ppm
+         |FROM deg d LEFT JOIN pv USING (id) ORDER BY d.id""".stripMargin,
     // wedge enumeration per center with ordered tips, pair aggregation,
     // anti-join against the edge set — RA summed as exact integer ppm
     // (1000000 // deg), so the top-N cut can't be flipped by float order

@@ -657,6 +657,26 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Reproducible per-epoch training order: every document gets a
+    // deterministic pseudo-random sort key PolyHash("<epoch>:<doc_id>")
+    // per epoch, and its 0-based position in that order comes from the
+    // two-phase PrefixScan — never a global row_number window (one
+    // sequential task) and never rdd.zipWithIndex (a driver round-trip).
+    // Re-running any epoch reproduces the exact order bit-for-bit: the
+    // property a resumable 100 TB training job needs from its shuffle.
+    "epoch_shuffle" -> ((s, dir) => {
+      val keyed = Seq(0, 1).map { e =>
+        docs(s, dir).select(col("doc_id"), lit(e).as("epoch"),
+          PolyHash.poly_hash(
+            concat(lit(s"$e:"), col("doc_id").cast("string"))).as("h"))
+      }.reduce(_ unionAll _)
+      graft.operators.PrefixScan.exclusiveCumsum(
+          keyed.withColumn("__one", lit(1L)), "epoch", Seq("h", "doc_id"),
+          "__one", "pos", numParts = s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), col("epoch"), col("h"), col("pos"))
+        .orderBy("epoch", "pos")
+    }),
+
     // the operator a dedup pipeline actually ends with: near-dup PAIRS →
     // connected components → one group id (min member) per document;
     // singletons are their own group. Composes Dedup.jaccardPairs with
@@ -1274,6 +1294,19 @@ object TextQueries {
          |  round(idcg, 6) AS idcg, round(dcg / idcg, 6) AS ndcg
          |FROM nm JOIN dcg USING (token) JOIN idcg USING (token)
          |ORDER BY token""".stripMargin
+    },
+    // same per-epoch hash keys; position via per-epoch row_number − 1,
+    // which PrefixScan reproduces by construction
+    "epoch_shuffle" -> {
+      val legs = Seq(0, 1).map(e =>
+        s"""SELECT doc_id, $e AS epoch,
+           |  ${sqlPolyHash(s"'$e:' || CAST(doc_id AS VARCHAR)")} AS h
+           |FROM documents""".stripMargin).mkString("\nUNION ALL\n")
+      s"""WITH e AS ($legs)
+         |SELECT doc_id, epoch, h,
+         |  row_number() OVER (PARTITION BY epoch ORDER BY h, doc_id) - 1
+         |    AS pos
+         |FROM e ORDER BY epoch, pos""".stripMargin
     },
     // positional postings per phrase term, shifted to a common start
     // position and intersected — the base offset (Spark 0-based, range()

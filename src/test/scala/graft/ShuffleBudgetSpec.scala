@@ -322,6 +322,13 @@ class ShuffleBudgetSpec extends GraftSuite {
     // join-back); q22_balance 13,195 (the per-customer order-count agg
     // + the customer-keyed left join; the (Σ,n) threshold pair is a
     // 1-row broadcast)
+    // clustering_coeff 63,677 (degree agg + the degree-ordered wedge
+    // join from triangles over the memoized ε-edges — a blown budget
+    // means the wedge orientation stopped pruning); epoch_shuffle 496
+    // (two PrefixScan range partitions of (doc, epoch-hash) keys; at
+    // gate scale the per-(partition, epoch) totals dominate)
+    "clustering_coeff" -> (21000L, 96000L),
+    "epoch_shuffle" -> (160L, 800L),
     "q14_promo" -> (15L, 120L),
     "q15_topsupp" -> (950L, 4400L),
     "q18_large" -> (44000L, 200000L),
