@@ -312,6 +312,84 @@ object BaseQueries {
         .orderBy("c_nationkey")
     }),
 
+    // TPC-H Q16 shape — count-distinct over a join with a NOT-IN
+    // exclusion subquery, decorrelated to a broadcast anti-join:
+    // distinct suppliers per (brand, size) for mid-size non-Brand#45
+    // parts, excluding negative-balance suppliers. countDistinct is
+    // two-phase (partial dedup on (brand, size, suppkey) map-side);
+    // the exclusion list is a small filtered dimension — broadcast at
+    // any SF — and the part join is keyed on partkey.
+    "q16_suppcnt" -> ((s, dir) => {
+      val bad = table(s, dir, "supplier").where(col("s_acctbal") < 0)
+        .select(col("s_suppkey").as("bad_key"))
+      val p = table(s, dir, "part")
+        .where(col("p_size").between(1, 15) && col("p_brand") =!= "Brand#45")
+        .select("p_partkey", "p_brand", "p_size")
+      table(s, dir, "lineitem").select("l_partkey", "l_suppkey")
+        .join(p, col("l_partkey") === col("p_partkey"))
+        .join(broadcast(bad), col("l_suppkey") === col("bad_key"), "left_anti")
+        .groupBy("p_brand", "p_size")
+        .agg(countDistinct("l_suppkey").as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_size"))
+    }),
+
+    // TPC-H Q20 shape — the nested-IN-subquery chain, decorrelated:
+    // suppliers who shipped MORE THAN HALF of some promo part's total
+    // 1996 volume. Both quantity aggregates are keyed on partkey (the
+    // per-(part, supplier) one reuses the same hash partitioning), the
+    // promo filter rides a semi-join, and the >50% threshold compares
+    // exact centi-unit longs (ps_q·2 > p_q) so no float ever decides
+    // membership. The final supplier lookup is a keyed semi-join.
+    "q20_excess" -> ((s, dir) => {
+      val li96 = table(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .select(col("l_partkey"), col("l_suppkey"),
+          floor(col("l_quantity") * 100).cast("long").as("q_c"))
+      val perPS = li96.groupBy("l_partkey", "l_suppkey")
+        .agg(sum("q_c").cast("long").as("ps_q"))
+      val perP = li96.groupBy("l_partkey")
+        .agg(sum("q_c").cast("long").as("p_q"))
+      val promo = table(s, dir, "part").where(col("p_type") === "PROMO")
+        .select("p_partkey")
+      val excess = perPS.join(perP, "l_partkey")
+        .join(promo, col("l_partkey") === col("p_partkey"), "left_semi")
+        .where(col("ps_q") * 2 > col("p_q"))
+        .select("l_suppkey").distinct()
+      table(s, dir, "supplier")
+        .join(excess, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    }),
+
+    // TPC-H Q21 shape — EXISTS + NOT EXISTS self-joins on the fact
+    // table: count, per supplier, the returned lines in multi-supplier
+    // orders where NO other supplier's line was also returned (the
+    // "only one to blame" pattern). Both the semi- and the anti-join
+    // key on orderkey with a residual suppkey inequality — per-order
+    // fanout is bounded by lines-per-order, so the plan scales with
+    // the fact table, never quadratically.
+    "q21_waiting" -> ((s, dir) => {
+      val l1 = table(s, dir, "lineitem")
+        .where(col("l_returnflag") === "R")
+        .select(col("l_orderkey").as("okey"), col("l_suppkey").as("skey"),
+          col("l_linenumber").as("lnum"))
+      val others = table(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o2"), col("l_suppkey").as("s2"))
+        .distinct()
+      val othersReturned = l1.select(col("okey").as("o3"), col("skey").as("s3"))
+        .distinct()
+      l1.join(others, col("okey") === col("o2") && col("skey") =!= col("s2"),
+          "left_semi")
+        .join(othersReturned,
+          col("okey") === col("o3") && col("skey") =!= col("s3"), "left_anti")
+        .groupBy(col("skey"))
+        .agg(count(lit(1)).as("numwait"))
+        .join(table(s, dir, "supplier"), col("skey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("numwait"))
+        .orderBy(col("numwait").desc, col("s_suppkey"))
+    }),
+
     // J1 (the reference's one join, made scalable): grid-blocked ε-neighborhood
     // self-join on (p_size, p_retailprice) points, exact L1 predicate — the
     // DuckDB oracle is the reference-faithful cartesian θ-join.
@@ -521,6 +599,46 @@ object BaseQueries {
         |FROM c LEFT JOIN oc ON c_custkey = o_custkey, pos
         |WHERE bal_c * pos.n > pos.s AND coalesce(n_ord, 0) <= 5
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "q16_suppcnt" ->
+      """SELECT p_brand, p_size,
+        |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_size BETWEEN 1 AND 15 AND p_brand <> 'Brand#45'
+        |  AND l_suppkey NOT IN
+        |    (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_size""".stripMargin,
+    "q20_excess" ->
+      """WITH li AS (SELECT l_partkey, l_suppkey,
+        |    CAST(floor(l_quantity * 100) AS BIGINT) AS q_c
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-01-01'),
+        |ps AS (SELECT l_partkey, l_suppkey,
+        |    CAST(sum(q_c) AS BIGINT) AS ps_q FROM li
+        |  GROUP BY l_partkey, l_suppkey),
+        |p AS (SELECT l_partkey, CAST(sum(q_c) AS BIGINT) AS p_q FROM li
+        |  GROUP BY l_partkey)
+        |SELECT s_suppkey, s_name FROM supplier
+        |WHERE s_suppkey IN (
+        |  SELECT ps.l_suppkey FROM ps JOIN p USING (l_partkey)
+        |  WHERE ps.ps_q * 2 > p.p_q
+        |    AND ps.l_partkey IN
+        |      (SELECT p_partkey FROM part WHERE p_type = 'PROMO'))
+        |ORDER BY s_suppkey""".stripMargin,
+    "q21_waiting" ->
+      """SELECT s_suppkey, s_name, CAST(count(*) AS BIGINT) AS numwait
+        |FROM lineitem l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+        |WHERE l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_returnflag = 'R')
+        |GROUP BY s_suppkey, s_name
+        |ORDER BY numwait DESC, s_suppkey""".stripMargin,
     // same shift/mask/or interleave terms, generated from one definition
     "zorder_key" ->
       s"""WITH z AS (SELECT

@@ -333,7 +333,18 @@ class ShuffleBudgetSpec extends GraftSuite {
     "q15_topsupp" -> (950L, 4400L),
     "q18_large" -> (44000L, 200000L),
     "q19_disjunct" -> (15L, 120L),
-    "q22_balance" -> (4400L, 20000L))
+    "q22_balance" -> (4400L, 20000L),
+    // q16_suppcnt 3,418 (two-phase countDistinct partials on
+    // (brand, size, suppkey); the exclusion list is broadcast, the
+    // part join broadcasts at gate SF); q20_excess 37,189 (the two
+    // partkey-keyed quantity aggs — a blown budget means the semi
+    // chain started shuffling the fact table twice); q21_waiting
+    // 803,125 (the distinct (order, supplier) sets + orderkey-keyed
+    // semi/anti joins — a blown budget means one of the EXISTS legs
+    // regressed past line-level dedup)
+    "q16_suppcnt" -> (1100L, 5200L),
+    "q20_excess" -> (12000L, 56000L),
+    "q21_waiting" -> (260000L, 1210000L))
 
   /** Memo keys to evict after the warm pass so the measured pass runs the
     * gate's build plan instead of reading a checkpoint. dedup_groups
