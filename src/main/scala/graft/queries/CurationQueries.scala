@@ -612,6 +612,33 @@ object CurationQueries {
           col("v").as("at_value"))
     }),
 
+    // Pearson chi-squared independence cells for the lang × source
+    // contingency table — the corpus-balance diagnostic that tells a
+    // curation pass whether language mix differs by source. Emitted
+    // per OBSERVED cell (the groupBy's domain) so no float is ever
+    // summed across cells: obs and both marginals are exact longs, and
+    // the two per-cell floats (expected count, chi² contribution) are
+    // single IEEE expressions with identical operand shapes in both
+    // engines, rounded to 6dp. Plan: one map-side-combined cell
+    // groupBy over the corpus; marginals are tiny-key aggs that ride
+    // as broadcasts — scales linearly at any corpus size.
+    "chi2_test" -> ((s, dir) => {
+      val d = docs(s, dir).select("lang", "source")
+      val cells = d.groupBy("lang", "source").agg(count(lit(1)).as("obs"))
+      val rt = d.groupBy("lang").agg(count(lit(1)).as("rt"))
+      val ct = d.groupBy("source").agg(count(lit(1)).as("ct"))
+      val n = d.agg(count(lit(1)).as("n"))
+      val expC = col("rt").cast("double") * col("ct").cast("double") /
+        col("n").cast("double")
+      cells.join(broadcast(rt), "lang").join(broadcast(ct), "source")
+        .crossJoin(broadcast(n))
+        .select(col("lang"), col("source"), col("obs"), col("rt"),
+          col("ct"), col("n"), round(expC, 6).as("exp6"),
+          round((col("obs").cast("double") - expC) *
+            (col("obs").cast("double") - expC) / expC, 6).as("chi2_c6"))
+        .orderBy("lang", "source")
+    }),
+
     // Cross-source quantile normalization (the batch-effect correction
     // of bioinformatics, applied to quality scores): each doc's quality
     // maps to its ppm percentile WITHIN its source, then to the global
@@ -1384,6 +1411,28 @@ object CurationQueries {
         |  round(CAST(d_nm AS DOUBLE) / (na * nb), 6) AS ks6,
         |  v AS at_value
         |FROM cum ORDER BY d_nm DESC, v LIMIT 1""".stripMargin,
+    // same observed-cell domain; expected and chi² contribution are
+    // the identical IEEE expression shapes, rounded 6dp per cell
+    "chi2_test" ->
+      """WITH d AS (SELECT lang, source FROM documents),
+        |cells AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS obs
+        |  FROM d GROUP BY lang, source),
+        |r AS (SELECT lang, CAST(count(*) AS BIGINT) AS rt FROM d
+        |  GROUP BY lang),
+        |c AS (SELECT source, CAST(count(*) AS BIGINT) AS ct FROM d
+        |  GROUP BY source),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d)
+        |SELECT cells.lang, cells.source, obs, rt, ct, n.n,
+        |  round(CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+        |    / CAST(n.n AS DOUBLE), 6) AS exp6,
+        |  round((CAST(obs AS DOUBLE) - CAST(rt AS DOUBLE)
+        |      * CAST(ct AS DOUBLE) / CAST(n.n AS DOUBLE))
+        |    * (CAST(obs AS DOUBLE) - CAST(rt AS DOUBLE)
+        |      * CAST(ct AS DOUBLE) / CAST(n.n AS DOUBLE))
+        |    / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+        |      / CAST(n.n AS DOUBLE)), 6) AS chi2_c6
+        |FROM cells JOIN r USING (lang) JOIN c USING (source), n
+        |ORDER BY lang, source""".stripMargin,
     "quantile_norm" ->
       s"""WITH $sqlToks,
          |q AS (SELECT doc_id, $sqlQuality AS q FROM toks),

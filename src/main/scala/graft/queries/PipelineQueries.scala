@@ -266,6 +266,41 @@ object PipelineQueries {
         .orderBy("check_name")
     }),
 
+    // Whole-schema referential-integrity audit (validate_rows checks one
+    // FK inline; this sweeps every declared relationship): per relation,
+    // child rows, null FKs, distinct FK values, and orphans — counted
+    // through ONE keyed left join + aggregate each, never a distinct
+    // materialization of the child. Parent keys are primary keys, so
+    // the left join cannot fan out; at 100 TB each leg is a keyed
+    // (or broadcast, for the dimension parents) join that scales with
+    // its own child table.
+    "fk_orphans" -> ((s, dir) => {
+      def audit(child: String, fk: String,
+                parent: String, pk: String): DataFrame = {
+        val c = table(s, dir, child)
+        val p = table(s, dir, parent).select(col(pk))
+        c.join(p, col(fk) === col(pk), "left")
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col(fk).isNull.cast("long")).as("n_null"),
+            countDistinct(col(fk)).as("n_fk_distinct"),
+            sum((col(fk).isNotNull && col(pk).isNull).cast("long"))
+              .as("n_orphan"))
+          .select(lit(s"$child.$fk->$parent.$pk").as("relation"),
+            col("n_rows"), col("n_null"), col("n_fk_distinct"),
+            col("n_orphan"))
+      }
+      Seq(
+        audit("customer", "c_nationkey", "nation", "n_nationkey"),
+        audit("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        audit("lineitem", "l_partkey", "part", "p_partkey"),
+        audit("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        audit("nation", "n_regionkey", "region", "r_regionkey"),
+        audit("orders", "o_custkey", "customer", "c_custkey"),
+        audit("supplier", "s_nationkey", "nation", "n_nationkey"))
+        .reduce(_ unionAll _)
+        .orderBy("relation")
+    }),
+
     // Column-level data profiling (the other half of validate_rows'
     // dashboard): null count, distinct count, min/max per profiled
     // column — all columns in ONE scan via a melt (explode of
@@ -972,6 +1007,28 @@ object PipelineQueries {
          |SELECT e1, e2, e3, CAST(count(*) AS BIGINT) AS n
          |FROM s WHERE e1 IS NOT NULL GROUP BY 1, 2, 3
          |ORDER BY n DESC, e1, e2, e3 LIMIT $PathTopN""".stripMargin,
+    // one left-join leg per relation, same counting expressions
+    "fk_orphans" -> {
+      def leg(child: String, fk: String, parent: String, pk: String) =
+        s"""SELECT '$child.$fk->$parent.$pk' AS relation,
+           |  CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(sum(CASE WHEN $fk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_null,
+           |  CAST(count(DISTINCT $fk) AS BIGINT) AS n_fk_distinct,
+           |  CAST(sum(CASE WHEN $fk IS NOT NULL AND $pk IS NULL
+           |    THEN 1 ELSE 0 END) AS BIGINT) AS n_orphan
+           |FROM $child LEFT JOIN $parent ON $fk = $pk""".stripMargin
+      Seq(
+        leg("customer", "c_nationkey", "nation", "n_nationkey"),
+        leg("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        leg("lineitem", "l_partkey", "part", "p_partkey"),
+        leg("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        leg("nation", "n_regionkey", "region", "r_regionkey"),
+        leg("orders", "o_custkey", "customer", "c_custkey"),
+        leg("supplier", "s_nationkey", "nation", "n_nationkey"))
+        .mkString("SELECT * FROM (\n", "\nUNION ALL\n",
+          "\n) ORDER BY relation")
+    },
     "profile_columns" ->
       """WITH p AS (
         |  SELECT 'l_quantity' AS col_name, CAST(l_quantity AS DOUBLE) AS v

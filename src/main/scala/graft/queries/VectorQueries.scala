@@ -24,6 +24,8 @@ object VectorQueries {
   private val NProbeMax = 4
   /** ann_refine first-stage (ADC) candidate count per query. */
   private val RefineN = 50
+  /** matryoshka_recall truncation width (first MatDim of 64 dims). */
+  private val MatDim = 16
 
   /** The two brute-force gates exist as correctness BASELINES — their scale
     * stories are embed_pairs_lsh and ann_ivf. Cap their input so a larger
@@ -77,6 +79,36 @@ object VectorQueries {
       SimilaritySearch.cosineTopK(
         e, e.where(col("vec_id") < NQueries), "vec_id", "embedding", TopK)
         .orderBy("q_id", "rank")
+    }),
+
+    // Matryoshka truncation eval: recall@k of retrieval using only the
+    // FIRST MatDim of 64 dims against the full-dim exact top-k — the
+    // measurement that decides how far an MRL-style embedding can be
+    // truncated before retrieval quality pays (Kusupati et al.,
+    // NeurIPS'22). Both rankings use the same (rounded sim desc, id)
+    // total order, so the two sets are engine-independent and the
+    // overlap count plus its integer-ppm recall are exact. Truncation
+    // itself is a narrow projection (slice); at scale the full-dim leg
+    // is whatever ANN index serves production, so the eval's cost is
+    // the truncated leg only.
+    "matryoshka_recall" -> ((s, dir) => {
+      val e = embs(s, dir).where(col("vec_id") < BruteCap)
+      val full = SimilaritySearch.cosineTopK(
+        e, e.where(col("vec_id") < NQueries), "vec_id", "embedding", TopK)
+      val te = e.select(col("vec_id"),
+        slice(col("embedding").cast("array<double>"), 1, MatDim).as("temb"))
+      val trunc = SimilaritySearch.cosineTopK(
+        te, te.where(col("vec_id") < NQueries), "vec_id", "temb", TopK)
+      val hits = full.select("q_id", "id")
+        .join(trunc.select(col("q_id"), col("id")), Seq("q_id", "id"),
+          "left_semi")
+        .groupBy("q_id").agg(count(lit(1)).as("n_hits"))
+      e.where(col("vec_id") < NQueries).select(col("vec_id").as("q_id"))
+        .join(hits, Seq("q_id"), "left")
+        .select(col("q_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+        .select(col("q_id"), col("n_hits"),
+          expr(s"(1000000 * n_hits) div $TopK").as("recall_ppm"))
+        .orderBy("q_id")
     }),
 
     // exact all-pairs cosine >= tau (embedding near-dup baseline)
@@ -508,6 +540,33 @@ object VectorQueries {
          |  FROM scored)
          |SELECT q_id, id, sim, CAST(rank AS INT) AS rank FROM ranked
          |WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin,
+    // full-dim and truncated rankings share the (sim desc, id) order;
+    // overlap per query via join, recall as integer ppm
+    "matryoshka_recall" ->
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+         |  FROM embeddings WHERE vec_id < $BruteCap),
+         |fs AS (SELECT a.vec_id AS q_id, b.vec_id AS id,
+         |    round($sqlCos, 6) AS sim
+         |  FROM v a JOIN v b ON a.vec_id < $NQueries AND a.vec_id <> b.vec_id),
+         |fr AS (SELECT q_id, id FROM (SELECT q_id, id, row_number()
+         |    OVER (PARTITION BY q_id ORDER BY sim DESC, id) AS rank FROM fs)
+         |  WHERE rank <= $TopK),
+         |t AS (SELECT vec_id, list_slice(e, 1, $MatDim) AS e FROM v),
+         |ts AS (SELECT a.vec_id AS q_id, b.vec_id AS id,
+         |    round($sqlCos, 6) AS sim
+         |  FROM t a JOIN t b ON a.vec_id < $NQueries AND a.vec_id <> b.vec_id),
+         |tr AS (SELECT q_id, id FROM (SELECT q_id, id, row_number()
+         |    OVER (PARTITION BY q_id ORDER BY sim DESC, id) AS rank FROM ts)
+         |  WHERE rank <= $TopK),
+         |h AS (SELECT fr.q_id, CAST(count(*) AS BIGINT) AS n_hits
+         |  FROM fr JOIN tr ON fr.q_id = tr.q_id AND fr.id = tr.id
+         |  GROUP BY fr.q_id)
+         |SELECT q.vec_id AS q_id,
+         |  CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+         |  CAST((1000000 * coalesce(h.n_hits, 0)) // $TopK AS BIGINT)
+         |    AS recall_ppm
+         |FROM (SELECT vec_id FROM v WHERE vec_id < $NQueries) q
+         |LEFT JOIN h ON q.vec_id = h.q_id ORDER BY q_id""".stripMargin,
     "cosine_pairs" ->
       s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
          |  FROM embeddings WHERE vec_id < $BruteCap)

@@ -344,7 +344,16 @@ class ShuffleBudgetSpec extends GraftSuite {
     // regressed past line-level dedup)
     "q16_suppcnt" -> (1100L, 5200L),
     "q20_excess" -> (12000L, 56000L),
-    "q21_waiting" -> (260000L, 1210000L))
+    "q21_waiting" -> (260000L, 1210000L),
+    // chi2_test 2,026 (the (lang, source) cell groupBy; marginals are
+    // tiny-key broadcasts); fk_orphans 230 (seven 1-row audit aggs —
+    // the joins broadcast at gate SF); matryoshka_recall 59 (both
+    // top-k legs are broadcast crossJoins + O(queries·k) TopKAgg
+    // partials — a blown budget means a ranking regressed to a
+    // corpus-wide sort)
+    "chi2_test" -> (650L, 3100L),
+    "fk_orphans" -> (70L, 400L),
+    "matryoshka_recall" -> (15L, 300L))
 
   /** Memo keys to evict after the warm pass so the measured pass runs the
     * gate's build plan instead of reading a checkpoint. dedup_groups
