@@ -425,6 +425,38 @@ object BaseQueries {
         .agg(count(lit(1)).as("n_rows"), sum("z").as("sum_z"),
           min("z").as("min_z"), max("z").as("max_z"))
         .orderBy("zbucket")
+    }),
+
+    // Zone-map skipping report: how many file-sized zones a point
+    // predicate on l_partkey can PRUNE under (a) the Z-ordered layout
+    // (zones = zkey buckets, what writeZOrdered produces) versus (b)
+    // natural insertion order (zones = orderkey ranges) — the
+    // min/max-statistics audit that justifies paying for clustering
+    // before a 100 TB rewrite. Zone maps are metadata-scale aggregates
+    // (map-side-combined groupBys over ≤4096 keys); the probe set
+    // cross-joins the broadcast zone tables, so the report costs two
+    // scans regardless of probe count. All counts and ppm rates are
+    // exact integers.
+    "skip_stats" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem")
+        .select("l_partkey", "l_suppkey", "l_orderkey")
+      val zb = shiftright(graft.operators.ZOrder
+        .zkey2(col("l_partkey"), col("l_suppkey"), bits = 16), 12)
+      val zonesZ = li.groupBy(zb.as("zone"))
+        .agg(min("l_partkey").as("mn"), max("l_partkey").as("mx"))
+      val zonesN = li.groupBy(expr("l_orderkey div 64").as("zone"))
+        .agg(min("l_partkey").as("mn"), max("l_partkey").as("mx"))
+      val probes = s.range(1, 9).select((col("id") * 100).as("p"))
+      def skipRate(zones: DataFrame, tag: String): DataFrame =
+        probes.crossJoin(broadcast(zones))
+          .groupBy("p")
+          .agg(count(lit(1)).as(s"n_zones_$tag"),
+            sum((col("p") < col("mn") || col("p") > col("mx"))
+              .cast("long")).as(s"n_skip_$tag"))
+          .withColumn(s"skip_${tag}_ppm",
+            expr(s"(1000000 * n_skip_$tag) div n_zones_$tag"))
+      skipRate(zonesZ, "z").join(skipRate(zonesN, "nat"), "p")
+        .orderBy("p")
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -646,5 +678,31 @@ object BaseQueries {
          |    AS z FROM lineitem)
          |SELECT z >> 12 AS zbucket, count(*) AS n_rows,
          |  CAST(sum(z) AS BIGINT) AS sum_z, min(z) AS min_z, max(z) AS max_z
-         |FROM z GROUP BY 1 ORDER BY 1""".stripMargin)
+         |FROM z GROUP BY 1 ORDER BY 1""".stripMargin,
+    // same two zone maps and probe set; skip = probe outside [mn, mx]
+    "skip_stats" ->
+      s"""WITH zz AS (SELECT
+         |    (${graft.operators.ZOrder.sqlZkey2("l_partkey", "l_suppkey", 16)})
+         |      >> 12 AS zone,
+         |    min(l_partkey) AS mn, max(l_partkey) AS mx
+         |  FROM lineitem GROUP BY 1),
+         |zn AS (SELECT l_orderkey // 64 AS zone,
+         |    min(l_partkey) AS mn, max(l_partkey) AS mx
+         |  FROM lineitem GROUP BY 1),
+         |probes AS (SELECT (t.r + 1) * 100 AS p
+         |  FROM (SELECT unnest(range(0, 8)) AS r) t),
+         |sz AS (SELECT p, CAST(count(*) AS BIGINT) AS n_zones_z,
+         |    CAST(sum(CASE WHEN p < mn OR p > mx THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_skip_z
+         |  FROM probes, zz GROUP BY p),
+         |sn AS (SELECT p, CAST(count(*) AS BIGINT) AS n_zones_nat,
+         |    CAST(sum(CASE WHEN p < mn OR p > mx THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_skip_nat
+         |  FROM probes, zn GROUP BY p)
+         |SELECT sz.p, n_zones_z, n_skip_z,
+         |  CAST((1000000 * n_skip_z) // n_zones_z AS BIGINT) AS skip_z_ppm,
+         |  n_zones_nat, n_skip_nat,
+         |  CAST((1000000 * n_skip_nat) // n_zones_nat AS BIGINT)
+         |    AS skip_nat_ppm
+         |FROM sz JOIN sn ON sz.p = sn.p ORDER BY sz.p""".stripMargin)
 }

@@ -353,7 +353,11 @@ class ShuffleBudgetSpec extends GraftSuite {
     // corpus-wide sort)
     "chi2_test" -> (650L, 3100L),
     "fk_orphans" -> (70L, 400L),
-    "matryoshka_recall" -> (15L, 300L))
+    "matryoshka_recall" -> (15L, 300L),
+    // skip_stats 4,110 (two ≤4096-key zone-map groupBys; the probe
+    // join is a broadcast — a blown budget means a zone map stopped
+    // combining map-side)
+    "skip_stats" -> (1300L, 6200L))
 
   /** Memo keys to evict after the warm pass so the measured pass runs the
     * gate's build plan instead of reading a checkpoint. dedup_groups
