@@ -79,6 +79,65 @@ object Traversals {
     visited.select(col("id"), col("hops").cast("int").as("hops"))
   }
 
+  /** Per-seed BFS distances: like [[bfsHops]] but the visited state is
+    * keyed by (seed, id), so every seed's frontier expands in the SAME
+    * per-round job — k seeds cost k× the state, not k× the rounds.
+    * Shuffles stay keyed ((seed, id) distinct/anti-join, id-keyed
+    * adjacency join); nothing collects to the driver.
+    *
+    * @return (seed, id, hops) for every vertex within `maxHops` of a
+    *         seed; the seed itself reports 0.
+    */
+  def seededHops(edges: DataFrame, seeds: DataFrame,
+                 maxHops: Int = 32): DataFrame = {
+    val sym = symmetrize(edges).localCheckpoint(eager = false)
+
+    var visited = seeds.select(col("id").cast("long").as("seed"))
+      .distinct()
+      .withColumn("id", col("seed"))
+      .withColumn("hops", lit(0))
+      .localCheckpoint(eager = false)
+    var visCount = visited.count()
+
+    var hop = 0
+    var done = visCount == 0
+    while (!done && hop < maxHops) {
+      hop += 1
+      val frontier = visited.where(col("hops") === hop - 1)
+      val next = frontier
+        .join(sym, frontier("id") === sym("src"))
+        .select(col("seed"), sym("dst").as("id"))
+        .distinct()
+        .join(visited, Seq("seed", "id"), "left_anti")
+        .withColumn("hops", lit(hop))
+      val grown = visited.union(next).localCheckpoint(eager = false)
+      val newCount = grown.count()
+      done = newCount == visCount
+      visCount = newCount
+      LineageCut.release(visited)
+      visited = grown
+    }
+    LineageCut.release(sym)
+    visited
+  }
+
+  /** Harmonic centrality of every vertex with respect to a seed set
+    * (Boldi & Vigna 2014's centrality, restricted to sampled sources —
+    * the standard estimator at graph scale): h(v) = Σ_seeds 1/d(seed, v),
+    * kept EXACT as integer ppm (Σ 1000000 div hops over hops ≥ 1).
+    * One [[seededHops]] fixpoint + one map-side-combined groupBy.
+    *
+    * @return (id, n_seeds_reached, h_ppm) for vertices reachable from
+    *         at least one seed in 1..maxHops hops.
+    */
+  def harmonicCentrality(edges: DataFrame, seeds: DataFrame,
+                         maxHops: Int = 32): DataFrame =
+    seededHops(edges, seeds, maxHops)
+      .where(col("hops") > 0)
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_seeds_reached"),
+        sum(expr("1000000 div CAST(hops AS BIGINT)")).as("h_ppm"))
+
   /** Fixed-iteration PageRank over the DIRECTED simple view of `edges`
     * (self-loops dropped, duplicate edges collapsed), with uniform
     * teleport and dangling mass redistributed uniformly — the standard

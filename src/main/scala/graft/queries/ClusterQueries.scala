@@ -23,6 +23,8 @@ object ClusterQueries {
   private val minPts = 4
   private val kAnon = 4
   private val BfsMaxHops = 32
+  /** harmonic_centrality seed-sample size (Boldi-Vigna estimator). */
+  private val HarmonicSeeds = 16
   private val PrIters = 5
   private val PrDamping = 0.85
   /** ppr_scores seed set: graph vertices with id % PprSeedMod == 0. */
@@ -335,6 +337,22 @@ object ClusterQueries {
         .orderBy("id")
     }),
 
+    // Harmonic centrality from a FIXED-SIZE deterministic seed sample
+    // (Boldi-Vigna seed-sampled estimator — the form that scales,
+    // since all-pairs distances don't): Σ_seeds 1/d as exact integer
+    // ppm over the seeded multi-source BFS, seeds = the HarmonicSeeds
+    // smallest local-min vertices (TakeOrdered, parallel). The
+    // per-(seed, id) state is k·V, independent of graph density.
+    // Completes the centrality family next to pagerank/ppr/
+    // eigencentrality/kcore.
+    "harmonic_centrality" -> ((s, dir) => {
+      val e = epsEdges(s, dir)
+      val seeds = Traversals.localMinSeeds(e).orderBy("id")
+        .limit(HarmonicSeeds)
+      Traversals.harmonicCentrality(e, seeds, maxHops = BfsMaxHops)
+        .orderBy("id")
+    }),
+
     // Per-vertex triangle counts on the ε-graph — the local clustering
     // signal DBSCAN's density test approximates. Degree-ordered wedge
     // join (each triangle enumerated once from its lowest-ordered
@@ -617,6 +635,27 @@ object ClusterQueries {
          |  FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
          |  GROUP BY r1.a)
          |SELECT id, component FROM scc ORDER BY id""".stripMargin,
+    // per-(seed, id) shortest hops via the same recursive walk, then
+    // Σ 1000000 // hops over hops >= 1
+    "harmonic_centrality" ->
+      s"""WITH RECURSIVE
+         |$sqlGraph,
+         |sym AS (SELECT src, dst FROM edges WHERE src <> dst
+         |        UNION SELECT dst, src FROM edges WHERE src <> dst),
+         |seeds AS (SELECT src AS id FROM sym GROUP BY src
+         |          HAVING min(dst) > src
+         |          ORDER BY src LIMIT $HarmonicSeeds),
+         |walk(seed, id, hops) AS (
+         |  SELECT id, id, 0 FROM seeds
+         |  UNION
+         |  SELECT w.seed, s.dst, w.hops + 1 FROM walk w
+         |  JOIN sym s ON s.src = w.id
+         |  WHERE w.hops < $BfsMaxHops),
+         |d AS (SELECT seed, id, min(hops) AS hops FROM walk
+         |  GROUP BY seed, id)
+         |SELECT id, CAST(count(*) AS BIGINT) AS n_seeds_reached,
+         |  CAST(sum(1000000 // hops) AS BIGINT) AS h_ppm
+         |FROM d WHERE hops > 0 GROUP BY id ORDER BY id""".stripMargin,
     "bfs_hops" ->
       s"""WITH RECURSIVE
          |$sqlGraph,

@@ -21,6 +21,25 @@ class TraversalsSpec extends GraftSuite {
     assert(got == Map(1L -> 0, 2L -> 1, 3L -> 1, 4L -> 0))
   }
 
+  test("seeded hops track each seed separately; harmonic sums exact ppm") {
+    // path 1-2-3-4 plus isolated pair 10-11; seeds 1 and 4
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("src", "dst")
+    val seeds = Seq(1L, 4L).toDF("id")
+    val sh = Traversals.seededHops(edges, seeds)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(sh == Set((1L, 1L, 0), (1L, 2L, 1), (1L, 3L, 2), (1L, 4L, 3),
+      (4L, 4L, 0), (4L, 3L, 1), (4L, 2L, 2), (4L, 1L, 3)))
+    val h = Traversals.harmonicCentrality(edges, seeds)
+      .as[(Long, Long, Long)].collect()
+      .map { case (id, n, p) => id -> (n, p) }.toMap
+    // vertex 2: d(1,2)=1, d(4,2)=2 → 1000000 + 500000
+    assert(h(2L) == ((2L, 1500000L)) && h(3L) == ((2L, 1500000L)))
+    // endpoints see only the OTHER seed (own distance 0 excluded)
+    assert(h(1L) == ((1L, 333333L)) && h(4L) == ((1L, 333333L)))
+    assert(!h.contains(10L) && !h.contains(11L), "unreached stays absent")
+  }
+
   test("personalized pagerank: unit mass, seed locality, empty-seed zeros") {
     // two symmetric triangles bridged by one edge; seed in triangle A
     val tri = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (3L, 1L), (1L, 3L),
