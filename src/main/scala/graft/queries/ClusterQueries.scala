@@ -25,6 +25,11 @@ object ClusterQueries {
   private val BfsMaxHops = 32
   /** harmonic_centrality seed-sample size (Boldi-Vigna estimator). */
   private val HarmonicSeeds = 16
+  /** harmonic_centrality radius bound: contributions past R hops are
+    * ≤ 1000000/R ppm each and the BFS costs one round per hop, so the
+    * estimator truncates (bounded-radius harmonic centrality) — at
+    * sf0.1 this is the difference between 8 and 32 fixpoint rounds. */
+  private val HarmonicRadius = 8
   private val PrIters = 5
   private val PrDamping = 0.85
   /** ppr_scores seed set: graph vertices with id % PprSeedMod == 0. */
@@ -349,7 +354,7 @@ object ClusterQueries {
       val e = epsEdges(s, dir)
       val seeds = Traversals.localMinSeeds(e).orderBy("id")
         .limit(HarmonicSeeds)
-      Traversals.harmonicCentrality(e, seeds, maxHops = BfsMaxHops)
+      Traversals.harmonicCentrality(e, seeds, maxHops = HarmonicRadius)
         .orderBy("id")
     }),
 
@@ -650,7 +655,7 @@ object ClusterQueries {
          |  UNION
          |  SELECT w.seed, s.dst, w.hops + 1 FROM walk w
          |  JOIN sym s ON s.src = w.id
-         |  WHERE w.hops < $BfsMaxHops),
+         |  WHERE w.hops < $HarmonicRadius),
          |d AS (SELECT seed, id, min(hops) AS hops FROM walk
          |  GROUP BY seed, id)
          |SELECT id, CAST(count(*) AS BIGINT) AS n_seeds_reached,

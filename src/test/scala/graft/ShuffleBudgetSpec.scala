@@ -358,11 +358,11 @@ class ShuffleBudgetSpec extends GraftSuite {
     // join is a broadcast — a blown budget means a zone map stopped
     // combining map-side)
     "skip_stats" -> (1300L, 6200L),
-    // harmonic_centrality 855,049 (the per-(seed, id) BFS state over
-    // the fixpoint rounds — k·V bounded by the 16-seed cap; a blown
-    // budget means the cap stopped applying or a frontier stopped
-    // anti-joining against visited)
-    "harmonic_centrality" -> (280000L, 1300000L))
+    // harmonic_centrality 478,509 (the per-(seed, id) BFS state over
+    // the radius-8 fixpoint rounds — k·V bounded by the 16-seed cap
+    // and the radius bound; a blown budget means a cap stopped
+    // applying or a frontier stopped anti-joining against visited)
+    "harmonic_centrality" -> (150000L, 720000L))
 
   /** Memo keys to evict after the warm pass so the measured pass runs the
     * gate's build plan instead of reading a checkpoint. dedup_groups
