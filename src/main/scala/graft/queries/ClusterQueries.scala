@@ -342,6 +342,25 @@ object ClusterQueries {
         .orderBy("id")
     }),
 
+    // Reciprocity of the DIRECTED ε-graph (core→neighbor): the fraction
+    // of edges whose reverse also exists — non-trivial here exactly
+    // because core→border edges are one-way (the border point lacks
+    // minPts neighbors), so the ppm is a density-structure signal, not
+    // a constant. One keyed self-semi-join on the reversed edge set;
+    // exact integer ppm.
+    "reciprocity" -> ((s, dir) => {
+      val e = epsEdges(s, dir).select("src", "dst")
+        .where(col("src") =!= col("dst")).distinct()
+      val rev = e.select(col("dst").as("src"), col("src").as("dst"))
+      val recip = e.join(rev, Seq("src", "dst"), "left_semi")
+      e.agg(count(lit(1)).as("n_edges"))
+        .crossJoin(recip.agg(count(lit(1)).as("n_recip")))
+        .select(col("n_edges"), col("n_recip"),
+          when(col("n_edges") > 0,
+            expr("(1000000 * n_recip) div n_edges")).otherwise(0L)
+            .as("recip_ppm"))
+    }),
+
     // Harmonic centrality from a FIXED-SIZE deterministic seed sample
     // (Boldi-Vigna seed-sampled estimator — the form that scales,
     // since all-pairs distances don't): Σ_seeds 1/d as exact integer
@@ -640,6 +659,21 @@ object ClusterQueries {
          |  FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
          |  GROUP BY r1.a)
          |SELECT id, component FROM scc ORDER BY id""".stripMargin,
+    // distinct non-loop directed edges; reciprocated iff the reversed
+    // pair exists
+    "reciprocity" ->
+      s"""WITH
+         |$sqlGraph,
+         |de AS (SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
+         |t AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM de),
+         |r AS (SELECT CAST(count(*) AS BIGINT) AS n_recip FROM de a
+         |  WHERE EXISTS (SELECT 1 FROM de b
+         |    WHERE b.src = a.dst AND b.dst = a.src))
+         |SELECT n_edges, n_recip,
+         |  CAST(CASE WHEN n_edges > 0
+         |    THEN (1000000 * n_recip) // n_edges ELSE 0 END AS BIGINT)
+         |    AS recip_ppm
+         |FROM t, r""".stripMargin,
     // per-(seed, id) shortest hops via the same recursive walk, then
     // Σ 1000000 // hops over hops >= 1
     "harmonic_centrality" ->

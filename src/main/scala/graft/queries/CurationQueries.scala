@@ -403,6 +403,34 @@ object CurationQueries {
           .otherwise(500000L).as("auc_ppm"))
     }),
 
+    // Average precision (area under the precision-recall curve at every
+    // positive) for the same quality-predicts-lang setup as quality_auc
+    // — the eval metric that matters when positives are rare and ROC-AUC
+    // flatters. Exact end-to-end: rank and inclusive positive-count come
+    // from ONE PrefixScan pass (rank and Σpos packed into a single long,
+    // 2^32 + pos, so one scan carries both — corpus < 2^31 rows, widen
+    // the base past that), precision at each positive is integer ppm,
+    // and AP is their integer mean. No global window anywhere.
+    "avg_precision" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"),
+        (col("lang") === DsirLang).cast("long").as("pos"),
+        TF.qualityScore(col("text")).as("q"))
+      val keyed = d.select(col("doc_id"), col("pos"), (-col("q")).as("nq"))
+        .withColumn("__all", lit(1))
+        .withColumn("pk", lit(4294967296L) + col("pos"))
+      val scanned = graft.operators.PrefixScan.exclusiveCumsum(
+        keyed, "__all", Seq("nq", "doc_id"), "pk", "cum",
+        numParts = s.sparkContext.defaultParallelism)
+      val perPos = scanned.where(col("pos") === 1)
+        .select(expr("(1000000 * (cum % 4294967296 + 1)) div " +
+          "(cum div 4294967296 + 1)").as("prec_ppm"))
+      perPos.agg(count(lit(1)).as("n_pos"),
+          sum("prec_ppm").cast("long").as("sum_prec"))
+        .select(col("n_pos"), col("sum_prec"),
+          when(col("n_pos") > 0, expr("sum_prec div n_pos"))
+            .otherwise(0L).as("ap_ppm"))
+    }),
+
     // Vocabulary growth curve (the Heaps'-law measurement behind "is
     // more data still adding new phrases?") over word BIGRAMS — the
     // unigram vocab of the synthetic corpus saturates in the first
@@ -1285,6 +1313,26 @@ object CurationQueries {
          |    THEN ((r2pos - np * (np + 1)) * 1000000) // (2 * np * nn)
          |    ELSE 500000 END AS BIGINT) AS auc_ppm
          |FROM a""".stripMargin,
+    // the oracle may window freely: row_number + running positive
+    // count over (q DESC, doc_id), precision ppm per positive
+    "avg_precision" ->
+      s"""WITH $sqlToks,
+         |q AS (SELECT doc_id, $sqlQuality AS q FROM toks),
+         |j AS (SELECT q.doc_id,
+         |    CASE WHEN d.lang = '$DsirLang' THEN 1 ELSE 0 END AS pos, q.q
+         |  FROM documents d JOIN q ON d.doc_id = q.doc_id),
+         |r AS (SELECT pos,
+         |    row_number() OVER (ORDER BY q DESC, doc_id) AS rk,
+         |    sum(pos) OVER (ORDER BY q DESC, doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS cp
+         |  FROM j),
+         |p AS (SELECT (1000000 * cp) // rk AS prec_ppm FROM r
+         |  WHERE pos = 1)
+         |SELECT CAST(count(*) AS BIGINT) AS n_pos,
+         |  CAST(sum(prec_ppm) AS BIGINT) AS sum_prec,
+         |  CAST(CASE WHEN count(*) > 0 THEN sum(prec_ppm) // count(*)
+         |    ELSE 0 END AS BIGINT) AS ap_ppm
+         |FROM p""".stripMargin,
     "vocab_growth" ->
       s"""WITH $sqlToks,
          |sg AS (SELECT doc_id, unnest(CASE WHEN len(t) < 2

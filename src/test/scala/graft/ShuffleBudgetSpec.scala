@@ -362,7 +362,13 @@ class ShuffleBudgetSpec extends GraftSuite {
     // the radius-8 fixpoint rounds — k·V bounded by the 16-seed cap
     // and the radius bound; a blown budget means a cap stopped
     // applying or a frontier stopped anti-joining against visited)
-    "harmonic_centrality" -> (150000L, 720000L))
+    "harmonic_centrality" -> (150000L, 720000L),
+    // avg_precision 444 (one packed PrefixScan range partition of
+    // (rank, Σpos) plus the per-(partition, group) totals); reciprocity
+    // 41,700 (the distinct edge set + the reversed-edge semi-join over
+    // the memoized ε-edges)
+    "avg_precision" -> (140L, 700L),
+    "reciprocity" -> (13000L, 63000L))
 
   /** Memo keys to evict after the warm pass so the measured pass runs the
     * gate's build plan instead of reading a checkpoint. dedup_groups
