@@ -39,6 +39,21 @@ object EventQueries {
         .orderBy("window_start", "event_type")
     }),
 
+    // Watermark-sizing audit: per-event lateness in ARRIVAL order
+    // (event_id) — running max(ts) per user minus the event's own ts —
+    // bucketed into a minute histogram. This distribution is exactly
+    // what withWatermark's delay must cover (the streaming gates use
+    // WatermarkMinutes; this gate measures whether that bound holds on
+    // the data). The running max rides a USER-keyed window (never
+    // global) and the histogram groupBy is map-side combined — both
+    // scale-safe at any event volume.
+    "lateness_hist" -> ((s, dir) => {
+      EventStreams.latenessHistogram(
+          events(s, dir).withColumn("us", unix_micros(col("ts"))),
+          "user_id", "event_id", "us")
+        .orderBy("late_min")
+    }),
+
     // gap-based sessionization via lag + running-sum windows
     "events_sessions" -> ((s, dir) => {
       EventStreams.sessionize(events(s, dir), GapMinutes)
@@ -375,6 +390,16 @@ object EventQueries {
     }))
 
   val oracleSql: Map[String, String] = Map(
+    // same user-keyed running max over arrival order, minute buckets
+    "lateness_hist" ->
+      """WITH r AS (SELECT epoch_us(ts) AS us,
+        |    max(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY event_id
+        |      ROWS UNBOUNDED PRECEDING) AS mx
+        |  FROM events)
+        |SELECT (mx - us) // 60000000 AS late_min,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(max(mx - us) AS BIGINT) AS max_late_us
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
     "events_window" ->
       """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
         |  event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value

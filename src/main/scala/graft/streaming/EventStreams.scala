@@ -57,6 +57,24 @@ object EventStreams {
         col("n_events"), col("sum_value"))
   }
 
+  /** Watermark-sizing audit: per-event lateness (running max of `usCol`
+    * per key in `arrivalCol` order, minus the event's own value),
+    * bucketed into a minute histogram — the distribution a
+    * `withWatermark` delay must cover. The running max rides a KEYED
+    * window (never global); the histogram groupBy is map-side combined.
+    * On an in-order stream every event lands in bucket 0 — the audit's
+    * "watermark can be zero" answer; LatenessSpec pins the non-zero
+    * buckets on a synthetic out-of-order stream. */
+  def latenessHistogram(events: DataFrame, keyCol: String,
+                        arrivalCol: String, usCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(arrivalCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .withColumn("late_us", max(col(usCol)).over(w) - col(usCol))
+      .groupBy(expr("late_us div 60000000").as("late_min"))
+      .agg(count(lit(1)).as("n_events"), max("late_us").as("max_late_us"))
+  }
+
   /** Batch sessionization: a new session starts when the gap to the
     * previous event of the same user exceeds `gap`. Pure window functions
     * (lag + running sum), fully SQL-mirrorable. */

@@ -120,6 +120,26 @@ class EventStreamsSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("lateness histogram buckets out-of-order arrivals; zero when in-order") {
+    val M = 60000000L
+    // user 1 arrives in-order; user 2's third arrival is 2.5 min stale
+    // and its fifth is 1 min stale
+    val rows = Seq(
+      (1L, 1L, 0L), (1L, 2L, M), (1L, 3L, 2 * M),
+      (2L, 1L, 10 * M), (2L, 2L, 13 * M), (2L, 3L, 13 * M - 5 * M / 2),
+      (2L, 4L, 14 * M), (2L, 5L, 13 * M))
+      .toDF("user_id", "event_id", "us")
+    val byBucket = EventStreams
+      .latenessHistogram(rows, "user_id", "event_id", "us")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // in-order events (user 1's three + user 2's rows 1,2,4) → bucket 0;
+    // 2.5 min stale → bucket 2 with max 150s; 1 min stale → bucket 1
+    assert(byBucket(0L) == ((6L, 0L)))
+    assert(byBucket(1L) == ((1L, M)))
+    assert(byBucket(2L) == ((1L, 5 * M / 2)))
+    assert(byBucket.size == 3)
+  }
+
   test("batch sessionization invariants") {
     val ev = graft.core.Tables.table(spark, sf0001, "events")
     val sess = EventStreams.sessionize(ev, gapMinutes = 60).cache()

@@ -368,7 +368,11 @@ class ShuffleBudgetSpec extends GraftSuite {
     // 41,700 (the distinct edge set + the reversed-edge semi-join over
     // the memoized ε-edges)
     "avg_precision" -> (140L, 700L),
-    "reciprocity" -> (13000L, 63000L))
+    "reciprocity" -> (13000L, 63000L),
+    // lateness_hist 144,415 (the user-keyed running-max window's hash
+    // exchange of (user, arrival, us) — a blown budget means the
+    // window went global or stopped pruning columns)
+    "lateness_hist" -> (45000L, 220000L))
 
   /** Memo keys to evict after the warm pass so the measured pass runs the
     * gate's build plan instead of reading a checkpoint. dedup_groups
