@@ -309,4 +309,42 @@ class PlanHygieneSpec extends GraftSuite {
       !p.contains("BroadcastNestedLoopJoin"),
       s"sorted-neighborhood join must stay bucket-keyed:\n${p.take(800)}")
   }
+
+  test("avg_precision ranks through PrefixScan, never a global window") {
+    val p = plan("avg_precision")
+    assert(p.contains("rangepartitioning"),
+      s"the packed rank/Σpos scan must range-partition:\n${p.take(800)}")
+    assert(!p.contains("Window [") || p.contains("__pid"),
+      "any window must be the per-slice PrefixScan window, not global")
+  }
+
+  test("lateness histogram windows per user, never globally") {
+    val p = plan("lateness_hist")
+    assert(p.contains("hashpartitioning(user_id"),
+      s"the running max must key its exchange by user:\n${p.take(800)}")
+    assert(!p.contains("SinglePartition"),
+      "no stage may funnel the stream through one partition")
+  }
+
+  test("q21's EXISTS legs stay orderkey-keyed equi-joins") {
+    val p = plan("q21_waiting")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"semi/anti legs must join on orderkey:\n${p.take(800)}")
+  }
+
+  test("fk audit joins never fan out or go nested-loop") {
+    val p = plan("fk_orphans")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"each relation leg must stay a keyed left join:\n${p.take(800)}")
+  }
+
+  test("skip_stats zone probes ride broadcasts, not shuffle joins") {
+    val p = plan("skip_stats")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"the tiny zone maps must broadcast against the probes:\n${p.take(800)}")
+    assert(!p.contains("SortMergeJoin"),
+      "no shuffle join belongs in a metadata-scale report")
+  }
 }
