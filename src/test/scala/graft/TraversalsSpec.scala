@@ -40,6 +40,30 @@ class TraversalsSpec extends GraftSuite {
     assert(!h.contains(10L) && !h.contains(11L), "unreached stays absent")
   }
 
+  test("harmonic centrality: empty seeds yield no rows; hop cap truncates") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    assert(Traversals.harmonicCentrality(edges,
+      Seq.empty[Long].toDF("id")).count() == 0)
+    // radius 1 from seed 1: only vertex 2 is reached
+    val h = Traversals.harmonicCentrality(edges, Seq(1L).toDF("id"),
+        maxHops = 1)
+      .as[(Long, Long, Long)].collect()
+    assert(h.toSeq == Seq((2L, 1L, 1000000L)))
+  }
+
+  test("clustering coefficient: triangle saturates, path reads zero") {
+    val tri = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val ct = Traversals.clusteringCoeff(tri)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(ct == Set((1L, 2L, 1L, 1000000L), (2L, 2L, 1L, 1000000L),
+      (3L, 2L, 1L, 1000000L)))
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val cp = Traversals.clusteringCoeff(path)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(cp.length == 3 && cp.forall(_._4 == 0L),
+      s"all three path vertices report, none with a triangle: ${cp.toSeq}")
+  }
+
   test("personalized pagerank: unit mass, seed locality, empty-seed zeros") {
     // two symmetric triangles bridged by one edge; seed in triangle A
     val tri = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (3L, 1L), (1L, 3L),
