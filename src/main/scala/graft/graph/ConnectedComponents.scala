@@ -26,7 +26,8 @@ object ConnectedComponents {
     *         Isolated vertices (absent from `edges`) are the caller's to
     *         re-add (`coalesce(component, id)` after an outer join).
     */
-  def run(edges: DataFrame, maxIter: Int = 64): DataFrame = {
+  def run(edges: DataFrame, maxIter: Int = 64,
+          skewSafe: Boolean = false): DataFrame = {
     // checkpoints are LAZY: the checksum that every round needs anyway is
     // the action that materializes them, so each round schedules ONE job
     // (checkpoint-fill + checksum fused) instead of two — rounds are pure
@@ -60,16 +61,24 @@ object ConnectedComponents {
       // shuffles of the edge set per round but no single-task hotspot.
       // The DBSCAN ε-graphs this serves are degree-bounded by the grid
       // blocking (components are dense blobs, adjacency ≤ ball
-      // population), which is why the cheaper window form is the default.
+      // population), which is why the cheaper window form is the default;
+      // skewSafe=true swaps BOTH star phases to the combining form below.
       val perSrcMin = Window.partitionBy("src")
+      // The combining form: per-src minima through a map-side-combined
+      // groupBy (hash-aggregate partials absorb a power-law hot root
+      // BEFORE the exchange) joined back on src — 2 extra shuffles of
+      // the edge set per round, no single-task hotspot.
+      def withSrcMin(df: DataFrame): DataFrame =
+        if (!skewSafe) df.withColumn("m", min("dst").over(perSrcMin))
+        else df.join(df.groupBy("src").agg(min("dst").as("m")), "src")
 
       // Large-star: for each node u, attach every strictly-larger neighbor
       // to the minimum of Γ(u) ∪ {u}.
       val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
       // no distinct here: duplicates don't change small-star's minima and
       // its final distinct dedups — saves one full shuffle per round
-      val large = sym
-        .withColumn("m", least(min("dst").over(perSrcMin), col("src")))
+      val large = withSrcMin(sym)
+        .withColumn("m", least(col("m"), col("src")))
         .where(col("dst") > col("src"))
         .select(col("dst").as("src"), col("m").as("dst"))
         .where(col("src") =!= col("dst"))
@@ -78,7 +87,7 @@ object ConnectedComponents {
       // smaller neighbors to the minimum neighbor.
       val oriented = large.select(greatest(col("src"), col("dst")).as("src"),
         least(col("src"), col("dst")).as("dst"))
-      val withMin = oriented.withColumn("m", min("dst").over(perSrcMin))
+      val withMin = withSrcMin(oriented)
       val small = withMin
         .select(col("dst").as("src"), col("m").as("dst"))
         .union(withMin.select(col("src"), col("m").as("dst")))

@@ -38,6 +38,18 @@ class ConnectedComponentsSpec extends GraftSuite {
     assert(leaked.size <= 1, s"per-round checkpoints leaked: $leaked")
   }
 
+  test("skewSafe combining form labels identically to the window form") {
+    // hot-root star (the skew case the combining form exists for),
+    // a chain, and a detached pair
+    val star = (2L to 40L).map(i => (1L, i))
+    val edges = (star ++ Seq((41L, 42L), (42L, 43L), (100L, 101L))).toSeq
+    val w = cc(edges)
+    val c = ConnectedComponents.run(edges.toDF("src", "dst"),
+        skewSafe = true)
+      .as[(Long, Long)].collect().toMap
+    assert(c == w, s"forms diverge: ${c.toSeq.sorted} vs ${w.toSeq.sorted}")
+  }
+
   test("matches GraphX CC on random graphs") {
     val rnd = new scala.util.Random(42)
     for (trial <- 1 to 3) {
