@@ -63,7 +63,11 @@ object GraftExtensions {
     ("cdc_boundaries",
       "cdc_boundaries(text, n, mod) - content-defined chunk boundary positions",
       args => graft.functions.CdcBoundariesExpr(args.head,
-        intLit(args(1)), intLit(args(2)))))
+        intLit(args(1)), intLit(args(2)))),
+    ("jaro_winkler",
+      "jaro_winkler(a, b) - byte-level Jaro-Winkler similarity " +
+        "(DuckDB-identical arithmetic)",
+      args => graft.functions.JaroWinklerExpr(args.head, args(1))))
 
   /** Int value of a foldable literal argument (n/w parameters ride as
     * case-class ints on the expressions, not as child expressions). */

@@ -125,6 +125,13 @@ object TextFunctions {
   def dedupLines(t: Column): Column =
     array_join(array_distinct(split(t, "\n")), "\n")
 
+  /** Byte-level Jaro-Winkler similarity (Winkler 1990), codegen and
+    * arithmetic-identical to DuckDB's `jaro_winkler_similarity` — see
+    * [[graft.functions.TextKernels.jaroWinkler]] for the pinned
+    * semantics (byte alphabet, 0.7 boost threshold, 4-byte prefix cap,
+    * both-empty → 0). */
+  def jaroWinkler(a: Column, b: Column): Column = TextKernels.jaro_winkler(a, b)
+
   /** Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken,
     * "Winnowing: Local Algorithms for Document Fingerprinting",
     * SIGMOD'03 — public literature): over the ORDERED sequence of

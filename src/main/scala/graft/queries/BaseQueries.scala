@@ -427,6 +427,25 @@ object BaseQueries {
         .orderBy("zbucket")
     }),
 
+    // Hilbert-curve clustering key (ZOrder.hkey2): the layout key that
+    // dominates the Morton key for zone-map locality — consecutive keys
+    // are always grid neighbors, so both dimensions' min-max spans stay
+    // narrow in every bucket. One codegen'd static-call term (the whole
+    // quadrant-rotation loop), one map-side-combined groupBy; min_x/max_x
+    // surface the per-bucket partkey span the zone maps would record.
+    "hilbert_key" -> ((s, dir) => {
+      val h = graft.operators.ZOrder
+        .hkey2(col("l_partkey"), col("l_suppkey"), bits = 16)
+      table(s, dir, "lineitem")
+        .select(h.as("h"),
+          col("l_partkey").cast("long").bitwiseAND(lit(65535L)).as("x0"))
+        .groupBy(shiftright(col("h"), 12).as("hbucket"))
+        .agg(count(lit(1)).as("n_rows"), sum("h").as("sum_h"),
+          min("h").as("min_h"), max("h").as("max_h"),
+          min("x0").as("min_x"), max("x0").as("max_x"))
+        .orderBy("hbucket")
+    }),
+
     // Zone-map skipping report: how many file-sized zones a point
     // predicate on l_partkey can PRUNE under (a) the Z-ordered layout
     // (zones = zkey buckets, what writeZOrdered produces) versus (b)
@@ -679,6 +698,21 @@ object BaseQueries {
          |SELECT z >> 12 AS zbucket, count(*) AS n_rows,
          |  CAST(sum(z) AS BIGINT) AS sum_z, min(z) AS min_z, max(z) AS max_z
          |FROM z GROUP BY 1 ORDER BY 1""".stripMargin,
+    // same quadrant-rotation walk, unrolled as a recursive CTE carrying
+    // every lineitem row through the 16 bit levels (s halves per step;
+    // the finished rows are the s = 0 generation)
+    "hilbert_key" -> {
+      val cte = graft.operators.ZOrder.sqlHilbertCte(
+        "h",
+        "(SELECT l_partkey, l_suppkey, " +
+          "CAST(l_partkey AS BIGINT) & 65535 AS x0 FROM lineitem)",
+        "l_partkey", "l_suppkey", bits = 16, carry = Seq("x0"))
+      s"""WITH RECURSIVE $cte
+         |SELECT d >> 12 AS hbucket, count(*) AS n_rows,
+         |  CAST(sum(d) AS BIGINT) AS sum_h, min(d) AS min_h,
+         |  max(d) AS max_h, min(x0) AS min_x, max(x0) AS max_x
+         |FROM h WHERE s = 0 GROUP BY 1 ORDER BY 1""".stripMargin
+    },
     // same two zone maps and probe set; skip = probe outside [mn, mx]
     "skip_stats" ->
       s"""WITH zz AS (SELECT

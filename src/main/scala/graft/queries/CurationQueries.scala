@@ -667,6 +667,45 @@ object CurationQueries {
         .orderBy("lang", "source")
     }),
 
+    // Pointwise mutual information between declared language and source
+    // — the association strength read next to chi2_test's significance:
+    // PMI(x,y) = ln(n_xy·N / (n_x·n_y)). Determinism: the log's argument
+    // is ONE double division of two exact integer products (both far
+    // under 2^53), bit-identical cross-engine, and the single ln folds
+    // at 6dp — the BM25 idf discipline. Cell mass rides as integer ppm.
+    // Marginals broadcast; the corpus pays one cell groupBy.
+    "mutual_info" -> ((s, dir) => {
+      val d = docs(s, dir).select("lang", "source")
+      val cells = d.groupBy("lang", "source").agg(count(lit(1)).as("n_xy"))
+      val rt = d.groupBy("lang").agg(count(lit(1)).as("n_x"))
+      val ct = d.groupBy("source").agg(count(lit(1)).as("n_y"))
+      val n = d.agg(count(lit(1)).as("n"))
+      cells.join(broadcast(rt), "lang").join(broadcast(ct), "source")
+        .crossJoin(broadcast(n))
+        .select(col("lang"), col("source"), col("n_xy"),
+          expr("n_xy * 1000000 div n").as("p_ppm"),
+          round(log((col("n_xy") * col("n")).cast("double") /
+            (col("n_x") * col("n_y")).cast("double")), 6).as("pmi6"))
+        .orderBy("lang", "source")
+    }),
+
+    // CUBE over (lang, source): every rollup combination — per-cell,
+    // per-lang, per-source, grand total — in ONE pass (Spark expands the
+    // grouping sets map-side, so the corpus is scanned once and each
+    // partial aggregates all four groupings before the shuffle).
+    // grouping() flags disambiguate the <all> rows structurally.
+    "cube_counts" -> ((s, dir) => {
+      docs(s, dir).select("lang", "source")
+        .cube("lang", "source")
+        .agg(count(lit(1)).as("n"),
+          grouping(col("lang")).cast("long").as("g_lang"),
+          grouping(col("source")).cast("long").as("g_source"))
+        .select(coalesce(col("lang"), lit("<all>")).as("lang"),
+          coalesce(col("source"), lit("<all>")).as("source"),
+          col("n"), col("g_lang"), col("g_source"))
+        .orderBy("g_lang", "g_source", "lang", "source")
+    }),
+
     // Cross-source quantile normalization (the batch-effect correction
     // of bioinformatics, applied to quality scores): each doc's quality
     // maps to its ppm percentile WITHIN its source, then to the global
@@ -1481,6 +1520,29 @@ object CurationQueries {
         |      / CAST(n.n AS DOUBLE)), 6) AS chi2_c6
         |FROM cells JOIN r USING (lang) JOIN c USING (source), n
         |ORDER BY lang, source""".stripMargin,
+    "mutual_info" ->
+      """WITH d AS (SELECT lang, source FROM documents),
+        |cells AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS n_xy
+        |  FROM d GROUP BY lang, source),
+        |r AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_x FROM d
+        |  GROUP BY lang),
+        |c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_y FROM d
+        |  GROUP BY source),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d)
+        |SELECT cells.lang, cells.source, n_xy,
+        |  n_xy * 1000000 // n AS p_ppm,
+        |  round(ln(CAST(n_xy * n AS DOUBLE)
+        |    / CAST(n_x * n_y AS DOUBLE)), 6) AS pmi6
+        |FROM cells JOIN r USING (lang) JOIN c USING (source), nn
+        |ORDER BY lang, source""".stripMargin,
+    "cube_counts" ->
+      """SELECT coalesce(lang, '<all>') AS lang,
+        |  coalesce(source, '<all>') AS source,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(GROUPING(lang) AS BIGINT) AS g_lang,
+        |  CAST(GROUPING(source) AS BIGINT) AS g_source
+        |FROM documents GROUP BY CUBE (lang, source)
+        |ORDER BY g_lang, g_source, lang, source""".stripMargin,
     "quantile_norm" ->
       s"""WITH $sqlToks,
          |q AS (SELECT doc_id, $sqlQuality AS q FROM toks),

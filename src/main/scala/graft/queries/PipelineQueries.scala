@@ -322,6 +322,47 @@ object PipelineQueries {
         .orderBy("col_name")
     }),
 
+    // Pairwise Pearson correlation matrix over lineitem's numeric
+    // columns — the feature-correlation profile read next to
+    // profile_columns. Determinism discipline: values fold to exact
+    // integers first (cents for the 2dp columns, whole dollars for
+    // extendedprice so Σx² stays under 2^53 at bench SF), ALL moments
+    // accumulate as exact 64-bit sums in ONE map-side-combined pass
+    // (15 sums, one scan, no shuffle beyond the 1-row partial-agg
+    // exchange), and the closed-form r = (n·Σxy − ΣxΣy) /
+    // √((n·Σx²−(Σx)²)(n·Σy²−(Σy)²)) is evaluated over the DOUBLE
+    // images of those exact sums — identical IEEE expression tree in
+    // both engines, so r is bit-identical before the 6dp fold.
+    "corr_matrix" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem").select(
+        round(col("l_quantity") * 100).cast("long").as("q"),
+        round(col("l_extendedprice")).cast("long").as("p"),
+        round(col("l_discount") * 100).cast("long").as("d"),
+        round(col("l_tax") * 100).cast("long").as("t"))
+      val cols = Seq("q", "d", "p", "t")
+      val names = Map("q" -> "l_quantity", "p" -> "l_extendedprice",
+        "d" -> "l_discount", "t" -> "l_tax")
+      val sums =
+        cols.map(c => sum(col(c)).as(s"s_$c")) ++
+          (for (a <- cols; b <- cols if a <= b)
+            yield sum(col(a) * col(b)).as(s"s_$a$b"))
+      val agg = li.agg(count(lit(1)).as("n"), sums: _*)
+      def dd(c: String) = col(c).cast("double")
+      def r6(a: String, b: String) = {
+        val (x, y) = if (a <= b) (a, b) else (b, a)
+        round((dd("n") * dd(s"s_$x$y") - dd(s"s_$x") * dd(s"s_$y")) /
+          sqrt((dd("n") * dd(s"s_$x$x") - dd(s"s_$x") * dd(s"s_$x")) *
+            (dd("n") * dd(s"s_$y$y") - dd(s"s_$y") * dd(s"s_$y"))), 6)
+      }
+      val pairs = for (a <- cols; b <- cols if a < b) yield
+        struct(lit(names(a)).as("col_a"), lit(names(b)).as("col_b"),
+          r6(a, b).as("r6"))
+      agg.select(explode(array(pairs: _*)).as("e"))
+        .select(col("e.col_a").as("col_a"), col("e.col_b").as("col_b"),
+          col("e.r6").as("r6"))
+        .orderBy("col_a", "col_b")
+    }),
+
     // Cross-source duplication matrix: how many distinct word-bigram
     // shingles each source pair shares — the corpus-forensics view that
     // finds mirrored/scraped source pairs before dedup budgets are set.
@@ -1045,6 +1086,37 @@ object PipelineQueries {
         |  CAST(count(DISTINCT v) AS BIGINT) AS n_distinct,
         |  min(v) AS min_v, max(v) AS max_v
         |FROM p GROUP BY col_name ORDER BY col_name""".stripMargin,
+    "corr_matrix" -> {
+      // one r6 leg per column pair, mirroring the Spark expression tree
+      // exactly (same operand order over the same exact-integer sums)
+      val names = Map("q" -> "l_quantity", "p" -> "l_extendedprice",
+        "d" -> "l_discount", "t" -> "l_tax")
+      def leg(a: String, b: String) =
+        s"""SELECT '${names(a)}' AS col_a, '${names(b)}' AS col_b,
+           |  round((CAST(n AS DOUBLE)*CAST(s_$a$b AS DOUBLE)
+           |      - CAST(s_$a AS DOUBLE)*CAST(s_$b AS DOUBLE)) /
+           |    sqrt((CAST(n AS DOUBLE)*CAST(s_$a$a AS DOUBLE)
+           |        - CAST(s_$a AS DOUBLE)*CAST(s_$a AS DOUBLE))
+           |      * (CAST(n AS DOUBLE)*CAST(s_$b$b AS DOUBLE)
+           |        - CAST(s_$b AS DOUBLE)*CAST(s_$b AS DOUBLE))), 6) AS r6
+           |  FROM m""".stripMargin
+      val cols = Seq("q", "d", "p", "t")
+      val pairLegs = (for (a <- cols; b <- cols if a < b) yield leg(a, b))
+        .mkString("\n  UNION ALL ")
+      val moments = (cols.map(c => s"sum($c) AS s_$c") ++
+        (for (a <- cols; b <- cols if a <= b)
+          yield s"sum($a*$b) AS s_$a$b")).mkString(", ")
+      s"""WITH c AS (SELECT
+         |    CAST(round(l_quantity*100) AS BIGINT) AS q,
+         |    CAST(round(l_extendedprice) AS BIGINT) AS p,
+         |    CAST(round(l_discount*100) AS BIGINT) AS d,
+         |    CAST(round(l_tax*100) AS BIGINT) AS t
+         |  FROM lineitem),
+         |m AS (SELECT count(*) AS n, $moments FROM c)
+         |SELECT col_a, col_b, r6 FROM (
+         |  $pairLegs)
+         |ORDER BY col_a, col_b""".stripMargin
+    },
     "retention_cohorts" ->
       """WITH d AS (SELECT DISTINCT user_id,
         |    epoch_us(ts) // 86400000000 AS day FROM events),

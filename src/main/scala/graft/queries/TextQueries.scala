@@ -241,6 +241,32 @@ object TextQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // Record-linkage blocking + native Jaro-Winkler scoring (Winkler
+    // 1990): block part names on (noun, adjective initial) so candidate
+    // generation is a keyed equi-join — the all-pairs form never
+    // materializes — then score each candidate with the codegen
+    // byte-level [[graft.functions.JaroWinklerExpr]] whose arithmetic is
+    // bit-identical to DuckDB's jaro_winkler_similarity. Scores are
+    // folded to integer ppm BEFORE aggregation so the per-block sums are
+    // exact integers (order-independent across both engines).
+    "jw_pairs" -> ((s, dir) => {
+      val p = table(s, dir, "part").select(col("p_partkey"), col("p_name"),
+        substring_index(col("p_name"), " ", -1).as("noun"),
+        substring(col("p_name"), 1, 1).as("ini"))
+      val a = p.select(col("p_partkey").as("id_a"),
+        col("p_name").as("name_a"), col("noun"), col("ini"))
+      val b = p.select(col("p_partkey").as("id_b"),
+        col("p_name").as("name_b"), col("noun"), col("ini"))
+      a.join(b, Seq("noun", "ini")).where(col("id_a") < col("id_b"))
+        .select(col("noun"),
+          round(TF.jaroWinkler(col("name_a"), col("name_b")) * 1e6)
+            .cast("long").as("ppm"))
+        .groupBy("noun").agg(count(lit(1)).as("n_pairs"),
+          sum("ppm").as("sum_jw_ppm"), max("ppm").as("max_jw_ppm"),
+          min("ppm").as("min_jw_ppm"))
+        .orderBy("noun")
+    }),
+
     // language-ID confusion matrix: declared lang × predicted lang — the
     // classifier-eval shape (one tiny-key groupBy; work distributes over
     // the corpus scan)
@@ -1432,6 +1458,19 @@ object TextQueries {
          |FROM jp j JOIN documents da ON da.doc_id = j.id_a
          |JOIN documents db ON db.doc_id = j.id_b
          |ORDER BY id_a, id_b""".stripMargin,
+    "jw_pairs" ->
+      s"""WITH p AS (SELECT p_partkey, p_name,
+         |  split_part(p_name, ' ', 2) AS noun, substr(p_name, 1, 1) AS ini
+         |  FROM part),
+         |pr AS (SELECT a.noun,
+         |  CAST(round(jaro_winkler_similarity(a.p_name, b.p_name) * 1000000)
+         |    AS BIGINT) AS ppm
+         |  FROM p a JOIN p b
+         |    ON a.noun = b.noun AND a.ini = b.ini AND a.p_partkey < b.p_partkey)
+         |SELECT noun, count(*) AS n_pairs,
+         |  CAST(sum(ppm) AS BIGINT) AS sum_jw_ppm,
+         |  max(ppm) AS max_jw_ppm, min(ppm) AS min_jw_ppm
+         |FROM pr GROUP BY noun ORDER BY noun""".stripMargin,
     "lang_confusion" -> {
       s"""WITH $sqlToks,
          |lang AS ($sqlLang)

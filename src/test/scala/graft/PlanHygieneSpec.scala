@@ -340,6 +340,52 @@ class PlanHygieneSpec extends GraftSuite {
       s"each relation leg must stay a keyed left join:\n${p.take(800)}")
   }
 
+  test("jw_pairs blocks into an equi-join; scoring stays a projection") {
+    val p = plan("jw_pairs")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"the (noun, initial) blocking must plan an equi-join:\n${p.take(800)}")
+    assert(p.contains("jaro_winkler"),
+      "the native scoring expression must appear in the plan")
+  }
+
+  test("corr_matrix computes all 15 moments in ONE scan") {
+    val p = plan("corr_matrix")
+    // formatted mode prints each node twice (tree line + detail header);
+    // count the "(n) Scan parquet" detail headers only
+    val scans = p.linesIterator.count(_.matches("""\(\d+\) Scan parquet\s*"""))
+    assert(scans == 1, s"moment matrix must be a single pass, saw $scans scans")
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      "moment sums must combine map-side")
+  }
+
+  test("mutual_info marginals broadcast; the corpus pays one cell agg") {
+    val p = plan("mutual_info")
+    assert(p.contains("BroadcastHashJoin"),
+      s"lang/source marginals must broadcast:\n${p.take(800)}")
+    assert(!p.contains("SortMergeJoin"),
+      "no shuffle join belongs between cells and tiny marginals")
+  }
+
+  test("hilbert_key folds the curve walk into the scan-side projection") {
+    val p = plan("hilbert_key")
+    assert(p.contains("hilbert_key("),
+      "the codegen'd key expression must appear in the plan")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "bucket aggregates must combine map-side before the exchange")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_partkey") && readSchema.contains("l_suppkey")
+      && !readSchema.contains("l_orderkey"),
+      s"scan must read only the two key columns: $readSchema")
+  }
+
+  test("cube_counts plans ONE scan through Expand, not one per grouping") {
+    val p = plan("cube_counts")
+    val scans = p.linesIterator.count(_.matches("""\(\d+\) Scan parquet\s*"""))
+    assert(scans == 1, s"cube must expand one pass, saw $scans scans")
+    assert(p.contains("Expand"), "grouping sets should plan an Expand node")
+  }
+
   test("skip_stats zone probes ride broadcasts, not shuffle joins") {
     val p = plan("skip_stats")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),

@@ -372,7 +372,27 @@ class ShuffleBudgetSpec extends GraftSuite {
     // lateness_hist 144,415 (the user-keyed running-max window's hash
     // exchange of (user, arrival, us) — a blown budget means the
     // window went global or stopped pruning columns)
-    "lateness_hist" -> (45000L, 220000L))
+    "lateness_hist" -> (45000L, 220000L),
+    // jw_pairs 377 (the (noun, initial)-keyed block self-join + the
+    // 8-key map-side-combined ppm agg; the Jaro-Winkler scoring itself
+    // is a zero-shuffle codegen projection — a blown budget means the
+    // blocking join degenerated toward all-pairs)
+    "jw_pairs" -> (120L, 800L),
+    // corr_matrix 159 (ONE map-side-combined 15-moment agg — the whole
+    // matrix is a single 1-row partial-agg exchange; a blown budget
+    // means the one-scan moment pass split into per-pair scans);
+    // mutual_info 2,026 (the (lang, source) cell groupBy; marginals
+    // broadcast — same shape and measurement as chi2_test)
+    "corr_matrix" -> (50L, 800L),
+    "mutual_info" -> (650L, 3100L),
+    // hilbert_key 736 (one map-side-combined 64-bucket groupBy over the
+    // codegen'd key; a blown budget means the key stopped folding into
+    // the scan projection or the agg lost its partial combine)
+    "hilbert_key" -> (240L, 1200L),
+    // cube_counts 1,812 (Spark's Expand feeds ALL four grouping sets
+    // through ONE partial agg, so the exchange carries only the grouped
+    // partials — a blown budget means the cube re-scanned per grouping)
+    "cube_counts" -> (600L, 2800L))
 
   /** Memo keys to evict after the warm pass so the measured pass runs the
     * gate's build plan instead of reading a checkpoint. dedup_groups

@@ -808,6 +808,39 @@ class SimilaritySearchSpec extends GraftSuite {
     assert(both.isEmpty, both.take(3).mkString("; "))
   }
 
+  test("jaroWinkler matches DuckDB golden values bit-exactly") {
+    // goldens from duckdb 1.0 jaro_winkler_similarity (byte alphabet,
+    // boost threshold 0.7 strict, prefix cap 4, both-empty -> 0)
+    val golden = Seq(
+      ("martha", "marhta", 0.9611111111111111),    // classic + boost
+      ("DWAYNE", "DUANE", 0.8400000000000001),
+      ("abcdefgh", "abcdefxy", 0.9),               // prefix capped at 4
+      ("abcdef", "fedcba", 0.38888888888888884),   // jaro<0.7: no boost
+      ("héllo", "hallo", 0.8400000000000001),      // BYTE-level multibyte
+      ("", "abc", 0.0), ("", "", 0.0), ("abc", "abc", 1.0),
+      ("Hello", "hello", 0.8666666666666667),      // case-sensitive
+      ("ab", "ax", 0.6666666666666666),            // 0.7 threshold strict
+      ("aaaa", "aaaaaaaaaaaa", 0.8666666666666666))
+    // codegen path (DataFrame) and interpreted path (nullSafeEval)
+    val got = golden.map { case (a, b, _) => (a, b) }.toDF("a", "b")
+      .select(TF.jaroWinkler(col("a"), col("b"))).as[Double].collect()
+    golden.zip(got).foreach { case ((a, b, exp), v) =>
+      assert(java.lang.Double.doubleToLongBits(v) ==
+        java.lang.Double.doubleToLongBits(exp), s"codegen $a/$b: $v != $exp")
+    }
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u8}
+    golden.foreach { case (a, b, exp) =>
+      val v = graft.functions.TextKernels.jaroWinkler(u8(a), u8(b))
+      assert(java.lang.Double.doubleToLongBits(v) ==
+        java.lang.Double.doubleToLongBits(exp), s"eval $a/$b: $v != $exp")
+    }
+    // symmetry on the jaro core holds for same-length prefix situations;
+    // null in -> null out through the expression
+    val n = Seq((Option("x"), Option.empty[String])).toDF("a", "b")
+      .select(TF.jaroWinkler(col("a"), col("b"))).collect()
+    assert(n.head.isNullAt(0))
+  }
+
   test("skipgramPairs: window, symmetry, edges") {
     val got = Seq((1L, "a b c d"), (2L, ""), (3L, "solo"))
       .toDF("doc_id", "text")

@@ -26,6 +26,43 @@ class ZOrderSpec extends GraftSuite {
     assert(n == 64, s"zkey2 must be injective on the grid, got $n distinct")
   }
 
+  test("hilbertXY2D is a bijective space-filling curve with unit steps") {
+    // bijection: all 4096 cells of the 64x64 grid map to distinct keys
+    // covering exactly [0, 4096)
+    val n = 64L
+    val keys = for (x <- 0L until n; y <- 0L until n)
+      yield ZOrder.hilbertXY2D(n, x, y)
+    assert(keys.toSet == (0L until n * n).toSet, "must be a bijection onto [0, n^2)")
+    // THE Hilbert property (what Morton lacks): consecutive keys are grid
+    // NEIGHBORS — |dx| + |dy| == 1 along the whole walk
+    val byD = (for (x <- 0L until n; y <- 0L until n)
+      yield ZOrder.hilbertXY2D(n, x, y) -> ((x, y))).toMap
+    (1L until n * n).foreach { d =>
+      val (x0, y0) = byD(d - 1); val (x1, y1) = byD(d)
+      assert(math.abs(x1 - x0) + math.abs(y1 - y0) == 1,
+        s"step d=$d jumps from ($x0,$y0) to ($x1,$y1)")
+    }
+    // fixed golden anchors (this orientation walks (0,0)->(0,1) first and
+    // ends at (7,0)) so a refactor can't silently flip the curve variant
+    assert(ZOrder.hilbertXY2D(8, 0, 0) == 0L)
+    assert(ZOrder.hilbertXY2D(8, 0, 1) == 1L)
+    assert(ZOrder.hilbertXY2D(8, 1, 0) == 3L)
+    assert(ZOrder.hilbertXY2D(8, 7, 0) == 63L)
+    assert(ZOrder.hilbertXY2D(8, 7, 7) == 42L)
+  }
+
+  test("hkey2 codegen path matches the kernel; inputs mask to the grid") {
+    val rows = Seq((0L, 0L), (5L, 3L), (63L, 63L), (64L, 1L), (130L, 7L))
+    val got = rows.toDF("a", "b")
+      .select(ZOrder.hkey2(col("a"), col("b"), 6).as("h"))
+      .as[Long].collect().toSeq
+    val exp = rows.map { case (a, b) => ZOrder.hilbertXY2D(64, a, b) }
+    assert(got == exp, s"$got != $exp")
+    // masking: 64 ≡ 0 and 130 ≡ 2 on the 6-bit grid
+    assert(got(3) == ZOrder.hilbertXY2D(64, 0, 1))
+    assert(got(4) == ZOrder.hilbertXY2D(64, 2, 7))
+  }
+
   test("writeZOrdered keeps BOTH columns' per-file spans narrow") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_zorder_").toString
     // a dense 64x64 grid: every (a, b) pair once, in row-major order so a
