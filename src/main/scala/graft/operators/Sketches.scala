@@ -109,4 +109,42 @@ object Sketches {
       .withColumn("__rho", rho)
       .groupBy(groupCol, "bucket").agg(max("__rho").as("m"))
   }
+
+  /** Misra-Gries heavy-hitter CANDIDATE generation (Misra & Gries 1982;
+    * mergeability per Agarwal et al., "Mergeable Summaries", PODS'12):
+    * one bounded-memory pass per partition keeps at most k-1 counters,
+    * and any item with PARTITION frequency > n_p/k ends with a live
+    * counter; by pigeonhole, every item with GLOBAL frequency > n/k
+    * clears that bar in at least one partition, so the union of
+    * per-partition survivors is a guaranteed superset of the true heavy
+    * hitters. Callers re-count the candidates EXACTLY (broadcast
+    * semi-join + keyed agg) and threshold on the exact counts, so the
+    * final answer is deterministic — independent of partitioning and of
+    * which extra candidates survived. This is the map-side-memory
+    * alternative to a full groupBy when the DISTINCT-key cardinality
+    * itself is data-scale (a trillion-token vocabulary): state is O(k)
+    * per task instead of a spilling hash table. `mapPartitions` is the
+    * honest host — the sketch is genuinely per-partition imperative
+    * state, and it emits ≤ k-1 strings per partition, not data. */
+  def mgCandidates(items: DataFrame, itemCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val spark = items.sparkSession
+    import spark.implicits._
+    items.select(col(itemCol).cast("string")).as[String]
+      .mapPartitions { it =>
+        val m = scala.collection.mutable.HashMap.empty[String, Long]
+        it.foreach { s =>
+          if (s != null) {
+            if (m.contains(s)) m(s) += 1L
+            else if (m.size < k - 1) m(s) = 1L
+            else m.keysIterator.toArray.foreach { key =>
+              val v = m(key) - 1L
+              if (v == 0L) m.remove(key) else m(key) = v
+            }
+          }
+        }
+        m.keysIterator
+      }
+      .toDF(itemCol).distinct()
+  }
 }

@@ -241,6 +241,28 @@ object TextQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // Misra-Gries heavy hitters over the token stream: a bounded-memory
+    // candidate pass (≤ k-1 counters per task — the map-side answer to a
+    // groupBy whose DISTINCT-key cardinality is itself data-scale), then
+    // an exact recount of the tiny candidate set via broadcast semi-join.
+    // The output thresholds on EXACT counts (tf·k > n ⟺ tf > n/k, the
+    // precise MG guarantee boundary), so it is deterministic no matter
+    // how partitioning shaped the candidate superset.
+    "heavy_hitters" -> ((s, dir) => {
+      val k = 32
+      val toks = docs(s, dir)
+        .select(explode(TF.tokens(col("text"))).as("token"))
+      val total = toks.agg(count(lit(1)).as("n"))
+      val cands = graft.operators.Sketches.mgCandidates(toks, "token", k)
+      toks.join(broadcast(cands), Seq("token"), "left_semi")
+        .groupBy("token").agg(count(lit(1)).as("tf"))
+        .crossJoin(broadcast(total))
+        .where(col("tf") * k > col("n"))
+        .select(col("token"), col("tf"),
+          expr("tf * 1000000 div n").as("freq_ppm"))
+        .orderBy(col("tf").desc, col("token"))
+    }),
+
     // Record-linkage blocking + native Jaro-Winkler scoring (Winkler
     // 1990): block part names on (noun, adjective initial) so candidate
     // generation is a keyed equi-join — the all-pairs form never
@@ -1458,6 +1480,17 @@ object TextQueries {
          |FROM jp j JOIN documents da ON da.doc_id = j.id_a
          |JOIN documents db ON db.doc_id = j.id_b
          |ORDER BY id_a, id_b""".stripMargin,
+    // exact heavy hitters: the MG candidate pass is a superset, so the
+    // oracle needs only the exact group-count + the same strict threshold
+    "heavy_hitters" ->
+      s"""WITH $sqlToks,
+         |tok AS (SELECT unnest(t) AS token FROM toks),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tok),
+         |agg AS (SELECT token, CAST(count(*) AS BIGINT) AS tf
+         |  FROM tok GROUP BY 1)
+         |SELECT token, tf, tf * 1000000 // n AS freq_ppm
+         |FROM agg, n WHERE tf * 32 > n
+         |ORDER BY tf DESC, token""".stripMargin,
     "jw_pairs" ->
       s"""WITH p AS (SELECT p_partkey, p_name,
          |  split_part(p_name, ' ', 2) AS noun, substr(p_name, 1, 1) AS ini

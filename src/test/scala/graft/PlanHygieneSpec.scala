@@ -386,6 +386,14 @@ class PlanHygieneSpec extends GraftSuite {
     assert(p.contains("Expand"), "grouping sets should plan an Expand node")
   }
 
+  test("heavy_hitters recount rides a broadcast semi-join") {
+    val p = plan("heavy_hitters")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"candidates must broadcast into a semi-join:\n${p.take(800)}")
+    assert(!p.contains("SortMergeJoin"),
+      "the corpus-side token stream must not shuffle for the semi-join")
+  }
+
   test("skip_stats zone probes ride broadcasts, not shuffle joins") {
     val p = plan("skip_stats")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),

@@ -392,7 +392,12 @@ class ShuffleBudgetSpec extends GraftSuite {
     // cube_counts 1,812 (Spark's Expand feeds ALL four grouping sets
     // through ONE partial agg, so the exchange carries only the grouped
     // partials — a blown budget means the cube re-scanned per grouping)
-    "cube_counts" -> (600L, 2800L))
+    "cube_counts" -> (600L, 2800L),
+    // heavy_hitters 1,466 (the MG candidates' distinct + the token-keyed
+    // exact recount agg, both map-side-combined; the token stream itself
+    // never shuffles — a blown budget means the semi-join stopped
+    // broadcasting and pushed the corpus through an exchange)
+    "heavy_hitters" -> (480L, 2300L))
 
   /** Memo keys to evict after the warm pass so the measured pass runs the
     * gate's build plan instead of reading a checkpoint. dedup_groups

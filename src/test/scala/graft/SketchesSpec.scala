@@ -88,4 +88,39 @@ class SketchesSpec extends GraftSuite {
       assert(word > 0 && word < (1L << 32), s"word out of 32-bit range: $word")
     }
   }
+  test("mgCandidates: superset guarantee under counter pressure") {
+    // 8 distinct values, k = 4 (3 counters) — the sketch MUST decrement.
+    // One genuinely heavy value (freq 400/682 > n/4) plus skewed tail,
+    // shuffled deterministically and spread across 4 partitions.
+    val heavy = Seq.fill(400)("hot")
+    val tail = (0 until 7).flatMap(i => Seq.fill(6 * (i + 1))(s"cold$i"))
+    val rnd = new scala.util.Random(7)
+    val stream = rnd.shuffle(heavy ++ tail)
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(stream.map(Tuple1(_)), 4)
+    ).toDF("v")
+    val cands = Sketches.mgCandidates(df, "v", k = 4)
+      .as[String].collect().toSet
+    assert(cands.contains("hot"),
+      s"true heavy hitter must survive the sketch, got $cands")
+    // bound: each of the 4 partitions contributes at most k-1 = 3
+    assert(cands.size <= 12, s"too many candidates: $cands")
+    // end-to-end determinism of the two-phase form: exact recount of the
+    // candidates + strict threshold finds exactly the true heavy hitters
+    val n = stream.size
+    val exact = df.join(broadcast(Sketches.mgCandidates(df, "v", 4)),
+        Seq("v"), "left_semi")
+      .groupBy("v").count()
+      .where(col("count") * 4 > n)
+      .as[(String, Long)].collect().toMap
+    assert(exact == Map("hot" -> 400L), exact)
+  }
+
+  test("mgCandidates: k wider than the alphabet keeps every key, no nulls") {
+    val df = (Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq(null, "c"))
+      .map(Tuple1(_)).toDF("v")
+    val cands = Sketches.mgCandidates(df, "v", k = 16)
+      .as[String].collect().toSet
+    assert(cands == Set("a", "b", "c"), cands)
+  }
 }
