@@ -525,4 +525,59 @@ object Traversals {
       .select(col("id"), col("w").as("walks"),
         (col("w").cast("double") / col("mx").cast("double")).as("score"))
   }
+
+  /** Deterministic walk corpus over a DIRECTED edge list — the DeepWalk/
+    * node2vec corpus-generation step (Perozzi et al. KDD'14, Grover &
+    * Leskovec KDD'16) with the random draw replaced by a hash argmin, so
+    * the corpus is bit-reproducible across runs, partitionings, and
+    * engines: at step t the walk at vertex v moves to
+    * argmin_{(v,w)∈E, v≠w} (poly_hash("v:w:t"), w) and stays at v when v
+    * has no out-edge (border vertices of the ε-graph). Including t in the
+    * hash makes revisits take fresh pseudo-draws instead of looping on
+    * one frozen choice.
+    *
+    * Plan: per step, ONE vertex-keyed equi-join (frontier ⋈ out-edges —
+    * the frontier is |seeds| rows and broadcastable) and ONE map-side-
+    * combined min(struct(h, dst)) per walk; the stay branch is a keyed
+    * anti-join against the out-vertex set. No windows, nothing collects
+    * to the driver; state is O(|seeds|) between steps, so the cost is
+    * `steps` frontier-sized jobs regardless of graph size.
+    *
+    * @return (walk, step, id) — walk = seed id, step ∈ [0, steps].
+    */
+  def deterministicWalks(edges: DataFrame, seeds: DataFrame,
+                         steps: Int): DataFrame = {
+    import graft.functions.PolyHash.poly_hash
+    val e = edges
+      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .where(col("src") =!= col("dst"))
+      .localCheckpoint(eager = false)
+    val outVerts = e.select("src").distinct().localCheckpoint(eager = false)
+
+    var cur = seeds.select(col("id").cast("long").as("walk"),
+      col("id").cast("long").as("id"))
+    val legs = Seq.newBuilder[DataFrame]
+    legs += cur.select(col("walk"), lit(0).as("step"), col("id"))
+    var t = 1
+    while (t <= steps) {
+      // the frontier is |seeds| rows — broadcast it so the edge list is
+      // never shuffled; the per-walk argmin partials combine map-side
+      val f = broadcast(cur).alias("f")
+      val moved = f.join(e.alias("e"), col("f.id") === col("e.src"))
+        .select(col("f.walk").as("walk"),
+          struct(
+            poly_hash(concat_ws(":", col("f.id"), col("e.dst"), lit(t)))
+              .as("h"),
+            col("e.dst").as("dst")).as("hd"))
+        .groupBy("walk").agg(min("hd").as("m"))
+        .select(col("walk"), col("m.dst").as("id"))
+      val stayed = f.join(broadcast(outVerts),
+          col("f.id") === outVerts("src"), "left_anti")
+        .select(col("f.walk").as("walk"), col("f.id").as("id"))
+      cur = moved.unionByName(stayed)
+      legs += cur.select(col("walk"), lit(t).as("step"), col("id"))
+      t += 1
+    }
+    legs.result().reduce(_ unionByName _)
+  }
 }

@@ -476,9 +476,34 @@ object BaseQueries {
             expr(s"(1000000 * n_skip_$tag) div n_zones_$tag"))
       skipRate(zonesZ, "z").join(skipRate(zonesN, "nat"), "p")
         .orderBy("p")
+    }),
+
+    // EXACT grouped quantiles (the approx_quantile gate's ground truth
+    // sibling): Spark's `percentile` aggregates a value→count map per
+    // group — exact AND scalable whenever the value domain is bounded
+    // (here l_quantity ∈ 1..50; a 100 TB fact table costs one map-side-
+    // combined shuffle of ≤|domain| entries per group, NOT a sort).
+    // Determinism: integer values and dyadic fractions (.25/.5/.75) make
+    // the lower+(upper−lower)·frac interpolation IEEE-exact in both
+    // engines; 6dp rounding is belt and braces.
+    "group_quantiles" -> ((s, dir) => {
+      table(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          round(expr("percentile(l_quantity, 0.25)"), 6).as("q25"),
+          round(expr("percentile(l_quantity, 0.5)"), 6).as("q50"),
+          round(expr("percentile(l_quantity, 0.75)"), 6).as("q75"))
+        .orderBy("l_returnflag")
     }))
 
   val oracleSql: Map[String, String] = Map(
+    "group_quantiles" ->
+      """SELECT l_returnflag, count(*) AS n,
+        | round(quantile_cont(l_quantity, 0.25), 6) AS q25,
+        | round(quantile_cont(l_quantity, 0.5), 6) AS q50,
+        | round(quantile_cont(l_quantity, 0.75), 6) AS q75
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity), 2) AS sum_qty,

@@ -34,6 +34,9 @@ object ClusterQueries {
   private val PrDamping = 0.85
   /** ppr_scores seed set: graph vertices with id % PprSeedMod == 0. */
   private val PprSeedMod = 17
+  /** rand_walks seed set (id % RwSeedMod == 0) and walk length. */
+  private val RwSeedMod = 13
+  private val RwSteps = 4
   private val LpaIters = 3
   private val KCoreK = 4
   private val KCoreRounds = 6
@@ -412,6 +415,21 @@ object ClusterQueries {
         .orderBy("id")
     }),
 
+    // Deterministic DeepWalk/node2vec corpus generation: from every
+    // id % RwSeedMod == 0 vertex, RwSteps hops where the "random" next
+    // hop is the poly_hash argmin out-edge (hash keyed by position, dst
+    // AND step, so revisits re-draw) — the graph-embedding training-
+    // corpus op, bit-reproducible across engines so the full walk set is
+    // under the value oracle. Border vertices (no out-edges) stay put.
+    "rand_walks" -> ((s, dir) => {
+      val edges = epsEdges(s, dir)
+      val verts = edges.select(col("src").as("id"))
+        .union(edges.select(col("dst").as("id"))).distinct()
+      Traversals.deterministicWalks(edges,
+          verts.where(col("id") % RwSeedMod === 0), steps = RwSteps)
+        .orderBy("walk", "step")
+    }),
+
     // Synchronous label propagation (3 fixed rounds, most-frequent
     // neighbor label, ties to the smallest): deterministic community
     // detection, pure integer counting — no float in the whole gate.
@@ -728,6 +746,7 @@ object ClusterQueries {
     "modularity" -> sqlModularity,
     "kcore" -> sqlKcore,
     "eigencentrality" -> sqlEigen,
+    "rand_walks" -> sqlRandWalks,
     // same degree-agg + triangle enumeration as the triangles oracle,
     // coefficient as exact integer ppm via // (0 when deg < 2)
     "clustering_coeff" ->
@@ -858,6 +877,39 @@ object ClusterQueries {
        |SELECT id, CAST(w AS BIGINT) AS walks,
        |  round(CAST(w AS DOUBLE) / CAST(m AS DOUBLE), 6) AS score
        |FROM x$EigenIters, mx ORDER BY id""".stripMargin
+  }
+
+  /** The hash-argmin walk unrolled to RwSteps legs — candidate out-edges
+    * with the PolyHash draw, per-walk argmin by (h, dst), stay-put via
+    * LEFT JOIN coalesce; hash input mirrors the engine's
+    * concat_ws(":", id, dst, step) byte for byte. */
+  private def sqlRandWalks: String = {
+    def h(t: Int) = TextQueries.sqlPolyHash(
+      s"CAST(w.id AS VARCHAR) || ':' || CAST(e.dst AS VARCHAR) || ':$t'")
+    val legs = (1 to RwSteps).map(t =>
+      s"""c$t AS (SELECT w.walk, e.dst, ${h(t)} AS h
+         |  FROM w${t - 1} w JOIN ce e ON e.src = w.id),
+         |p$t AS (SELECT walk, dst FROM (SELECT walk, dst,
+         |    row_number() OVER (PARTITION BY walk ORDER BY h, dst) AS rn
+         |  FROM c$t) WHERE rn = 1),
+         |w$t AS MATERIALIZED (SELECT w.walk, coalesce(p.dst, w.id) AS id
+         |  FROM w${t - 1} w LEFT JOIN p$t p ON p.walk = w.walk)""".stripMargin)
+      .mkString(",\n")
+    val union = (1 to RwSteps)
+      .map(t => s"UNION ALL SELECT walk, $t AS step, id FROM w$t")
+      .mkString("\n  ")
+    s"""WITH
+       |$sqlGraph,
+       |ce AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges
+       |  WHERE src <> dst),
+       |verts AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+       |w0 AS MATERIALIZED (SELECT id AS walk, id FROM verts
+       |  WHERE id % $RwSeedMod = 0),
+       |$legs
+       |SELECT walk, step, id FROM (
+       |  SELECT walk, 0 AS step, id FROM w0
+       |  $union
+       |) ORDER BY walk, step""".stripMargin
   }
 
   /** The PageRank power iteration unrolled to PrIters explicit legs —

@@ -394,6 +394,21 @@ class PlanHygieneSpec extends GraftSuite {
       "the corpus-side token stream must not shuffle for the semi-join")
   }
 
+  test("rand_walks frontier joins broadcast — the edge list never shuffles") {
+    val p = plan("rand_walks")
+    assert(p.contains("BroadcastHashJoin"),
+      s"walk step joins must broadcast the frontier:\n${p.take(800)}")
+    assert(!p.contains("SortMergeJoin"),
+      "no walk step may sort-merge the edge list")
+  }
+
+  test("group_quantiles plans one exact-percentile aggregation, no sort-based join") {
+    val p = plan("group_quantiles")
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
+      s"percentile should plan an object/sort aggregate:\n${p.take(400)}")
+    assert(!p.contains("Join"), "a grouped quantile needs no join at all")
+  }
+
   test("skip_stats zone probes ride broadcasts, not shuffle joins") {
     val p = plan("skip_stats")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),

@@ -397,7 +397,15 @@ class ShuffleBudgetSpec extends GraftSuite {
     // exact recount agg, both map-side-combined; the token stream itself
     // never shuffles — a blown budget means the semi-join stopped
     // broadcasting and pushed the corpus through an exchange)
-    "heavy_hitters" -> (480L, 2300L))
+    "heavy_hitters" -> (480L, 2300L),
+    // rand_walks 26,618 (the gate's vertex-set distinct + outVerts
+    // distinct + RwSteps map-side-combined per-walk argmin aggs; the
+    // frontier broadcasts both the move join and the stay anti-join — a
+    // blown budget means the edge list started shuffling per step)
+    "rand_walks" -> (8800L, 40000L),
+    // group_quantiles 263 (ONE exchange of per-group value→count
+    // partials; exact percentile without a sort)
+    "group_quantiles" -> (80L, 500L))
 
   /** Memo keys to evict after the warm pass so the measured pass runs the
     * gate's build plan instead of reading a checkpoint. dedup_groups

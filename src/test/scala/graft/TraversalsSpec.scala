@@ -235,4 +235,42 @@ class TraversalsSpec extends GraftSuite {
     assert(Traversals.linkPredict(
       Seq.empty[(Long, Long)].toDF("src", "dst")).count() == 0)
   }
+
+  test("deterministicWalks follows the hash argmin; sinks stay put") {
+    import graft.functions.PolyHash
+    // 1 and 2 each have two out-choices; 3 is a sink; self-loop dropped
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 1L), (2L, 3L), (3L, 3L))
+    val adj = edges.filter(e => e._1 != e._2).groupBy(_._1)
+      .map { case (v, es) => v -> es.map(_._2).sorted }
+    def next(v: Long, t: Int): Long = adj.get(v) match {
+      case Some(ns) => ns.minBy(w => (PolyHash.hash(s"$v:$w:$t"), w))
+      case None => v
+    }
+    val steps = 3
+    val expected = (for {
+      seed <- Seq(1L, 3L)
+      path = Iterator.iterate((seed, 0)) { case (v, t) =>
+        (next(v, t + 1), t + 1) }.take(steps + 1).toSeq
+      (id, st) <- path
+    } yield (seed, st, id)).toSet
+    val got = Traversals.deterministicWalks(edges.toDF("src", "dst"),
+        Seq(1L, 3L).toDF("id"), steps)
+      .as[(Long, Int, Long)].collect().toSet
+    assert(got == expected, s"got $got expected $expected")
+    // seed 3 has no non-self out-edge: its walk never moves
+    assert((0 to steps).forall(t => got((3L, t, 3L))))
+  }
+
+  test("deterministicWalks is partitioning-invariant") {
+    val edges = (1L to 40L).flatMap(v =>
+      Seq((v, v % 40 + 1), (v, (v * 7) % 40 + 1), (v, (v * 13) % 40 + 1)))
+    val seeds = Seq(1L, 8L, 23L)
+    val a = Traversals.deterministicWalks(
+      edges.toDF("src", "dst").repartition(1), seeds.toDF("id"), 5)
+      .as[(Long, Int, Long)].collect().toSet
+    val b = Traversals.deterministicWalks(
+      edges.toDF("src", "dst").repartition(7), seeds.toDF("id"), 5)
+      .as[(Long, Int, Long)].collect().toSet
+    assert(a == b && a.size == seeds.size * 6)
+  }
 }
