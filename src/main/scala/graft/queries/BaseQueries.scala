@@ -494,6 +494,30 @@ object BaseQueries {
           round(expr("percentile(l_quantity, 0.5)"), 6).as("q50"),
           round(expr("percentile(l_quantity, 0.75)"), 6).as("q75"))
         .orderBy("l_returnflag")
+    }),
+
+    // Equi-depth histogram done the SCALE-SAFE way: exact quartile
+    // boundaries per group (one value→count map aggregate), broadcast
+    // back, and every row buckets by three comparisons — fully parallel
+    // at any group size. The ntile window that "obviously" computes this
+    // funnels each group's ENTIRE partition through one sorting task —
+    // the same single-task trap bm25TopK once had. Strict > comparisons
+    // against dyadic-interpolated boundaries are IEEE-exact on integer
+    // values, so bucket membership can't flip between engines.
+    "equidepth_hist" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem").select("l_returnflag", "l_quantity")
+      val b = li.groupBy("l_returnflag")
+        .agg(expr("percentile(l_quantity, 0.25)").as("b1"),
+          expr("percentile(l_quantity, 0.5)").as("b2"),
+          expr("percentile(l_quantity, 0.75)").as("b3"))
+      val bucket = (col("l_quantity") > col("b1")).cast("int") +
+        (col("l_quantity") > col("b2")).cast("int") +
+        (col("l_quantity") > col("b3")).cast("int")
+      li.join(broadcast(b), "l_returnflag")
+        .groupBy(col("l_returnflag"), bucket.as("bucket"))
+        .agg(count(lit(1)).as("n_rows"),
+          min("l_quantity").as("min_q"), max("l_quantity").as("max_q"))
+        .orderBy("l_returnflag", "bucket")
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -504,6 +528,19 @@ object BaseQueries {
         | round(quantile_cont(l_quantity, 0.75), 6) AS q75
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+    "equidepth_hist" ->
+      """WITH b AS (SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.25) AS b1,
+        |  quantile_cont(l_quantity, 0.5) AS b2,
+        |  quantile_cont(l_quantity, 0.75) AS b3
+        | FROM lineitem GROUP BY 1)
+        |SELECT l.l_returnflag,
+        |  CAST(l.l_quantity > b.b1 AS INT) + CAST(l.l_quantity > b.b2 AS INT)
+        |    + CAST(l.l_quantity > b.b3 AS INT) AS bucket,
+        |  count(*) AS n_rows, min(l.l_quantity) AS min_q,
+        |  max(l.l_quantity) AS max_q
+        |FROM lineitem l JOIN b USING (l_returnflag)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity), 2) AS sum_qty,

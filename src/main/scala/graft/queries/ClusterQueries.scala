@@ -415,6 +415,29 @@ object ClusterQueries {
         .orderBy("id")
     }),
 
+    // Boruvka minimum spanning forest of the ε-pair graph — the
+    // single-linkage dendrogram backbone (HDBSCAN's skeleton) next to
+    // DBSCAN's flat labeling, weights = exact centi-L1. The oracle
+    // recomputes every output column independently: n_vertices via
+    // recursive-CTE CC, n_edges as the forest invariant size−1, min_w
+    // as the component's global lightest edge (cut property: ALWAYS in
+    // the MSF). Edge-weight exactness is pinned by MstSpec against a
+    // local Kruskal.
+    "mst_forest" -> ((s, dir) => {
+      val ew = sharedPairs(s, dir).where(col("a_id") < col("b_id"))
+        .select(col("a_id").as("src"), col("b_id").as("dst"),
+          round(col("d") * 100).cast("long").as("w"))
+      val f = graft.graph.Mst.boruvka(ew)
+      val nv = f.labels.groupBy("comp")
+        .agg(count(lit(1)).as("n_vertices"))
+      val fe = f.edges.groupBy("comp")
+        .agg(count(lit(1)).as("n_edges"), min("w").as("min_w"))
+      nv.join(fe, "comp")
+        .select(col("comp").as("component"), col("n_vertices"),
+          col("n_edges"), col("min_w"))
+        .orderBy("component")
+    }),
+
     // Deterministic DeepWalk/node2vec corpus generation: from every
     // id % RwSeedMod == 0 vertex, RwSteps hops where the "random" next
     // hop is the poly_hash argmin out-edge (hash keyed by position, dst
@@ -747,6 +770,33 @@ object ClusterQueries {
     "kcore" -> sqlKcore,
     "eigencentrality" -> sqlEigen,
     "rand_walks" -> sqlRandWalks,
+    // forest structure from first principles: sizes via recursive CC
+    // over the a<b pair graph, edge count as the tree invariant, min_w
+    // as the component's lightest edge (the cut property guarantees the
+    // MSF contains it)
+    "mst_forest" ->
+      s"""WITH RECURSIVE
+         |pts AS (SELECT p_partkey AS id, CAST(p_size AS DOUBLE) AS x0,
+         |  p_retailprice AS x1 FROM part),
+         |nbr AS (SELECT a.id AS src, b.id AS dst,
+         |    CAST(round((abs(a.x0-b.x0)+abs(a.x1-b.x1)) * 100) AS BIGINT)
+         |      AS w
+         |  FROM pts a, pts b
+         |  WHERE a.id < b.id AND abs(a.x0-b.x0)+abs(a.x1-b.x1) < $eps),
+         |sym AS (SELECT src, dst FROM nbr UNION SELECT dst, src FROM nbr),
+         |verts AS (SELECT DISTINCT src AS id FROM sym),
+         |walk(id, reach) AS (
+         |  SELECT id, id FROM verts
+         |  UNION
+         |  SELECT s.dst, w.reach FROM walk w JOIN sym s ON s.src = w.id),
+         |comp AS (SELECT id, min(reach) AS comp FROM walk GROUP BY id),
+         |sizes AS (SELECT comp, count(*) AS n FROM comp GROUP BY comp),
+         |minw AS (SELECT c.comp, min(n.w) AS min_w
+         |  FROM nbr n JOIN comp c ON c.id = n.src GROUP BY c.comp)
+         |SELECT s.comp AS component, CAST(s.n AS BIGINT) AS n_vertices,
+         |  CAST(s.n - 1 AS BIGINT) AS n_edges, m.min_w
+         |FROM sizes s JOIN minw m ON m.comp = s.comp
+         |ORDER BY component""".stripMargin,
     // same degree-agg + triangle enumeration as the triangles oracle,
     // coefficient as exact integer ppm via // (0 when deg < 2)
     "clustering_coeff" ->

@@ -409,6 +409,14 @@ class PlanHygieneSpec extends GraftSuite {
     assert(!p.contains("Join"), "a grouped quantile needs no join at all")
   }
 
+  test("equidepth_hist buckets through a broadcast join, never a global window") {
+    val p = plan("equidepth_hist")
+    assert(p.contains("BroadcastHashJoin"),
+      s"quartile boundaries must broadcast:\n${p.take(600)}")
+    assert(!p.contains("Window") && !p.contains("SortMergeJoin"),
+      "equi-depth bucketing must not sort whole groups in one task")
+  }
+
   test("skip_stats zone probes ride broadcasts, not shuffle joins") {
     val p = plan("skip_stats")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),

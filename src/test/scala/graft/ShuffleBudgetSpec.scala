@@ -405,7 +405,17 @@ class ShuffleBudgetSpec extends GraftSuite {
     "rand_walks" -> (8800L, 40000L),
     // group_quantiles 263 (ONE exchange of per-group value→count
     // partials; exact percentile without a sort)
-    "group_quantiles" -> (80L, 500L))
+    "group_quantiles" -> (80L, 500L),
+    // mst_forest 807,441 (the canonical collapse of the ε-pair set +
+    // per-round per-component argmin partials + the contracted-graph
+    // collapses; the working edge set shrinks geometrically, so later
+    // rounds are marginal — a blown budget means contraction stopped
+    // shrinking the graph and rounds went edge-scale)
+    "mst_forest" -> (270000L, 1200000L),
+    // equidepth_hist 1,799 (boundary agg partials + final (group,
+    // bucket) partials; the bucketing join broadcasts — a blown budget
+    // means rows started shuffling toward an ntile-style window)
+    "equidepth_hist" -> (600L, 2800L))
 
   /** Memo keys to evict after the warm pass so the measured pass runs the
     * gate's build plan instead of reading a checkpoint. dedup_groups
