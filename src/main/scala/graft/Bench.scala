@@ -164,13 +164,12 @@ object Bench {
     // line it must parse has to survive truncation with medians intact
     println(s"""{"metric":"stage_metrics","stage_metrics":$sh,"sf":"$sfDir"}""")
     println(s"""{"metric":"bench_detail","reps":$reps,"cold":${jmap(_.cold)},"min":${jmap(_.min)},"stddev":${jmap(_.stddev)},"sf":"$sfDir"}""")
-    // per-query cold seconds ride on the headline too: memoized shared
-    // builds (ε-pair set, DBSCAN model, LSH pair graph) land in the cold
-    // pass, and a regression in a build cost must be attributable to its
-    // query, not just visible in cold_total. ONLY cold is added — minima
-    // stay on bench_detail — because this line must fit the driver's
-    // bounded stdout tail whole; a truncated headline loses the medians.
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${jmap(_.median)},"cold":${jmap(_.cold)},"failed":$failed,"reps":$reps,"cold_total":${r3(coldTotal)},"sf":"$sfDir"}""")
+    // The headline carries ONLY the median map: round 8 put the per-query
+    // cold map here too and the doubled line overflowed the driver's
+    // bounded stdout tail — BENCH_r08.json parsed as null and the round
+    // lost its medians. Cold times stay on bench_detail (line above);
+    // cold_total rides here as a single scalar for trend tracking.
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${jmap(_.median)},"failed":$failed,"reps":$reps,"cold_total":${r3(coldTotal)},"sf":"$sfDir"}""")
     // release memoized checkpoint blocks deterministically (not via GC)
     graft.core.QueryCache.evictSession(spark)
     spark.stop()

@@ -27,7 +27,7 @@ object ConnectedComponents {
     *         re-add (`coalesce(component, id)` after an outer join).
     */
   def run(edges: DataFrame, maxIter: Int = 64,
-          skewSafe: Boolean = false): DataFrame = {
+          skewSafe: Boolean = true): DataFrame = {
     // checkpoints are LAZY: the checksum that every round needs anyway is
     // the action that materializes them, so each round schedules ONE job
     // (checkpoint-fill + checksum fused) instead of two — rounds are pure
@@ -54,20 +54,15 @@ object ConnectedComponents {
       // SKEW CEILING: a window partition gets no map-side partial
       // aggregation, so a component root's full adjacency — which grows
       // toward the whole component as stars contract — sorts in ONE
-      // window task. On power-law inputs whose largest component
-      // approaches a single task's row budget, prefer the combining
-      // form: per-src min via groupBy("src","salt").min → groupBy("src")
-      // .min (two-level, map-side combined), joined back on src — 4
-      // shuffles of the edge set per round but no single-task hotspot.
-      // The DBSCAN ε-graphs this serves are degree-bounded by the grid
-      // blocking (components are dense blobs, adjacency ≤ ball
-      // population), which is why the cheaper window form is the default;
-      // skewSafe=true swaps BOTH star phases to the combining form below.
+      // window task. Near-dup graphs at data scale are power-law
+      // (boilerplate/template mega-components), so the combining form is
+      // the DEFAULT: per-src min via a map-side-combined groupBy (hash
+      // partials absorb a hot root BEFORE the exchange) joined back on
+      // src — 2 extra shuffles of the edge set per round but no
+      // single-task hotspot. skewSafe=false keeps the cheaper window-min
+      // form (2 shuffles/round instead of 4) for degree-bounded graphs
+      // like DBSCAN ε-grids, and serves as the spec cross-check.
       val perSrcMin = Window.partitionBy("src")
-      // The combining form: per-src minima through a map-side-combined
-      // groupBy (hash-aggregate partials absorb a power-law hot root
-      // BEFORE the exchange) joined back on src — 2 extra shuffles of
-      // the edge set per round, no single-task hotspot.
       def withSrcMin(df: DataFrame): DataFrame =
         if (!skewSafe) df.withColumn("m", min("dst").over(perSrcMin))
         else df.join(df.groupBy("src").agg(min("dst").as("m")), "src")

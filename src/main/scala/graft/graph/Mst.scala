@@ -36,6 +36,12 @@ object Mst {
     *              [[ConnectedComponents.run]]'s convention)
     * @param labels (id, comp) for every vertex incident to an input edge */
   final case class Forest(edges: DataFrame, labels: DataFrame)
+      extends graft.core.QueryCache.Releasable {
+    /** Free checkpoint blocks when evicted from [[graft.core.QueryCache]]. */
+    def release(): Unit = {
+      LineageCut.release(edges); LineageCut.release(labels)
+    }
+  }
 
   /** Minimum spanning forest of an undirected weighted graph.
     *

@@ -102,6 +102,30 @@ object ClusterQueries {
         .localCheckpoint()
     }
 
+  /** The Boruvka minimum spanning forest of the ε-pair graph (weights =
+    * exact centi-L1), shared by mst_forest / single_linkage /
+    * hdbscan_stability — the dendrogram skeleton is built once per
+    * (session, dir) and every cut/sweep reads it. Both frames are
+    * eagerly checkpointed (boruvka's own per-round checkpoints release
+    * everything else). */
+  private[graft] val MstKey = "cluster.mst"
+  private def sharedMst(s: SparkSession, dir: String): graft.graph.Mst.Forest =
+    QueryCache.shared(MstKey, s, dir) {
+      val ew = sharedPairs(s, dir).where(col("a_id") < col("b_id"))
+        .select(col("a_id").as("src"), col("b_id").as("dst"),
+          round(col("d") * 100).cast("long").as("w"))
+      val f = graft.graph.Mst.boruvka(ew)
+      graft.graph.Mst.Forest(f.edges.localCheckpoint(),
+        f.labels.localCheckpoint())
+    }
+
+  /** single_linkage cut thresholds (centi-L1; both < 100·ε so the ε-pair
+    * set covers every admitted edge). */
+  private val SlCutLo = 60L
+  private val SlCutHi = 150L
+  /** hdbscan_stability sweep thresholds (centi-L1, ascending). */
+  private val StabilityCuts = Seq(25L, 50L, 75L, 100L, 125L, 150L, 175L, 199L)
+
   /** One constrained-k-means fit shared by kmeans_constrained and
     * sink_roundtrip, memoized like the DBSCAN model above. */
   private[graft] val KmeansKey = "cluster.kmeansModel"
@@ -148,6 +172,29 @@ object ClusterQueries {
        |         HAVING count(*) >= $minPts),
        |edges AS (SELECT n.src, n.dst FROM nbr n JOIN core c ON n.src = c.id)""".stripMargin
   private val sqlGraph = sqlGraphFor(eps)
+
+  /** The weighted a<b ε-pair graph shared by the single-linkage oracles —
+    * same centi-L1 rounding expression as the Spark side. */
+  private def sqlNbrW =
+    s"""pts AS (SELECT p_partkey AS id, CAST(p_size AS DOUBLE) AS x0,
+       |  p_retailprice AS x1 FROM part),
+       |nbr AS (SELECT a.id AS src, b.id AS dst,
+       |    CAST(round((abs(a.x0-b.x0)+abs(a.x1-b.x1)) * 100) AS BIGINT)
+       |      AS w
+       |  FROM pts a, pts b
+       |  WHERE a.id < b.id AND abs(a.x0-b.x0)+abs(a.x1-b.x1) < $eps)""".stripMargin
+
+  /** One recursive-CTE CC leg over the pair graph thresholded at `t` —
+    * yields comp$i(id, comp) for vertices incident to an admitted edge. */
+  private def slLeg(i: Int, t: Long): String =
+    s"""sym$i AS (SELECT src, dst FROM nbr WHERE w <= $t
+       |  UNION SELECT dst, src FROM nbr WHERE w <= $t),
+       |v$i AS (SELECT DISTINCT src AS id FROM sym$i),
+       |walk$i(id, reach) AS (
+       |  SELECT id, id FROM v$i
+       |  UNION
+       |  SELECT s.dst, w.reach FROM walk$i w JOIN sym$i s ON s.src = w.id),
+       |comp$i AS (SELECT id, min(reach) AS comp FROM walk$i GROUP BY id)""".stripMargin
 
   // Undirected CC by recursive min-label propagation.
   private val sqlCc =
@@ -424,10 +471,7 @@ object ClusterQueries {
     // the MSF). Edge-weight exactness is pinned by MstSpec against a
     // local Kruskal.
     "mst_forest" -> ((s, dir) => {
-      val ew = sharedPairs(s, dir).where(col("a_id") < col("b_id"))
-        .select(col("a_id").as("src"), col("b_id").as("dst"),
-          round(col("d") * 100).cast("long").as("w"))
-      val f = graft.graph.Mst.boruvka(ew)
+      val f = sharedMst(s, dir)
       val nv = f.labels.groupBy("comp")
         .agg(count(lit(1)).as("n_vertices"))
       val fe = f.edges.groupBy("comp")
@@ -436,6 +480,79 @@ object ClusterQueries {
         .select(col("comp").as("component"), col("n_vertices"),
           col("n_edges"), col("min_w"))
         .orderBy("component")
+    }),
+
+    // Single-linkage flat clustering (the dendrogram cut the MSF exists
+    // for, Campello et al. PAKDD'13; DBSCAN.py:161-172 is the ε-cut
+    // special case): clusters at threshold t are the components of
+    // forest edges with w ≤ t, which by the MST minimax-path property
+    // equal the components of the FULL ε-pair graph thresholded at t —
+    // so the cut walks V−1 forest edges instead of the pair set. Both
+    // cuts run in ONE batched union-CC fixpoint via vertex-id
+    // namespacing (the dbscan_sweep trick); labels are min member ids,
+    // vertices isolated at the cut label themselves. The oracle
+    // recomputes each cut's labels from the raw pair graph by
+    // recursive CTE — forest vs pair-graph equivalence is therefore
+    // oracle-checked, not assumed (and spec-pinned in MstSpec).
+    "single_linkage" -> ((s, dir) => {
+      val f = sharedMst(s, dir)
+      val cuts = Seq(SlCutLo, SlCutHi)
+      val off = f.labels.agg(max("id")).head().getLong(0) + 1
+      val cutLit = array(cuts.map(lit(_)): _*)
+      val edges = f.edges
+        .select(col("a"), col("b"), col("w"),
+          posexplode(cutLit).as(Seq("ci", "cut")))
+        .where(col("w") <= col("cut"))
+        .select((col("ci") * off + col("a")).as("src"),
+          (col("ci") * off + col("b")).as("dst"))
+      val comp = ConnectedComponents.run(edges)
+        .select((col("id") % off).as("id"),
+          expr(s"CAST(id DIV ${off}L AS INT)").as("ci"),
+          (col("component") % off).as("component"))
+      val verts = f.labels.select(col("id"),
+        explode(sequence(lit(0), lit(cuts.length - 1))).as("ci"))
+      verts.join(comp, Seq("ci", "id"), "left")
+        .groupBy("id")
+        .agg(
+          max(when(col("ci") === 0,
+            coalesce(col("component"), col("id")))).as("c_lo"),
+          max(when(col("ci") === 1,
+            coalesce(col("component"), col("id")))).as("c_hi"))
+        .orderBy("id")
+    }),
+
+    // HDBSCAN-style cluster stability over the cut sweep (Campello et
+    // al. PAKDD'13's excess-of-mass, discretized to the StabilityCuts
+    // grid and kept in exact integers): a cluster is a min-id-labeled
+    // component of the thresholded forest; its label persists while it
+    // absorbs larger-min-id clusters and dies when a smaller-min-id one
+    // absorbs it, so per label the sweep yields how many cuts it lived
+    // (n_cuts), where it was born (birth_cut), and Σ sizes over its
+    // lifetime (sum_sizes — the integer stability mass; max_size its
+    // final extent). Singletons don't score, as in HDBSCAN. One batched
+    // union-CC over 8 × (V−1) forest edges — the sweep never touches
+    // the pair set.
+    "hdbscan_stability" -> ((s, dir) => {
+      val f = sharedMst(s, dir)
+      val off = f.labels.agg(max("id")).head().getLong(0) + 1
+      val cutLit = array(StabilityCuts.map(lit(_)): _*)
+      val edges = f.edges
+        .select(col("a"), col("b"), col("w"),
+          posexplode(cutLit).as(Seq("ci", "cut")))
+        .where(col("w") <= col("cut"))
+        .select((col("ci") * off + col("a")).as("src"),
+          (col("ci") * off + col("b")).as("dst"))
+      val comp = ConnectedComponents.run(edges)
+        .select(expr(s"CAST(id DIV ${off}L AS INT)").as("ci"),
+          (col("component") % off).as("component"))
+      val sizes = comp.groupBy("ci", "component")
+        .agg(count(lit(1)).as("n"))
+      sizes.groupBy(col("component").as("cluster"))
+        .agg(count(lit(1)).as("n_cuts"),
+          min(element_at(cutLit, col("ci") + 1)).as("birth_cut"),
+          sum("n").as("sum_sizes"),
+          max("n").as("max_size"))
+        .orderBy("cluster")
     }),
 
     // Deterministic DeepWalk/node2vec corpus generation: from every
@@ -797,6 +914,36 @@ object ClusterQueries {
          |  CAST(s.n - 1 AS BIGINT) AS n_edges, m.min_w
          |FROM sizes s JOIN minw m ON m.comp = s.comp
          |ORDER BY component""".stripMargin,
+    // both cuts recomputed from the RAW pair graph (not the forest), so
+    // the MSF minimax-path equivalence the Spark side relies on is
+    // itself under the oracle
+    "single_linkage" ->
+      s"""WITH RECURSIVE
+         |$sqlNbrW,
+         |${slLeg(0, SlCutLo)},
+         |${slLeg(1, SlCutHi)},
+         |verts AS (SELECT DISTINCT src AS id FROM
+         |  (SELECT src FROM nbr UNION SELECT dst AS src FROM nbr))
+         |SELECT v.id, coalesce(c0.comp, v.id) AS c_lo,
+         |  coalesce(c1.comp, v.id) AS c_hi
+         |FROM verts v LEFT JOIN comp0 c0 USING (id)
+         |LEFT JOIN comp1 c1 USING (id)
+         |ORDER BY id""".stripMargin,
+    "hdbscan_stability" ->
+      s"""WITH RECURSIVE
+         |$sqlNbrW,
+         |${StabilityCuts.zipWithIndex.map { case (t, i) => slLeg(i, t) }
+             .mkString(",\n")},
+         |${StabilityCuts.zipWithIndex.map { case (t, i) =>
+               s"size$i AS (SELECT comp, count(*) AS n, $t AS cut FROM comp$i GROUP BY comp)"
+             }.mkString(",\n")},
+         |allsz AS (${StabilityCuts.indices
+             .map(i => s"SELECT * FROM size$i").mkString(" UNION ALL ")})
+         |SELECT comp AS cluster, CAST(count(*) AS BIGINT) AS n_cuts,
+         |  CAST(min(cut) AS BIGINT) AS birth_cut,
+         |  CAST(sum(n) AS BIGINT) AS sum_sizes,
+         |  CAST(max(n) AS BIGINT) AS max_size
+         |FROM allsz GROUP BY comp ORDER BY cluster""".stripMargin,
     // same degree-agg + triangle enumeration as the triangles oracle,
     // coefficient as exact integer ppm via // (0 when deg < 2)
     "clustering_coeff" ->

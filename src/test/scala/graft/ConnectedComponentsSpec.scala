@@ -40,12 +40,13 @@ class ConnectedComponentsSpec extends GraftSuite {
 
   test("skewSafe combining form labels identically to the window form") {
     // hot-root star (the skew case the combining form exists for),
-    // a chain, and a detached pair
+    // a chain, and a detached pair. The combining form is the production
+    // default since round 9; the window form stays as the cross-check.
     val star = (2L to 40L).map(i => (1L, i))
     val edges = (star ++ Seq((41L, 42L), (42L, 43L), (100L, 101L))).toSeq
-    val w = cc(edges)
-    val c = ConnectedComponents.run(edges.toDF("src", "dst"),
-        skewSafe = true)
+    val c = cc(edges) // default = skewSafe combining form
+    val w = ConnectedComponents.run(edges.toDF("src", "dst"),
+        skewSafe = false)
       .as[(Long, Long)].collect().toMap
     assert(c == w, s"forms diverge: ${c.toSeq.sorted} vs ${w.toSeq.sorted}")
   }

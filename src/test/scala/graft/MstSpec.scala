@@ -77,6 +77,30 @@ class MstSpec extends GraftSuite {
     assert(run(g) == Set((1L, 2L, 3L)))
   }
 
+  test("single-linkage cut of the forest equals CC of the thresholded graph") {
+    // the minimax-path property the single_linkage gate stands on: for
+    // every threshold t, components of {forest edges ≤ t} equal
+    // components of {ALL edges ≤ t} — including the ε-cut special case
+    // t = max (DBSCAN.py:161-172), where both equal plain CC
+    val rnd = new scala.util.Random(7)
+    val g = (0 until 120).map { _ =>
+      (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong,
+        (rnd.nextInt(9) + 1).toLong)
+    }.filter(e => e._1 != e._2)
+    val f = Mst.boruvka(g.toDF("src", "dst", "w"))
+    for (t <- Seq(2L, 5L, 9L)) {
+      val cutForest = graft.graph.ConnectedComponents.run(
+          f.edges.where(col("w") <= t)
+            .select(col("a").as("src"), col("b").as("dst")))
+        .as[(Long, Long)].collect().toMap
+      val cutFull = graft.graph.ConnectedComponents.run(
+          g.toDF("src", "dst", "w").where(col("w") <= t)
+            .select("src", "dst"))
+        .as[(Long, Long)].collect().toMap
+      assert(cutForest == cutFull, s"cut at $t diverges")
+    }
+  }
+
   test("boruvka is partitioning-invariant") {
     val rnd = new scala.util.Random(5)
     val g = (0 until 80).map { _ =>

@@ -45,11 +45,17 @@ class ShuffleBudgetSpec extends GraftSuite {
     * pass re-run the banded LSH join the pin was taken from.
     */
   private val budgets: Seq[(String, (Long, Long))] = Seq(
+    // round-9 re-pins after ConnectedComponents flipped to the skew-safe
+    // combining form by default — measured: dbscan_sweep 86,327;
+    // dedup_groups 4,296 (DOWN from 11,048: the map-side-combined per-src
+    // minima are tiny and AQE broadcasts them back, so the star phases
+    // stopped exchanging the full edge set); cc_components 611,613 (up
+    // from 533,975); scc_components 439,050; mst_forest 892,098
     "dbscan_sweep" -> (28000L, 130000L),
-    "dedup_groups" -> (3600L, 17000L),
+    "dedup_groups" -> (1400L, 10000L),
     "embed_pairs_lsh" -> (250000L, 1120000L),
-    "cc_components" -> (175000L, 805000L),
-    "scc_components" -> (130000L, 590000L),
+    "cc_components" -> (200000L, 920000L),
+    "scc_components" -> (145000L, 660000L),
     "dbscan_anonymize" -> (150L, 700L),
     // round-8 pins — measured: ann_ivf_clustered 13,773 (broadcast query
     // side + O(q·k) rank shuffle; a lost broadcast blows this up);
@@ -411,7 +417,15 @@ class ShuffleBudgetSpec extends GraftSuite {
     // collapses; the working edge set shrinks geometrically, so later
     // rounds are marginal — a blown budget means contraction stopped
     // shrinking the graph and rounds went edge-scale)
-    "mst_forest" -> (270000L, 1200000L),
+    "mst_forest" -> (300000L, 1340000L),
+    // single_linkage 658,627 / hdbscan_stability 3,040,893 (both read
+    // the memoized forest; the measured cost is the batched union-CC
+    // over 2 / 8 namespaced cut legs — per-leg input is only the V−1
+    // forest edges, so the volume is fixpoint rounds × legs, not pair
+    // count; a blown budget means a cut leg started walking the pair
+    // set instead of the forest)
+    "single_linkage" -> (220000L, 990000L),
+    "hdbscan_stability" -> (1000000L, 4600000L),
     // equidepth_hist 1,799 (boundary agg partials + final (group,
     // bucket) partials; the bucketing join broadcasts — a blown budget
     // means rows started shuffling toward an ntile-style window)
@@ -426,7 +440,10 @@ class ShuffleBudgetSpec extends GraftSuite {
       "dedup_groups" -> graft.queries.TextQueries.JaccardCompKey,
       "bpe_merges" -> graft.queries.PipelineQueries.BpeFitKey,
       "lpa_communities" -> graft.queries.ClusterQueries.LpaKey,
-      "modularity" -> graft.queries.ClusterQueries.LpaKey)
+      "modularity" -> graft.queries.ClusterQueries.LpaKey,
+      // the forest memo (round 9): the pin was taken from the boruvka
+      // build; single_linkage/hdbscan_stability read the memoized forest
+      "mst_forest" -> graft.queries.ClusterQueries.MstKey)
 
   for ((q, (lo, hi)) <- budgets)
     test(s"$q shuffle-write volume stays within budget at sf0.01") {
