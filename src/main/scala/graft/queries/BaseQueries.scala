@@ -479,20 +479,24 @@ object BaseQueries {
     }),
 
     // EXACT grouped quantiles (the approx_quantile gate's ground truth
-    // sibling): Spark's `percentile` aggregates a value→count map per
-    // group — exact AND scalable whenever the value domain is bounded
-    // (here l_quantity ∈ 1..50; a 100 TB fact table costs one map-side-
-    // combined shuffle of ≤|domain| entries per group, NOT a sort).
-    // Determinism: integer values and dyadic fractions (.25/.5/.75) make
-    // the lower+(upper−lower)·frac interpolation IEEE-exact in both
-    // engines; 6dp rounding is belt and braces.
+    // sibling), routed through Quantiles.grouped — the guard that makes
+    // `percentile`'s value→count map agg safe at scale: it HLL-counts the
+    // domain first and falls back to the approx_percentile sketch when
+    // the domain is unbounded (QuantilesSpec pins both routes).
+    // l_quantity ∈ 1..50, so this gate takes the exact path and a 100 TB
+    // fact table costs one map-side-combined shuffle of ≤|domain|
+    // entries per group, NOT a sort. Determinism: integer values and
+    // dyadic fractions (.25/.5/.75) make the lower+(upper−lower)·frac
+    // interpolation IEEE-exact in both engines; 6dp rounding is belt and
+    // braces.
     "group_quantiles" -> ((s, dir) => {
-      table(s, dir, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(count(lit(1)).as("n"),
-          round(expr("percentile(l_quantity, 0.25)"), 6).as("q25"),
-          round(expr("percentile(l_quantity, 0.5)"), 6).as("q50"),
-          round(expr("percentile(l_quantity, 0.75)"), 6).as("q75"))
+      val gq = graft.operators.Quantiles.grouped(table(s, dir, "lineitem"),
+        "l_returnflag", "l_quantity", Seq(0.25, 0.5, 0.75),
+        withCount = true)
+      gq.result
+        .select(col("l_returnflag"), col("n"),
+          round(col("q0"), 6).as("q25"), round(col("q1"), 6).as("q50"),
+          round(col("q2"), 6).as("q75"))
         .orderBy("l_returnflag")
     }),
 

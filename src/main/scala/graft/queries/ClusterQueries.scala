@@ -44,6 +44,8 @@ object ClusterQueries {
   private val LinkTopN = 100
   /** eigencentrality power-iteration rounds (walk length). */
   private val EigenIters = 3
+  /** hits_scores alternating-walk rounds (a ← Aᵀh, h ← A·a per round). */
+  private val HitsIters = 2
 
   private def pts(s: SparkSession, dir: String): DataFrame =
     table(s, dir, "part").select(col("p_partkey").as("id"),
@@ -647,6 +649,18 @@ object ClusterQueries {
     // (2000000·tri div deg·(deg−1)), so no float exists anywhere.
     "clustering_coeff" -> ((s, dir) => {
       Traversals.clusteringCoeff(epsEdges(s, dir)).orderBy("id")
+    }),
+
+    // HITS hubs/authorities on the DIRECTED core→neighbor ε-graph —
+    // the one centrality here that uses the orientation (cores emit,
+    // neighbors receive): exact integer alternating-walk counts, floats
+    // only in the two final max-normalizations, like eigencentrality.
+    "hits_scores" -> ((s, dir) => {
+      Traversals.hits(epsEdges(s, dir), iters = HitsIters)
+        .select(col("id"), col("auth_walks"), col("hub_walks"),
+          round(col("auth_score"), 6).as("auth_score"),
+          round(col("hub_score"), 6).as("hub_score"))
+        .orderBy("id")
     }))
 
   /** One sweep leg as a self-contained derived table: the dbscan_errors
@@ -886,6 +900,7 @@ object ClusterQueries {
     "modularity" -> sqlModularity,
     "kcore" -> sqlKcore,
     "eigencentrality" -> sqlEigen,
+    "hits_scores" -> sqlHits,
     "rand_walks" -> sqlRandWalks,
     // forest structure from first principles: sizes via recursive CC
     // over the a<b pair graph, edge count as the tree invariant, min_w
@@ -1074,6 +1089,36 @@ object ClusterQueries {
        |SELECT id, CAST(w AS BIGINT) AS walks,
        |  round(CAST(w AS DOUBLE) / CAST(m AS DOUBLE), 6) AS score
        |FROM x$EigenIters, mx ORDER BY id""".stripMargin
+  }
+
+  /** HITS unrolled to HitsIters (a ← Aᵀh, h ← A·a) legs over the DIRECTED
+    * edge list — sink/source vertices kept via LEFT JOIN coalesce 0,
+    * exactly like the engine's vertex-keyed left joins; floats only in
+    * the two final max-normalizations. */
+  private def sqlHits: String = {
+    val legs = (1 to HitsIters).map(t =>
+      s"""a$t AS (SELECT v.id, CAST(coalesce(s.w, 0) AS BIGINT) AS aw
+         |  FROM verts v LEFT JOIN (
+         |    SELECT e.dst AS id, sum(h.hw) AS w FROM e0 e
+         |    JOIN h${t - 1} h ON h.id = e.src GROUP BY e.dst) s USING (id)),
+         |h$t AS (SELECT v.id, CAST(coalesce(s.w, 0) AS BIGINT) AS hw
+         |  FROM verts v LEFT JOIN (
+         |    SELECT e.src AS id, sum(a.aw) AS w FROM e0 e
+         |    JOIN a$t a ON a.id = e.dst GROUP BY e.src) s USING (id))""".stripMargin)
+      .mkString(",\n")
+    s"""WITH
+       |$sqlGraph,
+       |e0 AS MATERIALIZED (SELECT src, dst FROM edges WHERE src <> dst),
+       |verts AS (SELECT src AS id FROM e0 UNION SELECT dst FROM e0),
+       |h0 AS (SELECT id, CAST(1 AS BIGINT) AS hw FROM verts),
+       |$legs,
+       |m AS (SELECT (SELECT max(aw) FROM a$HitsIters) AS ma,
+       |  (SELECT max(hw) FROM h$HitsIters) AS mh)
+       |SELECT a.id, a.aw AS auth_walks, h.hw AS hub_walks,
+       |  round(CAST(a.aw AS DOUBLE) / CAST(m.ma AS DOUBLE), 6) AS auth_score,
+       |  round(CAST(h.hw AS DOUBLE) / CAST(m.mh AS DOUBLE), 6) AS hub_score
+       |FROM a$HitsIters a JOIN h$HitsIters h USING (id), m
+       |ORDER BY a.id""".stripMargin
   }
 
   /** The hash-argmin walk unrolled to RwSteps legs — candidate out-edges

@@ -42,6 +42,8 @@ object CurationQueries {
   private val BpeK = 50
   private val FixedN = 10
   private val WeightedN = 50
+  /** k_anon_audit group-size floor (matches the reference's k=4). */
+  private val kAnonFloor = 4
 
   /** Word-count bounds for the Gopher filter gate, calibrated so the
     * synthetic corpus (10-99 words/doc) lands on both sides. */
@@ -928,6 +930,88 @@ object CurationQueries {
         .select("doc_id", "lang", "n_tokens", "score_bits", "bits_per_kt")
     }),
 
+    // Temperature-sampling mixture weights (the corpus-mixing step of
+    // LLM pretraining: sample source i with p_i ∝ n_i^τ, τ = 1/2 —
+    // upweights small high-value sources, de-emphasizes the dominant
+    // crawl). Determinism without float sums: w_i = floor(1e6·sqrt(n_i))
+    // is one correctly-rounded IEEE sqrt per source (bit-identical in
+    // both engines), and both normalizations are integer divisions over
+    // exact integer totals — no float accumulation anywhere, so source
+    // order can't flip a ppm. Scale shape: per-source counts are a
+    // map-side-combined tiny-key agg; the totals are a 1-row broadcast.
+    "mix_temperature" -> ((s, dir) => {
+      val c = docs(s, dir).groupBy("source").agg(count(lit(1)).as("n"))
+      val w = c.withColumn("w",
+        floor(sqrt(col("n").cast("double")) * 1000000).cast("long"))
+      val t = w.agg(sum("n").cast("long").as("tn"),
+        sum("w").cast("long").as("tw"))
+      w.crossJoin(broadcast(t))
+        .select(col("source"), col("n"), col("w"),
+          expr("(1000000 * w) div tw").as("p_ppm"),
+          expr("(1000000 * n) div tn").as("r_ppm"))
+        .orderBy("source")
+    }),
+
+    // k-anonymity risk audit over quasi-identifiers (the privacy gate a
+    // release pipeline runs BEFORE publishing a corpus — Sweeney 2002;
+    // the reference's whole anonymization pipeline enforces k=4 on
+    // cluster size, DBSCAN.py:103-133): group documents by the QI tuple
+    // (lang, source, length bucket) and report, per lang, how many QI
+    // groups and documents sit below the k=4 floor. One map-side-
+    // combined ≤|QI-domain|-key groupBy, then a tiny-key rollup —
+    // nothing row-scale shuffles twice.
+    "k_anon_audit" -> ((s, dir) => {
+      val g = docs(s, dir)
+        .groupBy(col("lang"), col("source"),
+          expr("n_chars div 256").as("len_b"))
+        .agg(count(lit(1)).as("n"))
+      g.groupBy("lang").agg(
+          count(lit(1)).as("n_groups"),
+          sum((col("n") < kAnonFloor).cast("long")).as("unsafe_groups"),
+          sum(when(col("n") < kAnonFloor, col("n")).otherwise(0L))
+            .cast("long").as("unsafe_docs"),
+          min("n").as("min_group"), max("n").as("max_group"))
+        .orderBy("lang")
+    }),
+
+    // Kendall's tau-b (Kendall 1938; tie-corrected 1945) between two
+    // per-source corpus signals (total chars vs doc count) — the
+    // rank-agreement check next to rank_corr's Spearman, and the one
+    // that stays EXACT under ties: concordant/discordant/tied pair
+    // counts are integers from the ≤|sources|² broadcast self-join, and
+    // the only float is the final sqrt-normalized division, one IEEE
+    // expression both engines replay. Source-level aggregates first, so
+    // the pair join is over 20 rows regardless of corpus size.
+    "kendall_tau" -> ((s, dir) => {
+      val m = docs(s, dir).groupBy("source")
+        .agg(sum("n_chars").cast("long").as("x"),
+          max("n_chars").cast("long").as("y"))
+      val a = m.select(col("source").as("sa"), col("x").as("xa"),
+        col("y").as("ya"))
+      val b = m.select(col("source").as("sb"), col("x").as("xb"),
+        col("y").as("yb"))
+      val prod = (col("xa") - col("xb")) * (col("ya") - col("yb"))
+      val p = a.crossJoin(broadcast(b)).where(col("sa") < col("sb"))
+        .select((prod > 0).cast("long").as("c"),
+          (prod < 0).cast("long").as("d"),
+          (col("xa") === col("xb")).cast("long").as("tx"),
+          (col("ya") === col("yb")).cast("long").as("ty"))
+      p.agg(count(lit(1)).as("n0"), sum("c").cast("long").as("nc"),
+          sum("d").cast("long").as("nd"),
+          sum("tx").cast("long").as("x_ties"),
+          sum("ty").cast("long").as("y_ties"))
+        .select(col("n0"), col("nc"), col("nd"), col("x_ties"),
+          col("y_ties"),
+          // tau is undefined when one signal is constant (every pair
+          // tied) — NULL, not a division error, in both engines
+          when((col("n0") === col("x_ties")) ||
+              (col("n0") === col("y_ties")), lit(null).cast("double"))
+            .otherwise(round((col("nc") - col("nd")).cast("double") /
+              sqrt(((col("n0") - col("x_ties")) *
+                (col("n0") - col("y_ties"))).cast("double")), 6))
+            .as("tau_b"))
+    }),
+
     // Small-file compaction planner: per source, documents pack into
     // target-sized output files in doc_id order — file_id =
     // floor(exclusive running chars / target), i.e. a new file starts
@@ -957,6 +1041,49 @@ object CurationQueries {
   import TextQueries.{sqlPolyHash, sqlQuality, sqlToks}
 
   val oracleSql: Map[String, String] = Map(
+    "k_anon_audit" ->
+      s"""WITH g AS (SELECT lang, source, n_chars // 256 AS len_b,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM documents GROUP BY lang, source, len_b)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_groups,
+        |  CAST(sum(CAST(n < $kAnonFloor AS BIGINT)) AS BIGINT)
+        |    AS unsafe_groups,
+        |  CAST(sum(CASE WHEN n < $kAnonFloor THEN n ELSE 0 END) AS BIGINT)
+        |    AS unsafe_docs,
+        |  min(n) AS min_group, max(n) AS max_group
+        |FROM g GROUP BY lang ORDER BY lang""".stripMargin,
+    "kendall_tau" ->
+      """WITH m AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS x,
+        |    CAST(max(n_chars) AS BIGINT) AS y
+        |  FROM documents GROUP BY source),
+        |p AS (SELECT
+        |    CAST((a.x - b.x) * (a.y - b.y) > 0 AS BIGINT) AS c,
+        |    CAST((a.x - b.x) * (a.y - b.y) < 0 AS BIGINT) AS d,
+        |    CAST(a.x = b.x AS BIGINT) AS tx,
+        |    CAST(a.y = b.y AS BIGINT) AS ty
+        |  FROM m a JOIN m b ON a.source < b.source),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n0,
+        |    CAST(sum(c) AS BIGINT) AS nc, CAST(sum(d) AS BIGINT) AS nd,
+        |    CAST(sum(tx) AS BIGINT) AS x_ties,
+        |    CAST(sum(ty) AS BIGINT) AS y_ties FROM p)
+        |SELECT n0, nc, nd, x_ties, y_ties,
+        |  CASE WHEN n0 = x_ties OR n0 = y_ties THEN NULL
+        |    ELSE round(CAST(nc - nd AS DOUBLE) /
+        |      sqrt(CAST((n0 - x_ties) * (n0 - y_ties) AS DOUBLE)), 6)
+        |  END AS tau_b
+        |FROM t""".stripMargin,
+    "mix_temperature" ->
+      """WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+        |  FROM documents GROUP BY source),
+        |w AS (SELECT source, n,
+        |    CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000000) AS BIGINT) AS w
+        |  FROM c),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS tn,
+        |    CAST(sum(w) AS BIGINT) AS tw FROM w)
+        |SELECT source, n, w,
+        |  CAST((1000000 * w) // tw AS BIGINT) AS p_ppm,
+        |  CAST((1000000 * n) // tn AS BIGINT) AS r_ppm
+        |FROM w, t ORDER BY source""".stripMargin,
     // the fixed-centroid bucket assign replayed in SQL (the ann_ivf_fixed
     // machinery: argmax cosine = row_number over (-cos, cluster)), joined
     // to the 6dp quality score, ranked per bucket

@@ -32,6 +32,8 @@ object VectorQueries {
     * gate SF can't go quadratic/linear-per-query on them: a no-op at every
     * current SF (max vec_id is 1999 at sf0.1), mirrored in the oracles. */
   private val BruteCap = 2000
+  /** kcenter_coreset size (greedy farthest-first rounds). */
+  private val KCenterK = 4
   private val PqM = 4       // PQ subspaces over the 64-dim embeddings
   private val PqKs = 8      // entries per subspace codebook
   private val PqSub = 16    // = 64 / PqM, mirrored in the oracle SQL
@@ -109,6 +111,38 @@ object VectorQueries {
         .select(col("q_id"), col("n_hits"),
           expr(s"(1000000 * n_hits) div $TopK").as("recall_ppm"))
         .orderBy("q_id")
+    }),
+
+    // Greedy k-center coreset selection (Gonzalez 1985 farthest-first
+    // traversal, cosine space): start from the min-id vector, then
+    // KCenterK−1 rounds of "pick the candidate LEAST similar to its
+    // most-similar chosen center" — the diverse-subset selection that
+    // seeds coverage-oriented training-data curation (the 2-approx of
+    // the k-center objective). Scale shape: chosen centers are O(k·dim)
+    // driver scalars riding into the scan as literals, so each round is
+    // ONE zero-shuffle projection + a TakeOrdered(1) argmin — no joins,
+    // no corpus shuffle, at any corpus size. Determinism: argmin on
+    // (6dp-rounded max-sim, vec_id); the cosines are the same
+    // sequential-fold doubles as every embedding oracle.
+    "kcenter_coreset" -> ((s, dir) => {
+      import s.implicits._
+      val e = embs(s, dir).select(col("vec_id"),
+        col("embedding").cast("array<double>").as("e"))
+      val c0 = e.orderBy("vec_id").limit(1).head()
+      var chosen = List((0, c0.getLong(0), Option.empty[Double],
+        c0.getSeq[Double](1)))
+      for (r <- 1 until KCenterK) {
+        val sims = chosen.map(c =>
+          graft.functions.Distances.cosine(col("e"), typedLit(c._4)))
+        val msim = round(sims.reduceLeft((a, b) => greatest(a, b)), 6)
+        val next = e.where(!col("vec_id").isInCollection(chosen.map(_._2)))
+          .select(col("vec_id"), msim.as("msim"), col("e"))
+          .orderBy(col("msim").asc, col("vec_id").asc).limit(1).head()
+        chosen = chosen :+ ((r, next.getLong(0), Some(next.getDouble(1)),
+          next.getSeq[Double](2)))
+      }
+      chosen.map(c => (c._1, c._2, c._3)).toDF("step", "vec_id", "max_sim")
+        .orderBy("step")
     }),
 
     // exact all-pairs cosine >= tau (embedding near-dup baseline)
@@ -528,7 +562,39 @@ object VectorQueries {
   private val sqlCos =
     "list_dot_product(a.e, b.e) / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))"
 
+  /** Greedy farthest-first replayed leg by leg: sN scores every
+    * not-yet-chosen candidate by max cosine to the chosen set chN−1, cN
+    * is the (rounded-sim, id) argmin, chN accumulates. Same rounding and
+    * tiebreak as the Spark side. */
+  private def sqlKcenter: String = {
+    def cos(x: String, c: String) =
+      s"list_dot_product($x.e, $c.e) / (sqrt(list_dot_product($x.e, $x.e)) * sqrt(list_dot_product($c.e, $c.e)))"
+    val legs = (1 until KCenterK).map { r =>
+      s"""s$r AS (SELECT x.vec_id, round(max(${cos("x", "c")}), 6) AS msim
+         |  FROM v x, ch${r - 1} c
+         |  WHERE x.vec_id NOT IN (SELECT vec_id FROM ch${r - 1})
+         |  GROUP BY x.vec_id),
+         |c$r AS (SELECT s.vec_id, v.e, s.msim FROM s$r s
+         |  JOIN v ON v.vec_id = s.vec_id
+         |  ORDER BY s.msim, s.vec_id LIMIT 1),
+         |ch$r AS (SELECT vec_id, e FROM ch${r - 1}
+         |  UNION ALL SELECT vec_id, e FROM c$r)""".stripMargin
+    }.mkString(",\n")
+    val sel = (1 until KCenterK).map(r =>
+      s"UNION ALL SELECT $r, vec_id, msim FROM c$r").mkString("\n")
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+       |  FROM embeddings),
+       |c0 AS (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT 1),
+       |ch0 AS (SELECT vec_id, e FROM c0),
+       |$legs
+       |SELECT CAST(0 AS INT) AS step, vec_id, CAST(NULL AS DOUBLE) AS max_sim
+       |FROM c0
+       |$sel
+       |ORDER BY step""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "kcenter_coreset" -> sqlKcenter,
     "ann_topk" ->
       s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
          |  FROM embeddings WHERE vec_id < $BruteCap),

@@ -47,12 +47,13 @@ class ShuffleBudgetSpec extends GraftSuite {
   private val budgets: Seq[(String, (Long, Long))] = Seq(
     // round-9 re-pins after ConnectedComponents flipped to the skew-safe
     // combining form by default — measured: dbscan_sweep 86,327;
-    // dedup_groups 4,296 (DOWN from 11,048: the map-side-combined per-src
-    // minima are tiny and AQE broadcasts them back, so the star phases
-    // stopped exchanging the full edge set); cc_components 611,613 (up
-    // from 533,975); scc_components 439,050; mst_forest 892,098
+    // dedup_groups 4,296 isolated / 11,522 in-suite (AQE broadcast of
+    // the combined per-src minima depends on what exchanges are already
+    // materialized — budget spans both, like ivf_nprobe_curve);
+    // cc_components 611,613 (up from 533,975); scc_components 439,050;
+    // mst_forest 892,098
     "dbscan_sweep" -> (28000L, 130000L),
-    "dedup_groups" -> (1400L, 10000L),
+    "dedup_groups" -> (1400L, 17500L),
     "embed_pairs_lsh" -> (250000L, 1120000L),
     "cc_components" -> (200000L, 920000L),
     "scc_components" -> (145000L, 660000L),
@@ -409,9 +410,6 @@ class ShuffleBudgetSpec extends GraftSuite {
     // frontier broadcasts both the move join and the stay anti-join — a
     // blown budget means the edge list started shuffling per step)
     "rand_walks" -> (8800L, 40000L),
-    // group_quantiles 263 (ONE exchange of per-group value→count
-    // partials; exact percentile without a sort)
-    "group_quantiles" -> (80L, 500L),
     // mst_forest 807,441 (the canonical collapse of the ε-pair set +
     // per-round per-component argmin partials + the contracted-graph
     // collapses; the working edge set shrinks geometrically, so later
@@ -426,6 +424,24 @@ class ShuffleBudgetSpec extends GraftSuite {
     // set instead of the forest)
     "single_linkage" -> (220000L, 990000L),
     "hdbscan_stability" -> (1000000L, 4600000L),
+    // kcenter_coreset 236 (k−1 zero-shuffle scans + TakeOrdered(1)
+    // argmins — a blown budget means a round regressed to a join or a
+    // corpus sort); mix_temperature 494 (tiny-key source agg + 1-row
+    // total broadcast); group_quantiles 470 (HLL domain-guard agg + the
+    // two ≤|groups|-row map-agg exchanges — a blowup means the exact
+    // path's value→count map went value-scale)
+    "kcenter_coreset" -> (70L, 1100L),
+    "mix_temperature" -> (160L, 750L),
+    "group_quantiles" -> (150L, 710L),
+    // hits_scores 24,824 (2 rounds × two edge-keyed joins + two
+    // map-side-combined sums over the memoized ε-edges; the max
+    // normalizers are a 1-row broadcast — a blown budget means a
+    // vertex-keyed left join started exchanging the edge list);
+    // k_anon_audit 279 (≤|QI-domain|-key groupBy + 5-key rollup);
+    // kendall_tau 435 (one source agg; the 190-pair join broadcasts)
+    "hits_scores" -> (8000L, 38000L),
+    "k_anon_audit" -> (90L, 450L),
+    "kendall_tau" -> (140L, 660L),
     // equidepth_hist 1,799 (boundary agg partials + final (group,
     // bucket) partials; the bucketing join broadcasts — a blown budget
     // means rows started shuffling toward an ntile-style window)

@@ -841,6 +841,20 @@ class SimilaritySearchSpec extends GraftSuite {
     assert(n.head.isNullAt(0))
   }
 
+  test("levenshtein counts CODEPOINTS on non-ASCII (edit_pairs caveat)") {
+    // edit_pairs is oracle-exact only on the ASCII documents corpus:
+    // DuckDB's levenshtein counts BYTES, Spark's counts codepoints. This
+    // pins the Spark semantics the gate ships — 'é' is ONE edit away
+    // from 'e' (a byte-level distance would say 2: 0xC3 0xA9 vs 0x65),
+    // and a 2-codepoint word is distance 2 from empty even when it is 5
+    // bytes of UTF-8.
+    val got = Seq(("café", "cafe"), ("日本", ""), ("naïve", "naive"))
+      .toDF("a", "b")
+      .select(org.apache.spark.sql.functions.levenshtein(col("a"), col("b")))
+      .as[Int].collect().toSeq
+    assert(got == Seq(1, 2, 1), got)
+  }
+
   test("skipgramPairs: window, symmetry, edges") {
     val got = Seq((1L, "a b c d"), (2L, ""), (3L, "solo"))
       .toDF("doc_id", "text")

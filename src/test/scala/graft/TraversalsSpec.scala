@@ -261,6 +261,28 @@ class TraversalsSpec extends GraftSuite {
     assert((0 to steps).forall(t => got((3L, t, 3L))))
   }
 
+  test("hits: hand-computed alternating walks on a directed star-chain") {
+    // 1→2, 1→3, 4→2: vertex 2 is the authority (two in-hubs), 1 the hub
+    val edges = Seq((1L, 2L), (1L, 3L), (4L, 2L)).toDF("src", "dst")
+    val got = Traversals.hits(edges, iters = 1)
+      .select("id", "auth_walks", "hub_walks")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // iter 1: a = in-degree (h0 = 1); h = Σ a over out-neighbors
+    assert(got == Map(
+      1L -> (0L, 3L), // a=0 (no in), h = a(2)+a(3) = 2+1
+      2L -> (2L, 0L),
+      3L -> (1L, 0L),
+      4L -> (0L, 2L))) // h = a(2) = 2
+    // two rounds stay exact integers and keep sinks/sources at 0
+    val r2 = Traversals.hits(edges, iters = 2)
+      .select("id", "auth_walks", "hub_walks")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // a2 = Σ_in h1: a2(2) = h1(1)+h1(4) = 5, a2(3) = h1(1) = 3
+    // h2 = Σ_out a2: h2(1) = 5+3 = 8, h2(4) = 5
+    assert(r2 == Map(1L -> (0L, 8L), 2L -> (5L, 0L), 3L -> (3L, 0L),
+      4L -> (0L, 5L)))
+  }
+
   test("deterministicWalks is partitioning-invariant") {
     val edges = (1L to 40L).flatMap(v =>
       Seq((v, v % 40 + 1), (v, (v * 7) % 40 + 1), (v, (v * 13) % 40 + 1)))
