@@ -377,16 +377,31 @@ object Traversals {
     * @return (id, n_tri) for every vertex of the graph, 0 included.
     */
   def triangles(edges: DataFrame): DataFrame = {
-    val canon = edges
-      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
-      .where(col("src") =!= col("dst"))
-      .select(least(col("src"), col("dst")).as("a"),
-        greatest(col("src"), col("dst")).as("b"))
-      .distinct()
-
+    val canon = canonEdges(edges)
     val deg = canon.select(col("a").as("id")).union(canon.select(col("b").as("id")))
       .groupBy("id").agg(count(lit(1)).as("deg"))
+    val tri = enumTriangles(canon, deg)
+    val perVertex = tri
+      .select(explode(array(col("u"), col("v"), col("w"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("n_tri"))
+    deg.join(perVertex, Seq("id"), "left")
+      .select(col("id"), coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+  }
 
+  /** Canonical undirected simple edge view: (a, b) with a < b, self-loops
+    * dropped, duplicates collapsed. */
+  private def canonEdges(edges: DataFrame): DataFrame = edges
+    .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+    .where(col("src") =!= col("dst"))
+    .select(least(col("src"), col("dst")).as("a"),
+      greatest(col("src"), col("dst")).as("b"))
+    .distinct()
+
+  /** Each triangle of the canonical edge set exactly once as (u, v, w) —
+    * the degree-ordered wedge scheme of [[triangles]], factored so
+    * [[kTruss]]'s per-round support counts reuse it. `deg` must be the
+    * degree table of `canon`'s vertices. */
+  private def enumTriangles(canon: DataFrame, deg: DataFrame): DataFrame = {
     // (u, v) with ord(u) < ord(v), carrying v's (deg, id) order key for
     // the wedge inequality below
     val withDeg = canon
@@ -407,14 +422,60 @@ object Traversals {
     val wedges = o1.join(o2, "u")
       .where(struct(col("dx"), col("x")) < struct(col("dy"), col("y")))
       .select(col("u"), col("x").as("v"), col("y").as("w"))
-    val tri = wedges.join(
+    wedges.join(
       oriented.select(col("u").as("v"), col("v").as("w")), Seq("v", "w"))
+  }
 
-    val perVertex = tri
-      .select(explode(array(col("u"), col("v"), col("w"))).as("id"))
-      .groupBy("id").agg(count(lit(1)).as("n_tri"))
-    deg.join(perVertex, Seq("id"), "left")
-      .select(col("id"), coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+  /** Round-bounded k-truss peel (Cohen 2008; Wang & Cheng, VLDB'12): keep
+    * the edges whose triangle support — common neighbors WITHIN the
+    * surviving edge set — is at least k−2, recomputing support after each
+    * peel. `rounds` bounds the fixpoint exactly like [[kCore]]'s
+    * round-bounded contract; the k-truss is the fixpoint of this map, and
+    * each round's edge set only shrinks.
+    *
+    * Scale shape: every round is one degree-ordered triangle enumeration
+    * over the CURRENT edge set (each triangle once, candidate stream
+    * near-linear in the triangle count — [[triangles]]' plan), one
+    * edge-keyed support aggregation, and the peel filter. The edge set is
+    * checkpointed per round so the next enumeration reads a materialized
+    * input instead of re-deriving the whole peel history; superseded
+    * blocks are released eagerly. Nothing collects to the driver.
+    *
+    * @return (a, b, sup) for the edges that survive `rounds` peels; `sup`
+    *         is each survivor's support on the edge set that ENTERED the
+    *         final peel (the value the last filter tested).
+    */
+  def kTruss(edges: DataFrame, k: Int, rounds: Int = 3): DataFrame = {
+    require(k >= 3, s"k-truss needs k >= 3, got $k")
+    var e = canonEdges(edges).localCheckpoint(eager = false)
+    e.count()
+    var r = 0
+    var lastSup: DataFrame = null
+    while (r < rounds) {
+      val deg = e.select(col("a").as("id")).union(e.select(col("b").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("deg"))
+      val tri = enumTriangles(e, deg)
+      // a triangle supports each of its three edges; corners come out of
+      // the wedge join in orientation (deg, id) order, so re-canonicalize
+      // each side pair by id before the edge-keyed count
+      val sup = tri.select(explode(array(
+          struct(least(col("u"), col("v")).as("a"),
+            greatest(col("u"), col("v")).as("b")),
+          struct(least(col("u"), col("w")).as("a"),
+            greatest(col("u"), col("w")).as("b")),
+          struct(least(col("v"), col("w")).as("a"),
+            greatest(col("v"), col("w")).as("b")))).as("e"))
+        .select(col("e.a").as("a"), col("e.b").as("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("sup"))
+        .where(col("sup") >= k - 2)
+        .localCheckpoint(eager = false)
+      sup.count()
+      LineageCut.release(e)
+      lastSup = sup
+      e = sup.select(col("a"), col("b"))
+      r += 1
+    }
+    lastSup
   }
 
   /** Common-neighbor link prediction (Liben-Nowell & Kleinberg, CIKM'03)

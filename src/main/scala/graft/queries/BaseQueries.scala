@@ -362,6 +362,34 @@ object BaseQueries {
         .orderBy("s_suppkey")
     }),
 
+    // TPC-H Q17 shape — the correlated scalar-average subquery,
+    // decorrelated: revenue of the brand's small-quantity lines, where
+    // "small" means below 20% of that part's own average quantity. The
+    // per-part (Σqty, n) aggregate is keyed on partkey and joins back
+    // BROADCAST (post-brand-filter part count is dimension-sized at any
+    // corpus scale); the threshold comparison is the integer-exact
+    // cross-multiplication 5·q·n < Σqty, so no float ratio ever decides
+    // membership — the only float is the final avg_yearly division over
+    // exact cent totals, one IEEE expression both engines replay.
+    "q17_smallqty" -> ((s, dir) => {
+      val pk = table(s, dir, "part").where(col("p_brand") === "Brand#23")
+        .select("p_partkey")
+      val li = table(s, dir, "lineitem")
+        .join(broadcast(pk), col("l_partkey") === col("p_partkey"),
+          "left_semi")
+        .select(col("l_partkey"),
+          col("l_quantity").cast("long").as("q"),
+          floor(col("l_extendedprice") * 100).cast("long").as("price_c"))
+      val perPart = li.groupBy("l_partkey")
+        .agg(sum("q").as("sq"), count(lit(1)).as("n"))
+      li.join(broadcast(perPart), "l_partkey")
+        .where(col("q") * 5 * col("n") < col("sq"))
+        .agg(count(lit(1)).as("n_small"),
+          sum("price_c").cast("long").as("revenue_c"))
+        .select(col("n_small"), col("revenue_c"),
+          round(col("revenue_c") / 100.0 / 7.0, 2).as("avg_yearly"))
+    }),
+
     // TPC-H Q21 shape — EXISTS + NOT EXISTS self-joins on the fact
     // table: count, per supplier, the returned lines in multi-supplier
     // orders where NO other supplier's line was also returned (the
@@ -725,6 +753,24 @@ object BaseQueries {
         |    (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
         |GROUP BY p_brand, p_size
         |ORDER BY supplier_cnt DESC, p_brand, p_size""".stripMargin,
+    // written in the classic correlated form — DuckDB decorrelates it
+    // itself, so the oracle checks the SEMANTICS, not our plan. The
+    // threshold is the same integer cross-multiplication; CAST(DOUBLE AS
+    // BIGINT) rounds in DuckDB vs truncates in Spark, exact here because
+    // l_quantity is integral by construction
+    "q17_smallqty" ->
+      """WITH pk AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#23'),
+        |li AS (SELECT l_partkey, CAST(l_quantity AS BIGINT) AS q,
+        |    CAST(floor(l_extendedprice * 100) AS BIGINT) AS price_c
+        |  FROM lineitem JOIN pk ON l_partkey = p_partkey),
+        |pp AS (SELECT l_partkey, CAST(sum(q) AS BIGINT) AS sq,
+        |    count(*) AS n FROM li GROUP BY l_partkey),
+        |sm AS (SELECT li.price_c FROM li JOIN pp USING (l_partkey)
+        |  WHERE li.q * 5 * pp.n < pp.sq)
+        |SELECT CAST(count(*) AS BIGINT) AS n_small,
+        |  CAST(sum(price_c) AS BIGINT) AS revenue_c,
+        |  round(CAST(sum(price_c) AS BIGINT) / 100.0 / 7.0, 2) AS avg_yearly
+        |FROM sm""".stripMargin,
     "q20_excess" ->
       """WITH li AS (SELECT l_partkey, l_suppkey,
         |    CAST(floor(l_quantity * 100) AS BIGINT) AS q_c

@@ -46,6 +46,9 @@ object ClusterQueries {
   private val EigenIters = 3
   /** hits_scores alternating-walk rounds (a ← Aᵀh, h ← A·a per round). */
   private val HitsIters = 2
+  /** ktruss truss order (support ≥ k−2) and peel rounds. */
+  private val KTrussK = 4
+  private val KTrussRounds = 2
 
   private def pts(s: SparkSession, dir: String): DataFrame =
     table(s, dir, "part").select(col("p_partkey").as("id"),
@@ -661,6 +664,17 @@ object ClusterQueries {
           round(col("auth_score"), 6).as("auth_score"),
           round(col("hub_score"), 6).as("hub_score"))
         .orderBy("id")
+    }),
+
+    // Round-bounded k-truss peel (Cohen 2008) on the ε-graph: edges whose
+    // triangle support within the surviving set stays ≥ k−2 — the
+    // cohesive backbone one notch stronger than kcore (every truss edge
+    // sits in k−2 triangles of the truss). Each round is one
+    // degree-ordered triangle enumeration + an edge-keyed support count;
+    // the edge set only shrinks. Oracle: the same two peels unrolled.
+    "ktruss" -> ((s, dir) => {
+      Traversals.kTruss(epsEdges(s, dir), k = KTrussK, rounds = KTrussRounds)
+        .orderBy("a", "b")
     }))
 
   /** One sweep leg as a self-contained derived table: the dbscan_errors
@@ -901,6 +915,30 @@ object ClusterQueries {
     "kcore" -> sqlKcore,
     "eigencentrality" -> sqlEigen,
     "hits_scores" -> sqlHits,
+    // two peels unrolled; u<v<w in the a<b edge set, so the three side
+    // pairs are already canonical
+    "ktruss" ->
+      s"""WITH
+         |$sqlGraph,
+         |ce0 AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |        FROM edges WHERE src <> dst),
+         |t1 AS (SELECT e1.a AS u, e1.b AS v, e2.b AS w
+         |  FROM ce0 e1 JOIN ce0 e2 ON e2.a = e1.b
+         |  JOIN ce0 e3 ON e3.a = e1.a AND e3.b = e2.b),
+         |s1 AS (SELECT a, b, count(*) AS sup FROM (
+         |    SELECT u AS a, v AS b FROM t1
+         |    UNION ALL SELECT u AS a, w AS b FROM t1
+         |    UNION ALL SELECT v AS a, w AS b FROM t1) GROUP BY a, b),
+         |ce1 AS (SELECT a, b FROM s1 WHERE sup >= ${KTrussK - 2}),
+         |t2 AS (SELECT e1.a AS u, e1.b AS v, e2.b AS w
+         |  FROM ce1 e1 JOIN ce1 e2 ON e2.a = e1.b
+         |  JOIN ce1 e3 ON e3.a = e1.a AND e3.b = e2.b),
+         |s2 AS (SELECT a, b, count(*) AS sup FROM (
+         |    SELECT u AS a, v AS b FROM t2
+         |    UNION ALL SELECT u AS a, w AS b FROM t2
+         |    UNION ALL SELECT v AS a, w AS b FROM t2) GROUP BY a, b)
+         |SELECT a, b, sup FROM s2 WHERE sup >= ${KTrussK - 2}
+         |ORDER BY a, b""".stripMargin,
     "rand_walks" -> sqlRandWalks,
     // forest structure from first principles: sizes via recursive CC
     // over the a<b pair graph, edge count as the tree invariant, min_w

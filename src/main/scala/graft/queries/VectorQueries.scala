@@ -34,6 +34,10 @@ object VectorQueries {
   private val BruteCap = 2000
   /** kcenter_coreset size (greedy farthest-first rounds). */
   private val KCenterK = 4
+  /** graph_diameter sweep bound — generous, since each sweep stops at
+    * its fixpoint and near-dup components are diameter-bounded by
+    * construction (that bound is what the gate measures). */
+  private val DiamMaxHops = 32
   private val PqM = 4       // PQ subspaces over the 64-dim embeddings
   private val PqKs = 8      // entries per subspace codebook
   private val PqSub = 16    // = 64 / PqM, mirrored in the oracle SQL
@@ -215,6 +219,76 @@ object VectorQueries {
         .where(col("rank") <= KnnK)
         .select(col("id"), col("nbr_id"), col("sim"), col("rank"))
         .orderBy("id", "rank")
+    }),
+
+    // Double-sweep diameter bound (Magnien, Latapy & Habib, JEA 2009) of
+    // the LARGEST near-dup component — the transitive-chaining
+    // diagnostic for τ-threshold dedup: CC glues A~B~C even when A≁C,
+    // and this gate measures exactly how long those chains get (diameter
+    // 1 = true clique of mutual dups; large diameter = drift). BFS from
+    // the component's min-id vertex (its CC label — deterministic), then
+    // BFS from the farthest vertex found (ties → min id); the second
+    // eccentricity is the classic 2-BFS diameter lower bound, exact on
+    // trees. Driver traffic is two 1-row argmax collects between
+    // fixpoints (the kcenter_coreset legging idiom); each sweep is the
+    // bfs_hops frontier fixpoint (all shuffles keyed), and rounds are
+    // bounded by the component diameter — small by construction for
+    // cohesive near-dup groups, which is the point of the measurement.
+    // Oracle: recursive-CTE CC picks the same root, two recursive-CTE
+    // BFS walks replay the sweeps.
+    "graph_diameter" -> ((s, dir) => {
+      import s.implicits._
+      val e = sharedEmbedPairs(s, dir)
+        .select(col("id_a").as("src"), col("id_b").as("dst"))
+      val comp = sharedEmbedComp(s, dir)
+      val top = comp.groupBy("component").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("component")).limit(1).head()
+      val (root, nv) = (top.getLong(0), top.getLong(1))
+      val b1 = graft.graph.Traversals.bfsHops(e, Seq(root).toDF("id"),
+        maxHops = DiamMaxHops)
+      val far1 = b1.orderBy(col("hops").desc, col("id")).limit(1).head()
+      val (farId, eccStart) = (far1.getLong(0), far1.getInt(1))
+      val b2 = graft.graph.Traversals.bfsHops(e, Seq(farId).toDF("id"),
+        maxHops = DiamMaxHops)
+      b2.agg(max("hops").as("diameter_lb"))
+        .select(lit(root).as("component"), lit(nv).as("n_vertices"),
+          lit(eccStart).as("ecc_start"), lit(farId).as("far_id"),
+          col("diameter_lb"))
+    }),
+
+    // GraphSAGE-style neighbor feature aggregation (Hamilton et al.,
+    // NeurIPS'17's AGGREGATE step as data prep): each vector pools its
+    // kNN-graph neighbors' int8-quantized codes — the node-feature
+    // construction a GNN/diversity pipeline feeds on. Quantizing first
+    // (embed_quant's kernel) keeps the pool EXACT integers, so the
+    // element-wise neighbor sum is order-independent and hash-exact.
+    // Plan: the memoized LSH pair graph → per-id rank window (bucket-
+    // bounded lists, as in knn_graph) → one id-keyed join to the code
+    // table → (id, dim)-keyed sum → id-keyed rollup; every shuffle keyed,
+    // fan-out bounded by KnnK·dim.
+    "nbr_pool" -> ((s, dir) => {
+      import graft.operators.VecQuant
+      val p = sharedEmbedPairs(s, dir)
+      val sym = p.select(col("id_a").as("id"), col("id_b").as("nbr_id"),
+          col("sim"))
+        .unionByName(p.select(col("id_b").as("id"),
+          col("id_a").as("nbr_id"), col("sim")))
+      val w = Window.partitionBy("id").orderBy(col("sim").desc,
+        col("nbr_id"))
+      val knn = sym.withColumn("rank", row_number().over(w))
+        .where(col("rank") <= KnnK).select(col("id"), col("nbr_id"))
+      val e = embs(s, dir).select(col("vec_id"),
+        col("embedding").cast("array<double>").as("vec"))
+      val q = e.select(col("vec_id"),
+        VecQuant.quantize(col("vec"), VecQuant.quantScale(col("vec")))
+          .as("qc"))
+      val nn = knn.groupBy("id").agg(count(lit(1)).as("n_nbrs"))
+      val perDim = knn.join(q, knn("nbr_id") === q("vec_id"))
+        .select(col("id"), posexplode(col("qc")).as(Seq("dim", "qv")))
+        .groupBy("id", "dim").agg(sum(col("qv").cast("long")).as("sv"))
+      val pooled = perDim.groupBy("id").agg(
+        sum(abs(col("sv"))).as("pool_l1"), sum(col("sv")).as("pool_sum"))
+      nn.join(pooled, "id").orderBy("id")
     }),
 
     // SemDeDup-style semantic dedup endpoint: embedding near-dup pairs
@@ -675,6 +749,79 @@ object VectorQueries {
     // f(f(e1,e2),e3)... — which equals Spark's aggregate fold seeded with
     // 0 (0.0 + x == x for the non-negative summands here), so the error
     // fold associates identically on both engines
+    // the embed_dedup pair graph + recursive-CTE CC (so the root matches
+    // the Spark labeling exactly), then two recursive BFS walks replay
+    // the sweeps (bfs_hops' walk idiom)
+    "graph_diameter" ->
+      s"""WITH RECURSIVE
+         |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+         |  FROM embeddings),
+         |pr AS (SELECT a.vec_id AS src, b.vec_id AS dst
+         |  FROM v a JOIN v b ON a.vec_id < b.vec_id
+         |  WHERE round($sqlCos, 6) >= $CosTau),
+         |sym AS (SELECT src, dst FROM pr UNION SELECT dst, src FROM pr),
+         |verts AS (SELECT DISTINCT src AS id FROM sym),
+         |walk(id, reach) AS (
+         |  SELECT id, id FROM verts
+         |  UNION
+         |  SELECT s.dst, w.reach FROM walk w JOIN sym s ON s.src = w.id),
+         |comp AS (SELECT id, min(reach) AS component FROM walk GROUP BY id),
+         |sizes AS (SELECT component, count(*) AS csize FROM comp
+         |          GROUP BY component),
+         |root AS (SELECT component AS rid, csize FROM sizes
+         |         ORDER BY csize DESC, component LIMIT 1),
+         |b1(id, hops) AS (
+         |  SELECT rid, 0 FROM root
+         |  UNION
+         |  SELECT s.dst, w.hops + 1 FROM b1 w JOIN sym s ON s.src = w.id
+         |  WHERE w.hops < $DiamMaxHops),
+         |d1 AS (SELECT id, min(hops) AS h FROM b1 GROUP BY id),
+         |far AS (SELECT id AS fid, h AS ecc1 FROM d1
+         |        ORDER BY h DESC, id LIMIT 1),
+         |b2(id, hops) AS (
+         |  SELECT fid, 0 FROM far
+         |  UNION
+         |  SELECT s.dst, w.hops + 1 FROM b2 w JOIN sym s ON s.src = w.id
+         |  WHERE w.hops < $DiamMaxHops),
+         |d2 AS (SELECT id, min(hops) AS h FROM b2 GROUP BY id)
+         |SELECT (SELECT rid FROM root) AS component,
+         |  (SELECT csize FROM root) AS n_vertices,
+         |  (SELECT CAST(ecc1 AS INT) FROM far) AS ecc_start,
+         |  (SELECT fid FROM far) AS far_id,
+         |  (SELECT CAST(max(h) AS INT) FROM d2) AS diameter_lb""".stripMargin,
+    // knn_graph's ranked-candidate CTE + embed_quant's quantization CTE,
+    // composed; the zipped unnests expand (code, dim) in lockstep and the
+    // sums are CAST back to BIGINT (DuckDB widens sum(BIGINT) to HUGEINT)
+    "nbr_pool" ->
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+         |  FROM embeddings),
+         |sym AS (SELECT a.vec_id AS id, b.vec_id AS nbr_id,
+         |    round($sqlCos, 6) AS sim
+         |  FROM v a JOIN v b ON a.vec_id <> b.vec_id
+         |  WHERE round($sqlCos, 6) >= $CosTau),
+         |ranked AS (SELECT id, nbr_id, row_number() OVER (
+         |    PARTITION BY id ORDER BY sim DESC, nbr_id) AS rank FROM sym),
+         |knn AS (SELECT id, nbr_id FROM ranked WHERE rank <= $KnnK),
+         |sc AS (SELECT vec_id, e,
+         |    coalesce(list_max(list_transform(e, x -> abs(x))), 0.0) / 127.0
+         |      AS scale
+         |  FROM v),
+         |q AS (SELECT vec_id,
+         |    CASE WHEN scale = 0 THEN list_transform(e, x -> 0)
+         |         ELSE list_transform(e, x -> CAST(round(x / scale) AS INT))
+         |    END AS qc
+         |  FROM sc),
+         |ex AS (SELECT k.id AS id, unnest(q.qc) AS qv,
+         |    unnest(range(1, len(q.qc) + 1)) AS dim
+         |  FROM knn k JOIN q ON q.vec_id = k.nbr_id),
+         |pd AS (SELECT id, dim, CAST(sum(qv) AS BIGINT) AS sv
+         |  FROM ex GROUP BY id, dim),
+         |nn AS (SELECT id, count(*) AS n_nbrs FROM knn GROUP BY id)
+         |SELECT n.id, n.n_nbrs,
+         |  CAST(sum(abs(p.sv)) AS BIGINT) AS pool_l1,
+         |  CAST(sum(p.sv) AS BIGINT) AS pool_sum
+         |FROM nn n JOIN pd p USING (id)
+         |GROUP BY n.id, n.n_nbrs ORDER BY n.id""".stripMargin,
     "embed_quant" ->
       s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
          |  FROM embeddings),

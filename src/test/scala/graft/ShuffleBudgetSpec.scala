@@ -445,7 +445,19 @@ class ShuffleBudgetSpec extends GraftSuite {
     // equidepth_hist 1,799 (boundary agg partials + final (group,
     // bucket) partials; the bucketing join broadcasts — a blown budget
     // means rows started shuffling toward an ntile-style window)
-    "equidepth_hist" -> (600L, 2800L))
+    "equidepth_hist" -> (600L, 2800L),
+    // round-9 additions — measured: ktruss 215,824 (two degree-ordered
+    // triangle enumerations + edge-keyed support counts; the second
+    // round runs on the peeled set — a blown budget means the
+    // orientation broke or peeling stopped shrinking the input);
+    // graph_diameter 24,783 (CC rollup over the memoized near-dup
+    // components + two short frontier-BFS sweeps — per-round volume is
+    // frontier-sized, bounded by the component diameter being measured);
+    // nbr_pool 23,482 (the id-keyed code join + (id, dim)-keyed sum +
+    // id rollup — fan-out bounded at KnnK·dim by construction)
+    "ktruss" -> (72000L, 325000L),
+    "graph_diameter" -> (8000L, 38000L),
+    "nbr_pool" -> (7800L, 36000L))
 
   /** Memo keys to evict after the warm pass so the measured pass runs the
     * gate's build plan instead of reading a checkpoint. dedup_groups

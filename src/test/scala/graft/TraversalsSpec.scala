@@ -261,6 +261,33 @@ class TraversalsSpec extends GraftSuite {
     assert((0 to steps).forall(t => got((3L, t, 3L))))
   }
 
+  test("kTruss keeps the clique, drops weak triangles, and cascades") {
+    // K4 on {1,2,3,4} (every edge in 2 triangles) plus a lone triangle
+    // {5,6,7} (every edge in 1)
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val lone = Seq((5L, 6L), (5L, 7L), (6L, 7L))
+    val edges = (k4 ++ lone).toDF("src", "dst")
+    // k=3: support >= 1 — everything survives, supports as constructed
+    val t3 = Traversals.kTruss(edges, k = 3, rounds = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(t3 == (k4.map { case (a, b) => (a, b, 2L) } ++
+      lone.map { case (a, b) => (a, b, 1L) }).toSet)
+    // k=4: support >= 2 — only the K4 edges survive, and their support
+    // within the surviving set is still 2
+    val t4 = Traversals.kTruss(edges, k = 4, rounds = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(t4 == k4.map { case (a, b) => (a, b, 2L) }.toSet)
+    // cascade: two triangles sharing edge (2,3) — that edge has support
+    // 2 in round 1, but peeling its support-1 sides leaves it
+    // triangle-free, so round 2 drops it too
+    val chain = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("src", "dst")
+    assert(Traversals.kTruss(chain, k = 4, rounds = 2).count() == 0L)
+    // ...and with one round the cascade hasn't happened yet
+    assert(Traversals.kTruss(chain, k = 4, rounds = 1)
+      .as[(Long, Long, Long)].collect().toSet == Set((2L, 3L, 2L)))
+  }
+
   test("hits: hand-computed alternating walks on a directed star-chain") {
     // 1→2, 1→3, 4→2: vertex 2 is the authority (two in-hubs), 1 the hub
     val edges = Seq((1L, 2L), (1L, 3L), (4L, 2L)).toDF("src", "dst")
