@@ -121,6 +121,50 @@ object Traversals {
     visited
   }
 
+  /** Per-seed shortest-path COUNTS — Brandes' σ recursion (Brandes 2001,
+    * eq. σ_sv = Σ_{u∈pred(v)} σ_su) layered over the [[seededHops]]
+    * frontier fixpoint: layer d's count for (seed, v) is the sum of
+    * layer d−1 counts over v's neighbors, and the (seed, id) anti-join
+    * against the visited set is exactly the "predecessors only" BFS
+    * property. Pure Long arithmetic — path counts are integers, so the
+    * result is order-independent and oracle-exact. State is
+    * (seed, id, hops, sigma) — k·|ball(maxHops)| bounded like
+    * seededHops; every shuffle keyed ((seed, id) aggregation/anti-join,
+    * id-keyed adjacency join).
+    *
+    * @return (seed, id, hops, sigma) for every vertex within `maxHops`
+    *         of a seed; the seed itself reports (0, 1).
+    */
+  def seededSigma(edges: DataFrame, seeds: DataFrame,
+                  maxHops: Int): DataFrame = {
+    val sym = symmetrize(edges).localCheckpoint(eager = false)
+    var visited = seeds.select(col("id").cast("long").as("seed"))
+      .distinct()
+      .withColumn("id", col("seed"))
+      .withColumn("hops", lit(0))
+      .withColumn("sigma", lit(1L))
+      .localCheckpoint(eager = false)
+    visited.count()
+    var hop = 0
+    while (hop < maxHops) {
+      hop += 1
+      val frontier = visited.where(col("hops") === hop - 1)
+      val next = frontier
+        .join(sym, frontier("id") === sym("src"))
+        .groupBy(col("seed"), sym("dst").as("id"))
+        .agg(sum("sigma").as("sigma"))
+        .join(visited, Seq("seed", "id"), "left_anti")
+        .withColumn("hops", lit(hop))
+        .select("seed", "id", "hops", "sigma")
+      val grown = visited.union(next).localCheckpoint(eager = false)
+      grown.count()
+      LineageCut.release(visited)
+      visited = grown
+    }
+    LineageCut.release(sym)
+    visited
+  }
+
   /** Harmonic centrality of every vertex with respect to a seed set
     * (Boldi & Vigna 2014's centrality, restricted to sampled sources —
     * the standard estimator at graph scale): h(v) = Σ_seeds 1/d(seed, v),

@@ -7,6 +7,7 @@ import graft.functions.Distances
 import graft.graph.{ConnectedComponents, GraphAlgs, Traversals}
 import graft.operators.NeighborJoin
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Clustering-operator gate queries. The DuckDB oracles reproduce the whole
@@ -49,6 +50,13 @@ object ClusterQueries {
   /** ktruss truss order (support ≥ k−2) and peel rounds. */
   private val KTrussK = 4
   private val KTrussRounds = 2
+  /** stress_centrality seed set (id % mod == 0) and radius bound. Both
+    * cap the σ-BFS state (seeds·ball(radius)) AND the per-vertex pair
+    * fan-out ((seeds in ball)² per middle vertex) — the two quantities
+    * that decide whether seed-sampled betweenness-family centrality is
+    * computable at corpus scale. */
+  private val StressSeedMod = 7
+  private val StressRadius = 3
 
   private def pts(s: SparkSession, dir: String): DataFrame =
     table(s, dir, "part").select(col("p_partkey").as("id"),
@@ -119,6 +127,46 @@ object ClusterQueries {
       val ew = sharedPairs(s, dir).where(col("a_id") < col("b_id"))
         .select(col("a_id").as("src"), col("b_id").as("dst"),
           round(col("d") * 100).cast("long").as("w"))
+      val f = graft.graph.Mst.boruvka(ew)
+      graft.graph.Mst.Forest(f.edges.localCheckpoint(),
+        f.labels.localCheckpoint())
+    }
+
+  /** HDBSCAN core distance per point (exact centi-L1): the k-th nearest
+    * neighbor's distance within the ε-ball, k = minPts, self excluded —
+    * the per-id rank window runs on ε-ball-bounded candidate lists, so
+    * ranking distributes at any scale. Points with fewer than k
+    * ε-neighbors have no core distance (ε-bounded HDBSCAN — exactly the
+    * points DBSCAN calls non-core). Distances are exact multiples of
+    * 0.01 by construction (integer p_size + 2-decimal p_retailprice),
+    * so the pre-round double order and the centi-long order agree. */
+  private def coreDistances(s: SparkSession, dir: String): DataFrame = {
+    val p = sharedPairs(s, dir).where(col("a_id") =!= col("b_id"))
+    val w = Window.partitionBy("a_id").orderBy(col("d"), col("b_id"))
+    p.withColumn("rk", row_number().over(w))
+      .where(col("rk") === minPts)
+      .select(col("a_id").as("id"),
+        round(col("d") * 100).cast("long").as("core_c"))
+  }
+
+  /** Boruvka MSF over the MUTUAL-REACHABILITY graph (Campello et al.
+    * PAKDD'13's actual HDBSCAN metric): w(a,b) = max(core(a), core(b),
+    * d(a,b)), restricted to pairs where both endpoints have a core
+    * distance. Memoized like [[sharedMst]] — one build per
+    * (session, dir), every consumer reads the checkpoint. */
+  private[graft] val MreachKey = "cluster.mreachMst"
+  private def sharedMreach(s: SparkSession, dir: String): graft.graph.Mst.Forest =
+    QueryCache.shared(MreachKey, s, dir) {
+      val core = coreDistances(s, dir)
+      val ew = sharedPairs(s, dir).where(col("a_id") < col("b_id"))
+        .select(col("a_id").as("src"), col("b_id").as("dst"),
+          round(col("d") * 100).cast("long").as("d_c"))
+        .join(core.select(col("id").as("src"), col("core_c").as("ca")),
+          Seq("src"))
+        .join(core.select(col("id").as("dst"), col("core_c").as("cb")),
+          Seq("dst"))
+        .select(col("src"), col("dst"),
+          greatest(col("d_c"), col("ca"), col("cb")).as("w"))
       val f = graft.graph.Mst.boruvka(ew)
       graft.graph.Mst.Forest(f.edges.localCheckpoint(),
         f.labels.localCheckpoint())
@@ -666,6 +714,71 @@ object ClusterQueries {
         .orderBy("id")
     }),
 
+    // HDBSCAN core distance per point (k-th-NN distance, k = minPts,
+    // within the ε-ball) — the density radius mutual-reachability and
+    // density-based outlier scores are built from. One ε-ball-bounded
+    // rank window over the memoized pair set; exact centi-L1.
+    "core_distance" -> ((s, dir) => {
+      coreDistances(s, dir).orderBy("id")
+    }),
+
+    // The HDBSCAN minimum spanning forest proper: Boruvka over
+    // MUTUAL-REACHABILITY weights max(core(a), core(b), d(a,b)) —
+    // mst_forest's metric-space sibling (Campello et al. PAKDD'13 §3).
+    // Same tie-invariant per-component outputs as mst_forest: size via
+    // CC of the restricted graph, edge count as the tree invariant,
+    // min_w as the component's lightest mutual-reachability edge (cut
+    // property). The oracle recomputes core distances, the restricted
+    // graph, AND the components from scratch.
+    "mreach_mst" -> ((s, dir) => {
+      val f = sharedMreach(s, dir)
+      val nv = f.labels.groupBy("comp")
+        .agg(count(lit(1)).as("n_vertices"))
+      val fe = f.edges.groupBy("comp")
+        .agg(count(lit(1)).as("n_edges"), min("w").as("min_w"))
+      nv.join(fe, "comp")
+        .select(col("comp").as("component"), col("n_vertices"),
+          col("n_edges"), col("min_w"))
+        .orderBy("component")
+    }),
+
+    // Seed-sampled stress centrality (Shimbel 1953; σ recursion from
+    // Brandes 2001) — the betweenness-family member that stays in EXACT
+    // integers: stress(v) = Σ_{s<t seeds} σ_st(v), the number of
+    // seed-pair shortest paths THROUGH v, computed as σ_sv·σ_vt summed
+    // over seed pairs with d_sv + d_vt = d_st (radius-bounded, like
+    // harmonic_centrality's estimator — exact betweenness needs the
+    // rational σ_sv·σ_vt/σ_st dependency accumulation, whose division
+    // no cross-engine hash survives; stress is its integer sibling).
+    // One σ-BFS fixpoint (state (seed, id, hops, sigma)), one id-keyed
+    // self-join of the σ table, and a broadcast-sized seed-pair
+    // distance table. Oracle: three σ layers unrolled + the same join.
+    "stress_centrality" -> ((s, dir) => {
+      val e = epsEdges(s, dir)
+      val nonSelf = e.where(col("src") =!= col("dst"))
+      val verts = nonSelf.select(col("src").as("id"))
+        .union(nonSelf.select(col("dst").as("id"))).distinct()
+      val sig = Traversals.seededSigma(e,
+        verts.where(col("id") % StressSeedMod === 0),
+        maxHops = StressRadius)
+      val a = sig.select(col("seed").as("s"), col("id"),
+        col("hops").as("d1"), col("sigma").as("g1"))
+      val b = sig.select(col("seed").as("t"), col("id"),
+        col("hops").as("d2"), col("sigma").as("g2"))
+      val mid = a.join(b, Seq("id")).where(col("s") < col("t"))
+      val sp = sig
+        .where(col("id") % StressSeedMod === 0 && col("seed") < col("id"))
+        .select(col("seed").as("s"), col("id").as("t"),
+          col("hops").as("dst_d"))
+      mid.join(broadcast(sp), Seq("s", "t"))
+        .where(col("d1") + col("d2") === col("dst_d") &&
+          col("id") =!= col("s") && col("id") =!= col("t"))
+        .groupBy("id")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("g1") * col("g2")).as("stress"))
+        .orderBy("id")
+    }),
+
     // Round-bounded k-truss peel (Cohen 2008) on the ε-graph: edges whose
     // triangle support within the surviving set stays ≥ k−2 — the
     // cohesive backbone one notch stronger than kcore (every truss edge
@@ -915,6 +1028,106 @@ object ClusterQueries {
     "kcore" -> sqlKcore,
     "eigencentrality" -> sqlEigen,
     "hits_scores" -> sqlHits,
+    // the k-th-NN rank window over the both-directions ε-ball; distances
+    // are exact centi multiples, so the double order and the centi-long
+    // order agree
+    "core_distance" ->
+      s"""WITH pts AS (SELECT p_partkey AS id, CAST(p_size AS DOUBLE) AS x0,
+         |  p_retailprice AS x1 FROM part),
+         |nbrall AS (SELECT a.id AS src, b.id AS dst,
+         |    CAST(round((abs(a.x0-b.x0)+abs(a.x1-b.x1)) * 100) AS BIGINT)
+         |      AS w
+         |  FROM pts a, pts b
+         |  WHERE a.id <> b.id AND abs(a.x0-b.x0)+abs(a.x1-b.x1) < $eps),
+         |rk AS (SELECT src, w, row_number() OVER (
+         |    PARTITION BY src ORDER BY w, dst) AS rk FROM nbrall)
+         |SELECT src AS id, w AS core_c FROM rk WHERE rk = $minPts
+         |ORDER BY id""".stripMargin,
+    // core distances, the mutual-reachability graph, and the components
+    // all recomputed from scratch; the invariants are tie-independent of
+    // which MSF boruvka picked (size via CC, edge count = size − 1,
+    // min_w by the cut property)
+    "mreach_mst" ->
+      s"""WITH RECURSIVE
+         |pts AS (SELECT p_partkey AS id, CAST(p_size AS DOUBLE) AS x0,
+         |  p_retailprice AS x1 FROM part),
+         |nbrall AS (SELECT a.id AS src, b.id AS dst,
+         |    CAST(round((abs(a.x0-b.x0)+abs(a.x1-b.x1)) * 100) AS BIGINT)
+         |      AS w
+         |  FROM pts a, pts b
+         |  WHERE a.id <> b.id AND abs(a.x0-b.x0)+abs(a.x1-b.x1) < $eps),
+         |rk AS (SELECT src, dst, w, row_number() OVER (
+         |    PARTITION BY src ORDER BY w, dst) AS rk FROM nbrall),
+         |core AS (SELECT src AS id, w AS core_c FROM rk
+         |         WHERE rk = $minPts),
+         |g AS (SELECT n.src, n.dst, greatest(n.w, ca.core_c, cb.core_c)
+         |    AS w
+         |  FROM nbrall n
+         |  JOIN core ca ON ca.id = n.src
+         |  JOIN core cb ON cb.id = n.dst
+         |  WHERE n.src < n.dst),
+         |sym AS (SELECT src, dst FROM g UNION SELECT dst, src FROM g),
+         |verts AS (SELECT DISTINCT src AS id FROM sym),
+         |walk(id, reach) AS (
+         |  SELECT id, id FROM verts
+         |  UNION
+         |  SELECT s.dst, w.reach FROM walk w JOIN sym s ON s.src = w.id),
+         |comp AS (SELECT id, min(reach) AS comp FROM walk GROUP BY id),
+         |sizes AS (SELECT comp, count(*) AS n FROM comp GROUP BY comp),
+         |minw AS (SELECT c.comp, min(gg.w) AS min_w
+         |  FROM g gg JOIN comp c ON c.id = gg.src GROUP BY c.comp)
+         |SELECT s.comp AS component, CAST(s.n AS BIGINT) AS n_vertices,
+         |  CAST(s.n - 1 AS BIGINT) AS n_edges, m.min_w
+         |FROM sizes s JOIN minw m ON m.comp = s.comp
+         |ORDER BY component""".stripMargin,
+    // three σ layers unrolled (layer d = neighbor-sum of layer d−1,
+    // NOT EXISTS against shallower layers = the BFS predecessor
+    // property), then the same middle join as the Spark side
+    "stress_centrality" ->
+      s"""WITH
+         |$sqlGraph,
+         |sym AS (SELECT src, dst FROM edges WHERE src <> dst
+         |        UNION SELECT dst, src FROM edges WHERE src <> dst),
+         |verts AS (SELECT DISTINCT src AS id FROM sym),
+         |g0 AS (SELECT id AS seed, id, 0 AS hops, CAST(1 AS BIGINT) AS sigma
+         |       FROM verts WHERE id % $StressSeedMod = 0),
+         |g1 AS (SELECT f.seed, e.dst AS id, 1 AS hops,
+         |    CAST(sum(f.sigma) AS BIGINT) AS sigma
+         |  FROM g0 f JOIN sym e ON e.src = f.id
+         |  WHERE NOT EXISTS (SELECT 1 FROM g0 p
+         |    WHERE p.seed = f.seed AND p.id = e.dst)
+         |  GROUP BY f.seed, e.dst),
+         |g2 AS (SELECT f.seed, e.dst AS id, 2 AS hops,
+         |    CAST(sum(f.sigma) AS BIGINT) AS sigma
+         |  FROM g1 f JOIN sym e ON e.src = f.id
+         |  WHERE NOT EXISTS (SELECT 1 FROM g0 p
+         |      WHERE p.seed = f.seed AND p.id = e.dst)
+         |    AND NOT EXISTS (SELECT 1 FROM g1 p
+         |      WHERE p.seed = f.seed AND p.id = e.dst)
+         |  GROUP BY f.seed, e.dst),
+         |g3 AS (SELECT f.seed, e.dst AS id, 3 AS hops,
+         |    CAST(sum(f.sigma) AS BIGINT) AS sigma
+         |  FROM g2 f JOIN sym e ON e.src = f.id
+         |  WHERE NOT EXISTS (SELECT 1 FROM g0 p
+         |      WHERE p.seed = f.seed AND p.id = e.dst)
+         |    AND NOT EXISTS (SELECT 1 FROM g1 p
+         |      WHERE p.seed = f.seed AND p.id = e.dst)
+         |    AND NOT EXISTS (SELECT 1 FROM g2 p
+         |      WHERE p.seed = f.seed AND p.id = e.dst)
+         |  GROUP BY f.seed, e.dst),
+         |sg AS (SELECT * FROM g0 UNION ALL SELECT * FROM g1
+         |       UNION ALL SELECT * FROM g2 UNION ALL SELECT * FROM g3),
+         |sp AS (SELECT seed AS s, id AS t, hops AS dst_d FROM sg
+         |       WHERE id % $StressSeedMod = 0 AND seed < id)
+         |SELECT a.id,
+         |  CAST(count(*) AS BIGINT) AS n_pairs,
+         |  CAST(sum(a.sigma * b.sigma) AS BIGINT) AS stress
+         |FROM sg a
+         |JOIN sg b ON b.id = a.id AND a.seed < b.seed
+         |JOIN sp ON sp.s = a.seed AND sp.t = b.seed
+         |  AND a.hops + b.hops = sp.dst_d
+         |WHERE a.id <> a.seed AND a.id <> b.seed
+         |GROUP BY a.id ORDER BY a.id""".stripMargin,
     // two peels unrolled; u<v<w in the a<b edge set, so the three side
     // pairs are already canonical
     "ktruss" ->

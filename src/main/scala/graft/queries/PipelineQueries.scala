@@ -680,6 +680,45 @@ object PipelineQueries {
     // float), count floor 5 — the multi-word-expression pass tokenizer
     // and phrase-vocab builders run. Token-keyed joins + TakeOrdered;
     // Long headroom to ~10^12-token corpora, shard the ratio past that.
+    // Kneser-Ney continuation statistics (Kneser & Ney 1995; Chen &
+    // Goodman 1998's interpolated form) for the top-50 bigrams — THE
+    // n-gram-LM smoothing stat: c(w1w2), c(w1), type counts N1+(w1·)
+    // (distinct successors — the backoff weight's numerator) and
+    // N1+(·w2) (distinct predecessors — the continuation probability's
+    // numerator), and the discounted probability with D=0.75 kept EXACT:
+    // D is 3 quarters, so (c12−D)/c1 becomes (4·c12−3)/(4·c1) and both
+    // terms are emitted as integer-ppb floor divisions — no float ever
+    // exists. All counts are token/bigram-keyed map-side-combined
+    // groupBys; the type tables join onto the 50-row top list
+    // (broadcast), never the other way.
+    "kn_counts" -> ((s, dir) => {
+      val t = TF.tokens(col("text"))
+      val uni = docs(s, dir).select(explode(t).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c1"))
+      val p = docs(s, dir).select(t.as("tk"))
+        .where(size(col("tk")) >= 2)
+        .select(explode(zip_with(
+          slice(col("tk"), lit(1), size(col("tk")) - 1),
+          slice(col("tk"), lit(2), size(col("tk")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("pr"))
+        .groupBy(col("pr.w1").as("w1"), col("pr.w2").as("w2"))
+        .agg(count(lit(1)).as("c12"))
+      val cont = p.groupBy("w2").agg(count(lit(1)).as("cont_w2"))
+      val typ = p.groupBy("w1").agg(count(lit(1)).as("types_w1"))
+      val tt = p.agg(count(lit(1)).as("bigram_types"))
+      broadcast(p.orderBy(col("c12").desc, col("w1"), col("w2")).limit(50))
+        .join(uni.withColumnRenamed("w", "w1"), Seq("w1"))
+        .join(typ, Seq("w1"))
+        .join(cont, Seq("w2"))
+        .crossJoin(broadcast(tt))
+        .select(col("w1"), col("w2"), col("c12"), col("c1"),
+          col("types_w1"), col("cont_w2"), col("bigram_types"),
+          (expr("(1000000000 * (4 * c12 - 3)) div (4 * c1)") +
+            expr("(750000000 * types_w1 * cont_w2) div (c1 * bigram_types)"))
+            .as("pkn_ppb"))
+        .orderBy(col("c12").desc, col("w1"), col("w2"))
+    }),
+
     "collocations" -> ((s, dir) => {
       val t = TF.tokens(col("text"))
       val uni = docs(s, dir).select(explode(t).as("w"))
@@ -1315,6 +1354,35 @@ object PipelineQueries {
          |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
          |  CAST(sum(${sqlPolyHash("text")}) AS BIGINT) AS fp_sum
          |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    // same integer-ppb floor divisions; DuckDB's // floors like Spark's
+    // div on these all-positive numerators (4·c12−3 ≥ 1)
+    "kn_counts" ->
+      s"""WITH $sqlToks,
+         |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c1 FROM (
+         |    SELECT unnest(t) AS w FROM toks) GROUP BY 1),
+         |p AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM (
+         |    SELECT unnest(CASE WHEN len(t) < 2 THEN CAST([] AS VARCHAR[])
+         |        ELSE t[1:len(t)-1] END) AS w1,
+         |      unnest(CASE WHEN len(t) < 2 THEN CAST([] AS VARCHAR[])
+         |        ELSE t[2:len(t)] END) AS w2
+         |    FROM toks) GROUP BY 1, 2),
+         |cont AS (SELECT w2, CAST(count(*) AS BIGINT) AS cont_w2 FROM p
+         |         GROUP BY w2),
+         |typ AS (SELECT w1, CAST(count(*) AS BIGINT) AS types_w1 FROM p
+         |        GROUP BY w1),
+         |tt AS (SELECT CAST(count(*) AS BIGINT) AS bigram_types FROM p),
+         |top AS (SELECT w1, w2, c12 FROM p
+         |        ORDER BY c12 DESC, w1, w2 LIMIT 50)
+         |SELECT t.w1, t.w2, t.c12, u.c1, typ.types_w1, cont.cont_w2,
+         |  tt.bigram_types,
+         |  CAST((1000000000 * (4 * t.c12 - 3)) // (4 * u.c1)
+         |    + (750000000 * typ.types_w1 * cont.cont_w2)
+         |      // (u.c1 * tt.bigram_types) AS BIGINT) AS pkn_ppb
+         |FROM top t
+         |JOIN uni u ON u.w = t.w1
+         |JOIN typ ON typ.w1 = t.w1
+         |JOIN cont ON cont.w2 = t.w2, tt
+         |ORDER BY t.c12 DESC, t.w1, t.w2""".stripMargin,
     "collocations" ->
       s"""WITH $sqlToks,
          |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM (

@@ -424,4 +424,30 @@ class PlanHygieneSpec extends GraftSuite {
     assert(!p.contains("SortMergeJoin"),
       "no shuffle join belongs in a metadata-scale report")
   }
+
+  test("ktruss wedge joins stay keyed equi-joins, never cartesian") {
+    val p = plan("ktruss")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "triangle enumeration must stay an equi-join plan")
+  }
+
+  test("q17's per-part average joins back as a broadcast") {
+    val p = plan("q17_smallqty")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the post-brand-filter aggregate is dimension-sized and must broadcast:\n${p.take(600)}")
+    assert(!p.contains("CartesianProduct"), "no cartesian in the decorrelation")
+  }
+
+  test("nbr_pool fans out bounded: keyed joins + keyed aggs only") {
+    val p = plan("nbr_pool")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "the code join and the dim rollup must stay keyed")
+  }
+
+  test("kn_counts type tables join onto the 50-row top list by broadcast") {
+    val p = plan("kn_counts")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the truncated top list must broadcast against the count tables:\n${p.take(600)}")
+    assert(!p.contains("CartesianProduct"), "no cartesian in the smoothing joins")
+  }
 }

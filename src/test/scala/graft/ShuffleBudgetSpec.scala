@@ -457,7 +457,24 @@ class ShuffleBudgetSpec extends GraftSuite {
     // id rollup — fan-out bounded at KnnK·dim by construction)
     "ktruss" -> (72000L, 325000L),
     "graph_diameter" -> (8000L, 38000L),
-    "nbr_pool" -> (7800L, 36000L))
+    "nbr_pool" -> (7800L, 36000L),
+    // stress_centrality 312,880 (3 σ-BFS rounds — per-(seed, id) sum +
+    // anti-join, all keyed — plus the id-keyed σ self-join; the
+    // seed-pair distance table broadcasts. A blown budget means the
+    // radius/seed caps stopped bounding the σ state or the middle
+    // join's fan-out); kn_counts 19,747 (unigram + bigram + the two
+    // type-count groupBys — the count tables join onto the broadcast
+    // 50-row top list, so a blowup means that direction flipped)
+    "stress_centrality" -> (104000L, 470000L),
+    "kn_counts" -> (6500L, 30000L),
+    // core_distance 64,473 (ONE ε-ball-bounded rank-window exchange over
+    // the memoized pair set — a blown budget means the window went
+    // global); mreach_mst pins the BUILD (memo evicted below): the
+    // core-distance window + the two core joins + the weighted-boruvka
+    // contraction rounds
+    // measured: core_distance 64,473; mreach_mst build 359,021
+    "core_distance" -> (21000L, 97000L),
+    "mreach_mst" -> (120000L, 540000L))
 
   /** Memo keys to evict after the warm pass so the measured pass runs the
     * gate's build plan instead of reading a checkpoint. dedup_groups
@@ -471,7 +488,10 @@ class ShuffleBudgetSpec extends GraftSuite {
       "modularity" -> graft.queries.ClusterQueries.LpaKey,
       // the forest memo (round 9): the pin was taken from the boruvka
       // build; single_linkage/hdbscan_stability read the memoized forest
-      "mst_forest" -> graft.queries.ClusterQueries.MstKey)
+      "mst_forest" -> graft.queries.ClusterQueries.MstKey,
+      // the mutual-reachability forest memo: pin the core-distance +
+      // weighted-boruvka build, not the checkpoint read
+      "mreach_mst" -> graft.queries.ClusterQueries.MreachKey)
 
   for ((q, (lo, hi)) <- budgets)
     test(s"$q shuffle-write volume stays within budget at sf0.01") {

@@ -261,6 +261,24 @@ class TraversalsSpec extends GraftSuite {
     assert((0 to steps).forall(t => got((3L, t, 3L))))
   }
 
+  test("seededSigma counts shortest paths layer by layer") {
+    // diamond 1-{2,3}-4 plus a tail 4-5: two shortest paths 1→4, both
+    // extending to 5; revisits and longer paths must not count
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+    val got = Traversals.seededSigma(edges, Seq(1L).toDF("id"), maxHops = 3)
+      .as[(Long, Long, Int, Long)].collect().toSet
+    assert(got == Set((1L, 1L, 0, 1L), (1L, 2L, 1, 1L), (1L, 3L, 1, 1L),
+      (1L, 4L, 2, 2L), (1L, 5L, 3, 2L)))
+    // two seeds expand in the same fixpoint, counts stay per-seed
+    val two = Traversals.seededSigma(edges, Seq(1L, 5L).toDF("id"),
+        maxHops = 2)
+      .as[(Long, Long, Int, Long)].collect().toSet
+    assert(two.contains((5L, 4L, 1, 1L)) && two.contains((5L, 2L, 2, 1L))
+      && two.contains((1L, 4L, 2, 2L)) && !two.exists(r =>
+        r._1 == 5L && r._2 == 1L)) // 1 is 3 hops from 5 — outside radius
+  }
+
   test("kTruss keeps the clique, drops weak triangles, and cascades") {
     // K4 on {1,2,3,4} (every edge in 2 triangles) plus a lone triangle
     // {5,6,7} (every edge in 1)
