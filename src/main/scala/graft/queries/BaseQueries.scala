@@ -362,6 +362,45 @@ object BaseQueries {
         .orderBy("s_suppkey")
     }),
 
+    // Bucketed co-located join — the 100 TB join strategy made concrete:
+    // both fact tables are written ONCE per (session, dir) bucketed by
+    // the join key into the same bucket count, so the join consumes the
+    // bucket layout and plans with NO exchange on either input (the only
+    // shuffle left is the final 5-key aggregate) — at corpus scale this
+    // is the difference between re-shuffling 100 TB per join and reading
+    // co-located buckets. PlanHygieneSpec asserts the exchange-free join
+    // shape; the oracle recomputes the aggregate from the raw tables, so
+    // the bucketed write→read round-trip is value-checked end to end.
+    "bucket_join" -> ((s, dir) => {
+      val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val liT = s"graft_li_bkt$tag"
+      val odT = s"graft_od_bkt$tag"
+      graft.core.QueryCache.shared("base.bucketTables", s, dir) {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_bkt_")
+          .toString
+        def write(df: DataFrame, name: String, key: String): Unit = {
+          s.sql(s"DROP TABLE IF EXISTS $name")
+          df.write.format("parquet")
+            .bucketBy(8, key).sortBy(key)
+            .option("path", s"$tmp/$name")
+            .mode("overwrite")
+            .saveAsTable(name)
+        }
+        write(table(s, dir, "lineitem").select(col("l_orderkey"),
+          floor(col("l_extendedprice") * 100).cast("long").as("price_c")),
+          liT, "l_orderkey")
+        write(table(s, dir, "orders").select(col("o_orderkey"),
+          col("o_orderpriority")), odT, "o_orderkey")
+        java.lang.Boolean.TRUE
+      }
+      s.table(liT)
+        .join(s.table(odT), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"),
+          sum("price_c").cast("long").as("revenue_c"))
+        .orderBy("o_orderpriority")
+    }),
+
     // TPC-H Q17 shape — the correlated scalar-average subquery,
     // decorrelated: revenue of the brand's small-quantity lines, where
     // "small" means below 20% of that part's own average quantity. The
@@ -753,6 +792,15 @@ object BaseQueries {
         |    (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
         |GROUP BY p_brand, p_size
         |ORDER BY supplier_cnt DESC, p_brand, p_size""".stripMargin,
+    // the raw-table recomputation — the bucketed write→read round-trip
+    // must reproduce it exactly
+    "bucket_join" ->
+      """SELECT o_orderpriority,
+        |  CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT))
+        |    AS BIGINT) AS revenue_c
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     // written in the classic correlated form — DuckDB decorrelates it
     // itself, so the oracle checks the SEMANTICS, not our plan. The
     // threshold is the same integer cross-multiplication; CAST(DOUBLE AS

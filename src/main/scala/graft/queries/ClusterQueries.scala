@@ -140,13 +140,21 @@ object ClusterQueries {
     * points DBSCAN calls non-core). Distances are exact multiples of
     * 0.01 by construction (integer p_size + 2-decimal p_retailprice),
     * so the pre-round double order and the centi-long order agree. */
-  private def coreDistances(s: SparkSession, dir: String): DataFrame = {
+  private def coreDistances(s: SparkSession, dir: String): DataFrame =
+    knnCenti(s, dir).where(col("rk") === minPts)
+      .select(col("id"), col("d_c").as("core_c"))
+
+  /** The ε-ball k-NN rank table in exact centi-L1: (id, nbr, d_c, rk)
+    * with rk ≤ minPts. The window orders by the ROUNDED centi value —
+    * raw float L1 can represent the same true centi distance two ways
+    * (907.64−907.63 ≠ 0.01 exactly), and ordering by the float would
+    * cut the k-NN set differently than the oracle at those ties. */
+  private def knnCenti(s: SparkSession, dir: String): DataFrame = {
     val p = sharedPairs(s, dir).where(col("a_id") =!= col("b_id"))
-    val w = Window.partitionBy("a_id").orderBy(col("d"), col("b_id"))
-    p.withColumn("rk", row_number().over(w))
-      .where(col("rk") === minPts)
-      .select(col("a_id").as("id"),
-        round(col("d") * 100).cast("long").as("core_c"))
+      .select(col("a_id").as("id"), col("b_id").as("nbr"),
+        round(col("d") * 100).cast("long").as("d_c"))
+    val w = Window.partitionBy("id").orderBy(col("d_c"), col("nbr"))
+    p.withColumn("rk", row_number().over(w)).where(col("rk") <= minPts)
   }
 
   /** Boruvka MSF over the MUTUAL-REACHABILITY graph (Campello et al.
@@ -238,16 +246,40 @@ object ClusterQueries {
        |  WHERE a.id < b.id AND abs(a.x0-b.x0)+abs(a.x1-b.x1) < $eps)""".stripMargin
 
   /** One recursive-CTE CC leg over the pair graph thresholded at `t` —
-    * yields comp$i(id, comp) for vertices incident to an admitted edge. */
-  private def slLeg(i: Int, t: Long): String =
-    s"""sym$i AS (SELECT src, dst FROM nbr WHERE w <= $t
-       |  UNION SELECT dst, src FROM nbr WHERE w <= $t),
+    * yields comp$i(id, comp) for vertices incident to an admitted edge.
+    * `rel` names the weighted a<b edge relation to threshold. */
+  private def slLeg(i: Int, t: Long, rel: String = "nbr"): String =
+    s"""sym$i AS (SELECT src, dst FROM $rel WHERE w <= $t
+       |  UNION SELECT dst, src FROM $rel WHERE w <= $t),
        |v$i AS (SELECT DISTINCT src AS id FROM sym$i),
        |walk$i(id, reach) AS (
        |  SELECT id, id FROM v$i
        |  UNION
        |  SELECT s.dst, w.reach FROM walk$i w JOIN sym$i s ON s.src = w.id),
        |comp$i AS (SELECT id, min(reach) AS comp FROM walk$i GROUP BY id)""".stripMargin
+
+  /** SQL prologue for the mutual-reachability graph: core distances from
+    * the k-th-NN rank window, then mr(src, dst, w) with w = max(core_a,
+    * core_b, d) on a<b pairs whose endpoints both have core distances —
+    * the same construction [[sharedMreach]] builds. */
+  private def sqlMreach: String =
+    s"""pts AS (SELECT p_partkey AS id, CAST(p_size AS DOUBLE) AS x0,
+       |  p_retailprice AS x1 FROM part),
+       |nbrall AS (SELECT a.id AS src, b.id AS dst,
+       |    CAST(round((abs(a.x0-b.x0)+abs(a.x1-b.x1)) * 100) AS BIGINT)
+       |      AS w
+       |  FROM pts a, pts b
+       |  WHERE a.id <> b.id AND abs(a.x0-b.x0)+abs(a.x1-b.x1) < $eps),
+       |rkc AS (SELECT src, dst, w, row_number() OVER (
+       |    PARTITION BY src ORDER BY w, dst) AS rk FROM nbrall),
+       |corec AS (SELECT src AS id, w AS core_c FROM rkc
+       |          WHERE rk = $minPts),
+       |mr AS (SELECT n.src, n.dst, greatest(n.w, ca.core_c, cb.core_c)
+       |    AS w
+       |  FROM nbrall n
+       |  JOIN corec ca ON ca.id = n.src
+       |  JOIN corec cb ON cb.id = n.dst
+       |  WHERE n.src < n.dst)""".stripMargin
 
   // Undirected CC by recursive min-label propagation.
   private val sqlCc =
@@ -742,6 +774,62 @@ object ClusterQueries {
         .orderBy("component")
     }),
 
+    // HDBSCAN stability over the MUTUAL-REACHABILITY dendrogram — the
+    // pipeline endpoint (core → mreach MSF → excess-of-mass sweep,
+    // Campello et al. PAKDD'13 end to end): same 8-cut batched union-CC
+    // as hdbscan_stability but over the mreach forest, whose cuts are
+    // the algorithm's real λ levels. One fixpoint over 8 × (V−1)
+    // namespaced forest edges; the oracle recomputes every cut's labels
+    // from the raw mutual-reachability graph, so the forest-cut
+    // equivalence is oracle-checked here too.
+    "mreach_stability" -> ((s, dir) => {
+      val f = sharedMreach(s, dir)
+      val off = f.labels.agg(max("id")).head().getLong(0) + 1
+      val cutLit = array(StabilityCuts.map(lit(_)): _*)
+      val edges = f.edges
+        .select(col("a"), col("b"), col("w"),
+          posexplode(cutLit).as(Seq("ci", "cut")))
+        .where(col("w") <= col("cut"))
+        .select((col("ci") * off + col("a")).as("src"),
+          (col("ci") * off + col("b")).as("dst"))
+      val comp = ConnectedComponents.run(edges)
+        .select(expr(s"CAST(id DIV ${off}L AS INT)").as("ci"),
+          (col("component") % off).as("component"))
+      val sizes = comp.groupBy("ci", "component")
+        .agg(count(lit(1)).as("n"))
+      sizes.groupBy(col("component").as("cluster"))
+        .agg(count(lit(1)).as("n_cuts"),
+          min(element_at(cutLit, col("ci") + 1)).as("birth_cut"),
+          sum("n").as("sum_sizes"),
+          max("n").as("max_size"))
+        .orderBy("cluster")
+    }),
+
+    // k-NN density-ratio outlier score (the LOF-shaped filter training
+    // corpora run before clustering, kept integer-exact: LOF proper
+    // averages reciprocal reachability densities — floats — while the
+    // ratio of mean neighbor core distance to own core distance is the
+    // same signal as exact ppm): > 1e6 means the point sits in a
+    // sparser region than its neighbors. Neighbors without a core
+    // distance (non-core points) don't score, matching HDBSCAN's
+    // density model; ties at distance 0 (duplicate-valued points) make
+    // core_c = 0 → NULL, never a division error.
+    "density_outliers" -> ((s, dir) => {
+      val core = coreDistances(s, dir)
+      val knn = knnCenti(s, dir).select(col("id"), col("nbr"))
+      knn.join(core.select(col("id").as("nbr"),
+          col("core_c").as("nbr_core")), Seq("nbr"))
+        .groupBy("id")
+        .agg(count(lit(1)).as("n_scored"),
+          sum("nbr_core").as("sum_nbr_core"))
+        .join(core, Seq("id"))
+        .select(col("id"), col("core_c"), col("n_scored"),
+          when(col("core_c") > 0,
+            expr("(1000000 * sum_nbr_core) div (n_scored * core_c)"))
+            .as("dens_ratio_ppm"))
+        .orderBy("id")
+    }),
+
     // Seed-sampled stress centrality (Shimbel 1953; σ recursion from
     // Brandes 2001) — the betweenness-family member that stays in EXACT
     // integers: stress(v) = Σ_{s<t seeds} σ_st(v), the number of
@@ -1028,6 +1116,37 @@ object ClusterQueries {
     "kcore" -> sqlKcore,
     "eigencentrality" -> sqlEigen,
     "hits_scores" -> sqlHits,
+    // the hdbscan_stability sweep recomputed from the raw
+    // mutual-reachability graph (sqlMreach + one CC leg per cut)
+    "mreach_stability" ->
+      s"""WITH RECURSIVE
+         |$sqlMreach,
+         |${StabilityCuts.zipWithIndex.map { case (t, i) =>
+               slLeg(i, t, rel = "mr") }.mkString(",\n")},
+         |${StabilityCuts.zipWithIndex.map { case (t, i) =>
+               s"size$i AS (SELECT comp, count(*) AS n, $t AS cut FROM comp$i GROUP BY comp)"
+             }.mkString(",\n")},
+         |allsz AS (${StabilityCuts.indices
+             .map(i => s"SELECT * FROM size$i").mkString(" UNION ALL ")})
+         |SELECT comp AS cluster, CAST(count(*) AS BIGINT) AS n_cuts,
+         |  CAST(min(cut) AS BIGINT) AS birth_cut,
+         |  CAST(sum(n) AS BIGINT) AS sum_sizes,
+         |  CAST(max(n) AS BIGINT) AS max_size
+         |FROM allsz GROUP BY comp ORDER BY cluster""".stripMargin,
+    // k-NN list + core table from the same rank window; NULL (never a
+    // divide error) on zero core distance
+    "density_outliers" ->
+      s"""WITH $sqlMreach,
+         |knn AS (SELECT src AS id, dst AS nbr FROM rkc
+         |        WHERE rk <= $minPts),
+         |sc AS (SELECT k.id, count(*) AS n_scored,
+         |    CAST(sum(c.core_c) AS BIGINT) AS sum_nbr_core
+         |  FROM knn k JOIN corec c ON c.id = k.nbr GROUP BY k.id)
+         |SELECT s.id, c.core_c, CAST(s.n_scored AS BIGINT) AS n_scored,
+         |  CAST(CASE WHEN c.core_c = 0 THEN NULL
+         |    ELSE (1000000 * s.sum_nbr_core) // (s.n_scored * c.core_c)
+         |    END AS BIGINT) AS dens_ratio_ppm
+         |FROM sc s JOIN corec c USING (id) ORDER BY s.id""".stripMargin,
     // the k-th-NN rank window over the both-directions ε-ball; distances
     // are exact centi multiples, so the double order and the centi-long
     // order agree

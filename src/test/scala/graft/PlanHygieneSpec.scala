@@ -444,6 +444,25 @@ class PlanHygieneSpec extends GraftSuite {
       "the code join and the dim rollup must stay keyed")
   }
 
+  test("bucket_join consumes the bucket layout: no exchange under the join") {
+    // at gate SF the orders side would broadcast and the planner would
+    // rightly skip the bucket layout — disable auto-broadcast to expose
+    // the shape this gate exists for (at 100 TB neither side broadcasts)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = plan("bucket_join")
+      assert(p.contains("Bucketed: true"),
+        s"both scans must report the bucket layout:\n${p.take(900)}")
+      val joinExchanges = "Exchange hashpartitioning".r
+        .findAllIn(p).length
+      // the final 5-key aggregate is allowed its one exchange; the join
+      // inputs themselves must read co-located buckets
+      assert(joinExchanges <= 1,
+        s"bucketed join must not re-shuffle its inputs ($joinExchanges hash exchanges):\n${p.take(1200)}")
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
+
   test("kn_counts type tables join onto the 50-row top list by broadcast") {
     val p = plan("kn_counts")
     assert(p.contains("BroadcastHashJoin"),

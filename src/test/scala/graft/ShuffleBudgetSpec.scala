@@ -474,7 +474,22 @@ class ShuffleBudgetSpec extends GraftSuite {
     // contraction rounds
     // measured: core_distance 64,473; mreach_mst build 359,021
     "core_distance" -> (21000L, 97000L),
-    "mreach_mst" -> (120000L, 540000L))
+    "mreach_mst" -> (120000L, 540000L),
+    // mreach_stability reads the memoized mreach forest like
+    // hdbscan_stability reads the raw one — the measured cost is the
+    // 8-leg batched union-CC sweep; density_outliers is the k-NN rank
+    // window + two core joins + id rollup over the memoized pair set
+    // measured: mreach_stability 329,055 (the restricted graph's forest
+    // is smaller than the raw one, so the sweep shuffles ~9× less than
+    // hdbscan_stability); density_outliers 58,685
+    "mreach_stability" -> (110000L, 495000L),
+    "density_outliers" -> (19000L, 89000L),
+    // bucket_join steady state 2,038 bytes — ONLY the final 5-key
+    // aggregate's partials; the fact-table join itself shuffles ZERO
+    // bytes because both inputs read the co-located bucket layout. A
+    // blown budget means the join started re-shuffling an input — the
+    // exact regression bucketing exists to prevent at 100 TB.
+    "bucket_join" -> (600L, 3100L))
 
   /** Memo keys to evict after the warm pass so the measured pass runs the
     * gate's build plan instead of reading a checkpoint. dedup_groups
