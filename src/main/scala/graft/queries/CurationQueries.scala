@@ -119,6 +119,53 @@ object CurationQueries {
     // mass of the single most frequent word bigram. Relational shape
     // (explode → per-doc count → per-doc max/sum) keeps the partial
     // aggregation map-side; no per-doc quadratic work.
+    // Coleman-Liau readability (Coleman & Liau 1975) — the grade-level
+    // filter curation pipelines run next to Gopher heuristics. Letters,
+    // words, sentence terminators are exact integers; the index itself
+    // is one fixed-shape per-row IEEE expression over those integers
+    // (no aggregation, so no summation-order hazard), written
+    // identically in the oracle and rounded to 4dp. words = 0 → NULL;
+    // terminator-free docs count as one sentence, as the index assumes.
+    "readability" -> ((s, dir) => {
+      val letters = length(regexp_replace(col("text"), "[^A-Za-z]", ""))
+        .cast("long")
+      val words = size(TF.tokens(col("text"))).cast("long")
+      val sents = greatest(lit(1L),
+        length(regexp_replace(col("text"), "[^.!?]", "")).cast("long"))
+      docs(s, dir).select(col("doc_id"), letters.as("letters"),
+          words.as("words"), sents.as("sentences"))
+        .select(col("doc_id"), col("letters"), col("words"),
+          col("sentences"),
+          when(col("words") > 0, round(
+            lit(0.0588) * (lit(100.0) * col("letters") / col("words"))
+              - lit(0.296) * (lit(100.0) * col("sentences") / col("words"))
+              - lit(15.8), 4)).as("cli4"))
+        .orderBy("doc_id")
+    }),
+
+    // Term burstiness (Church & Gale 1995): variance-to-mean ratio of a
+    // term's per-document counts over the documents that CONTAIN it —
+    // the "topical vs function word" signal vocabulary curation ranks
+    // by. VMR = (df·Σx² − (Σx)²) / (df·Σx) kept as one integer-ppm
+    // floor division (all three moments are exact integer aggregates);
+    // floor Σx ≥ 50 keeps the tail deterministic and the output
+    // dimension-sized, top-30 under the full (vmr desc, token)
+    // tiebreak via TakeOrdered.
+    "term_burstiness" -> ((s, dir) => {
+      val perDoc = docs(s, dir)
+        .select(col("doc_id"), explode(TF.tokens(col("text"))).as("w"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("x"))
+      perDoc.groupBy("w")
+        .agg(count(lit(1)).as("df"), sum("x").as("sx"),
+          sum(col("x") * col("x")).as("sxx"))
+        .where(col("sx") >= 50)
+        .select(col("w"), col("df"), col("sx"),
+          expr("(1000000 * (df * sxx - sx * sx)) div (df * sx)")
+            .as("vmr_ppm"))
+        .orderBy(col("vmr_ppm").desc, col("w"))
+        .limit(30)
+    }),
+
     "rep_signals" -> ((s, dir) => {
       val d = docs(s, dir)
       val tk = TF.tokens(col("text"))
@@ -1041,6 +1088,36 @@ object CurationQueries {
   import TextQueries.{sqlPolyHash, sqlQuality, sqlToks}
 
   val oracleSql: Map[String, String] = Map(
+    // same per-row integer counts, same fixed-shape IEEE expression
+    "readability" ->
+      s"""WITH $sqlToks,
+         |m AS (SELECT doc_id,
+         |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+         |      AS BIGINT) AS letters,
+         |    CAST(len(t) AS BIGINT) AS words,
+         |    greatest(CAST(1 AS BIGINT),
+         |      CAST(length(regexp_replace(text, '[^.!?]', '', 'g'))
+         |        AS BIGINT)) AS sentences
+         |  FROM toks)
+         |SELECT doc_id, letters, words, sentences,
+         |  CASE WHEN words > 0 THEN round(
+         |    0.0588 * (100.0 * letters / words)
+         |      - 0.296 * (100.0 * sentences / words) - 15.8, 4)
+         |  END AS cli4
+         |FROM m ORDER BY doc_id""".stripMargin,
+    // the three exact moments + the same integer-ppm floor division
+    "term_burstiness" ->
+      s"""WITH $sqlToks,
+         |pd AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS x FROM (
+         |    SELECT doc_id, unnest(t) AS w FROM toks) GROUP BY doc_id, w),
+         |mo AS (SELECT w, CAST(count(*) AS BIGINT) AS df,
+         |    CAST(sum(x) AS BIGINT) AS sx,
+         |    CAST(sum(x * x) AS BIGINT) AS sxx
+         |  FROM pd GROUP BY w HAVING sum(x) >= 50)
+         |SELECT w, df, sx,
+         |  CAST((1000000 * (df * sxx - sx * sx)) // (df * sx) AS BIGINT)
+         |    AS vmr_ppm
+         |FROM mo ORDER BY vmr_ppm DESC, w LIMIT 30""".stripMargin,
     "k_anon_audit" ->
       s"""WITH g AS (SELECT lang, source, n_chars // 256 AS len_b,
         |    CAST(count(*) AS BIGINT) AS n

@@ -489,7 +489,12 @@ class ShuffleBudgetSpec extends GraftSuite {
     // bytes because both inputs read the co-located bucket layout. A
     // blown budget means the join started re-shuffling an input — the
     // exact regression bucketing exists to prevent at 100 TB.
-    "bucket_join" -> (600L, 3100L))
+    "bucket_join" -> (600L, 3100L),
+    // term_burstiness 159,080 (the (doc, token) count groupBy + the
+    // token-keyed three-moment agg + TakeOrdered — a blown budget means
+    // the moment pass stopped combining map-side). readability is NOT
+    // pinned: pure per-row projection (59-byte count residue).
+    "term_burstiness" -> (52000L, 240000L))
 
   /** Memo keys to evict after the warm pass so the measured pass runs the
     * gate's build plan instead of reading a checkpoint. dedup_groups
