@@ -119,6 +119,26 @@ object CurationQueries {
     // mass of the single most frequent word bigram. Relational shape
     // (explode → per-doc count → per-doc max/sum) keeps the partial
     // aggregation map-side; no per-doc quadratic work.
+    // Tokenizer fertility per language (subword pieces per word — the
+    // number multilingual tokenizer/mix decisions are made from: a lang
+    // whose fertility is 2× pays 2× the context budget per word). Both
+    // counts are the exact integer kernels text_stats certifies per
+    // doc; here one lang-keyed map-side-combined rollup + integer-ppm
+    // ratio.
+    "tokenizer_fertility" -> ((s, dir) => {
+      docs(s, dir).select(col("lang"),
+          TF.tokenCount(col("text")).cast("long").as("w"),
+          TF.bpeTokenCount(col("text")).as("b"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("w").as("words"),
+          sum("b").as("bpe_tokens"))
+        .select(col("lang"), col("n_docs"), col("words"),
+          col("bpe_tokens"),
+          when(col("words") > 0,
+            expr("(1000000 * bpe_tokens) div words")).as("fertility_ppm"))
+        .orderBy("lang")
+    }),
+
     // Coleman-Liau readability (Coleman & Liau 1975) — the grade-level
     // filter curation pipelines run next to Gopher heuristics. Letters,
     // words, sentence terminators are exact integers; the index itself
@@ -1088,6 +1108,24 @@ object CurationQueries {
   import TextQueries.{sqlPolyHash, sqlQuality, sqlToks}
 
   val oracleSql: Map[String, String] = Map(
+    // the text_stats count kernels rolled up per lang; sums CAST back
+    // to BIGINT (DuckDB widens to HUGEINT)
+    "tokenizer_fertility" ->
+      s"""WITH $sqlToks,
+         |m AS (SELECT doc_id, text, CAST(len(t) AS BIGINT) AS w,
+         |    CAST(coalesce(list_sum(list_transform(t,
+         |      x -> CAST(ceil(length(x) / 4.0) AS BIGINT))), 0) AS BIGINT)
+         |      AS b
+         |  FROM toks),
+         |r AS (SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(m.w) AS BIGINT) AS words,
+         |    CAST(sum(m.b) AS BIGINT) AS bpe_tokens
+         |  FROM m JOIN documents d USING (doc_id) GROUP BY d.lang)
+         |SELECT lang, n_docs, words, bpe_tokens,
+         |  CAST(CASE WHEN words > 0
+         |    THEN (1000000 * bpe_tokens) // words END AS BIGINT)
+         |    AS fertility_ppm
+         |FROM r ORDER BY lang""".stripMargin,
     // same per-row integer counts, same fixed-shape IEEE expression
     "readability" ->
       s"""WITH $sqlToks,

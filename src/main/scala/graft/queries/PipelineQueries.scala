@@ -144,6 +144,33 @@ object PipelineQueries {
     // [ts, next purchase ts) per user — the slowly-changing-dimension
     // snapshot a feature store derives from an event log. ONE keyed
     // window (partition by user), no self-join; scales with users.
+    // T5-style span corruption accounting (Raffel et al., JMLR'20 §3.1.4
+    // — mlm_mask's span sibling): positions mask by the salted PolyHash
+    // draw, and the SPAN count comes from the run identity
+    // n_spans = n_masked − #(adjacent masked pairs) — two slice-zips,
+    // no window, no per-element indexing of a derived array (the
+    // interpreted-HOF trap wordShingles documents). t5_len is the
+    // corrupted input length: each span collapses to one sentinel.
+    "span_corruption" -> ((s, dir) => {
+      val t = TF.tokens(col("text"))
+      val mask = transform(t, (_, i) =>
+        PolyHash.poly_hash(concat(lit("sc:"), col("doc_id").cast("string"),
+          lit(":"), i.cast("string"))) % 100 < MaskPct)
+      val nMasked = size(filter(mask, m => m)).cast("long")
+      val pairs = when(size(t) >= 2,
+        size(filter(zip_with(slice(mask, lit(1), size(t) - 1),
+          slice(mask, lit(2), size(t) - 1), (a, b) => a && b), x => x))
+          .cast("long"))
+        .otherwise(lit(0L))
+      docs(s, dir).select(col("doc_id"),
+          size(t).cast("long").as("n_tokens"),
+          nMasked.as("n_masked"),
+          (nMasked - pairs).as("n_spans"))
+        .withColumn("t5_len",
+          col("n_tokens") - col("n_masked") + col("n_spans"))
+        .orderBy("doc_id")
+    }),
+
     "scd2_history" -> ((s, dir) => {
       val w = Window.partitionBy("user_id").orderBy(col("valid_from_us"),
         col("event_id"))
@@ -1021,6 +1048,26 @@ object PipelineQueries {
          |    AS n_masked,
          |  ${sqlPolyHash("coalesce(array_to_string(masked, ' '), '')")} AS masked_fp
          |FROM m ORDER BY doc_id""".stripMargin
+    },
+    "span_corruption" -> {
+      // same shadowing note as mlm_mask: the outer index var is `j`
+      val h = sqlPolyHash(
+        "'sc:' || CAST(doc_id AS VARCHAR) || ':' || CAST(j - 1 AS VARCHAR)")
+      s"""WITH $sqlToks,
+         |m AS (SELECT doc_id, t,
+         |    list_transform(range(1, len(t) + 1), j ->
+         |      CASE WHEN ($h) % 100 < $MaskPct THEN 1 ELSE 0 END) AS mk
+         |  FROM toks),
+         |agg AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+         |    CAST(coalesce(list_sum(mk), 0) AS BIGINT) AS n_masked,
+         |    CAST(CASE WHEN len(t) >= 2 THEN coalesce(list_sum(
+         |        list_transform(range(1, len(t)), j -> mk[j] * mk[j + 1])),
+         |        0) ELSE 0 END AS BIGINT) AS n_pairs
+         |  FROM m)
+         |SELECT doc_id, n_tokens, n_masked,
+         |  n_masked - n_pairs AS n_spans,
+         |  n_tokens - n_masked + (n_masked - n_pairs) AS t5_len
+         |FROM agg ORDER BY doc_id""".stripMargin
     },
     "scd2_history" ->
       """WITH p AS (SELECT user_id, event_id, epoch_us(ts) AS valid_from_us,
