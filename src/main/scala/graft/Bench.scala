@@ -181,17 +181,28 @@ object Bench {
       s"""{"metric":"stage_metrics","stage_metrics":$sh,"sf":"$sfDir"}""",
       s"""{"metric":"bench_detail","reps":$reps,"median":${jmap(_.median)},"cold":${jmap(_.cold)},"min":${jmap(_.min)},"stddev":${jmap(_.stddev)},"sf":"$sfDir"}""",
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.length},"queries":$topQ,"queries_note":"top-$TopNHeadline medians by cost; full map on bench_detail","failed":$failed,"reps":$reps,"cold_total":${r3(coldTotal)},"sf":"$sfDir"}""")
-    // full machine-readable artifact for the repo/COVERAGE trend notes
-    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
+    // full machine-readable artifact for the repo/COVERAGE trend notes.
+    // A failed artifact write must not cost the round its stdout output.
+    try sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
       java.nio.file.Files.writeString(java.nio.file.Paths.get(p),
         lines.mkString("", "\n", "\n"))
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] artifact write failed: $e")
     }
     // silence the unpersist WARNs BEFORE eviction, stop Spark, then emit
-    // the JSON lines as the absolute last bytes of stdout
-    spark.sparkContext.setLogLevel("OFF")
-    // release memoized checkpoint blocks deterministically (not via GC)
-    graft.core.QueryCache.evictSession(spark)
-    spark.stop()
+    // the JSON lines as the absolute last bytes of stdout. Cleanup runs
+    // inside try/catch so an eviction/stop failure cannot swallow the
+    // headline the driver parses — the println is unconditional.
+    try {
+      spark.sparkContext.setLogLevel("OFF")
+      // release memoized checkpoint blocks deterministically (not via GC)
+      graft.core.QueryCache.evictSession(spark)
+      spark.stop()
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] cleanup failed (headline still emitted): $e")
+    }
     lines.foreach(println)
   }
 }

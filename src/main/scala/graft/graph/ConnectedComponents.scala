@@ -40,7 +40,11 @@ object ConnectedComponents {
       .distinct()
       .localCheckpoint(eager = false)
 
+    val debug = sys.env.contains("SPARK_GRAFT_GRAPH_DEBUG")
+    var t0 = System.nanoTime()
     var prev = checksum(e)
+    if (debug) System.err.println(
+      f"[cc] init ${(System.nanoTime() - t0) / 1e9}%.2fs edges=${prev._1}")
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -91,7 +95,10 @@ object ConnectedComponents {
         .localCheckpoint(eager = false)
 
       // the checksum materializes the lazy checkpoint — one fused job
+      t0 = System.nanoTime()
       val cur = checksum(small)
+      if (debug) System.err.println(
+        f"[cc] round $i ${(System.nanoTime() - t0) / 1e9}%.2fs edges=${cur._1}")
       converged = cur == prev
       prev = cur
       // `small` is now materialized, so the previous round's checkpoint

@@ -491,6 +491,7 @@ object Traversals {
     */
   def kTruss(edges: DataFrame, k: Int, rounds: Int = 3): DataFrame = {
     require(k >= 3, s"k-truss needs k >= 3, got $k")
+    require(rounds >= 1, s"k-truss needs rounds >= 1, got $rounds")
     var e = canonEdges(edges).localCheckpoint(eager = false)
     e.count()
     var r = 0

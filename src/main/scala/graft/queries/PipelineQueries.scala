@@ -740,8 +740,13 @@ object PipelineQueries {
         .crossJoin(broadcast(tt))
         .select(col("w1"), col("w2"), col("c12"), col("c1"),
           col("types_w1"), col("cont_w2"), col("bigram_types"),
-          (expr("(1000000000 * (4 * c12 - 3)) div (4 * c1)") +
-            expr("(750000000 * types_w1 * cont_w2) div (c1 * bigram_types)"))
+          // the type-count products are widened to decimal(38,0) before
+          // multiplying: at corpus scale types_w1 × cont_w2 (and the
+          // denominator c1 × bigram_types) can exceed Long, where Spark
+          // would wrap silently while DuckDB raises — the quotient itself
+          // is bounded by the ppb constants and always fits a Long
+          (expr("cast((1000000000 * cast(4 * c12 - 3 as decimal(38,0))) div (4 * c1) as bigint)") +
+            expr("cast((750000000 * cast(types_w1 as decimal(38,0)) * cont_w2) div (cast(c1 as decimal(38,0)) * bigram_types) as bigint)"))
             .as("pkn_ppb"))
         .orderBy(col("c12").desc, col("w1"), col("w2"))
     }),
@@ -1422,9 +1427,9 @@ object PipelineQueries {
          |        ORDER BY c12 DESC, w1, w2 LIMIT 50)
          |SELECT t.w1, t.w2, t.c12, u.c1, typ.types_w1, cont.cont_w2,
          |  tt.bigram_types,
-         |  CAST((1000000000 * (4 * t.c12 - 3)) // (4 * u.c1)
-         |    + (750000000 * typ.types_w1 * cont.cont_w2)
-         |      // (u.c1 * tt.bigram_types) AS BIGINT) AS pkn_ppb
+         |  CAST((1000000000 * CAST(4 * t.c12 - 3 AS HUGEINT)) // (4 * u.c1)
+         |    + (750000000 * CAST(typ.types_w1 AS HUGEINT) * cont.cont_w2)
+         |      // (CAST(u.c1 AS HUGEINT) * tt.bigram_types) AS BIGINT) AS pkn_ppb
          |FROM top t
          |JOIN uni u ON u.w = t.w1
          |JOIN typ ON typ.w1 = t.w1

@@ -448,6 +448,8 @@ class PlanHygieneSpec extends GraftSuite {
     // at gate SF the orders side would broadcast and the planner would
     // rightly skip the bucket layout — disable auto-broadcast to expose
     // the shape this gate exists for (at 100 TB neither side broadcasts)
+    val prevThreshold =
+      spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
       val p = plan("bucket_join")
@@ -460,7 +462,7 @@ class PlanHygieneSpec extends GraftSuite {
       assert(joinExchanges <= 1,
         s"bucketed join must not re-shuffle its inputs ($joinExchanges hash exchanges):\n${p.take(1200)}")
     } finally
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
 
   test("kn_counts type tables join onto the 50-row top list by broadcast") {
