@@ -48,6 +48,7 @@ object ConnectedComponents {
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
+      val tLoop = System.nanoTime()
       // Per-source minima come from a window over the edge partition, not
       // a groupBy + self-join: the min-agg form exchanged the edge list
       // twice per star phase (once into the aggregate, once to co-locate
@@ -84,8 +85,21 @@ object ConnectedComponents {
 
       // Small-star: orient edges larger→smaller, attach each node and its
       // smaller neighbors to the minimum neighbor.
+      //
+      // The LAZY checkpoint here is driver-side, not data-side: without
+      // it, small-star's plan embeds the large-star subtree in FOUR
+      // branches (both sides of the skew-safe self-join, then the union),
+      // and the per-round ANALYZER pass over that self-join-deduped tree
+      // cost ~0.6 s/round on the driver — 3× the round's actual job time
+      // at gate scale (measured via tools/ProbeHdbscan: 9.1 s CC wall vs
+      // 2.4 s of jobs). The checkpoint makes `oriented` a LogicalRDD
+      // leaf, so both halves of the round analyze shallow trees; its
+      // blocks materialize inside the same checksum job (no extra
+      // action) and are released as soon as the round's survivor is
+      // materialized.
       val oriented = large.select(greatest(col("src"), col("dst")).as("src"),
         least(col("src"), col("dst")).as("dst"))
+        .localCheckpoint(eager = false)
       val withMin = withSrcMin(oriented)
       val small = withMin
         .select(col("dst").as("src"), col("m").as("dst"))
@@ -98,13 +112,15 @@ object ConnectedComponents {
       t0 = System.nanoTime()
       val cur = checksum(small)
       if (debug) System.err.println(
-        f"[cc] round $i ${(System.nanoTime() - t0) / 1e9}%.2fs edges=${cur._1}")
+        f"[cc] round $i build ${(t0 - tLoop) / 1e9}%.2fs job ${(System.nanoTime() - t0) / 1e9}%.2fs edges=${cur._1}")
       converged = cur == prev
       prev = cur
       // `small` is now materialized, so the previous round's checkpoint
-      // blocks are dead — drop them rather than stranding one edge-set
-      // copy per round until driver GC.
+      // blocks are dead — drop them (and the round's oriented
+      // intermediate) rather than stranding one edge-set copy per round
+      // until driver GC.
       graft.core.LineageCut.release(e)
+      graft.core.LineageCut.release(oriented)
       e = small
       i += 1
     }
