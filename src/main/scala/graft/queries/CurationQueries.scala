@@ -50,6 +50,10 @@ object CurationQueries {
   private val GopherMinWords = 25
   private val GopherMaxWords = 90
 
+  /** unimax_alloc epoch cap (UniMax's N parameter) and its budget as a
+    * fraction of the corpus (3/5 in exact integer arithmetic). */
+  private val UnimaxEpochCap = 2
+
   /** Email/phone detection regexes — deliberately restricted to syntax
     * with identical semantics in Java regex (Spark codegen) and RE2
     * (oracle): no lookaround, no backrefs, no possessive quantifiers. */
@@ -262,6 +266,51 @@ object CurationQueries {
             .otherwise(round(col("tot").cast("double") /
               (col("z") * sqrt(col("n_tokens").cast("double"))), 6))
             .as("epochs"))
+        .orderBy("source")
+    }),
+
+    // UniMax corpus allocation (Chung et al., ICLR'23): spread a token
+    // budget (3/5 of the corpus, exact integer) as uniformly as possible
+    // across sources, capping each source at UnimaxEpochCap epochs of its
+    // own size. The waterfill has a closed form over the per-source
+    // table: sorted by capacity ascending, a source is saturated iff
+    // granting it AND every larger source its own capacity level still
+    // fits the budget; the first unsaturated row fixes the integer water
+    // level θ = (B − prefix<) div remaining, and every unsaturated source
+    // gets θ. Plan: one map-side-combined groupBy down to the
+    // |sources|-row table, then windows over that bounded table and 1-row
+    // scalar joins — candidate work independent of corpus size past the
+    // first agg (domain_mix's shape).
+    "unimax_alloc" -> ((s, dir) => {
+      val perSrc = docs(s, dir).groupBy("source").agg(
+        sum(TF.tokenCount(col("text")).cast("long")).cast("long")
+          .as("n_tokens"))
+      val glob = perSrc.agg(sum("n_tokens").cast("long").as("tot"),
+        count(lit(1)).cast("long").as("nd"))
+      val w = Window.orderBy("cap", "source")
+      val ranked = perSrc
+        .select(col("source"), col("n_tokens"),
+          (col("n_tokens") * UnimaxEpochCap).as("cap"))
+        .crossJoin(broadcast(glob))
+        .withColumn("budget", expr("(tot * 3) div 5"))
+        .withColumn("i", row_number().over(w).cast("long"))
+        .withColumn("prefix", sum("cap").over(w))
+        .withColumn("sat",
+          col("prefix") + col("cap") * (col("nd") - col("i")) <=
+            col("budget"))
+      // B < Σcap (3/5 < UnimaxEpochCap), so the last row is always
+      // unsaturated and this 1-row limit never comes up empty
+      val theta = ranked.where(!col("sat")).orderBy("i").limit(1)
+        .select(expr("(budget - prefix + cap) div (nd - i + 1)")
+          .as("theta"))
+      ranked.crossJoin(broadcast(theta))
+        .select(col("source"), col("n_tokens"), col("cap"),
+          when(col("sat"), col("cap"))
+            .otherwise(least(col("cap"), col("theta"))).as("alloc"))
+        .withColumn("epochs",
+          when(col("n_tokens") === 0, lit(0.0))
+            .otherwise(round(col("alloc").cast("double") /
+              col("n_tokens").cast("double"), 6)))
         .orderBy("source")
     }),
 
@@ -1394,6 +1443,39 @@ object CurationQueries {
          |       ELSE round(CAST(tot AS DOUBLE) /
          |         (z * sqrt(CAST(n_tokens AS DOUBLE))), 6) END AS epochs
          |FROM s, g ORDER BY source""".stripMargin,
+    // the same waterfill windows over the tiny source table; DuckDB's
+    // window sums widen to HUGEINT, so alloc is CAST back to BIGINT
+    "unimax_alloc" ->
+      s"""WITH $sqlToks,
+         |q AS (SELECT doc_id, len(t) AS nt FROM toks),
+         |s AS (SELECT d.source AS source,
+         |    CAST(sum(q.nt) AS BIGINT) AS n_tokens
+         |  FROM documents d JOIN q ON d.doc_id = q.doc_id
+         |  GROUP BY d.source),
+         |g AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot,
+         |    CAST(count(*) AS BIGINT) AS nd FROM s),
+         |r AS (SELECT s.source, s.n_tokens,
+         |    s.n_tokens * $UnimaxEpochCap AS cap,
+         |    (g.tot * 3) // 5 AS budget, g.nd AS nd,
+         |    CAST(row_number() OVER (
+         |      ORDER BY s.n_tokens * $UnimaxEpochCap, s.source) AS BIGINT)
+         |      AS i,
+         |    sum(s.n_tokens * $UnimaxEpochCap) OVER (
+         |      ORDER BY s.n_tokens * $UnimaxEpochCap, s.source
+         |      ROWS UNBOUNDED PRECEDING) AS prefix
+         |  FROM s, g),
+         |rs AS (SELECT *, (prefix + cap * (nd - i) <= budget) AS sat
+         |  FROM r),
+         |th AS (SELECT (budget - prefix + cap) // (nd - i + 1) AS theta
+         |  FROM rs WHERE NOT sat ORDER BY i LIMIT 1)
+         |SELECT source, n_tokens, CAST(cap AS BIGINT) AS cap,
+         |  CAST(CASE WHEN sat THEN cap
+         |       ELSE least(cap, th.theta) END AS BIGINT) AS alloc,
+         |  CASE WHEN n_tokens = 0 THEN 0.0
+         |       ELSE round(CAST(CASE WHEN sat THEN cap
+         |           ELSE least(cap, th.theta) END AS DOUBLE) /
+         |         CAST(n_tokens AS DOUBLE), 6) END AS epochs
+         |FROM rs, th ORDER BY source""".stripMargin,
     // bit counts via length(bin(tot // vc)) - 1 — pure integer arithmetic
     // mirrored from the Spark plan; the only double op is the final
     // division of two exact integers, 6dp-rounded in both engines

@@ -617,6 +617,86 @@ object VectorQueries {
           round(sq / graft.functions.Distances.dot(e, e), 6)
             .as("dist_ratio"))
         .orderBy("vec_id")
+    }),
+
+    // SemDeDup (Abbas et al., arXiv:2303.09540): cluster the embedding
+    // space, then prune near-duplicates ONLY within each cluster — the
+    // clustering bounds the quadratic verification the way LSH bands
+    // bound minhash_pairs, which is what lets semantic dedup run at
+    // corpus scale (pair work per cluster, never per corpus; nlist grows
+    // with the corpus so cluster sizes stay bounded). Centroids are the
+    // first NList vectors (the ann_ivf_fixed seam), so assignment is
+    // deterministic and SQL-expressible; a vector is dropped iff a
+    // lower-id same-cluster vector is cosine-≥ CosTau similar (the
+    // paper's keep-one policy with min-id as the canonical survivor).
+    "semdedup" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val cents = e.where(col("vec_id") < NList)
+        .select(col("vec_id").cast("int"),
+          col("embedding").cast("array<double>"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+      val assigned = SimilaritySearch.ivfIndexFixed(
+        e, "vec_id", "embedding", cents).indexed
+      val a = assigned.select(col("bucket"), col("id").as("id_a"),
+        col("vec").as("vec_a"))
+      val b = assigned.select(col("bucket"), col("id").as("id_b"),
+        col("vec").as("vec_b"))
+      val dropped = a.join(b, "bucket")
+        .where(col("id_a") < col("id_b"))
+        .where(round(graft.functions.Distances.cosine(
+          col("vec_a"), col("vec_b")), 6) >= CosTau)
+        .select(col("bucket"), col("id_b")).distinct()
+      assigned.groupBy("bucket").agg(count(lit(1)).as("n_total"))
+        .join(dropped.groupBy("bucket").agg(count(lit(1)).as("n_dropped")),
+          Seq("bucket"), "left")
+        .select(col("bucket").cast("long").as("cluster"), col("n_total"),
+          (col("n_total") - coalesce(col("n_dropped"), lit(0L)))
+            .as("n_kept"))
+        .orderBy("cluster")
+    }),
+
+    // Adjusted Rand Index between two clusterings of the same corpus
+    // (Hubert & Arabie 1985) — the agreement score a curation pipeline
+    // checks before swapping a new clustering run in for the reference
+    // one. The two clusterings are fixed-centroid assignments from
+    // disjoint centroid sets (vec_id < NList vs the next NList — the
+    // deterministic ann_ivf_fixed seam). Every pair count is an exact
+    // integer and n ≤ corpus size keeps each C(·,2) product inside 2^53,
+    // so the one double division is engine-identical. Plan: two
+    // broadcast-kernel assignments, one contingency groupBy, 1-row
+    // scalar joins — no pair set is ever materialized.
+    "ari_clusterings" -> ((s, dir) => {
+      val e = embs(s, dir)
+      def centsIn(lo: Int, hi: Int) = e
+        .where(col("vec_id") >= lo && col("vec_id") < hi)
+        .select(col("vec_id").cast("int"),
+          col("embedding").cast("array<double>"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+      val a = SimilaritySearch.ivfIndexFixed(e, "vec_id", "embedding",
+        centsIn(0, NList)).indexed.select(col("id"), col("bucket").as("ba"))
+      val b = SimilaritySearch.ivfIndexFixed(e, "vec_id", "embedding",
+        centsIn(NList, 2 * NList)).indexed
+        .select(col("id"), col("bucket").as("bb"))
+      val ab = a.join(b, "id")
+      def c2(df: DataFrame, keys: String*) = df
+        .groupBy(keys.map(col): _*).agg(count(lit(1)).as("c"))
+        .agg(sum(expr("(c * (c - 1)) div 2")).cast("long"))
+      val sIdx = c2(ab, "ba", "bb").toDF("sum_idx")
+      val sA = c2(ab, "ba").toDF("sum_a")
+      val sB = c2(ab, "bb").toDF("sum_b")
+      val expected = col("sum_a").cast("double") *
+        col("sum_b").cast("double") /
+        expr("(n * (n - 1)) div 2").cast("double")
+      ab.agg(count(lit(1)).cast("long").as("n"))
+        .crossJoin(broadcast(sIdx))
+        .crossJoin(broadcast(sA))
+        .crossJoin(broadcast(sB))
+        .select(col("n"), col("sum_idx"), col("sum_a"), col("sum_b"),
+          round((col("sum_idx").cast("double") - expected) /
+            ((col("sum_a") + col("sum_b")).cast("double") / 2.0d -
+              expected), 6).as("ari"))
     }))
 
   /** jl_project output dimensionality. */
@@ -669,6 +749,64 @@ object VectorQueries {
 
   val oracleSql: Map[String, String] = Map(
     "kcenter_coreset" -> sqlKcenter,
+    // fixed-centroid assignment (ann_ivf_fixed's vb CTE), then the
+    // within-cluster min-id keep policy as one self-join
+    "semdedup" -> {
+      val cos = (x: String, y: String) =>
+        s"list_dot_product($x, $y) / (sqrt(list_dot_product($x, $x)) * sqrt(list_dot_product($y, $y)))"
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+         |  FROM embeddings),
+         |cents AS (SELECT vec_id AS cluster, e AS c FROM v
+         |  WHERE vec_id < $NList),
+         |vb AS (SELECT vec_id, e, bucket FROM (
+         |    SELECT a.vec_id, a.e, c.cluster AS bucket,
+         |      row_number() OVER (PARTITION BY a.vec_id
+         |        ORDER BY -(${cos("a.e", "c.c")}), c.cluster) AS rn
+         |    FROM v a CROSS JOIN cents c) WHERE rn = 1),
+         |drp AS (SELECT DISTINCT b.bucket, b.vec_id FROM vb a JOIN vb b
+         |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |    WHERE round(${cos("a.e", "b.e")}, 6) >= $CosTau),
+         |tot AS (SELECT bucket, count(*) AS n_total FROM vb GROUP BY bucket),
+         |d AS (SELECT bucket, count(*) AS n_dropped FROM drp GROUP BY bucket)
+         |SELECT CAST(t.bucket AS BIGINT) AS cluster, t.n_total,
+         |  t.n_total - coalesce(d.n_dropped, 0) AS n_kept
+         |FROM tot t LEFT JOIN d USING (bucket) ORDER BY cluster""".stripMargin
+    },
+    // two fixed-centroid assignments, contingency pair counts, the ARI
+    // ratio written op-for-op as the Spark expression (one double divide
+    // over exact integers)
+    "ari_clusterings" -> {
+      val cos = (x: String, y: String) =>
+        s"list_dot_product($x, $y) / (sqrt(list_dot_product($x, $x)) * sqrt(list_dot_product($y, $y)))"
+      def assign(lo: Int, hi: Int, out: String) =
+        s"""(SELECT vec_id, bucket AS $out FROM (
+           |    SELECT a.vec_id, c.cluster AS bucket,
+           |      row_number() OVER (PARTITION BY a.vec_id
+           |        ORDER BY -(${cos("a.e", "c.c")}), c.cluster) AS rn
+           |    FROM v a CROSS JOIN
+           |      (SELECT vec_id AS cluster, e AS c FROM v
+           |       WHERE vec_id >= $lo AND vec_id < $hi) c) WHERE rn = 1)""".stripMargin
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+         |  FROM embeddings),
+         |ab AS (SELECT x.vec_id, x.ba, y.bb FROM
+         |  ${assign(0, NList, "ba")} x JOIN
+         |  ${assign(NList, 2 * NList, "bb")} y USING (vec_id)),
+         |si AS (SELECT CAST(sum((c * (c - 1)) // 2) AS BIGINT) AS sum_idx
+         |  FROM (SELECT count(*) AS c FROM ab GROUP BY ba, bb)),
+         |sa AS (SELECT CAST(sum((c * (c - 1)) // 2) AS BIGINT) AS sum_a
+         |  FROM (SELECT count(*) AS c FROM ab GROUP BY ba)),
+         |sb AS (SELECT CAST(sum((c * (c - 1)) // 2) AS BIGINT) AS sum_b
+         |  FROM (SELECT count(*) AS c FROM ab GROUP BY bb)),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ab)
+         |SELECT n, sum_idx, sum_a, sum_b,
+         |  round((CAST(sum_idx AS DOUBLE) -
+         |      CAST(sum_a AS DOUBLE) * CAST(sum_b AS DOUBLE) /
+         |        CAST((n * (n - 1)) // 2 AS DOUBLE)) /
+         |    (CAST(sum_a + sum_b AS DOUBLE) / 2.0 -
+         |      CAST(sum_a AS DOUBLE) * CAST(sum_b AS DOUBLE) /
+         |        CAST((n * (n - 1)) // 2 AS DOUBLE)), 6) AS ari
+         |FROM nn, si, sa, sb""".stripMargin
+    },
     "ann_topk" ->
       s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
          |  FROM embeddings WHERE vec_id < $BruteCap),

@@ -494,7 +494,17 @@ class ShuffleBudgetSpec extends GraftSuite {
     // token-keyed three-moment agg + TakeOrdered — a blown budget means
     // the moment pass stopped combining map-side). readability is NOT
     // pinned: pure per-row projection (59-byte count residue).
-    "term_burstiness" -> (52000L, 240000L))
+    "term_burstiness" -> (52000L, 240000L),
+    // round-10 pins — measured: semdedup 268 (the within-cluster pair
+    // join broadcasts the bucket-assigned side at this SF; only the
+    // per-cluster count partials shuffle — a blown budget means the
+    // cluster-bounded pair join started exchanging the corpus);
+    // ari_clusterings 46 (two broadcast-kernel assignments + contingency
+    // groupBy partials + 1-row scalars); unimax_alloc 1,427 (the
+    // per-source token groupBy + the |sources|-row window exchange)
+    "semdedup" -> (80L, 410L),
+    "ari_clusterings" -> (15L, 70L),
+    "unimax_alloc" -> (470L, 2200L))
 
   /** Memo keys to evict after the warm pass so the measured pass runs the
     * gate's build plan instead of reading a checkpoint. dedup_groups
