@@ -346,6 +346,48 @@ object TextQueries {
             .otherwise(1000000L).as("precision_ppm"))
     }),
 
+    // MinHash ESTIMATOR calibration — the third sketch-quality number
+    // next to lsh_recall/lsh_precision: per banded candidate pair, the
+    // signature-agreement Jaccard estimate (matching mins / numHashes,
+    // the unbiased MinHash estimator) against the exact Jaccard, both as
+    // integer ppm with the absolute error alongside. This is the plot
+    // that justifies a numHashes choice before scaling the sketch out;
+    // candidate work is band-bounded exactly as in minhash_pairs.
+    "minhash_err" -> ((s, dir) => {
+      val nh = Bands * Rows
+      val sets = docs(s, dir).select(col("doc_id").as("id"),
+          graft.functions.TextKernels.shingle_hashes(col("text"),
+            lit(ShingleN)).as("sh"))
+        .where(size(col("sh")) > 0)
+      val sigs = sets.select(col("id"),
+        graft.functions.TextKernels.minhash_sig(col("sh"), nh).as("sig"))
+      val sorted = sets.select(col("id"), sort_array(col("sh")).as("shs"))
+      val cand = Dedup.minhashCandidates(docs(s, dir), "doc_id", "text",
+        ShingleN, Bands, Rows)
+      val inter = graft.functions.VecKernels
+        .sorted_intersect_count(col("sh_a"), col("sh_b"))
+      cand
+        .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")),
+          "id_a")
+        .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")),
+          "id_b")
+        .join(sorted.select(col("id").as("id_a"), col("shs").as("sh_a")),
+          "id_a")
+        .join(sorted.select(col("id").as("id_b"), col("shs").as("sh_b")),
+          "id_b")
+        .select(col("id_a"), col("id_b"),
+          aggregate(zip_with(col("sig_a"), col("sig_b"),
+            (x, y) => when(x === y, 1L).otherwise(0L)),
+            lit(0L), (acc, v) => acc + v).as("n_eq"),
+          inter.cast("long").as("c"),
+          (size(col("sh_a")) + size(col("sh_b"))).cast("long").as("sz"))
+        .select(col("id_a"), col("id_b"),
+          expr(s"(n_eq * 1000000) div $nh").as("est_ppm"),
+          expr("(c * 1000000) div (sz - c)").as("exact_ppm"))
+        .withColumn("err_ppm", abs(col("est_ppm") - col("exact_ppm")))
+        .orderBy("id_a", "id_b")
+    }),
+
     // SimHash fingerprints (60-bit)
     "simhash_fp" -> ((s, dir) => {
       docs(s, dir).select(col("doc_id"),
@@ -1711,6 +1753,33 @@ object TextQueries {
          |    THEN (nc.n_common * 1000000) // nb.n_brute
          |    ELSE 1000000 END AS BIGINT) AS recall_ppm
          |FROM nb CROSS JOIN nl CROSS JOIN nc""".stripMargin,
+    // per-candidate signature agreement (64 per-perm min equalities) vs
+    // exact Jaccard; LEFT JOIN inter so a fold-collision candidate with
+    // zero shared shingles still reports est vs 0
+    "minhash_err" -> {
+      val nEq = (0 until Bands * Rows)
+        .map(i => s"(CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH $sqlToks,
+         |$sqlShingles,
+         |$sqlShingleHashes,
+         |$sqlMinhash
+         |SELECT c.id_a, c.id_b,
+         |  CAST((($nEq) * 1000000) // ${Bands * Rows} AS BIGINT)
+         |    AS est_ppm,
+         |  CAST((coalesce(i.c, 0) * 1000000) //
+         |    (za.n + zb.n - coalesce(i.c, 0)) AS BIGINT) AS exact_ppm,
+         |  CAST(abs((($nEq) * 1000000) // ${Bands * Rows} -
+         |    (coalesce(i.c, 0) * 1000000) //
+         |      (za.n + zb.n - coalesce(i.c, 0))) AS BIGINT) AS err_ppm
+         |FROM cand c
+         |JOIN sig sa ON c.id_a = sa.doc_id
+         |JOIN sig sb ON c.id_b = sb.doc_id
+         |JOIN sizes za ON c.id_a = za.doc_id
+         |JOIN sizes zb ON c.id_b = zb.doc_id
+         |LEFT JOIN inter i ON c.id_a = i.id_a AND c.id_b = i.id_b
+         |ORDER BY c.id_a, c.id_b""".stripMargin
+    },
     // cand (the banded candidates) from the shared minhash CTEs; a true
     // candidate is one whose exact Jaccard clears the tau floor
     "lsh_precision" ->

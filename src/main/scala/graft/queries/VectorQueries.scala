@@ -656,6 +656,41 @@ object VectorQueries {
         .orderBy("cluster")
     }),
 
+    // Cluster purity against the embeddings' ground-truth labels — the
+    // external-validation twin of ari_clusterings (a label-aware check a
+    // pipeline runs when a labeled eval slice exists). Fixed-centroid
+    // assignment (ann_ivf_fixed's seam), per-(cluster, label) contingency
+    // counts, majority label per cluster by (count desc, label) — all
+    // exact integers, purity as integer ppm. Plan: broadcast-kernel
+    // assignment, one contingency groupBy, a cluster-partitioned rank
+    // window over the k·|labels|-row table.
+    "cluster_purity" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val cents = e.where(col("vec_id") < NList)
+        .select(col("vec_id").cast("int"),
+          col("embedding").cast("array<double>"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+      val assigned = SimilaritySearch.ivfIndexFixed(
+          e, "vec_id", "embedding", cents).indexed
+        .join(e.select(col("vec_id"), col("label")),
+          col("id") === col("vec_id"))
+      val byLab = assigned.groupBy("bucket", "label")
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy("bucket")
+        .orderBy(col("c").desc, col("label"))
+      byLab
+        .withColumn("n", sum("c").over(Window.partitionBy("bucket")))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("bucket").cast("long").as("cluster"),
+          col("n").cast("long").as("n"),
+          col("label").cast("long").as("maj_label"),
+          col("c").as("n_major"),
+          expr("(c * 1000000) div n").cast("long").as("purity_ppm"))
+        .orderBy("cluster")
+    }),
+
     // Adjusted Rand Index between two clusterings of the same corpus
     // (Hubert & Arabie 1985) — the agreement score a curation pipeline
     // checks before swapping a new clustering run in for the reference
@@ -771,6 +806,32 @@ object VectorQueries {
          |SELECT CAST(t.bucket AS BIGINT) AS cluster, t.n_total,
          |  t.n_total - coalesce(d.n_dropped, 0) AS n_kept
          |FROM tot t LEFT JOIN d USING (bucket) ORDER BY cluster""".stripMargin
+    },
+    // fixed-centroid assignment joined to labels; majority via the same
+    // (count desc, label) rank order as the Spark window
+    "cluster_purity" -> {
+      val cos = (x: String, y: String) =>
+        s"list_dot_product($x, $y) / (sqrt(list_dot_product($x, $x)) * sqrt(list_dot_product($y, $y)))"
+      s"""WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+         |  FROM embeddings),
+         |cents AS (SELECT vec_id AS cluster, e AS c FROM v
+         |  WHERE vec_id < $NList),
+         |vb AS (SELECT vec_id, label, bucket FROM (
+         |    SELECT a.vec_id, a.label, c.cluster AS bucket,
+         |      row_number() OVER (PARTITION BY a.vec_id
+         |        ORDER BY -(${cos("a.e", "c.c")}), c.cluster) AS rn
+         |    FROM v a CROSS JOIN cents c) WHERE rn = 1),
+         |bl AS (SELECT bucket, label, count(*) AS c FROM vb
+         |  GROUP BY bucket, label),
+         |r AS (SELECT bucket, label, c,
+         |    CAST(sum(c) OVER (PARTITION BY bucket) AS BIGINT) AS n,
+         |    row_number() OVER (PARTITION BY bucket
+         |      ORDER BY c DESC, label) AS rn
+         |  FROM bl)
+         |SELECT CAST(bucket AS BIGINT) AS cluster, n,
+         |  CAST(label AS BIGINT) AS maj_label, c AS n_major,
+         |  CAST((c * 1000000) // n AS BIGINT) AS purity_ppm
+         |FROM r WHERE rn = 1 ORDER BY cluster""".stripMargin
     },
     // two fixed-centroid assignments, contingency pair counts, the ARI
     // ratio written op-for-op as the Spark expression (one double divide

@@ -504,7 +504,14 @@ class ShuffleBudgetSpec extends GraftSuite {
     // per-source token groupBy + the |sources|-row window exchange)
     "semdedup" -> (80L, 410L),
     "ari_clusterings" -> (15L, 70L),
-    "unimax_alloc" -> (470L, 2200L))
+    "unimax_alloc" -> (470L, 2200L),
+    // cluster_purity 1,502 (label join + contingency groupBy + the
+    // k·|labels|-row rank window)
+    "cluster_purity" -> (500L, 2300L),
+    // minhash_err 11,817 (band-key candidate equi-join + the four
+    // id-keyed signature/shingle-set joins — a blown budget means the
+    // estimator eval started shuffling more than the candidate stream)
+    "minhash_err" -> (3900L, 18000L))
 
   /** Memo keys to evict after the warm pass so the measured pass runs the
     * gate's build plan instead of reading a checkpoint. dedup_groups
