@@ -355,26 +355,24 @@ object TextQueries {
     // candidate work is band-bounded exactly as in minhash_pairs.
     "minhash_err" -> ((s, dir) => {
       val nh = Bands * Rows
-      val sets = docs(s, dir).select(col("doc_id").as("id"),
+      // ONE doc-side table carrying both the signature and the
+      // hash-sorted shingle set, joined once per pair side — not one
+      // join per derived column (that shape re-shuffled the candidate
+      // stream four times and re-ran shingle_hashes per projection)
+      val side = docs(s, dir).select(col("doc_id").as("id"),
           graft.functions.TextKernels.shingle_hashes(col("text"),
             lit(ShingleN)).as("sh"))
         .where(size(col("sh")) > 0)
-      val sigs = sets.select(col("id"),
-        graft.functions.TextKernels.minhash_sig(col("sh"), nh).as("sig"))
-      val sorted = sets.select(col("id"), sort_array(col("sh")).as("shs"))
+        .select(col("id"),
+          graft.functions.TextKernels.minhash_sig(col("sh"), nh).as("sig"),
+          sort_array(col("sh")).as("shs"))
       val cand = Dedup.minhashCandidates(docs(s, dir), "doc_id", "text",
         ShingleN, Bands, Rows)
       val inter = graft.functions.VecKernels
         .sorted_intersect_count(col("sh_a"), col("sh_b"))
       cand
-        .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")),
-          "id_a")
-        .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")),
-          "id_b")
-        .join(sorted.select(col("id").as("id_a"), col("shs").as("sh_a")),
-          "id_a")
-        .join(sorted.select(col("id").as("id_b"), col("shs").as("sh_b")),
-          "id_b")
+        .join(side.toDF("id_a", "sig_a", "sh_a"), "id_a")
+        .join(side.toDF("id_b", "sig_b", "sh_b"), "id_b")
         .select(col("id_a"), col("id_b"),
           aggregate(zip_with(col("sig_a"), col("sig_b"),
             (x, y) => when(x === y, 1L).otherwise(0L)),
