@@ -135,4 +135,57 @@ object Sampling {
       lit(math.round(default * denom).toInt))
     df.where((PolyHash.poly_hash(col(keyCol).cast("string")) % denom) < threshold)
   }
+
+  /** UniMax corpus allocation (Chung et al., ICLR'23): spread a token
+    * budget as uniformly as possible across sources, capping each source
+    * at `epochCap` epochs of its own size. The waterfill has a closed
+    * form over the per-source table: sorted by capacity ascending, a
+    * source is saturated iff granting it and every larger source its own
+    * capacity level still fits the budget; the first unsaturated row
+    * fixes the integer water level θ = (B − prefix<) div remaining, and
+    * every unsaturated source gets θ — i.e. alloc_s = min(cap_s, θ*)
+    * with θ* the largest integer level whose total fits the budget.
+    *
+    * `perSource` must expose (`source` string, `n_tokens` long); budget
+    * B = tokens·budgetNum div budgetDen, which must be < epochCap so the
+    * largest source can never saturate and the water-level row always
+    * exists. Plan: windows and 1-row scalar joins over the bounded
+    * |sources|-row table only — candidate work independent of corpus
+    * size (the corpus-size groupBy is the caller's).
+    *
+    * @return (source, n_tokens, cap, alloc, epochs) with epochs the
+    *         6dp-rounded alloc/n_tokens.
+    */
+  def unimaxAlloc(perSource: DataFrame, epochCap: Int,
+                  budgetNum: Int, budgetDen: Int): DataFrame = {
+    require(budgetNum.toDouble / budgetDen < epochCap,
+      s"budget fraction $budgetNum/$budgetDen must be < epochCap $epochCap")
+    import org.apache.spark.sql.expressions.Window
+    val glob = perSource.agg(sum("n_tokens").cast("long").as("tot"),
+      count(lit(1)).cast("long").as("nd"))
+    val w = Window.orderBy("cap", "source")
+    val ranked = perSource
+      .select(col("source"), col("n_tokens"),
+        (col("n_tokens") * epochCap).as("cap"))
+      .crossJoin(broadcast(glob))
+      .withColumn("budget", expr(s"(tot * $budgetNum) div $budgetDen"))
+      .withColumn("i", row_number().over(w).cast("long"))
+      .withColumn("prefix", sum("cap").over(w))
+      .withColumn("sat",
+        col("prefix") + col("cap") * (col("nd") - col("i")) <=
+          col("budget"))
+    // B < Σcap (budget fraction < epochCap), so the last row is always
+    // unsaturated and this 1-row limit never comes up empty
+    val theta = ranked.where(!col("sat")).orderBy("i").limit(1)
+      .select(expr("(budget - prefix + cap) div (nd - i + 1)")
+        .as("theta"))
+    ranked.crossJoin(broadcast(theta))
+      .select(col("source"), col("n_tokens"), col("cap"),
+        when(col("sat"), col("cap"))
+          .otherwise(least(col("cap"), col("theta"))).as("alloc"))
+      .withColumn("epochs",
+        when(col("n_tokens") === 0, lit(0.0))
+          .otherwise(round(col("alloc").cast("double") /
+            col("n_tokens").cast("double"), 6)))
+  }
 }

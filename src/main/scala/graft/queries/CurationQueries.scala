@@ -285,32 +285,8 @@ object CurationQueries {
       val perSrc = docs(s, dir).groupBy("source").agg(
         sum(TF.tokenCount(col("text")).cast("long")).cast("long")
           .as("n_tokens"))
-      val glob = perSrc.agg(sum("n_tokens").cast("long").as("tot"),
-        count(lit(1)).cast("long").as("nd"))
-      val w = Window.orderBy("cap", "source")
-      val ranked = perSrc
-        .select(col("source"), col("n_tokens"),
-          (col("n_tokens") * UnimaxEpochCap).as("cap"))
-        .crossJoin(broadcast(glob))
-        .withColumn("budget", expr("(tot * 3) div 5"))
-        .withColumn("i", row_number().over(w).cast("long"))
-        .withColumn("prefix", sum("cap").over(w))
-        .withColumn("sat",
-          col("prefix") + col("cap") * (col("nd") - col("i")) <=
-            col("budget"))
-      // B < Σcap (3/5 < UnimaxEpochCap), so the last row is always
-      // unsaturated and this 1-row limit never comes up empty
-      val theta = ranked.where(!col("sat")).orderBy("i").limit(1)
-        .select(expr("(budget - prefix + cap) div (nd - i + 1)")
-          .as("theta"))
-      ranked.crossJoin(broadcast(theta))
-        .select(col("source"), col("n_tokens"), col("cap"),
-          when(col("sat"), col("cap"))
-            .otherwise(least(col("cap"), col("theta"))).as("alloc"))
-        .withColumn("epochs",
-          when(col("n_tokens") === 0, lit(0.0))
-            .otherwise(round(col("alloc").cast("double") /
-              col("n_tokens").cast("double"), 6)))
+      graft.operators.Sampling
+        .unimaxAlloc(perSrc, UnimaxEpochCap, budgetNum = 3, budgetDen = 5)
         .orderBy("source")
     }),
 

@@ -210,4 +210,37 @@ class PropertySpec extends GraftSuite {
       assert(got._3 == got._4, s"dot kernel != HOF form dims=$dims seed=$seed")
     }
   }
+
+  test("unimax waterfill equals the brute-force integer water level (property)") {
+    // the closed-form window waterfill (Sampling.unimaxAlloc) must pick
+    // exactly alloc_s = min(cap_s, θ*) with θ* the LARGEST integer level
+    // whose total fits the budget — verified against a binary search on
+    // random source tables, including duplicate sizes
+    val gen = for {
+      n <- Gen.choose(2, 30)
+      seed <- Gen.choose(0L, 100000L)
+      cap <- Gen.oneOf(2, 3, 4)
+    } yield (n, seed, cap)
+    samples(gen, 10).foreach { case (n, seed, cap) =>
+      val rnd = new scala.util.Random(seed)
+      val sizes = (0 until n).map(i =>
+        (s"s$i", (rnd.nextInt(100000) + 1).toLong))
+      val out = graft.operators.Sampling
+        .unimaxAlloc(sizes.toDF("source", "n_tokens"), cap, 3, 5)
+        .select("source", "alloc").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val caps = sizes.map { case (s, t) => s -> t * cap }.toMap
+      val budget = sizes.map(_._2).sum * 3 / 5
+      def totalAt(th: Long): Long = caps.values.map(c => math.min(c, th)).sum
+      var lo = 0L
+      var hi = caps.values.max
+      while (lo < hi) {
+        val mid = (lo + hi + 1) / 2
+        if (totalAt(mid) <= budget) lo = mid else hi = mid - 1
+      }
+      val expect = caps.map { case (s, c) => s -> math.min(c, lo) }
+      assert(out === expect, s"n=$n seed=$seed cap=$cap budget=$budget theta=$lo")
+      assert(out.values.sum <= budget, s"overspent n=$n seed=$seed cap=$cap")
+    }
+  }
 }
