@@ -50,9 +50,7 @@ object Traversals {
     *         `hops` is Int. Sources themselves report 0.
     */
   def bfsHops(edges: DataFrame, sources: DataFrame, maxHops: Int = 32): DataFrame = {
-    val sym = symmetrize(edges)
-    .repartition(col("src")) // rounds join/group on src: exchange the adjacency ONCE, not per round
-    .localCheckpoint(eager = false)
+    val sym = symmetrize(edges).localCheckpoint(eager = false)
 
     var visited = sources.select(col("id").cast("long").as("id")).distinct()
       .withColumn("hops", lit(0))
@@ -92,9 +90,7 @@ object Traversals {
     */
   def seededHops(edges: DataFrame, seeds: DataFrame,
                  maxHops: Int = 32): DataFrame = {
-    val sym = symmetrize(edges)
-    .repartition(col("src")) // rounds join/group on src: exchange the adjacency ONCE, not per round
-    .localCheckpoint(eager = false)
+    val sym = symmetrize(edges).localCheckpoint(eager = false)
 
     var visited = seeds.select(col("id").cast("long").as("seed"))
       .distinct()
@@ -141,9 +137,7 @@ object Traversals {
     */
   def seededSigma(edges: DataFrame, seeds: DataFrame,
                   maxHops: Int): DataFrame = {
-    val sym = symmetrize(edges)
-    .repartition(col("src")) // rounds join/group on src: exchange the adjacency ONCE, not per round
-    .localCheckpoint(eager = false)
+    val sym = symmetrize(edges).localCheckpoint(eager = false)
     var visited = seeds.select(col("id").cast("long").as("seed"))
       .distinct()
       .withColumn("id", col("seed"))
@@ -352,9 +346,7 @@ object Traversals {
     * with eager release. Returns (id, label).
     */
   def labelPropagation(edges: DataFrame, iters: Int = 3): DataFrame = {
-    val sym = symmetrize(edges)
-    .repartition(col("src")) // rounds join/group on src: exchange the adjacency ONCE, not per round
-    .localCheckpoint(eager = false)
+    val sym = symmetrize(edges).localCheckpoint(eager = false)
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("lab", col("id"))
       .localCheckpoint(eager = false)
@@ -393,9 +385,7 @@ object Traversals {
     *         peel, with their degree in the surviving subgraph.
     */
   def kCore(edges: DataFrame, k: Int, rounds: Int = 6): DataFrame = {
-    var e = symmetrize(edges)
-    .repartition(col("src")) // rounds join/group on src: exchange the adjacency ONCE, not per round
-    .localCheckpoint(eager = false)
+    var e = symmetrize(edges).localCheckpoint(eager = false)
     e.count()
     var r = 0
     while (r < rounds) {
@@ -625,9 +615,7 @@ object Traversals {
     *         max-normalized double (callers round for gates).
     */
   def eigenCentrality(edges: DataFrame, iters: Int = 3): DataFrame = {
-    val sym = symmetrize(edges)
-    .repartition(col("src")) // rounds join/group on src: exchange the adjacency ONCE, not per round
-    .localCheckpoint(eager = false)
+    val sym = symmetrize(edges).localCheckpoint(eager = false)
     var x = sym.select(col("src").as("id")).distinct()
       .withColumn("w", lit(1L))
     var it = 0
