@@ -656,6 +656,41 @@ object VectorQueries {
         .orderBy("cluster")
     }),
 
+    // Hard-negative mining for contrastive training (the in-batch-
+    // negatives upgrade every retrieval-model pipeline ships): for each
+    // query, the most cosine-similar corpus vectors whose LABEL differs —
+    // similar enough to be hard, labeled different so they are true
+    // negatives. The scale path is candidate-bounded end to end: the
+    // fixed-quantizer IVF probe ranks TopK·4 candidates per query
+    // (ann_ivf_fixed's exact machinery), the label filter and final
+    // rerank run on that bounded stream, never the corpus. Fewer than
+    // TopK survivors per query is possible and deterministic.
+    "hard_negatives" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val cents = e.where(col("vec_id") < NList)
+        .select(col("vec_id").cast("int"),
+          col("embedding").cast("array<double>"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+      val idx = SimilaritySearch.ivfIndexFixed(e, "vec_id", "embedding",
+        cents)
+      val labels = e.select(col("vec_id"), col("label"))
+      val cand = idx.search(e.where(col("vec_id") < NQueries), "vec_id",
+        "embedding", TopK * 4, nprobe = NProbe)
+      val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("id"))
+      cand
+        .join(labels.select(col("vec_id").as("id"),
+          col("label").as("id_label")), "id")
+        .join(labels.select(col("vec_id").as("q_id"),
+          col("label").as("q_label")), "q_id")
+        .where(col("id_label") =!= col("q_label"))
+        .withColumn("neg_rank", row_number().over(w))
+        .where(col("neg_rank") <= TopK)
+        .select(col("q_id"), col("id"), col("sim"),
+          col("neg_rank").cast("int").as("neg_rank"))
+        .orderBy("q_id", "neg_rank")
+    }),
+
     // Cluster purity against the embeddings' ground-truth labels — the
     // external-validation twin of ari_clusterings (a label-aware check a
     // pipeline runs when a labeled eval slice exists). Fixed-centroid
@@ -806,6 +841,47 @@ object VectorQueries {
          |SELECT CAST(t.bucket AS BIGINT) AS cluster, t.n_total,
          |  t.n_total - coalesce(d.n_dropped, 0) AS n_kept
          |FROM tot t LEFT JOIN d USING (bucket) ORDER BY cluster""".stripMargin
+    },
+    // ann_ivf_fixed's probe→score→rank chain widened to TopK·4
+    // candidates, then the different-label filter and the final rerank
+    // in the same (sim desc, id) order
+    "hard_negatives" -> {
+      val cos = (x: String, y: String) =>
+        s"list_dot_product($x, $y) / (sqrt(list_dot_product($x, $x)) * sqrt(list_dot_product($y, $y)))"
+      s"""WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+         |  FROM embeddings),
+         |cents AS (SELECT vec_id AS cluster, e AS c FROM v
+         |  WHERE vec_id < $NList),
+         |vb AS (SELECT vec_id, cluster AS bucket FROM (
+         |    SELECT a.vec_id, c.cluster,
+         |      row_number() OVER (PARTITION BY a.vec_id
+         |        ORDER BY -(${cos("a.e", "c.c")}), c.cluster) AS rn
+         |    FROM v a CROSS JOIN cents c) WHERE rn = 1),
+         |qp AS (SELECT q_id, cluster AS bucket FROM (
+         |    SELECT a.vec_id AS q_id, c.cluster,
+         |      row_number() OVER (PARTITION BY a.vec_id
+         |        ORDER BY -(${cos("a.e", "c.c")}), c.cluster) AS rn
+         |    FROM v a CROSS JOIN cents c WHERE a.vec_id < $NQueries)
+         |  WHERE rn <= $NProbe),
+         |scored AS (SELECT qp.q_id, vb.vec_id AS id,
+         |    round(${cos("qa.e", "b.e")}, 6) AS sim
+         |  FROM qp JOIN vb ON qp.bucket = vb.bucket
+         |  JOIN v qa ON qa.vec_id = qp.q_id
+         |  JOIN v b ON b.vec_id = vb.vec_id
+         |  WHERE vb.vec_id <> qp.q_id),
+         |cand AS (SELECT q_id, id, sim FROM (SELECT q_id, id, sim,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, id)
+         |      AS rank FROM scored)
+         |  WHERE rank <= ${TopK * 4}),
+         |neg AS (SELECT c.q_id, c.id, c.sim,
+         |    row_number() OVER (PARTITION BY c.q_id
+         |      ORDER BY c.sim DESC, c.id) AS neg_rank
+         |  FROM cand c
+         |  JOIN v li ON li.vec_id = c.id
+         |  JOIN v lq ON lq.vec_id = c.q_id
+         |  WHERE li.label <> lq.label)
+         |SELECT q_id, id, sim, CAST(neg_rank AS INT) AS neg_rank
+         |FROM neg WHERE neg_rank <= $TopK ORDER BY q_id, neg_rank""".stripMargin
     },
     // fixed-centroid assignment joined to labels; majority via the same
     // (count desc, label) rank order as the Spark window

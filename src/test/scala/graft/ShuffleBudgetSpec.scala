@@ -511,7 +511,10 @@ class ShuffleBudgetSpec extends GraftSuite {
     // minhash_err 11,817 (band-key candidate equi-join + the four
     // id-keyed signature/shingle-set joins — a blown budget means the
     // estimator eval started shuffling more than the candidate stream)
-    "minhash_err" -> (3900L, 18000L))
+    "minhash_err" -> (3900L, 18000L),
+    // hard_negatives 2,737 (bucket-probe candidate join + label joins +
+    // the per-query rerank window over the TopK·4-bounded stream)
+    "hard_negatives" -> (900L, 4200L))
 
   /** Memo keys to evict after the warm pass so the measured pass runs the
     * gate's build plan instead of reading a checkpoint. dedup_groups
