@@ -471,4 +471,39 @@ class PlanHygieneSpec extends GraftSuite {
       s"the truncated top list must broadcast against the count tables:\n${p.take(600)}")
     assert(!p.contains("CartesianProduct"), "no cartesian in the smoothing joins")
   }
+
+  test("semdedup pair verification is a bucket equi-join, never a cartesian") {
+    // the whole point of SemDeDup: the quadratic cosine verify is bounded
+    // per cluster via the bucket equi-join — a cartesian here means the
+    // clustering stopped bounding the pair work
+    val p = plan("semdedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"within-cluster pair join must stay an equi-join:\n${p.take(600)}")
+  }
+
+  test("hard_negatives windows stay per-query, candidates bucket-joined") {
+    val p = plan("hard_negatives")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "the IVF probe must candidate-bound the scoring")
+    // the rerank window partitions by q_id — a SinglePartition window
+    // would mean the rerank went corpus-global
+    assert(!p.linesIterator.exists(l =>
+      l.contains("Window") && l.contains("SinglePartition")),
+      "rerank window must be per-query")
+  }
+
+  test("minhash_err joins one doc-side table per pair side") {
+    // the round-10 restructure: 2 id-keyed joins (plus the band-key
+    // candidate join), not one join per derived column
+    val p = plan("minhash_err")
+    // FormattedMode prints each operator twice (tree + details), so 3
+    // physical joins — band-key candidates + one join per pair side —
+    // count as 6; the pre-restructure shape (one join per derived
+    // column) was 5 joins = 10 matches
+    val smj = "SortMergeJoin".r.findAllIn(p).length +
+      "ShuffledHashJoin".r.findAllIn(p).length +
+      "BroadcastHashJoin".r.findAllIn(p).length
+    assert(smj <= 6,
+      s"expected <=3 joins x2 (band candidates + 2 doc sides), got $smj:\n${p.take(800)}")
+  }
 }
