@@ -301,6 +301,35 @@ object CurationQueries {
           col("surprisal"))
         .orderBy("doc_id")),
 
+    // CCNet perplexity bucketing (Wenzek et al., LREC 2020): rank the
+    // corpus by LM bits-per-token and cut into head/middle/tail thirds —
+    // the selection mechanism CCNet filters Common Crawl with (keep
+    // head, sample middle, drop tail). The order key is exact integer
+    // milli-bits-per-token (surprisal_score's integer-bit trick), the
+    // global rank is the two-phase PrefixScan (range partition + per-
+    // partition scan — never a single-partition window), and the cut is
+    // the explicit (rank·3) div n so both engines share one remainder
+    // rule. Output: per-third doc/token mass and the bit-rate range.
+    "ccnet_buckets" -> ((s, dir) => {
+      val np = s.sparkContext.defaultParallelism
+      val scored = graft.operators.LexicalRank
+        .unigramSurprisal(docs(s, dir), "doc_id", "text")
+        .select(col("id").as("doc_id"), col("n_tokens"), col("sum_bits"),
+          expr("(sum_bits * 1000) div greatest(n_tokens, 1)")
+            .as("milli_bits"))
+      val ranked = graft.operators.PrefixScan.denseIds(
+        scored, Seq("milli_bits", "doc_id"), "rk0", np)
+      val total = scored.agg(count(lit(1)).as("n"))
+      ranked.crossJoin(broadcast(total))
+        .withColumn("bucket", expr("(rk0 * 3) div n").cast("int"))
+        .groupBy("bucket").agg(
+          count(lit(1)).as("n_docs"),
+          sum("n_tokens").cast("long").as("sum_tokens"),
+          min("milli_bits").as("min_mbits"),
+          max("milli_bits").as("max_mbits"))
+        .orderBy("bucket")
+    }),
+
     // The same corpus-LM filter raised to bigram order: integer-exact
     // -log2 p(w2|w1) bits summed per document (LexicalRank.bigramSurprisal
     // — the operator that catches common-words-in-impossible-order text a
@@ -1473,6 +1502,33 @@ object CurationQueries {
          |       ELSE round(CAST(sc.sb AS DOUBLE) / sc.nt, 6) END AS surprisal
          |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+    // surprisal_score's integer-bit CTEs + row_number in (milli_bits,
+    // doc_id) order + the explicit (rank·3)//n third cut
+    "ccnet_buckets" ->
+      s"""WITH $sqlToks,
+         |occ AS (SELECT doc_id, unnest(t) AS w FROM toks),
+         |dt AS (SELECT doc_id, w, count(*) AS c FROM occ GROUP BY 1, 2),
+         |v AS (SELECT w, CAST(sum(c) AS BIGINT) AS vc FROM dt GROUP BY 1),
+         |g AS (SELECT CAST(sum(vc) AS BIGINT) AS tot FROM v),
+         |sc AS (SELECT dt.doc_id,
+         |    CAST(sum(dt.c * (length(bin(g.tot // v.vc)) - 1)) AS BIGINT)
+         |      AS sb,
+         |    CAST(sum(dt.c) AS BIGINT) AS nt
+         |  FROM dt JOIN v USING (w), g GROUP BY 1),
+         |ds AS (SELECT d.doc_id,
+         |    CAST(coalesce(sc.nt, 0) AS BIGINT) AS nt,
+         |    CAST(coalesce(sc.sb, 0) AS BIGINT) AS sb,
+         |    CAST((coalesce(sc.sb, 0) * 1000) //
+         |      greatest(coalesce(sc.nt, 0), 1) AS BIGINT) AS mb
+         |  FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id),
+         |r AS (SELECT *, row_number() OVER (ORDER BY mb, doc_id) AS rn,
+         |    count(*) OVER () AS n FROM ds)
+         |SELECT CAST(((rn - 1) * 3) // n AS INT) AS bucket,
+         |  count(*) AS n_docs,
+         |  CAST(sum(nt) AS BIGINT) AS sum_tokens,
+         |  CAST(min(mb) AS BIGINT) AS min_mbits,
+         |  CAST(max(mb) AS BIGINT) AS max_mbits
+         |FROM r GROUP BY 1 ORDER BY bucket""".stripMargin,
     // bigram order: aligned slice-unnest pairs, prefix counts from the
     // bigram table, bits = length(bin(c1 // c12)) - 1 — same integer
     // discipline as surprisal_score, one double division at the end

@@ -514,7 +514,10 @@ class ShuffleBudgetSpec extends GraftSuite {
     "minhash_err" -> (3900L, 18000L),
     // hard_negatives 2,737 (bucket-probe candidate join + label joins +
     // the per-query rerank window over the TopK·4-bounded stream)
-    "hard_negatives" -> (900L, 4200L))
+    "hard_negatives" -> (900L, 4200L),
+    // ccnet_buckets 4,695 (surprisal model groupBys + the PrefixScan
+    // range partition + the 3-row bucket rollup)
+    "ccnet_buckets" -> (1500L, 7100L))
 
   /** Memo keys to evict after the warm pass so the measured pass runs the
     * gate's build plan instead of reading a checkpoint. dedup_groups
