@@ -204,5 +204,11 @@ object Bench {
         System.err.println(s"[bench] cleanup failed (headline still emitted): $e")
     }
     lines.foreach(println)
+    // Spark's non-daemon threads can outlive a failed evictSession/stop
+    // (the catch above skips the remaining cleanup); the headline is out,
+    // so force the forked JVM down rather than let the driver wait out
+    // its window on a hung process.
+    System.out.flush()
+    sys.exit(0)
   }
 }

@@ -174,11 +174,16 @@ object Sampling {
       .withColumn("sat",
         col("prefix") + col("cap") * (col("nd") - col("i")) <=
           col("budget"))
-    // B < Σcap (budget fraction < epochCap), so the last row is always
-    // unsaturated and this 1-row limit never comes up empty
+    // B < Σcap (budget fraction < epochCap), so on any corpus with at
+    // least one token the last row is unsaturated and this 1-row limit
+    // is non-empty; the degenerate all-zero corpus (every cap 0, budget
+    // 0, every row saturated) would leave it empty — the agg below turns
+    // that into a single θ=0 row so every source still gets alloc=0
+    // instead of the crossJoin silently dropping all rows
     val theta = ranked.where(!col("sat")).orderBy("i").limit(1)
       .select(expr("(budget - prefix + cap) div (nd - i + 1)")
         .as("theta"))
+      .agg(coalesce(min("theta"), lit(0L)).as("theta"))
     ranked.crossJoin(broadcast(theta))
       .select(col("source"), col("n_tokens"), col("cap"),
         when(col("sat"), col("cap"))

@@ -732,8 +732,11 @@ object VectorQueries {
     // one. The two clusterings are fixed-centroid assignments from
     // disjoint centroid sets (vec_id < NList vs the next NList — the
     // deterministic ann_ivf_fixed seam). Every pair count is an exact
-    // integer and n ≤ corpus size keeps each C(·,2) product inside 2^53,
-    // so the one double division is engine-identical. Plan: two
+    // integer; the expected-index product sum_a·sum_b grows ~n⁴/4 and
+    // leaves 2^53 around n≈13k, so the double arithmetic is not exact at
+    // scale — it IS engine-identical (both engines evaluate the same op
+    // chain in the same order on the same exact-integer inputs), which
+    // is what the hash oracle pins. Plan: two
     // broadcast-kernel assignments, one contingency groupBy, 1-row
     // scalar joins — no pair set is ever materialized.
     "ari_clusterings" -> ((s, dir) => {

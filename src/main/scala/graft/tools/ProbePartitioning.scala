@@ -33,11 +33,6 @@ object ProbePartitioning {
     import spark.implicits._
     val e = (0L until 2000L).map(i => (i % 97, i)).toDF("src", "dst")
 
-    def exchangesAboveLeaf(plan: String): Int =
-      plan.split("\n").count(_.trim.startsWith("+- Exchange")) +
-        plan.split("\n").count(_.trim.startsWith(":- Exchange")) +
-        plan.split("\n").count(_.trim.startsWith("Exchange"))
-
     for (pre <- Seq(false, true)) {
       val sym = (if (pre) e.repartition(col("src")) else e)
         .localCheckpoint(eager = false)

@@ -242,5 +242,14 @@ class PropertySpec extends GraftSuite {
       assert(out === expect, s"n=$n seed=$seed cap=$cap budget=$budget theta=$lo")
       assert(out.values.sum <= budget, s"overspent n=$n seed=$seed cap=$cap")
     }
+    // degenerate all-zero corpus: every cap and the budget are 0, every
+    // row saturates, and the water-level row is empty — the operator must
+    // still emit one alloc=0 row per source, not an empty frame
+    val zero = graft.operators.Sampling
+      .unimaxAlloc(Seq(("a", 0L), ("b", 0L)).toDF("source", "n_tokens"),
+        2, 3, 5)
+      .select("source", "alloc").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(zero === Map("a" -> 0L, "b" -> 0L))
   }
 }
