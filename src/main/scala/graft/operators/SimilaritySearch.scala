@@ -16,6 +16,27 @@ import org.apache.spark.sql.functions._
   */
 object SimilaritySearch {
 
+  /** Upper bound on a driver-held codebook — IVF's contract is that
+    * centroid tables are O(nlist·dim) DRIVER scalars (they broadcast into
+    * the assignment kernel), never corpus-sized. [[fixedCentroids]]
+    * enforces it so the contract fails fast instead of OOMing the driver. */
+  val MaxFixedCentroids = 8192
+
+  /** Driver-side pull of the fixed-quantizer centroids — the embedding
+    * rows with ids in [lo, hi) as the codebook map every ann_ivf_fixed-seam
+    * gate shares (assignment stays deterministic and SQL-expressible at
+    * any SF because the centroids are data rows, not a fitted artifact). */
+  def fixedCentroids(embs: DataFrame, idCol: String, vecCol: String,
+                     lo: Int, hi: Int): Map[Int, Array[Double]] = {
+    require(0 <= lo && lo < hi && hi - lo <= MaxFixedCentroids,
+      s"fixed codebook [$lo, $hi) must hold at most $MaxFixedCentroids " +
+        "driver-side centroids")
+    embs.where(col(idCol) >= lo && col(idCol) < hi)
+      .select(col(idCol).cast("int"), col(vecCol).cast("array<double>"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+  }
+
   /** Cosine similarity rounded to 6dp — ranking on the rounded value (with
     * id tiebreak) keeps orderings reproducible across engines. */
   private def simCol(a: String, b: String) =

@@ -424,11 +424,8 @@ object CurationQueries {
     // topics). Every row is emitted with its rank + keep flag.
     "cluster_select" -> ((s, dir) => {
       val e = table(s, dir, "embeddings")
-      val cents = e.where(col("vec_id") < SelCents)
-        .select(col("vec_id").cast("int"),
-          col("embedding").cast("array<double>"))
-        .collect()
-        .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+      val cents = graft.operators.SimilaritySearch.fixedCentroids(
+        e, "vec_id", "embedding", 0, SelCents)
       val scored = docs(s, dir)
         .join(e.select(col("vec_id"), col("embedding")),
           col("doc_id") === col("vec_id"))

@@ -22,6 +22,14 @@ object VectorQueries {
   private val KnnK = 3
   /** ivf_nprobe_curve sweeps nprobe 1..NProbeMax. */
   private val NProbeMax = 4
+  /** semdedup's per-task pair-work cap: buckets larger than this split
+    * into hash slices before the within-cluster verify (exact triangle
+    * blocking via SkewJoin.blockedSelfPairs), so a skewed mega-bucket
+    * costs O((n_b/cap)²) tasks of ≤cap² comparisons instead of one
+    * quadratic task. 256 keeps a block's pair work ≈ 65k cosines —
+    * comfortably one task-second — while sf0.01's ~750-row buckets
+    * already exercise the multi-slice path (S ≈ 3). */
+  private val SemDedupBlockCap = 256
   /** ann_refine first-stage (ADC) candidate count per query. */
   private val RefineN = 50
   /** matryoshka_recall truncation width (first MatDim of 64 dims). */
@@ -44,6 +52,12 @@ object VectorQueries {
 
   private def embs(s: SparkSession, dir: String): DataFrame =
     table(s, dir, "embeddings")
+
+  /** The shared fixed-quantizer codebook pull (ids [lo, hi)) — one seam,
+    * bound-enforced in [[SimilaritySearch.fixedCentroids]]. */
+  private def fixedCentroids(e: DataFrame, lo: Int,
+                             hi: Int): Map[Int, Array[Double]] =
+    SimilaritySearch.fixedCentroids(e, "vec_id", "embedding", lo, hi)
 
   /** Fixed deterministic PQ codebook: entry c of book j = subvector j of
     * corpus vector c (the first PqKs vectors — O(ks·dim) driver scalars,
@@ -401,12 +415,8 @@ object VectorQueries {
     // recall-spec'd Lloyd end-to-end.
     "ann_ivf_fixed" -> ((s, dir) => {
       val e = embs(s, dir)
-      val cents = e.where(col("vec_id") < NList)
-        .select(col("vec_id").cast("int"),
-          col("embedding").cast("array<double>"))
-        .collect()
-        .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
-      val idx = SimilaritySearch.ivfIndexFixed(e, "vec_id", "embedding", cents)
+      val idx = SimilaritySearch.ivfIndexFixed(e, "vec_id", "embedding",
+        fixedCentroids(e, 0, NList))
       idx.search(e.where(col("vec_id") < NQueries), "vec_id", "embedding",
         TopK, nprobe = NProbe).orderBy("q_id", "rank")
     }),
@@ -422,13 +432,8 @@ object VectorQueries {
     "ivf_nprobe_curve" -> ((s, dir) => {
       val e = embs(s, dir).where(col("vec_id") < BruteCap)
       val q = e.where(col("vec_id") < NQueries)
-      val cents = e.where(col("vec_id") < NList)
-        .select(col("vec_id").cast("int"),
-          col("embedding").cast("array<double>"))
-        .collect()
-        .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
       val idx = SimilaritySearch.ivfIndexFixed(e, "vec_id", "embedding",
-        cents)
+        fixedCentroids(e, 0, NList))
       val brute = SimilaritySearch.cosineTopK(e, q, "vec_id", "embedding",
         TopK).select(col("q_id"), col("id"))
       (1 to NProbeMax).map { np =>
@@ -511,13 +516,9 @@ object VectorQueries {
     // table lookups, independent of dimension.
     "ann_ivfpq" -> ((s, dir) => {
       val e = embs(s, dir)
-      val cents = e.where(col("vec_id") < NList)
-        .select(col("vec_id").cast("int"),
-          col("embedding").cast("array<double>"))
-        .collect()
-        .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
       graft.operators.ProductQuant.ivfAdcTopK(
-          e, "vec_id", "embedding", cents, pqCodebook(s, dir),
+          e, "vec_id", "embedding", fixedCentroids(e, 0, NList),
+          pqCodebook(s, dir),
           e.where(col("vec_id") < NQueries), TopK, NProbe)
         .orderBy("q_id", "rank")
     }),
@@ -623,30 +624,30 @@ object VectorQueries {
     // space, then prune near-duplicates ONLY within each cluster — the
     // clustering bounds the quadratic verification the way LSH bands
     // bound minhash_pairs, which is what lets semantic dedup run at
-    // corpus scale (pair work per cluster, never per corpus; nlist grows
-    // with the corpus so cluster sizes stay bounded). Centroids are the
-    // first NList vectors (the ann_ivf_fixed seam), so assignment is
-    // deterministic and SQL-expressible; a vector is dropped iff a
+    // corpus scale (pair work per cluster, never per corpus). Centroids
+    // are the first NList vectors (the ann_ivf_fixed seam), so assignment
+    // is deterministic and SQL-expressible; a vector is dropped iff a
     // lower-id same-cluster vector is cosine-≥ CosTau similar (the
     // paper's keep-one policy with min-id as the canonical survivor).
+    // Fixed-centroid assignment on real embedding distributions is
+    // SKEWED, and a plain bucket equi-join puts a mega-bucket's whole
+    // O(n_b²) verify in one task — the pair join therefore runs through
+    // SkewJoin.blockedSelfPairs (exact triangle blocking: identical pair
+    // set, per-task pair work capped at ~SemDedupBlockCap², one hot
+    // bucket spread over O((n_b/cap)²) tasks). The dropped id is
+    // greatest(id_a, id_b): blocked pairs surface in hash order, and
+    // cosine is symmetric, so this is exactly the id_a < id_b drop rule.
     "semdedup" -> ((s, dir) => {
       val e = embs(s, dir)
-      val cents = e.where(col("vec_id") < NList)
-        .select(col("vec_id").cast("int"),
-          col("embedding").cast("array<double>"))
-        .collect()
-        .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
       val assigned = SimilaritySearch.ivfIndexFixed(
-        e, "vec_id", "embedding", cents).indexed
-      val a = assigned.select(col("bucket"), col("id").as("id_a"),
-        col("vec").as("vec_a"))
-      val b = assigned.select(col("bucket"), col("id").as("id_b"),
-        col("vec").as("vec_b"))
-      val dropped = a.join(b, "bucket")
-        .where(col("id_a") < col("id_b"))
+        e, "vec_id", "embedding", fixedCentroids(e, 0, NList)).indexed
+      val dropped = graft.operators.SkewJoin.blockedSelfPairs(
+          assigned.select(col("bucket"), col("id"), col("vec")),
+          "bucket", "id", cap = SemDedupBlockCap)
         .where(round(graft.functions.Distances.cosine(
           col("vec_a"), col("vec_b")), 6) >= CosTau)
-        .select(col("bucket"), col("id_b")).distinct()
+        .select(col("bucket"),
+          greatest(col("id_a"), col("id_b")).as("id_b")).distinct()
       assigned.groupBy("bucket").agg(count(lit(1)).as("n_total"))
         .join(dropped.groupBy("bucket").agg(count(lit(1)).as("n_dropped")),
           Seq("bucket"), "left")
@@ -667,13 +668,8 @@ object VectorQueries {
     // TopK survivors per query is possible and deterministic.
     "hard_negatives" -> ((s, dir) => {
       val e = embs(s, dir)
-      val cents = e.where(col("vec_id") < NList)
-        .select(col("vec_id").cast("int"),
-          col("embedding").cast("array<double>"))
-        .collect()
-        .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
       val idx = SimilaritySearch.ivfIndexFixed(e, "vec_id", "embedding",
-        cents)
+        fixedCentroids(e, 0, NList))
       val labels = e.select(col("vec_id"), col("label"))
       val cand = idx.search(e.where(col("vec_id") < NQueries), "vec_id",
         "embedding", TopK * 4, nprobe = NProbe)
@@ -701,13 +697,8 @@ object VectorQueries {
     // window over the k·|labels|-row table.
     "cluster_purity" -> ((s, dir) => {
       val e = embs(s, dir)
-      val cents = e.where(col("vec_id") < NList)
-        .select(col("vec_id").cast("int"),
-          col("embedding").cast("array<double>"))
-        .collect()
-        .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
       val assigned = SimilaritySearch.ivfIndexFixed(
-          e, "vec_id", "embedding", cents).indexed
+          e, "vec_id", "embedding", fixedCentroids(e, 0, NList)).indexed
         .join(e.select(col("vec_id"), col("label")),
           col("id") === col("vec_id"))
       val byLab = assigned.groupBy("bucket", "label")
@@ -741,16 +732,11 @@ object VectorQueries {
     // scalar joins — no pair set is ever materialized.
     "ari_clusterings" -> ((s, dir) => {
       val e = embs(s, dir)
-      def centsIn(lo: Int, hi: Int) = e
-        .where(col("vec_id") >= lo && col("vec_id") < hi)
-        .select(col("vec_id").cast("int"),
-          col("embedding").cast("array<double>"))
-        .collect()
-        .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
       val a = SimilaritySearch.ivfIndexFixed(e, "vec_id", "embedding",
-        centsIn(0, NList)).indexed.select(col("id"), col("bucket").as("ba"))
+          fixedCentroids(e, 0, NList)).indexed
+        .select(col("id"), col("bucket").as("ba"))
       val b = SimilaritySearch.ivfIndexFixed(e, "vec_id", "embedding",
-        centsIn(NList, 2 * NList)).indexed
+        fixedCentroids(e, NList, 2 * NList)).indexed
         .select(col("id"), col("bucket").as("bb"))
       val ab = a.join(b, "id")
       def c2(df: DataFrame, keys: String*) = df

@@ -472,13 +472,30 @@ class PlanHygieneSpec extends GraftSuite {
     assert(!p.contains("CartesianProduct"), "no cartesian in the smoothing joins")
   }
 
-  test("semdedup pair verification is a bucket equi-join, never a cartesian") {
+  test("semdedup pair verification is a blocked bucket equi-join, never a cartesian") {
     // the whole point of SemDeDup: the quadratic cosine verify is bounded
     // per cluster via the bucket equi-join — a cartesian here means the
-    // clustering stopped bounding the pair work
+    // clustering stopped bounding the pair work. And the join must key on
+    // the triangle-blocking slice pair (bucket, __graft_p, __graft_q),
+    // not bucket alone: a bucket-only key puts a skewed mega-bucket's
+    // whole O(n_b²) verify in one task at 100×.
     val p = plan("semdedup")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"within-cluster pair join must stay an equi-join:\n${p.take(600)}")
+    assert(p.contains("__graft_p") && p.contains("__graft_q"),
+      s"pair join must key on the slice pair, not the bucket alone:\n${p.take(600)}")
+  }
+
+  test("hdbscan_extract labels by broadcast against the selected antichain") {
+    // the flat labeling reads the memoized cut-sweep components and joins
+    // them against the O(#selected)-row antichain — that join must
+    // broadcast (the driver already holds the set), and nothing in the
+    // extraction may go cartesian
+    val p = plan("hdbscan_extract")
+    assert(p.contains("BroadcastHashJoin"),
+      s"membership join must broadcast the selected set:\n${p.take(600)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "no cartesian in the extraction")
   }
 
   test("hard_negatives windows stay per-query, candidates bucket-joined") {

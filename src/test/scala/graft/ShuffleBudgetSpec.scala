@@ -424,6 +424,11 @@ class ShuffleBudgetSpec extends GraftSuite {
     // set instead of the forest)
     "single_linkage" -> (220000L, 990000L),
     "hdbscan_stability" -> (1000000L, 4600000L),
+    // hdbscan_extract 143,807 steady-state over the memoized cut-sweep
+    // components (per-cut size agg + the per-label death window + the
+    // membership joins — all O(labels) or V-bounded; a blown budget
+    // means the condensed-tree build started re-walking the sweep)
+    "hdbscan_extract" -> (48000L, 216000L),
     // kcenter_coreset 236 (k−1 zero-shuffle scans + TakeOrdered(1)
     // argmins — a blown budget means a round regressed to a join or a
     // corpus sort); mix_temperature 494 (tiny-key source agg + 1-row
@@ -495,10 +500,11 @@ class ShuffleBudgetSpec extends GraftSuite {
     // the moment pass stopped combining map-side). readability is NOT
     // pinned: pure per-row projection (59-byte count residue).
     "term_burstiness" -> (52000L, 240000L),
-    // round-10 pins — measured: semdedup 268 (the within-cluster pair
-    // join broadcasts the bucket-assigned side at this SF; only the
-    // per-cluster count partials shuffle — a blown budget means the
-    // cluster-bounded pair join started exchanging the corpus);
+    // round-10 pins — measured: semdedup 268 (re-measured identical in
+    // round 11 after the triangle-blocking guard: at this SF every
+    // bucket fits one slice, so the blocked join degenerates to the
+    // plain two-sided form; a blown budget means the cluster-bounded
+    // pair join started exchanging the corpus);
     // ari_clusterings 46 (two broadcast-kernel assignments + contingency
     // groupBy partials + 1-row scalars); unimax_alloc 1,427 (the
     // per-source token groupBy + the |sources|-row window exchange)
@@ -532,6 +538,12 @@ class ShuffleBudgetSpec extends GraftSuite {
       // the forest memo (round 9): the pin was taken from the boruvka
       // build; single_linkage/hdbscan_stability read the memoized forest
       "mst_forest" -> graft.queries.ClusterQueries.MstKey,
+      // the cut-sweep component memo (round 11): hdbscan_stability's pin
+      // was taken from the 8-leg batched union-CC, which now lives
+      // behind StabCompKey shared with hdbscan_extract — rebuild it so
+      // the pin still measures the sweep; hdbscan_extract pins the
+      // steady-state read (memo kept)
+      "hdbscan_stability" -> graft.queries.ClusterQueries.StabCompKey,
       // the mutual-reachability forest memo: pin the core-distance +
       // weighted-boruvka build, not the checkpoint read
       "mreach_mst" -> graft.queries.ClusterQueries.MreachKey)

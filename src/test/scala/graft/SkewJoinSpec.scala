@@ -44,6 +44,52 @@ class SkewJoinSpec extends GraftSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("blockedSelfPairs is pair-identical to the plain within-group join") {
+    import spark.implicits._
+    // skewed: ~90% of rows land in one hot group, the rest in 3 small ones
+    val rows = (0L until 400L)
+      .map(i => (if (i % 10 == 0) s"g${i % 3}" else "hot", i, (i * 7 % 13)))
+      .toDF("grp", "id", "v")
+    // normalize a pair to (min id, max id, payloads in that order) — the
+    // blocked form emits off-diagonal pairs in hash order, not id order
+    def norm(pairs: org.apache.spark.sql.DataFrame) = pairs.select(
+      col("grp"),
+      least(col("id_a"), col("id_b")).as("lo"),
+      greatest(col("id_a"), col("id_b")).as("hi"),
+      when(col("id_a") < col("id_b"), col("v_a")).otherwise(col("v_b")).as("v_lo"),
+      when(col("id_a") < col("id_b"), col("v_b")).otherwise(col("v_a")).as("v_hi"))
+    val a = rows.select(col("grp"), col("id").as("id_a"), col("v").as("v_a"))
+    val b = rows.select(col("grp"), col("id").as("id_b"), col("v").as("v_b"))
+    val plain = norm(a.join(b, "grp").where(col("id_a") < col("id_b")))
+    // cap=1 (every row its own slice), mid caps (multi-slice hot group),
+    // and a cap larger than any group (degenerates to the plain join)
+    for (cap <- Seq(1, 7, 64, 1000)) {
+      val blocked = norm(SkewJoin.blockedSelfPairs(rows, "grp", "id", cap))
+      assert(blocked.count() === plain.count(), s"cap=$cap")
+      assert(blocked.exceptAll(plain).isEmpty && plain.exceptAll(blocked).isEmpty,
+        s"cap=$cap pair sets differ")
+    }
+  }
+
+  test("blockedSelfPairs joins on the slice-pair key, bounding task pair work") {
+    import spark.implicits._
+    val rows = (0L until 300L).map(i => ("hot", i)).toDF("grp", "id")
+    val joined = SkewJoin.blockedSelfPairs(rows, "grp", "id", 50)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("__graft_p") && plan.contains("__graft_q"),
+      s"pair join must key on (group, slice, slice):\n${plan.take(800)}")
+    // 300 rows / cap 50 → 6 slices → 21 blocks; the diagonal keeps
+    // id_a < id_b, off-diagonals pair disjoint slices — spot-check totals
+    assert(joined.count() === 300L * 299L / 2)
+    // slice occupancy is hash-uniform: with 6 slices of a 300-row group
+    // no slice may hold more than 2× its fair share on this fixed data
+    val s = 6
+    val occ = rows.withColumn("slice",
+        pmod(xxhash64(col("id")), lit(s.toLong))).groupBy("slice").count()
+      .agg(max("count")).head().getLong(0)
+    assert(occ <= 100, s"max slice occupancy $occ exceeds 2x fair share")
+  }
+
   test("left join keeps unmatched large-side rows exactly once") {
     val (e, dim) = fixtures
     val partialDim = dim.where(col("event_type") =!= "view")
