@@ -103,6 +103,20 @@ object ClusterQueries {
         pairsOpt = Some(sharedPairs(s, dir)))
     }
 
+  /** The published anonymized table joined with the sensitive attribute —
+    * the input both privacy-audit gates (l_diversity, t_closeness) read:
+    * one row per point with its published quasi-identifier group (the
+    * 4dp-rounded anonymizing centroid, dbscan_anonymize's columns) and
+    * the part brand as the sensitive value. */
+  private def anonPublished(s: SparkSession, dir: String): DataFrame = {
+    val m = sharedModel(s, dir)
+    m.assignments.select(col("id"),
+        round(element_at(col("an_qi"), 1), 4).as("an_x0"),
+        round(element_at(col("an_qi"), 2), 4).as("an_x1"))
+      .join(table(s, dir, "part")
+        .select(col("p_partkey").as("id"), col("p_brand").as("sv")), "id")
+  }
+
   /** The 3-round LPA labeling of the ε-graph, shared by lpa_communities
     * and modularity (a real pipeline labels communities once and reads
     * several metrics from them) — memoized per (session, dir); the
@@ -274,6 +288,30 @@ object ClusterQueries {
        |  FROM pts a, pts b
        |  WHERE a.id < b.id AND abs(a.x0-b.x0)+abs(a.x1-b.x1) < $eps)""".stripMargin
 
+  /** The published anonymized rows with the sensitive attribute —
+    * (an_x0, an_x1, sv) per point, shared by the l_diversity /
+    * t_closeness oracles. Same members/nearest-centroid construction as
+    * the dbscan_anonymize oracle; expects $sqlGraph + $sqlCc (pts,
+    * labels) to precede it. */
+  private def sqlAnonPub: String =
+    s"""cents AS (SELECT l.component, avg(p.x0) AS c0, avg(p.x1) AS c1
+       |  FROM labels l JOIN pts p ON l.id = p.id
+       |  WHERE l.component IS NOT NULL GROUP BY l.component),
+       |members AS (SELECT l.id, round(c.c0, 4) AS an_x0,
+       |    round(c.c1, 4) AS an_x1
+       |  FROM labels l JOIN cents c ON l.component = c.component),
+       |nn AS (SELECT l.id, round(c.c0, 4) AS an_x0,
+       |    round(c.c1, 4) AS an_x1,
+       |    row_number() OVER (PARTITION BY l.id
+       |      ORDER BY abs(p.x0 - c.c0) + abs(p.x1 - c.c1), c.component)
+       |      AS rn
+       |  FROM labels l JOIN pts p ON l.id = p.id, cents c
+       |  WHERE l.component IS NULL),
+       |anon AS (SELECT id, an_x0, an_x1 FROM members
+       |  UNION ALL SELECT id, an_x0, an_x1 FROM nn WHERE rn = 1),
+       |pub AS (SELECT a.an_x0, a.an_x1, pa.p_brand AS sv
+       |  FROM anon a JOIN part pa ON pa.p_partkey = a.id)""".stripMargin
+
   /** One recursive-CTE CC leg over the pair graph thresholded at `t` —
     * yields comp$i(id, comp) for vertices incident to an admitted edge.
     * `rel` names the weighted a<b edge relation to threshold. */
@@ -375,6 +413,55 @@ object ClusterQueries {
         round(element_at(col("an_qi"), 1), 4).as("an_x0"),
         round(element_at(col("an_qi"), 2), 4).as("an_x1"))
         .orderBy("id")
+    }),
+
+    // l-diversity audit of the anonymized table (Machanavajjhala et al.
+    // ICDE'06) — the standard check a privacy pipeline runs AFTER
+    // k-anonymization (the reference's entire purpose, DBSCAN.py:103-133):
+    // k-anonymity bounds re-identification but a class whose members all
+    // share one sensitive value still leaks it. Equivalence classes are
+    // the PUBLISHED quasi-identifier groups (the 4dp-rounded anonymizing
+    // centroid, exactly dbscan_anonymize's output columns — noise rows
+    // audit under the centroid they were published with); the sensitive
+    // attribute is the part's brand. One keyed groupBy with an
+    // exact distinct count over the bounded sensitive domain — scales.
+    "l_diversity" -> ((s, dir) => {
+      anonPublished(s, dir)
+        .groupBy("an_x0", "an_x1")
+        .agg(count(lit(1)).as("n"),
+          countDistinct("sv").as("l_distinct"))
+        .orderBy("an_x0", "an_x1")
+    }),
+
+    // t-closeness audit (Li et al. ICDE'07), the companion check: how far
+    // each class's sensitive-value distribution sits from the global one.
+    // For a categorical attribute the EMD under uniform ground distance
+    // is the total-variation distance t = ½ Σ_v |p_c(v) − p_g(v)|, kept
+    // EXACT over the common denominator n_c·N: t_ppm = (Σ_v |c_v·N −
+    // g_v·n_c| · 10⁶) div (2·n_c·N), products widened to decimal(38,0)
+    // (HUGEINT in the oracle) so the integers never truncate at scale.
+    // Plan: class/value/global count aggs, a |classes|×|values| grid via
+    // a broadcast of the bounded value table, 1-row total broadcast.
+    "t_closeness" -> ((s, dir) => {
+      val pub = anonPublished(s, dir)
+      val cls = pub.groupBy("an_x0", "an_x1", "sv")
+        .agg(count(lit(1)).as("c"))
+      val sizes = pub.groupBy("an_x0", "an_x1")
+        .agg(count(lit(1)).as("n_c"))
+      val glob = pub.groupBy("sv").agg(count(lit(1)).as("g"))
+      val tot = pub.agg(count(lit(1)).as("nn"))
+      sizes.crossJoin(broadcast(glob))
+        .join(cls, Seq("an_x0", "an_x1", "sv"), "left")
+        .crossJoin(broadcast(tot))
+        .groupBy("an_x0", "an_x1")
+        .agg(max("n_c").as("n_c"), max("nn").as("nn"),
+          sum(abs(coalesce(col("c"), lit(0L)).cast("decimal(38,0)") *
+              col("nn") -
+            col("g").cast("decimal(38,0)") * col("n_c"))).as("t_num"))
+        .select(col("an_x0"), col("an_x1"), col("n_c").as("n"),
+          expr("cast((t_num * 1000000) div " +
+            "(2 * cast(n_c as decimal(38,0)) * nn) as bigint)").as("t_ppm"))
+        .orderBy("an_x0", "an_x1")
     }),
 
     // E3: constrained k-means (k-means.ipynb) — the fit is seeded-
@@ -1069,6 +1156,45 @@ object ClusterQueries {
          |UNION ALL
          |SELECT id, NULL AS component, an_x0, an_x1 FROM nn WHERE rn = 1
          |ORDER BY id""".stripMargin,
+    // the privacy audits recompute the published table from first
+    // principles (same CTE skeleton as dbscan_anonymize), then group by
+    // the published centroid pair and read the sensitive distribution
+    "l_diversity" ->
+      s"""WITH RECURSIVE
+         |$sqlGraph,
+         |$sqlCc,
+         |$sqlAnonPub
+         |SELECT an_x0, an_x1, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(count(DISTINCT sv) AS BIGINT) AS l_distinct
+         |FROM pub GROUP BY an_x0, an_x1 ORDER BY an_x0, an_x1""".stripMargin,
+    // exact total-variation EMD: per-(class, value) counts against the
+    // |classes|×|values| grid, products in HUGEINT (Spark decimal(38,0)),
+    // floor-div ppm on all-nonnegative numerators
+    "t_closeness" ->
+      s"""WITH RECURSIVE
+         |$sqlGraph,
+         |$sqlCc,
+         |$sqlAnonPub,
+         |cls AS (SELECT an_x0, an_x1, sv, CAST(count(*) AS BIGINT) AS c
+         |  FROM pub GROUP BY an_x0, an_x1, sv),
+         |szs AS (SELECT an_x0, an_x1, CAST(count(*) AS BIGINT) AS n_c
+         |  FROM pub GROUP BY an_x0, an_x1),
+         |gdist AS (SELECT sv, CAST(count(*) AS BIGINT) AS g FROM pub
+         |  GROUP BY sv),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM pub),
+         |grid AS (SELECT s.an_x0, s.an_x1, s.n_c, gl.sv, gl.g,
+         |    coalesce(c.c, 0) AS c
+         |  FROM szs s CROSS JOIN gdist gl
+         |  LEFT JOIN cls c ON c.an_x0 = s.an_x0 AND c.an_x1 = s.an_x1
+         |    AND c.sv = gl.sv),
+         |num AS (SELECT an_x0, an_x1, max(n_c) AS n_c, max(t.nn) AS nn,
+         |    sum(abs(CAST(c AS HUGEINT) * t.nn - CAST(g AS HUGEINT) * n_c))
+         |      AS t_num
+         |  FROM grid, tot t GROUP BY an_x0, an_x1)
+         |SELECT an_x0, an_x1, CAST(n_c AS BIGINT) AS n,
+         |  CAST((t_num * 1000000) // (2 * CAST(n_c AS HUGEINT) * nn)
+         |    AS BIGINT) AS t_ppm
+         |FROM num ORDER BY an_x0, an_x1""".stripMargin,
     // reproduces the JSON sink's content (pt + anonymizing centroid per
     // point, reference output/combine.json) and the k-means parquet's row
     // count, aggregated — the round-trip is lossless (shortest-roundtrip

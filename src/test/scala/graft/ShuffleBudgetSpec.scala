@@ -523,7 +523,14 @@ class ShuffleBudgetSpec extends GraftSuite {
     "hard_negatives" -> (900L, 4200L),
     // ccnet_buckets 4,695 (surprisal model groupBys + the PrefixScan
     // range partition + the 3-row bucket rollup)
-    "ccnet_buckets" -> (1500L, 7100L))
+    "ccnet_buckets" -> (1500L, 7100L),
+    // round-11 privacy audits over the memoized model — l_diversity
+    // 4,599 (one class groupBy with a distinct-count partial);
+    // t_closeness 7,130 (class/value/global count aggs + the broadcast
+    // grid — a blown budget means the |classes|×|values| grid started
+    // shuffling the published table instead of the count partials)
+    "l_diversity" -> (1500L, 6900L),
+    "t_closeness" -> (2300L, 10700L))
 
   /** Memo keys to evict after the warm pass so the measured pass runs the
     * gate's build plan instead of reading a checkpoint. dedup_groups
