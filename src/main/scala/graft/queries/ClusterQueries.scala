@@ -149,31 +149,76 @@ object ClusterQueries {
         f.labels.localCheckpoint())
     }
 
-  /** The StabilityCuts per-cut component table (ci, id, component) —
-    * ONE batched union-CC fixpoint over |cuts| cut-replicated copies of
-    * the memoized forest's V−1 edges (the dbscan_sweep trick; the sweep
-    * never touches the pair set), shared by hdbscan_stability (per-label
+  /** The StabilityCuts per-cut component table (ci, id, component) of a
+    * memoized forest — ONE batched union-CC fixpoint over |cuts|
+    * cut-replicated copies of its V−1 edges (the dbscan_sweep trick; the
+    * sweep never touches the pair set). Vertices isolated at a cut are
+    * absent from their ci slice. */
+  private def stabCompOf(f: graft.graph.Mst.Forest): DataFrame = {
+    val off = f.labels.agg(max("id")).head().getLong(0) + 1
+    val cutLit = array(StabilityCuts.map(lit(_)): _*)
+    val edges = f.edges
+      .select(col("a"), col("b"), col("w"),
+        posexplode(cutLit).as(Seq("ci", "cut")))
+      .where(col("w") <= col("cut"))
+      .select((col("ci") * off + col("a")).as("src"),
+        (col("ci") * off + col("b")).as("dst"))
+    ConnectedComponents.run(edges)
+      .select(expr(s"CAST(id DIV ${off}L AS INT)").as("ci"),
+        (col("id") % off).as("id"),
+        (col("component") % off).as("component"))
+      .localCheckpoint()
+  }
+
+  /** Raw-forest cut sweep, shared by hdbscan_stability (per-label
     * lifetimes) and hdbscan_extract (the FOSC flat labeling read off the
-    * same sweep). Vertices isolated at a cut are absent from their ci
-    * slice. */
+    * same sweep). */
   private[graft] val StabCompKey = "cluster.stabComp"
   private def sharedStabComp(s: SparkSession, dir: String): DataFrame =
-    QueryCache.shared(StabCompKey, s, dir) {
-      val f = sharedMst(s, dir)
-      val off = f.labels.agg(max("id")).head().getLong(0) + 1
-      val cutLit = array(StabilityCuts.map(lit(_)): _*)
-      val edges = f.edges
-        .select(col("a"), col("b"), col("w"),
-          posexplode(cutLit).as(Seq("ci", "cut")))
-        .where(col("w") <= col("cut"))
-        .select((col("ci") * off + col("a")).as("src"),
-          (col("ci") * off + col("b")).as("dst"))
-      ConnectedComponents.run(edges)
-        .select(expr(s"CAST(id DIV ${off}L AS INT)").as("ci"),
-          (col("id") % off).as("id"),
-          (col("component") % off).as("component"))
-        .localCheckpoint()
-    }
+    QueryCache.shared(StabCompKey, s, dir)(stabCompOf(sharedMst(s, dir)))
+
+  /** Mutual-reachability-forest cut sweep, shared by mreach_stability
+    * and mreach_extract — the TRUE HDBSCAN metric's sweep (non-core
+    * points never enter the graph, so they are absent from every
+    * slice). */
+  private[graft] val MreachCompKey = "cluster.mreachComp"
+  private def sharedMreachComp(s: SparkSession, dir: String): DataFrame =
+    QueryCache.shared(MreachCompKey, s, dir)(stabCompOf(sharedMreach(s, dir)))
+
+  /** The FOSC flat labeling read off a cut-sweep component table: the
+    * per-label stability mass and condensed-tree parent edges collect as
+    * O(#clusters) driver rows (labels are min member ids, so point x
+    * belongs to cluster x for its whole life and the absorbing label at
+    * x's death cut IS the tree parent), [[graft.graph.Fosc.select]] picks
+    * the stability-maximizing antichain on the driver, and the labeling
+    * is one broadcast join of the memberships against the selected set —
+    * every point gets its unique selected ancestor or noise. */
+  private def foscExtract(s: SparkSession, comp: DataFrame,
+                          allPts: DataFrame): DataFrame = {
+    val sizes = comp.groupBy("ci", "component")
+      .agg(count(lit(1)).as("n"))
+    val stab = sizes.groupBy("component").agg(sum("n").as("m"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val labelsDf = sizes.select(col("component").as("id")).distinct()
+    val wd = Window.partitionBy("id").orderBy("ci")
+    val parent = comp.join(labelsDf, Seq("id"), "left_semi")
+      .where(col("component") =!= col("id"))
+      .withColumn("rk", row_number().over(wd))
+      .where(col("rk") === 1)
+      .select(col("id"), col("component"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sel = graft.graph.Fosc.select(stab, parent)
+    import s.implicits._
+    val selDf = sel.toSeq.sorted.toDF("cluster")
+    val memb = comp
+      .join(broadcast(selDf), comp("component") === selDf("cluster"))
+      .select(col("id"), col("cluster")).distinct()
+    allPts.join(memb, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("cluster"), lit(-1L)).as("cluster"),
+        col("cluster").isNull.cast("int").as("is_noise"))
+      .orderBy("id")
+  }
 
   /** HDBSCAN core distance per point (exact centi-L1): the k-th nearest
     * neighbor's distance within the ε-ball, k = minPts, self excluded —
@@ -311,6 +356,72 @@ object ClusterQueries {
        |  UNION ALL SELECT id, an_x0, an_x1 FROM nn WHERE rn = 1),
        |pub AS (SELECT a.an_x0, a.an_x1, pa.p_brand AS sv
        |  FROM anon a JOIN part pa ON pa.p_partkey = a.id)""".stripMargin
+
+  /** The FOSC extraction recomputed from first principles over the
+    * weighted a<b edge relation `rel` (which `prologue` must define,
+    * along with pts): per-cut CC legs, the condensed tree from each
+    * label's first absorbed row, then the bottom-up stability DP
+    * UNROLLED by death-cut index (along any root path death cuts
+    * strictly increase, so tree height <= |cuts| and pass k reads
+    * every child's value from pass k-1's accumulation) - same
+    * >=-selects-the-parent tie rule as Fosc.select, exact integers
+    * throughout. */
+  private def sqlFosc(prologue: String, rel: String): String =
+    s"""WITH RECURSIVE
+         |$prologue,
+         |${StabilityCuts.zipWithIndex.map { case (t, i) => slLeg(i, t, rel = rel) }
+             .mkString(",\n")},
+         |allc AS MATERIALIZED (${StabilityCuts.indices
+             .map(i => s"SELECT $i AS ci, id, comp FROM comp$i")
+             .mkString(" UNION ALL ")}),
+         |szs AS (SELECT ci, comp, count(*) AS n FROM allc
+         |        GROUP BY ci, comp),
+         |stab AS MATERIALIZED (SELECT comp AS x, CAST(sum(n) AS BIGINT) AS stab
+         |         FROM szs GROUP BY comp),
+         |lab AS (SELECT DISTINCT comp AS x FROM allc),
+         |pr AS (SELECT a.id AS x, a.comp AS parent, a.ci AS dci,
+         |    row_number() OVER (PARTITION BY a.id ORDER BY a.ci) AS rk
+         |  FROM allc a JOIN lab l ON l.x = a.id WHERE a.comp <> a.id),
+         |par AS MATERIALIZED (SELECT x, parent, dci FROM pr WHERE rk = 1),
+         |dp0 AS (SELECT s.x, s.stab AS sub, TRUE AS sel
+         |  FROM stab s JOIN par d ON d.x = s.x AND d.dci = 0),
+         |${(1 until StabilityCuts.length).map { k =>
+             s"""dp$k AS (SELECT x, sub, sel FROM dp${k - 1}
+                |  UNION ALL
+                |  SELECT s.x,
+                |    CASE WHEN s.stab >= coalesce(cs.c, 0) THEN s.stab
+                |         ELSE coalesce(cs.c, 0) END AS sub,
+                |    s.stab >= coalesce(cs.c, 0) AS sel
+                |  FROM stab s JOIN par d ON d.x = s.x AND d.dci = $k
+                |  LEFT JOIN (SELECT p.parent AS x, sum(v.sub) AS c
+                |             FROM par p JOIN dp${k - 1} v ON v.x = p.x
+                |             GROUP BY p.parent) cs ON cs.x = s.x)"""
+               .stripMargin
+           }.mkString(",\n")},
+         |vr AS (SELECT x, sub, sel FROM dp${StabilityCuts.length - 1}
+         |  UNION ALL
+         |  SELECT s.x,
+         |    CASE WHEN s.stab >= coalesce(cs.c, 0) THEN s.stab
+         |         ELSE coalesce(cs.c, 0) END AS sub,
+         |    s.stab >= coalesce(cs.c, 0) AS sel
+         |  FROM stab s
+         |  LEFT JOIN (SELECT p.parent AS x, sum(v.sub) AS c
+         |             FROM par p JOIN dp${StabilityCuts.length - 1} v
+         |               ON v.x = p.x
+         |             GROUP BY p.parent) cs ON cs.x = s.x
+         |  WHERE s.x NOT IN (SELECT x FROM par)),
+         |anc(x, a) AS (SELECT x, parent FROM par
+         |  UNION
+         |  SELECT anc.x, p.parent FROM anc JOIN par p ON p.x = anc.a),
+         |flat AS (SELECT v.x FROM vr v WHERE v.sel AND NOT EXISTS (
+         |  SELECT 1 FROM anc JOIN vr va ON va.x = anc.a
+         |  WHERE anc.x = v.x AND va.sel)),
+         |memb AS (SELECT DISTINCT a.id, a.comp FROM allc a
+         |         JOIN flat f ON f.x = a.comp)
+         |SELECT p.id, CAST(coalesce(m.comp, -1) AS BIGINT) AS cluster,
+         |  CAST(m.comp IS NULL AS INT) AS is_noise
+         |FROM pts p LEFT JOIN memb m ON m.id = p.id
+         |ORDER BY p.id""".stripMargin
 
   /** One recursive-CTE CC leg over the pair graph thresholded at `t` —
     * yields comp$i(id, comp) for vertices incident to an admitted edge.
@@ -760,33 +871,15 @@ object ClusterQueries {
     // flat labeling is one broadcast semi-join of the per-cut memberships
     // against the selected antichain — every point gets its unique
     // selected ancestor (antichain ∩ root path ≤ 1) or noise.
-    "hdbscan_extract" -> ((s, dir) => {
-      val comp = sharedStabComp(s, dir)
-      val sizes = comp.groupBy("ci", "component")
-        .agg(count(lit(1)).as("n"))
-      val stab = sizes.groupBy("component").agg(sum("n").as("m"))
-        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      val labelsDf = sizes.select(col("component").as("id")).distinct()
-      val wd = Window.partitionBy("id").orderBy("ci")
-      val parent = comp.join(labelsDf, Seq("id"), "left_semi")
-        .where(col("component") =!= col("id"))
-        .withColumn("rk", row_number().over(wd))
-        .where(col("rk") === 1)
-        .select(col("id"), col("component"))
-        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      val sel = graft.graph.Fosc.select(stab, parent)
-      import s.implicits._
-      val selDf = sel.toSeq.sorted.toDF("cluster")
-      val memb = comp
-        .join(broadcast(selDf), comp("component") === selDf("cluster"))
-        .select(col("id"), col("cluster")).distinct()
-      pts(s, dir).select(col("id"))
-        .join(memb, Seq("id"), "left")
-        .select(col("id"),
-          coalesce(col("cluster"), lit(-1L)).as("cluster"),
-          col("cluster").isNull.cast("int").as("is_noise"))
-        .orderBy("id")
-    }),
+    "hdbscan_extract" -> ((s, dir) =>
+      foscExtract(s, sharedStabComp(s, dir), pts(s, dir).select(col("id")))),
+
+    // The same extraction over the MUTUAL-REACHABILITY sweep — true
+    // HDBSCAN end to end (core distances → mreach MSF → stability sweep
+    // → FOSC flat labels): non-core points never enter the mreach graph,
+    // so they label noise exactly as HDBSCAN's density model prescribes.
+    "mreach_extract" -> ((s, dir) =>
+      foscExtract(s, sharedMreachComp(s, dir), pts(s, dir).select(col("id")))),
 
     // Deterministic DeepWalk/node2vec corpus generation: from every
     // id % RwSeedMod == 0 vertex, RwSteps hops where the "random" next
@@ -931,19 +1024,8 @@ object ClusterQueries {
     // from the raw mutual-reachability graph, so the forest-cut
     // equivalence is oracle-checked here too.
     "mreach_stability" -> ((s, dir) => {
-      val f = sharedMreach(s, dir)
-      val off = f.labels.agg(max("id")).head().getLong(0) + 1
       val cutLit = array(StabilityCuts.map(lit(_)): _*)
-      val edges = f.edges
-        .select(col("a"), col("b"), col("w"),
-          posexplode(cutLit).as(Seq("ci", "cut")))
-        .where(col("w") <= col("cut"))
-        .select((col("ci") * off + col("a")).as("src"),
-          (col("ci") * off + col("b")).as("dst"))
-      val comp = ConnectedComponents.run(edges)
-        .select(expr(s"CAST(id DIV ${off}L AS INT)").as("ci"),
-          (col("component") % off).as("component"))
-      val sizes = comp.groupBy("ci", "component")
+      val sizes = sharedMreachComp(s, dir).groupBy("ci", "component")
         .agg(count(lit(1)).as("n"))
       sizes.groupBy(col("component").as("cluster"))
         .agg(count(lit(1)).as("n_cuts"),
@@ -1523,62 +1605,12 @@ object ClusterQueries {
     // so tree height ≤ |cuts| and pass k can read every child's value
     // from pass k−1's accumulation) — same ≥-selects-the-parent tie rule
     // as Fosc.select, all in exact integers
-    "hdbscan_extract" ->
-      s"""WITH RECURSIVE
-         |$sqlNbrW,
-         |${StabilityCuts.zipWithIndex.map { case (t, i) => slLeg(i, t) }
-             .mkString(",\n")},
-         |allc AS MATERIALIZED (${StabilityCuts.indices
-             .map(i => s"SELECT $i AS ci, id, comp FROM comp$i")
-             .mkString(" UNION ALL ")}),
-         |szs AS (SELECT ci, comp, count(*) AS n FROM allc
-         |        GROUP BY ci, comp),
-         |stab AS MATERIALIZED (SELECT comp AS x, CAST(sum(n) AS BIGINT) AS stab
-         |         FROM szs GROUP BY comp),
-         |lab AS (SELECT DISTINCT comp AS x FROM allc),
-         |pr AS (SELECT a.id AS x, a.comp AS parent, a.ci AS dci,
-         |    row_number() OVER (PARTITION BY a.id ORDER BY a.ci) AS rk
-         |  FROM allc a JOIN lab l ON l.x = a.id WHERE a.comp <> a.id),
-         |par AS MATERIALIZED (SELECT x, parent, dci FROM pr WHERE rk = 1),
-         |dp0 AS (SELECT s.x, s.stab AS sub, TRUE AS sel
-         |  FROM stab s JOIN par d ON d.x = s.x AND d.dci = 0),
-         |${(1 until StabilityCuts.length).map { k =>
-             s"""dp$k AS (SELECT x, sub, sel FROM dp${k - 1}
-                |  UNION ALL
-                |  SELECT s.x,
-                |    CASE WHEN s.stab >= coalesce(cs.c, 0) THEN s.stab
-                |         ELSE coalesce(cs.c, 0) END AS sub,
-                |    s.stab >= coalesce(cs.c, 0) AS sel
-                |  FROM stab s JOIN par d ON d.x = s.x AND d.dci = $k
-                |  LEFT JOIN (SELECT p.parent AS x, sum(v.sub) AS c
-                |             FROM par p JOIN dp${k - 1} v ON v.x = p.x
-                |             GROUP BY p.parent) cs ON cs.x = s.x)"""
-               .stripMargin
-           }.mkString(",\n")},
-         |vr AS (SELECT x, sub, sel FROM dp${StabilityCuts.length - 1}
-         |  UNION ALL
-         |  SELECT s.x,
-         |    CASE WHEN s.stab >= coalesce(cs.c, 0) THEN s.stab
-         |         ELSE coalesce(cs.c, 0) END AS sub,
-         |    s.stab >= coalesce(cs.c, 0) AS sel
-         |  FROM stab s
-         |  LEFT JOIN (SELECT p.parent AS x, sum(v.sub) AS c
-         |             FROM par p JOIN dp${StabilityCuts.length - 1} v
-         |               ON v.x = p.x
-         |             GROUP BY p.parent) cs ON cs.x = s.x
-         |  WHERE s.x NOT IN (SELECT x FROM par)),
-         |anc(x, a) AS (SELECT x, parent FROM par
-         |  UNION
-         |  SELECT anc.x, p.parent FROM anc JOIN par p ON p.x = anc.a),
-         |flat AS (SELECT v.x FROM vr v WHERE v.sel AND NOT EXISTS (
-         |  SELECT 1 FROM anc JOIN vr va ON va.x = anc.a
-         |  WHERE anc.x = v.x AND va.sel)),
-         |memb AS (SELECT DISTINCT a.id, a.comp FROM allc a
-         |         JOIN flat f ON f.x = a.comp)
-         |SELECT p.id, CAST(coalesce(m.comp, -1) AS BIGINT) AS cluster,
-         |  CAST(m.comp IS NULL AS INT) AS is_noise
-         |FROM pts p LEFT JOIN memb m ON m.id = p.id
-         |ORDER BY p.id""".stripMargin,
+    // driver-side DP on the Spark side, chained-CTE DP here - both read
+    // the same condensed tree, so the flat labels are hash-exact
+    "hdbscan_extract" -> sqlFosc(sqlNbrW, "nbr"),
+    // true HDBSCAN: the same extraction over the mutual-reachability
+    // relation (non-core points are absent from mr, hence noise)
+    "mreach_extract" -> sqlFosc(sqlMreach, "mr"),
     // same degree-agg + triangle enumeration as the triangles oracle,
     // coefficient as exact integer ppm via // (0 when deg < 2)
     "clustering_coeff" ->

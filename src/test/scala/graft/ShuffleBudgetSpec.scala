@@ -429,6 +429,9 @@ class ShuffleBudgetSpec extends GraftSuite {
     // membership joins — all O(labels) or V-bounded; a blown budget
     // means the condensed-tree build started re-walking the sweep)
     "hdbscan_extract" -> (48000L, 216000L),
+    // mreach_extract 35,514 steady-state — same extraction over the
+    // smaller mutual-reachability sweep (non-core points never enter)
+    "mreach_extract" -> (11000L, 54000L),
     // kcenter_coreset 236 (k−1 zero-shuffle scans + TakeOrdered(1)
     // argmins — a blown budget means a round regressed to a join or a
     // corpus sort); mix_temperature 494 (tiny-key source agg + 1-row
@@ -551,6 +554,7 @@ class ShuffleBudgetSpec extends GraftSuite {
       // the pin still measures the sweep; hdbscan_extract pins the
       // steady-state read (memo kept)
       "hdbscan_stability" -> graft.queries.ClusterQueries.StabCompKey,
+      "mreach_stability" -> graft.queries.ClusterQueries.MreachCompKey,
       // the mutual-reachability forest memo: pin the core-distance +
       // weighted-boruvka build, not the checkpoint read
       "mreach_mst" -> graft.queries.ClusterQueries.MreachKey)
