@@ -32,6 +32,9 @@ object VectorQueries {
   private val SemDedupBlockCap = 256
   /** ann_refine first-stage (ADC) candidate count per query. */
   private val RefineN = 50
+  /** rrf_fusion's reciprocal-rank smoothing constant (the k=60 of
+    * Cormack et al., SIGIR'09). */
+  private val RrfK = 60
   /** matryoshka_recall truncation width (first MatDim of 64 dims). */
   private val MatDim = 16
 
@@ -687,6 +690,38 @@ object VectorQueries {
         .orderBy("q_id", "neg_rank")
     }),
 
+    // PER-QUERY reciprocal-rank fusion (Cormack, Clarke & Büttcher,
+    // SIGIR'09) — the retrieval-time sibling of rank_fusion (which fuses
+    // two GLOBAL corpus rankings): per query, the IVF semantic
+    // candidates (hard_negatives' probe machinery, TopK·4) are re-ranked
+    // within the pool by the documents' quality prior, and the two ranks
+    // fuse as Σ 10⁶ div (RrfK + r) — exact integers, so fusion order
+    // can't flip a tie. Both rankings and the fusion window are
+    // per-query over the probe-bounded pool: candidate work never
+    // touches the corpus, the quality join is id-keyed, and no global
+    // rank exists anywhere — the plan a hybrid search serves per request.
+    "rrf_fusion" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val idx = SimilaritySearch.ivfIndexFixed(e, "vec_id", "embedding",
+        fixedCentroids(e, 0, NList))
+      val cand = idx.search(e.where(col("vec_id") < NQueries), "vec_id",
+        "embedding", TopK * 4, nprobe = NProbe)
+      val q6 = table(s, dir, "documents").select(col("doc_id").as("id"),
+        graft.functions.TextFunctions.qualityScore(col("text")).as("q6"))
+      val wq = Window.partitionBy("q_id").orderBy(col("q6").desc, col("id"))
+      val wf = Window.partitionBy("q_id")
+        .orderBy(col("rrf").desc, col("id"))
+      cand.join(q6, "id")
+        .withColumn("r_qual", row_number().over(wq))
+        .withColumn("rrf",
+          expr(s"1000000L div ($RrfK + rank) + 1000000L div ($RrfK + r_qual)"))
+        .withColumn("fused_rank", row_number().over(wf))
+        .where(col("fused_rank") <= TopK)
+        .select(col("q_id"), col("id"), col("rrf"),
+          col("fused_rank").cast("int").as("fused_rank"))
+        .orderBy("q_id", "fused_rank")
+    }),
+
     // Cluster purity against the embeddings' ground-truth labels — the
     // external-validation twin of ari_clusterings (a label-aware check a
     // pipeline runs when a labeled eval slice exists). Fixed-centroid
@@ -871,6 +906,54 @@ object VectorQueries {
          |  WHERE li.label <> lq.label)
          |SELECT q_id, id, sim, CAST(neg_rank AS INT) AS neg_rank
          |FROM neg WHERE neg_rank <= $TopK ORDER BY q_id, neg_rank""".stripMargin
+    },
+    // same probe/candidate CTEs as hard_negatives, then the quality rank
+    // within the pool and the integer RRF fusion
+    "rrf_fusion" -> {
+      val cos = (x: String, y: String) =>
+        s"list_dot_product($x, $y) / (sqrt(list_dot_product($x, $x)) * sqrt(list_dot_product($y, $y)))"
+      s"""WITH ${graft.queries.TextQueries.sqlToks},
+         |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+         |  FROM embeddings),
+         |cents AS (SELECT vec_id AS cluster, e AS c FROM v
+         |  WHERE vec_id < $NList),
+         |vb AS (SELECT vec_id, cluster AS bucket FROM (
+         |    SELECT a.vec_id, c.cluster,
+         |      row_number() OVER (PARTITION BY a.vec_id
+         |        ORDER BY -(${cos("a.e", "c.c")}), c.cluster) AS rn
+         |    FROM v a CROSS JOIN cents c) WHERE rn = 1),
+         |qp AS (SELECT q_id, cluster AS bucket FROM (
+         |    SELECT a.vec_id AS q_id, c.cluster,
+         |      row_number() OVER (PARTITION BY a.vec_id
+         |        ORDER BY -(${cos("a.e", "c.c")}), c.cluster) AS rn
+         |    FROM v a CROSS JOIN cents c WHERE a.vec_id < $NQueries)
+         |  WHERE rn <= $NProbe),
+         |scored AS (SELECT qp.q_id, vb.vec_id AS id,
+         |    round(${cos("qa.e", "b.e")}, 6) AS sim
+         |  FROM qp JOIN vb ON qp.bucket = vb.bucket
+         |  JOIN v qa ON qa.vec_id = qp.q_id
+         |  JOIN v b ON b.vec_id = vb.vec_id
+         |  WHERE vb.vec_id <> qp.q_id),
+         |cand AS (SELECT q_id, id, rank FROM (SELECT q_id, id,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, id)
+         |      AS rank FROM scored)
+         |  WHERE rank <= ${TopK * 4}),
+         |q6 AS (SELECT doc_id AS id,
+         |    ${graft.queries.TextQueries.sqlQuality} AS q6 FROM toks),
+         |rq AS (SELECT c.q_id, c.id, c.rank,
+         |    row_number() OVER (PARTITION BY c.q_id
+         |      ORDER BY q6.q6 DESC, c.id) AS r_qual
+         |  FROM cand c JOIN q6 ON q6.id = c.id),
+         |f AS (SELECT q_id, id,
+         |    CAST(1000000 // ($RrfK + rank)
+         |      + 1000000 // ($RrfK + r_qual) AS BIGINT) AS rrf
+         |  FROM rq),
+         |fr AS (SELECT q_id, id, rrf,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY rrf DESC, id)
+         |      AS fused_rank FROM f)
+         |SELECT q_id, id, rrf, CAST(fused_rank AS INT) AS fused_rank
+         |FROM fr WHERE fused_rank <= $TopK
+         |ORDER BY q_id, fused_rank""".stripMargin
     },
     // fixed-centroid assignment joined to labels; majority via the same
     // (count desc, label) rank order as the Spark window

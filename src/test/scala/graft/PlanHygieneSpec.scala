@@ -509,6 +509,15 @@ class PlanHygieneSpec extends GraftSuite {
       "rerank window must be per-query")
   }
 
+  test("rrf_fusion ranks and fuses per query, never corpus-global") {
+    val p = plan("rrf_fusion")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "the IVF probe must candidate-bound the fusion pool")
+    assert(!p.linesIterator.exists(l =>
+      l.contains("Window") && l.contains("SinglePartition")),
+      "quality and fusion windows must be per-query")
+  }
+
   test("minhash_err joins one doc-side table per pair side") {
     // the round-10 restructure: 2 id-keyed joins (plus the band-key
     // candidate join), not one join per derived column

@@ -522,8 +522,12 @@ class ShuffleBudgetSpec extends GraftSuite {
     // estimator eval started shuffling more than the candidate stream)
     "minhash_err" -> (3900L, 18000L),
     // hard_negatives 2,737 (bucket-probe candidate join + label joins +
-    // the per-query rerank window over the TopK·4-bounded stream)
+    // the per-query rerank window over the TopK·4-bounded stream);
+    // rrf_fusion 2,737 (same probe machinery + the id-keyed quality join
+    // and two per-query rank windows over the pool — a blown budget
+    // means a ranking went corpus-global)
     "hard_negatives" -> (900L, 4200L),
+    "rrf_fusion" -> (900L, 4200L),
     // ccnet_buckets 4,695 (surprisal model groupBys + the PrefixScan
     // range partition + the 3-row bucket rollup)
     "ccnet_buckets" -> (1500L, 7100L),
