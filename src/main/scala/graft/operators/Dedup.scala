@@ -560,10 +560,20 @@ object Dedup {
   /** (id_a, id_b) band-collision pairs over a precomputed shingle-set
     * table with kernel-order `sh` hashes. */
   private def bandedCandidates(shingleSets: DataFrame, bands: Int,
-                               rows: Int): DataFrame = {
-    val sigs = shingleSets.select(col("id"),
-      graft.functions.TextKernels.minhash_sig(col("sh"), bands * rows).as("sig"))
+                               rows: Int): DataFrame =
+    bandedCandidatesFromSigs(
+      shingleSets.select(col("id"),
+        graft.functions.TextKernels.minhash_sig(col("sh"), bands * rows)
+          .as("sig")),
+      bands, rows)
 
+  /** Band-collision pairs from a PRECOMPUTED (id, sig) signature table —
+    * the path for callers that materialize signatures once and reuse
+    * them across banding and per-pair estimation (the signature build is
+    * the expensive kernel pass; the band keys are cheap slice folds over
+    * it). */
+  def bandedCandidatesFromSigs(sigs: DataFrame, bands: Int,
+                               rows: Int): DataFrame = {
     // band key = polynomial fold of the band's signature slice
     val banded = sigs.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>

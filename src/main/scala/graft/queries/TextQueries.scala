@@ -139,6 +139,28 @@ object TextQueries {
         .localCheckpoint()
     }
 
+  /** The per-doc MinHash side table (id, sig, hash-sorted shs): ONE pass
+    * of the shingle/signature kernels — the estimator family's expensive
+    * step, previously recomputed once for the banding and once per pair
+    * side — shared by minhash_err and lsh_precision. Band keys are cheap
+    * slice folds over `sig`; the signature agreement and exact-Jaccard
+    * verify read the same checkpoint. (A signature table computed once
+    * and reused across tuning runs is also what a real pipeline
+    * materializes.) */
+  private[graft] val MinhashSideKey = "text.minhashSide"
+  private def sharedMinhashSide(s: SparkSession, dir: String): DataFrame =
+    graft.core.QueryCache.shared(MinhashSideKey, s, dir) {
+      docs(s, dir).select(col("doc_id").as("id"),
+          graft.functions.TextKernels.shingle_hashes(col("text"),
+            lit(ShingleN)).as("sh"))
+        .where(size(col("sh")) > 0)
+        .select(col("id"),
+          graft.functions.TextKernels.minhash_sig(col("sh"), Bands * Rows)
+            .as("sig"),
+          sort_array(col("sh")).as("shs"))
+        .localCheckpoint()
+    }
+
   /** The component labels over [[sharedJaccardPairs]] — dedup_groups and
     * dedup_canonical both walk them, and a real pipeline labels the dup
     * graph once. Memoized like the pair set; the shuffle-budget spec
@@ -299,6 +321,8 @@ object TextQueries {
     }),
 
     // MinHash-LSH near-dup pairs (banded candidates, exact-Jaccard verify)
+    // — kept END-TO-END (no memo) as the pinned build plan; the
+    // estimator-evaluation gates below read [[sharedMinhashSide]] instead
     "minhash_pairs" -> ((s, dir) => {
       Dedup.minhashPairs(docs(s, dir), "doc_id", "text", ShingleN, JaccardTau,
         Bands, Rows).orderBy("id_a", "id_b")
@@ -333,8 +357,9 @@ object TextQueries {
     // measured on the candidates BEFORE verify (precision is a property
     // of the geometry, not of the verified output). Integer ppm.
     "lsh_precision" -> ((s, dir) => {
-      val cand = Dedup.minhashCandidates(docs(s, dir), "doc_id", "text",
-        ShingleN, Bands, Rows)
+      val cand = Dedup.bandedCandidatesFromSigs(
+        sharedMinhashSide(s, dir).select(col("id"), col("sig")),
+        Bands, Rows)
       val truePairs = sharedJaccardPairs(s, dir).select("id_a", "id_b")
       val nc = cand.agg(count(lit(1)).as("n_candidates"))
       val nt = cand.join(truePairs, Seq("id_a", "id_b"), "left_semi")
@@ -355,19 +380,15 @@ object TextQueries {
     // candidate work is band-bounded exactly as in minhash_pairs.
     "minhash_err" -> ((s, dir) => {
       val nh = Bands * Rows
-      // ONE doc-side table carrying both the signature and the
-      // hash-sorted shingle set, joined once per pair side — not one
-      // join per derived column (that shape re-shuffled the candidate
-      // stream four times and re-ran shingle_hashes per projection)
-      val side = docs(s, dir).select(col("doc_id").as("id"),
-          graft.functions.TextKernels.shingle_hashes(col("text"),
-            lit(ShingleN)).as("sh"))
-        .where(size(col("sh")) > 0)
-        .select(col("id"),
-          graft.functions.TextKernels.minhash_sig(col("sh"), nh).as("sig"),
-          sort_array(col("sh")).as("shs"))
-      val cand = Dedup.minhashCandidates(docs(s, dir), "doc_id", "text",
-        ShingleN, Bands, Rows)
+      // ONE memoized doc-side table carrying both the signature and the
+      // hash-sorted shingle set: the banding, the per-pair signature
+      // agreement and the exact verify all read the same checkpoint —
+      // the kernel pass runs once, not once for the candidates plus
+      // once per pair side (that shape cost ~2.4 s of repeated
+      // shingle/signature work at sf0.1)
+      val side = sharedMinhashSide(s, dir)
+      val cand = Dedup.bandedCandidatesFromSigs(
+        side.select(col("id"), col("sig")), Bands, Rows)
       val inter = graft.functions.VecKernels
         .sorted_intersect_count(col("sh_a"), col("sh_b"))
       cand
