@@ -211,6 +211,42 @@ class PropertySpec extends GraftSuite {
     }
   }
 
+  test("blockedSelfPairs equals the plain pair join on random skewed groups (property)") {
+    // the semdedup hot-bucket guard: exact triangle blocking must emit
+    // each unordered within-group pair EXACTLY once for any group-size
+    // distribution and any cap — including caps of 1 (every row its own
+    // slice), caps above every group (degenerate single block), and
+    // power-law group sizes (the distribution the guard exists for)
+    val gen = for {
+      n <- Gen.choose(10, 160)
+      nGroups <- Gen.oneOf(1, 2, 5)
+      skew <- Gen.oneOf(true, false)
+      cap <- Gen.oneOf(1, 3, 17, 500)
+      seed <- Gen.choose(0L, 100000L)
+    } yield (n, nGroups, skew, cap, seed)
+    samples(gen, 8).foreach { case (n, nGroups, skew, cap, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val rows = (0L until n.toLong).map { i =>
+        // skew=true sends ~90% of rows to group 0
+        val g = if (skew && rnd.nextInt(10) > 0) 0 else rnd.nextInt(nGroups)
+        (s"g$g", i, rnd.nextInt(5).toLong)
+      }.toDF("grp", "id", "v")
+      def norm(df: org.apache.spark.sql.DataFrame) = df.select(
+        col("grp"),
+        least(col("id_a"), col("id_b")).as("lo"),
+        greatest(col("id_a"), col("id_b")).as("hi"),
+        when(col("id_a") < col("id_b"), col("v_a")).otherwise(col("v_b")).as("v_lo"))
+        .collect().map(_.toString).sorted.toSeq
+      val a = rows.select(col("grp"), col("id").as("id_a"), col("v").as("v_a"))
+      val b = rows.select(col("grp"), col("id").as("id_b"), col("v").as("v_b"))
+      val plain = norm(a.join(b, "grp").where(col("id_a") < col("id_b")))
+      val blocked = norm(
+        graft.operators.SkewJoin.blockedSelfPairs(rows, "grp", "id", cap))
+      assert(blocked === plain,
+        s"n=$n groups=$nGroups skew=$skew cap=$cap seed=$seed")
+    }
+  }
+
   test("unimax waterfill equals the brute-force integer water level (property)") {
     // the closed-form window waterfill (Sampling.unimaxAlloc) must pick
     // exactly alloc_s = min(cap_s, θ*) with θ* the LARGEST integer level
