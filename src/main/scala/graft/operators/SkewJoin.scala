@@ -80,6 +80,12 @@ object SkewJoin {
     *
     * `idCol` must be unique per row (slice assignment hashes it);
     * payload columns come back suffixed `_a`/`_b`.
+    *
+    * NOTE the input plan executes THREE times (the size agg + each join
+    * side) — `rows` should be a cheap scan/projection or an already
+    * materialized (checkpointed/cached) frame; this operator does not
+    * materialize it because it cannot know the caller's release
+    * discipline.
     */
   def blockedSelfPairs(rows: DataFrame, groupCol: String, idCol: String,
                        cap: Int): DataFrame = {

@@ -554,15 +554,19 @@ object ClusterQueries {
     // Plan: class/value/global count aggs, a |classes|×|values| grid via
     // a broadcast of the bounded value table, 1-row total broadcast.
     "t_closeness" -> ((s, dir) => {
-      val pub = anonPublished(s, dir)
-      val cls = pub.groupBy("an_x0", "an_x1", "sv")
+      // ONE scan of the published table: the class/value counts roll up
+      // into the class sizes, the global value counts, and the total —
+      // exact-integer identical to four independent scans
+      val cls = anonPublished(s, dir).groupBy("an_x0", "an_x1", "sv")
         .agg(count(lit(1)).as("c"))
-      val sizes = pub.groupBy("an_x0", "an_x1")
-        .agg(count(lit(1)).as("n_c"))
-      val glob = pub.groupBy("sv").agg(count(lit(1)).as("g"))
-      val tot = pub.agg(count(lit(1)).as("nn"))
+        .localCheckpoint()
+      val sizes = cls.groupBy("an_x0", "an_x1").agg(sum("c").as("n_c"))
+      val glob = cls.groupBy("sv").agg(sum("c").as("g"))
+      val tot = glob.agg(sum("g").as("nn"))
       sizes.crossJoin(broadcast(glob))
-        .join(cls, Seq("an_x0", "an_x1", "sv"), "left")
+        // cls is a checkpointed LogicalRDD (no stats) — broadcast it
+        // explicitly; the contingency table is |classes|·|values| rows
+        .join(broadcast(cls), Seq("an_x0", "an_x1", "sv"), "left")
         .crossJoin(broadcast(tot))
         .groupBy("an_x0", "an_x1")
         .agg(max("n_c").as("n_c"), max("nn").as("nn"),

@@ -1468,8 +1468,9 @@ object CurationQueries {
          |  FROM s, g),
          |rs AS (SELECT *, (prefix + cap * (nd - i) <= budget) AS sat
          |  FROM r),
-         |th AS (SELECT (budget - prefix + cap) // (nd - i + 1) AS theta
-         |  FROM rs WHERE NOT sat ORDER BY i LIMIT 1)
+         |th AS (SELECT coalesce(min(theta), 0) AS theta FROM (
+         |  SELECT (budget - prefix + cap) // (nd - i + 1) AS theta
+         |  FROM rs WHERE NOT sat ORDER BY i LIMIT 1))
          |SELECT source, n_tokens, CAST(cap AS BIGINT) AS cap,
          |  CAST(CASE WHEN sat THEN cap
          |       ELSE least(cap, th.theta) END AS BIGINT) AS alloc,

@@ -533,11 +533,12 @@ class ShuffleBudgetSpec extends GraftSuite {
     "ccnet_buckets" -> (1500L, 7100L),
     // round-11 privacy audits over the memoized model — l_diversity
     // 4,599 (one class groupBy with a distinct-count partial);
-    // t_closeness 7,130 (class/value/global count aggs + the broadcast
-    // grid — a blown budget means the |classes|×|values| grid started
-    // shuffling the published table instead of the count partials)
+    // t_closeness 33,312 (ONE scan of the published table into the
+    // checkpointed contingency table; sizes/global/total all roll up
+    // from it and the grid joins broadcast — a blown budget means the
+    // grid started shuffling the published table itself)
     "l_diversity" -> (1500L, 6900L),
-    "t_closeness" -> (2300L, 10700L))
+    "t_closeness" -> (11000L, 50000L))
 
   /** Memo keys to evict after the warm pass so the measured pass runs the
     * gate's build plan instead of reading a checkpoint. dedup_groups
