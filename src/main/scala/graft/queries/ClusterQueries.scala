@@ -885,6 +885,42 @@ object ClusterQueries {
     "mreach_extract" -> ((s, dir) =>
       foscExtract(s, sharedMreachComp(s, dir), pts(s, dir).select(col("id")))),
 
+    // GLOSH outlier scores (Campello et al., TKDD 2015 §6 — hdbscan's
+    // outlier_scores_), discretized to the same memoized cut sweep and
+    // kept in exact integers: a point's density is 1/attach_cut (the
+    // first cut where it joins any component = its leaf cluster), the
+    // cluster's peak density is 1/dense_cut (the earliest attach cut
+    // over the leaf label's subtree members — points ever labeled y are
+    // exactly y's subtree by the min-id merge rule), and
+    // score = 1 − λ(p)/λ_max(C) = 1 − dense_cut/attach_cut as ppm via
+    // floor division. Points isolated at every cut score the 1e6
+    // maximum with attach_cut −1. Plan: per-point min/first windows and
+    // one per-label min over the V-bounded sweep table — no new graph
+    // work, everything keyed.
+    "hdbscan_outliers" -> ((s, dir) => {
+      val comp = sharedStabComp(s, dir)
+      val cutLit = array(StabilityCuts.map(lit(_)): _*)
+      val wp = Window.partitionBy("id").orderBy("ci")
+      val attach = comp.groupBy("id").agg(min("ci").as("aci"))
+      val leaf = comp.withColumn("rk", row_number().over(wp))
+        .where(col("rk") === 1).select(col("id"), col("component").as("leaf"))
+      val minAtt = comp.join(attach, "id")
+        .groupBy(col("component").as("leaf")).agg(min("aci").as("mci"))
+      val scored = leaf.join(attach, "id").join(minAtt, "leaf")
+        .select(col("id"),
+          element_at(cutLit, col("aci") + 1).as("attach_cut"),
+          element_at(cutLit, col("mci") + 1).as("dense_cut"))
+        .select(col("id"), col("attach_cut"),
+          (lit(1000000L) -
+            expr("(1000000 * dense_cut) div attach_cut")).as("score_ppm"))
+      pts(s, dir).select(col("id"))
+        .join(scored, Seq("id"), "left")
+        .select(col("id"),
+          coalesce(col("attach_cut"), lit(-1L)).as("attach_cut"),
+          coalesce(col("score_ppm"), lit(1000000L)).as("score_ppm"))
+        .orderBy("id")
+    }),
+
     // Deterministic DeepWalk/node2vec corpus generation: from every
     // id % RwSeedMod == 0 vertex, RwSteps hops where the "random" next
     // hop is the poly_hash argmin out-edge (hash keyed by position, dst
@@ -1615,6 +1651,37 @@ object ClusterQueries {
     // true HDBSCAN: the same extraction over the mutual-reachability
     // relation (non-core points are absent from mr, hence noise)
     "mreach_extract" -> sqlFosc(sqlMreach, "mr"),
+    // GLOSH from first principles: attach cut per point (min ci of its
+    // sweep rows), leaf label (first row by ci), subtree peak density
+    // (min attach over members ever carrying the leaf label), same
+    // floor-div ppm as the Spark side
+    "hdbscan_outliers" ->
+      s"""WITH RECURSIVE
+         |$sqlNbrW,
+         |${StabilityCuts.zipWithIndex.map { case (t, i) => slLeg(i, t) }
+             .mkString(",\n")},
+         |allc AS MATERIALIZED (${StabilityCuts.indices
+             .map(i => s"SELECT $i AS ci, id, comp FROM comp$i")
+             .mkString(" UNION ALL ")}),
+         |cutv(ci, cut) AS (VALUES ${StabilityCuts.zipWithIndex
+             .map { case (t, i) => s"($i, $t)" }.mkString(", ")}),
+         |att AS (SELECT id, min(ci) AS aci FROM allc GROUP BY id),
+         |fl AS (SELECT id, comp AS leaf FROM (
+         |    SELECT id, comp, row_number() OVER (PARTITION BY id
+         |      ORDER BY ci) AS rk FROM allc) WHERE rk = 1),
+         |ma AS (SELECT a.comp AS leaf, min(t.aci) AS mci
+         |  FROM allc a JOIN att t ON t.id = a.id GROUP BY a.comp),
+         |sc AS (SELECT f.id, ca.cut AS attach_cut,
+         |    1000000 - (1000000 * cm.cut) // ca.cut AS score_ppm
+         |  FROM fl f JOIN att t ON t.id = f.id
+         |  JOIN ma m ON m.leaf = f.leaf
+         |  JOIN cutv ca ON ca.ci = t.aci
+         |  JOIN cutv cm ON cm.ci = m.mci)
+         |SELECT p.id, CAST(coalesce(s.attach_cut, -1) AS BIGINT)
+         |    AS attach_cut,
+         |  CAST(coalesce(s.score_ppm, 1000000) AS BIGINT) AS score_ppm
+         |FROM pts p LEFT JOIN sc s ON s.id = p.id
+         |ORDER BY p.id""".stripMargin,
     // same degree-agg + triangle enumeration as the triangles oracle,
     // coefficient as exact integer ppm via // (0 when deg < 2)
     "clustering_coeff" ->

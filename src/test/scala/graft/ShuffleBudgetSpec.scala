@@ -432,6 +432,10 @@ class ShuffleBudgetSpec extends GraftSuite {
     // mreach_extract 35,514 steady-state — same extraction over the
     // smaller mutual-reachability sweep (non-core points never enter)
     "mreach_extract" -> (11000L, 54000L),
+    // hdbscan_outliers 156,458 steady-state over the memoized sweep
+    // (per-point attach/leaf windows + the per-label subtree-min agg —
+    // a blown budget means the score went beyond the V-bounded table)
+    "hdbscan_outliers" -> (52000L, 235000L),
     // kcenter_coreset 236 (k−1 zero-shuffle scans + TakeOrdered(1)
     // argmins — a blown budget means a round regressed to a join or a
     // corpus sort); mix_temperature 494 (tiny-key source agg + 1-row
