@@ -102,8 +102,25 @@ object Bench {
     val reps = scala.util.Try(sys.env.getOrElse("SPARK_GRAFT_REPS", "3").trim.toInt)
       .getOrElse(3).max(1)
 
+    // Steady-state visibility of memoized builds (round 12): the cut-sweep
+    // memos make hdbscan_stability / mreach_stability medians memo READS
+    // (~0.15 s) and push the expensive batched union-CC sweep into the
+    // extract gates' cold column only — a 2× regression in the sweep
+    // would be invisible in every median. For the gates below, after the
+    // normal reps, `reps` additional timed passes each EVICT the named
+    // memo entries first, so the pass re-runs the sweep build over its
+    // still-memoized inputs (the MST forest stays cached — this isolates
+    // the union-CC sweep, the same plan ShuffleBudgetSpec pins by
+    // evicting the same keys). The final probe pass leaves the memo warm
+    // (the rebuild repopulates it), so later gates still read steady
+    // state. Medians ride bench_detail's and the headline's `build` map.
+    val buildProbes: Map[String, Seq[String]] = Map(
+      "hdbscan_stability" -> Seq(graft.queries.ClusterQueries.StabCompKey),
+      "mreach_stability" -> Seq(graft.queries.ClusterQueries.MreachCompKey))
+
     final case class QResult(name: String, cold: Double, times: Seq[Double],
-                             ok: Boolean, sr: Long, sw: Long, pm: Long) {
+                             ok: Boolean, sr: Long, sw: Long, pm: Long,
+                             builds: Seq[Double] = Seq.empty) {
       def median: Double = {
         val s = times.sorted
         if (s.isEmpty) cold
@@ -147,7 +164,19 @@ object Bench {
             System.err.println(s"[bench] $name rep failed: $e")
             (Seq.empty[Double], false)
         }
-      val r = QResult(name, cold, times, ok, sr, sw, pm)
+      val builds =
+        if (!ok) Seq.empty[Double]
+        else buildProbes.get(name).fold(Seq.empty[Double]) { keys =>
+          try Seq.fill(reps) {
+            keys.foreach(k => graft.core.QueryCache.evict(k, spark, sfDir))
+            timed(fn)
+          } catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] $name build probe failed: $e")
+              Seq.empty[Double]
+          }
+        }
+      val r = QResult(name, cold, times, ok, sr, sw, pm, builds)
       System.err.println(
         f"[bench] $name%-20s med ${r.median}%8.2fs cold ${cold}%8.2fs ${if (ok) "" else "FAILED"}%s")
       r
@@ -177,10 +206,19 @@ object Bench {
     val TopNHeadline = 35
     val topQ = results.filter(_.ok).sortBy(-_.median).take(TopNHeadline)
       .map(r => "\"" + r.name + "\":" + r3(r.median)).mkString("{", ",", "}")
+    // memoized-build medians (evict-between-passes probes) — tiny map,
+    // rides both lines so the sweep-build trend survives the stdout tail
+    def bmed(ts: Seq[Double]): Double = {
+      val s = ts.sorted
+      if (s.length % 2 == 1) s(s.length / 2)
+      else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
+    }
+    val buildQ = results.filter(_.builds.nonEmpty)
+      .map(r => "\"" + r.name + "\":" + r3(bmed(r.builds))).mkString("{", ",", "}")
     val lines = Seq(
       s"""{"metric":"stage_metrics","stage_metrics":$sh,"sf":"$sfDir"}""",
-      s"""{"metric":"bench_detail","reps":$reps,"median":${jmap(_.median)},"cold":${jmap(_.cold)},"min":${jmap(_.min)},"stddev":${jmap(_.stddev)},"sf":"$sfDir"}""",
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.length},"queries":$topQ,"queries_note":"top-$TopNHeadline medians by cost; full map on bench_detail","failed":$failed,"reps":$reps,"cold_total":${r3(coldTotal)},"sf":"$sfDir"}""")
+      s"""{"metric":"bench_detail","reps":$reps,"median":${jmap(_.median)},"cold":${jmap(_.cold)},"min":${jmap(_.min)},"stddev":${jmap(_.stddev)},"build":$buildQ,"sf":"$sfDir"}""",
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.length},"queries":$topQ,"queries_note":"top-$TopNHeadline medians by cost; full map on bench_detail","failed":$failed,"reps":$reps,"cold_total":${r3(coldTotal)},"build":$buildQ,"sf":"$sfDir"}""")
     // full machine-readable artifact for the repo/COVERAGE trend notes.
     // A failed artifact write must not cost the round its stdout output.
     try sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
@@ -208,6 +246,13 @@ object Bench {
     // (the catch above skips the remaining cleanup); the headline is out,
     // so force the forked JVM down rather than let the driver wait out
     // its window on a hung process.
+    //
+    // Exit status is ALWAYS 0 by design: the measurements are complete
+    // and the headline printed before cleanup runs, so a cleanup failure
+    // (stderr-logged above) does not invalidate the run — and a caller
+    // keying on the exit code must not discard a valid bench artifact
+    // over a teardown hiccup. Per-query failures are the headline's
+    // `failed` list, not the exit code.
     System.out.flush()
     sys.exit(0)
   }

@@ -67,7 +67,39 @@ object GraftExtensions {
     ("jaro_winkler",
       "jaro_winkler(a, b) - byte-level Jaro-Winkler similarity " +
         "(DuckDB-identical arithmetic)",
-      args => graft.functions.JaroWinklerExpr(args.head, args(1))))
+      args => graft.functions.JaroWinklerExpr(args.head, args(1))),
+    // round 12: the remaining vector/text kernels, so SQL-only users
+    // reach the full library without the Scala API
+    ("cosine_sim",
+      "cosine_sim(a, b) - cosine similarity of double arrays " +
+        "(0.0 for a zero-norm side)",
+      args => cosineExpr(args.head, args(1))),
+    ("sign_bands",
+      "sign_bands(vec, dim, bits, bands) - random-hyperplane LSH band " +
+        "keys (array<long>, one per band) of a double array",
+      args => graft.functions.SignBandsExpr(args.head,
+        graft.functions.VecKernels.SignBandBaseSeed,
+        bands = intLit(args(3)), bits = intLit(args(2)),
+        dim = intLit(args(1)))),
+    ("minhash_sig",
+      "minhash_sig(hashes, n) - n-permutation MinHash signature of a " +
+        "long-array shingle-hash set",
+      args => graft.functions.MinHashSigExpr(args.head, intLit(args(1)))),
+    ("nfc_normalize",
+      "nfc_normalize(text) - Unicode NFC normalization",
+      args => graft.functions.NfcNormalizeExpr(args.head)))
+
+  /** The Catalyst tree [[graft.functions.Distances.cosine]]'s Column form
+    * analyzes to, built directly (a composed Column can't ride through a
+    * FunctionRegistry builder — its node tree stays unresolved inside the
+    * registered expression). The parity spec pins SQL ≡ Column plans. */
+  private def cosineExpr(a: Expression, b: Expression): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{CaseWhen, Divide, EqualTo, Literal, Multiply, Sqrt}
+    def dot(x: Expression, y: Expression) = graft.functions.DotExpr(x, y)
+    val d = Multiply(Sqrt(dot(a, a)), Sqrt(dot(b, b)))
+    CaseWhen(Seq((EqualTo(d, Literal(0.0)), Literal(0.0))),
+      Some(Divide(dot(a, b), d)))
+  }
 
   /** Int value of a foldable literal argument (n/w parameters ride as
     * case-class ints on the expressions, not as child expressions). */

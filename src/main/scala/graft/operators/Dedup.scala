@@ -494,9 +494,25 @@ object Dedup {
   // ------------------------------------------------------------- MinHash
 
   /** Deterministic permutation constants h_i(x) = (a_i·x + b_i) mod P,
-    * shared verbatim with the SQL oracle (small a_i keeps a_i·x < 2^63). */
+    * shared verbatim with the SQL oracle. a_i·x stays < 2^63 because both
+    * factors are < P ≈ 2^30.
+    *
+    * The multipliers are FULL-RANGE (golden-ratio multiples folded into
+    * [1, P-1]), not small odd integers: with a_i ≤ 127 (rounds ≤ 11) a
+    * shingle whose PolyHash lands below ~P/127 never wraps mod P and is
+    * the argmin of EVERY permutation — StreamingDedupSpec caught a 0.95-
+    * Jaccard pair reading 7/64 signature agreement and escaping all 16
+    * bands through exactly such a min-dominator. Full-range multipliers
+    * make the permutations behave as independent uniform hashes, so
+    * signature agreement tracks true Jaccard (Broder's estimator
+    * contract) and band recall at 16×4 holds where the theory says it
+    * should. */
   def minhashPerms(numHashes: Int): Seq[(Long, Long)] =
-    (0 until numHashes).map(i => (2L * i + 1, (i.toLong * i * 31 + 7) % PolyHash.Prime))
+    (0 until numHashes).map { i =>
+      val a = Math.floorMod(0x9E3779B97F4A7C15L * (i + 1), PolyHash.Prime - 1) + 1
+      val b = Math.floorMod(0xC2B2AE3D27D4EB4FL * (i + 1), PolyHash.Prime)
+      (a, b)
+    }
 
   /** MinHash signature column: for each permutation, the minimum permuted
     * [[PolyHash]] over the doc's distinct shingles. Pure nested

@@ -31,10 +31,17 @@ object SimilaritySearch {
     require(0 <= lo && lo < hi && hi - lo <= MaxFixedCentroids,
       s"fixed codebook [$lo, $hi) must hold at most $MaxFixedCentroids " +
         "driver-side centroids")
-    embs.where(col(idCol) >= lo && col(idCol) < hi)
+    val rows = embs.where(col(idCol) >= lo && col(idCol) < hi)
       .select(col(idCol).cast("int"), col(vecCol).cast("array<double>"))
       .collect()
-      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+    val m = rows.map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+    // a duplicated id would otherwise silently keep whichever row collect
+    // surfaced last — the codebook must fail loudly, not drift with
+    // collect order, on a malformed embeddings table
+    require(m.size == rows.length,
+      s"duplicate $idCol in codebook slice [$lo, $hi): ${rows.length} rows " +
+        s"but ${m.size} distinct ids")
+    m
   }
 
   /** Cosine similarity rounded to 6dp — ranking on the rounded value (with

@@ -195,18 +195,31 @@ object ClusterQueries {
     * every point gets its unique selected ancestor or noise. */
   private def foscExtract(s: SparkSession, comp: DataFrame,
                           allPts: DataFrame): DataFrame = {
+    // Driver-bounded collect: pull at most MaxClusters + 1 rows so an
+    // oversized condensed tree fails fast HERE — Fosc.select's own
+    // require sits after the collect and could never fire before a
+    // driver OOM if the materialization were unbounded.
+    def collectBounded(df: DataFrame, what: String) = {
+      val rows = df.limit(graft.graph.Fosc.MaxClusters + 1).collect()
+      require(rows.length <= graft.graph.Fosc.MaxClusters,
+        s"$what exceeds Fosc.MaxClusters (${graft.graph.Fosc.MaxClusters}); " +
+          "aborting before driver materialization")
+      rows
+    }
     val sizes = comp.groupBy("ci", "component")
       .agg(count(lit(1)).as("n"))
-    val stab = sizes.groupBy("component").agg(sum("n").as("m"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val stab = collectBounded(
+        sizes.groupBy("component").agg(sum("n").as("m")), "condensed tree")
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val labelsDf = sizes.select(col("component").as("id")).distinct()
     val wd = Window.partitionBy("id").orderBy("ci")
-    val parent = comp.join(labelsDf, Seq("id"), "left_semi")
-      .where(col("component") =!= col("id"))
-      .withColumn("rk", row_number().over(wd))
-      .where(col("rk") === 1)
-      .select(col("id"), col("component"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val parent = collectBounded(
+        comp.join(labelsDf, Seq("id"), "left_semi")
+          .where(col("component") =!= col("id"))
+          .withColumn("rk", row_number().over(wd))
+          .where(col("rk") === 1)
+          .select(col("id"), col("component")), "condensed-tree parent table")
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val sel = graft.graph.Fosc.select(stab, parent)
     import s.implicits._
     val selDf = sel.toSeq.sorted.toDF("cluster")

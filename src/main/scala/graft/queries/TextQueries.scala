@@ -161,6 +161,10 @@ object TextQueries {
         .localCheckpoint()
     }
 
+  /** dedup_stream's verified pair set (stateful banding + exact verify),
+    * memoized like the other one-per-ingest builds. */
+  private[graft] val StreamPairsKey = "text.streamBandPairs"
+
   /** The component labels over [[sharedJaccardPairs]] — dedup_groups and
     * dedup_canonical both walk them, and a real pipeline labels the dup
     * graph once. Memoized like the pair set; the shuffle-budget spec
@@ -816,6 +820,38 @@ object TextQueries {
             d.where(col("doc_id") < IncrSplit),
             d.where(col("doc_id") >= IncrSplit),
             "doc_id", "text", ShingleN, JaccardTau)
+          .localCheckpoint()
+      }.orderBy("id_a", "id_b")
+    }),
+
+    // continuous-ingest near-dup (StreamingDedup.bandedCandidatesStateful):
+    // the streaming counterpart of dedup_incremental — documents MinHash-
+    // banded against an ACCUMULATING per-bucket signature store in
+    // flatMapGroupsWithState, pairs deduplicated across bands by the
+    // min-colliding-band rule and emitted only with >= 1 new side. Run
+    // here in batch mode (one micro-batch; split-invariance makes that
+    // row-equivalent to any streaming schedule — StreamingDedupSpec pins
+    // batch ≡ stream and candidates ≡ the batch banding). Candidates
+    // verify with exact Jaccard against the memoized signature side
+    // table; the oracle mirrors the band geometry in SQL plus the
+    // new-side filter.
+    "dedup_stream" -> ((s, dir) => {
+      graft.core.QueryCache.shared(StreamPairsKey, s, dir) {
+        val d = docs(s, dir).select(col("doc_id"), col("text"),
+          (col("doc_id") >= IncrSplit).as("is_new"))
+        val cand = graft.streaming.StreamingDedup.bandedCandidatesStateful(
+          d, "doc_id", "text", "is_new", ShingleN, Bands, Rows).toDF()
+        val side = sharedMinhashSide(s, dir)
+        val inter = graft.functions.VecKernels
+          .sorted_intersect_count(col("sh_a"), col("sh_b"))
+        cand
+          .join(side.select(col("id").as("id_a"), col("shs").as("sh_a")), "id_a")
+          .join(side.select(col("id").as("id_b"), col("shs").as("sh_b")), "id_b")
+          .withColumn("jaccard",
+            round(inter.cast("double") /
+              (size(col("sh_a")) + size(col("sh_b")) - inter), 6))
+          .where(col("jaccard") >= JaccardTau)
+          .select("id_a", "id_b", "jaccard")
           .localCheckpoint()
       }.orderBy("id_a", "id_b")
     }),
@@ -1746,6 +1782,23 @@ object TextQueries {
          |JOIN sizes sb ON c.id_b = sb.doc_id
          |WHERE round(CAST(i.c AS DOUBLE) / (sa.n + sb.n - i.c), 6)
          |  >= $JaccardTau
+         |ORDER BY c.id_a, c.id_b""".stripMargin,
+    // minhash_pairs' banded-candidate + exact-verify SQL with the
+    // incremental >= 1-new-side filter — the stateful stream's batch-mode
+    // output must land exactly here (band geometry shared by construction)
+    "dedup_stream" ->
+      s"""WITH $sqlToks,
+         |$sqlShingles,
+         |$sqlShingleHashes,
+         |$sqlMinhash
+         |SELECT c.id_a, c.id_b,
+         |  round(CAST(i.c AS DOUBLE) / (sa.n + sb.n - i.c), 6) AS jaccard
+         |FROM cand c JOIN inter i ON c.id_a = i.id_a AND c.id_b = i.id_b
+         |JOIN sizes sa ON c.id_a = sa.doc_id
+         |JOIN sizes sb ON c.id_b = sb.doc_id
+         |WHERE round(CAST(i.c AS DOUBLE) / (sa.n + sb.n - i.c), 6)
+         |  >= $JaccardTau
+         |  AND (c.id_a >= $IncrSplit OR c.id_b >= $IncrSplit)
          |ORDER BY c.id_a, c.id_b""".stripMargin,
     "lsh_recall" ->
       s"""WITH $sqlToks,

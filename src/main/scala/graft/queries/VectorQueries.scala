@@ -84,6 +84,23 @@ object VectorQueries {
         CosTau).localCheckpoint()
     }
 
+  /** SemDeDup's fixed-quantizer assignment (bucket, id, vec), memoized +
+    * checkpointed per (session, dir): [[graft.operators.SkewJoin
+    * .blockedSelfPairs]] documents that it executes its input plan three
+    * times (slice-size agg + both join sides), and the gate's n_total agg
+    * adds a fourth — materializing here runs the broadcast-cosine
+    * assignment kernel ONCE instead of 4× per evaluation, matching the
+    * operator's stated expectation of a materialized input. */
+  private[graft] val SemDedupAssignKey = "vector.semdedupAssigned"
+  private def sharedSemDedupAssigned(s: SparkSession, dir: String): DataFrame =
+    graft.core.QueryCache.shared(SemDedupAssignKey, s, dir) {
+      val e = embs(s, dir)
+      SimilaritySearch.ivfIndexFixed(
+          e, "vec_id", "embedding", fixedCentroids(e, 0, NList)).indexed
+        .select(col("bucket"), col("id"), col("vec"))
+        .localCheckpoint()
+    }
+
   /** Component labels over the shared pair graph (embed_dedup's CC),
     * memoized like the pairs — one labeling per (session, dir). */
   private[graft] val EmbCompKey = "vector.embedComp"
@@ -641,12 +658,9 @@ object VectorQueries {
     // greatest(id_a, id_b): blocked pairs surface in hash order, and
     // cosine is symmetric, so this is exactly the id_a < id_b drop rule.
     "semdedup" -> ((s, dir) => {
-      val e = embs(s, dir)
-      val assigned = SimilaritySearch.ivfIndexFixed(
-        e, "vec_id", "embedding", fixedCentroids(e, 0, NList)).indexed
+      val assigned = sharedSemDedupAssigned(s, dir)
       val dropped = graft.operators.SkewJoin.blockedSelfPairs(
-          assigned.select(col("bucket"), col("id"), col("vec")),
-          "bucket", "id", cap = SemDedupBlockCap)
+          assigned, "bucket", "id", cap = SemDedupBlockCap)
         .where(round(graft.functions.Distances.cosine(
           col("vec_a"), col("vec_b")), 6) >= CosTau)
         .select(col("bucket"),

@@ -1,0 +1,115 @@
+package graft.streaming
+
+import graft.functions.PolyHash
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Continuous-ingest near-duplicate detection: new documents MinHash-banded
+  * against an ACCUMULATING signature store held in stream state — the
+  * streaming counterpart of [[graft.operators.Dedup.incrementalJaccardPairs]]
+  * (which covers the daily-batch shape; this covers the firehose shape a
+  * training-data pipeline runs between batch passes).
+  *
+  * Design: each document computes its MinHash signature and the `bands`
+  * folded band keys ONCE (the same kernels and slice-fold as
+  * [[graft.operators.Dedup.bandedCandidatesFromSigs]], so batch and stream
+  * band geometry are identical by construction), then lands in its `bands`
+  * (band, key) groups. Each group's [[org.apache.spark.sql.streaming
+  * .GroupState]] is the signature store: the band-key bucket's member list
+  * (id, isNew flag, all band keys). An arriving document emits a candidate
+  * pair against every stored member — deduplicated across bands WITHOUT a
+  * second stateful pass by the MIN-COLLIDING-BAND rule: both documents'
+  * full key vectors are in hand, so the pair is emitted only by the
+  * smallest band index on which their keys agree (every other shared band
+  * sees the same vectors and stays silent). Old×old pairs are suppressed
+  * at emission (both sides' isNew false — the incremental contract), but
+  * old documents still accumulate into the store, which is what makes the
+  * corpus side queryable forever.
+  *
+  * Exactly-once emission is split-invariant: whether two documents arrive
+  * in one micro-batch or months apart, the same single (band, key) group
+  * emits their pair, so batch mode (state empty, each group sees all rows
+  * at once) is row-equivalent to any streaming schedule — the equivalence
+  * StreamingDedupSpec pins. Document ids must be unique across the stream
+  * (a re-ingested id would re-pair).
+  *
+  * Scale: state per (band, key) is the bucket population × ~(bands + 2)
+  * longs — the classic LSH bucket-skew exposure, bounded by band-key
+  * cardinality exactly like the batch join's hot keys; signatures (not
+  * shingle sets) live in state, so verification joins the candidate ids
+  * back to the corpus-side shingle store (id-keyed, broadcast-free).
+  * Output is append-mode (each pair exactly once).
+  */
+object StreamingDedup {
+
+  /** One (band, key) routing row: the doc's id, new-side flag, and its
+    * FULL band-key vector (for the min-colliding-band rule). */
+  case class BandDoc(band: Int, key: Long, id: Long, isNew: Boolean,
+                     keys: Seq[Long])
+
+  /** The accumulating per-bucket signature store. */
+  case class BandMember(id: Long, isNew: Boolean, keys: Seq[Long])
+  case class BandState(members: Seq[BandMember])
+
+  /** An emitted candidate pair (id_a < id_b), pre-verification. */
+  case class CandPair(id_a: Long, id_b: Long)
+
+  /** Smallest band index on which two key vectors agree; both docs
+    * sharing a (band, key) group guarantees one exists at or below that
+    * group's band. */
+  private def minCollidingBand(a: Seq[Long], b: Seq[Long]): Int = {
+    var i = 0
+    while (i < a.length) {
+      if (a(i) == b(i)) return i
+      i += 1
+    }
+    -1
+  }
+
+  /** MinHash-banded candidate pairs with at least one NEW side, from a
+    * (batch or streaming) document frame. `newCol` is a boolean column
+    * marking the new-ingest side; empty documents (no shingles) are
+    * dropped exactly as in the batch banding. */
+  def bandedCandidatesStateful(docs: DataFrame, idCol: String,
+                               textCol: String, newCol: String, n: Int,
+                               bands: Int, rows: Int): Dataset[CandPair] = {
+    import docs.sparkSession.implicits._
+    val sigs = docs.select(col(idCol).cast("long").as("id"),
+        col(newCol).as("isNew"),
+        graft.functions.TextKernels.shingle_hashes(col(textCol), lit(n))
+          .as("sh"))
+      .where(size(col("sh")) > 0)
+      .select(col("id"), col("isNew"),
+        graft.functions.TextKernels.minhash_sig(col("sh"), bands * rows)
+          .as("sig"))
+    // band key = the slice fold shared with Dedup.bandedCandidatesFromSigs
+    val banded = sigs.select(col("id"), col("isNew"),
+        transform(sequence(lit(0), lit(bands - 1)), b =>
+          aggregate(slice(col("sig"), b * rows + lit(1), lit(rows)), lit(0L),
+            (acc, v) => (acc * 31 + v) % PolyHash.Prime)).as("keys"))
+      .select(posexplode(col("keys")).as(Seq("band", "key")),
+        col("id"), col("isNew"), col("keys"))
+      .as[BandDoc]
+    banded.groupByKey(d => (d.band, d.key))
+      .flatMapGroupsWithState[BandState, CandPair](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (bk: (Int, Long), ds: Iterator[BandDoc], state: GroupState[BandState]) =>
+          val band = bk._1
+          var members = state.getOption.fold(Seq.empty[BandMember])(_.members)
+          val out = Seq.newBuilder[CandPair]
+          // id order makes batch-mode processing deterministic; the
+          // emitted SET is order-independent (pairs are symmetric)
+          ds.toSeq.sortBy(_.id).foreach { d =>
+            members.foreach { m =>
+              if ((m.isNew || d.isNew) && m.id != d.id &&
+                  minCollidingBand(m.keys, d.keys) == band)
+                out += CandPair(math.min(m.id, d.id), math.max(m.id, d.id))
+            }
+            members = members :+ BandMember(d.id, d.isNew, d.keys)
+          }
+          state.update(BandState(members))
+          out.result().iterator
+      }
+  }
+}

@@ -59,4 +59,47 @@ class GraftExtensionsSpec extends org.scalatest.funsuite.AnyFunSuite {
     }
     assert(e.getMessage != null)
   }
+
+  test("cosine_sim / sign_bands / minhash_sig / nfc_normalize from SQL") {
+    val r = sql.sql(
+      """SELECT cosine_sim(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS c1,
+        |  cosine_sim(array(0.0d, 0.0d), array(1.0d, 0.0d)) AS c0,
+        |  size(sign_bands(array(0.5d, -1.0d), 2, 4, 8)) AS nb,
+        |  size(minhash_sig(array(7L, 9L, 42L), 16)) AS nm,
+        |  nfc_normalize('é') AS nfc""".stripMargin).head()
+    assert(r.getDouble(0) == 1.0, "identical vectors score 1")
+    assert(r.getDouble(1) == 0.0, "zero-norm guard yields 0, not NaN")
+    assert(r.getInt(2) == 8, "one key per band")
+    assert(r.getInt(3) == 16, "one min per permutation")
+    assert(r.getString(4) == "é", "combining acute folds to é")
+  }
+
+  test("SQL registration plans the same expression tree as the Column form") {
+    import org.apache.spark.sql.functions.{col, expr}
+    import sql.implicits._
+    val df = Seq((Array(1.0, 2.0), Array(3.0, 4.0), "a b c d"))
+      .toDF("a", "b", "t")
+    def tree(d: org.apache.spark.sql.DataFrame) =
+      d.queryExecution.analyzed.expressions.head match {
+        case al: org.apache.spark.sql.catalyst.expressions.Alias => al.child
+        case e => e
+      }
+    val cases = Seq(
+      "l1_dist" -> (df.selectExpr("l1_dist(a, b)"),
+        df.select(graft.functions.VecKernels.l1_dist(col("a"), col("b")))),
+      "cosine_sim" -> (df.selectExpr("cosine_sim(a, b)"),
+        df.select(graft.functions.Distances.cosine(col("a"), col("b")))),
+      "poly_hash" -> (df.selectExpr("poly_hash(t)"),
+        df.select(graft.functions.PolyHash.poly_hash(col("t")))),
+      "sign_bands" -> (df.selectExpr("sign_bands(a, 2, 4, 8)"),
+        df.select(graft.functions.VecKernels.sign_bands(col("a"),
+          dim = 2, bits = 4, bands = 8))),
+      "minhash_sig" -> (df.selectExpr("minhash_sig(array(7L, 9L), 16)"),
+        df.select(graft.functions.TextKernels.minhash_sig(
+          expr("array(7L, 9L)"), 16))))
+    cases.foreach { case (name, (sqlForm, colForm)) =>
+      assert(tree(sqlForm).semanticEquals(tree(colForm)),
+        s"$name: SQL plans ${tree(sqlForm)} but Column plans ${tree(colForm)}")
+    }
+  }
 }

@@ -287,11 +287,15 @@ class ShuffleBudgetSpec extends GraftSuite {
     // count-domain histogram agg — two keyed exchanges);
     // session_bounce 197,589 (the one user-keyed session window +
     // (user, session) agg, same order as attribution);
-    // lsh_precision 12,345 (the banded signature self-join + distinct —
-    // a blown budget means the band join's candidate stream exploded)
+    // lsh_precision 1,148 re-pinned in round 12: the full-range MinHash
+    // multipliers (Dedup.minhashPerms) killed the min-dominator band
+    // collisions, so the candidate stream dropped ~176k → 30 pairs at
+    // sf0.01 and the banded self-join + distinct shuffles an order of
+    // magnitude less — a blown budget means the band geometry regressed
+    // toward the old spurious-collision regime
     "q13_order_dist" -> (4200L, 20000L),
     "session_bounce" -> (65000L, 300000L),
-    "lsh_precision" -> (4100L, 19000L),
+    "lsh_precision" -> (350L, 2400L),
     // moving_window 2,247 ((user, day) daily agg + the user-keyed RANGE
     // window); resample_ffill 354 (capped users: the daily agg + fill
     // window ride the tiny exchange, the day spine is a broadcast)
@@ -521,10 +525,12 @@ class ShuffleBudgetSpec extends GraftSuite {
     // cluster_purity 1,502 (label join + contingency groupBy + the
     // k·|labels|-row rank window)
     "cluster_purity" -> (500L, 2300L),
-    // minhash_err 11,817 (band-key candidate equi-join + the four
-    // id-keyed signature/shingle-set joins — a blown budget means the
-    // estimator eval started shuffling more than the candidate stream)
-    "minhash_err" -> (3900L, 18000L),
+    // minhash_err 620 re-pinned in round 12 (was 11,817 under the weak
+    // small-multiplier permutations — the spurious-collision candidate
+    // stream WAS the shuffle): band-key candidate equi-join + the four
+    // id-keyed signature/shingle-set joins over the now-30-pair stream;
+    // a blown budget means candidates exploded again
+    "minhash_err" -> (200L, 1300L),
     // hard_negatives 2,737 (bucket-probe candidate join + label joins +
     // the per-query rerank window over the TopK·4-bounded stream);
     // rrf_fusion 2,737 (same probe machinery + the id-keyed quality join
