@@ -118,15 +118,16 @@ object Bench {
       "hdbscan_stability" -> Seq(graft.queries.ClusterQueries.StabCompKey),
       "mreach_stability" -> Seq(graft.queries.ClusterQueries.MreachCompKey))
 
+    def medianOf(ts: Seq[Double]): Double = {
+      val s = ts.sorted
+      if (s.length % 2 == 1) s(s.length / 2)
+      else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
+    }
+
     final case class QResult(name: String, cold: Double, times: Seq[Double],
                              ok: Boolean, sr: Long, sw: Long, pm: Long,
                              builds: Seq[Double] = Seq.empty) {
-      def median: Double = {
-        val s = times.sorted
-        if (s.isEmpty) cold
-        else if (s.length % 2 == 1) s(s.length / 2)
-        else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
-      }
+      def median: Double = if (times.isEmpty) cold else medianOf(times)
       def min: Double = if (times.isEmpty) cold else times.min
       /** population stddev of the timed reps — 0 when reps < 2, so a
         * noisy query is visibly noisy in bench_detail at a glance */
@@ -173,6 +174,9 @@ object Bench {
           } catch {
             case e: Throwable =>
               System.err.println(s"[bench] $name build probe failed: $e")
+              // restore the 'memo left warm' invariant for later gates —
+              // the failed pass may have evicted without repopulating
+              try timed(fn) catch { case _: Throwable => () }
               Seq.empty[Double]
           }
         }
@@ -208,13 +212,8 @@ object Bench {
       .map(r => "\"" + r.name + "\":" + r3(r.median)).mkString("{", ",", "}")
     // memoized-build medians (evict-between-passes probes) — tiny map,
     // rides both lines so the sweep-build trend survives the stdout tail
-    def bmed(ts: Seq[Double]): Double = {
-      val s = ts.sorted
-      if (s.length % 2 == 1) s(s.length / 2)
-      else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
-    }
     val buildQ = results.filter(_.builds.nonEmpty)
-      .map(r => "\"" + r.name + "\":" + r3(bmed(r.builds))).mkString("{", ",", "}")
+      .map(r => "\"" + r.name + "\":" + r3(medianOf(r.builds))).mkString("{", ",", "}")
     val lines = Seq(
       s"""{"metric":"stage_metrics","stage_metrics":$sh,"sf":"$sfDir"}""",
       s"""{"metric":"bench_detail","reps":$reps,"median":${jmap(_.median)},"cold":${jmap(_.cold)},"min":${jmap(_.min)},"stddev":${jmap(_.stddev)},"build":$buildQ,"sf":"$sfDir"}""",

@@ -83,7 +83,8 @@ object GraftExtensions {
         dim = intLit(args(1)))),
     ("minhash_sig",
       "minhash_sig(hashes, n) - n-permutation MinHash signature of a " +
-        "long-array shingle-hash set",
+        "long-array hash set; inputs are folded into [0, 1e9+7) first, " +
+        "so full-range hashes (xxhash64) are accepted",
       args => graft.functions.MinHashSigExpr(args.head, intLit(args(1)))),
     ("nfc_normalize",
       "nfc_normalize(text) - Unicode NFC normalization",

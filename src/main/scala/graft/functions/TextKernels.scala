@@ -193,16 +193,30 @@ object TextKernels {
   /** MinHash signature over a hash array: per permutation i,
     * min((a_i·h + b_i) mod P); null-free, Long.MaxValue → null upstream
     * is represented by an empty input producing an all-null signature
-    * marker (-1), which callers filter. */
+    * marker (-1), which callers filter.
+    *
+    * Inputs are folded into [0, P) once per element BEFORE the
+    * permutation loop — a no-op for the engine's own poly-hash streams
+    * (already < P, so `h % P = h` and every product stays < 2^60), but
+    * it keeps the SQL-registered form well-defined for a user feeding
+    * full-range hashes (e.g. xxhash64 output), where the raw product
+    * would overflow Long and Java's sign-preserving % would emit
+    * negative signature garbage silently. */
   def minhashSig(hashes: ArrayData, as: Array[Long], bs: Array[Long]): ArrayData = {
     val m = hashes.numElements()
+    val folded = new Array[Long](m)
+    var j = 0
+    while (j < m) {
+      folded(j) = Math.floorMod(hashes.getLong(j), PolyHash.Prime)
+      j += 1
+    }
     val sig = new Array[Long](as.length)
     var i = 0
     while (i < as.length) {
       var best = Long.MaxValue
-      var j = 0
+      j = 0
       while (j < m) {
-        val v = (hashes.getLong(j) * as(i) + bs(i)) % PolyHash.Prime
+        val v = (folded(j) * as(i) + bs(i)) % PolyHash.Prime
         if (v < best) best = v
         j += 1
       }

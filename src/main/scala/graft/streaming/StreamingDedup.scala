@@ -17,12 +17,13 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * band geometry are identical by construction), then lands in its `bands`
   * (band, key) groups. Each group's [[org.apache.spark.sql.streaming
   * .GroupState]] is the signature store: the band-key bucket's member list
-  * (id, isNew flag, all band keys). An arriving document emits a candidate
-  * pair against every stored member — deduplicated across bands WITHOUT a
-  * second stateful pass by the MIN-COLLIDING-BAND rule: both documents'
-  * full key vectors are in hand, so the pair is emitted only by the
-  * smallest band index on which their keys agree (every other shared band
-  * sees the same vectors and stays silent). Old×old pairs are suppressed
+  * (id, isNew flag, band-key prefix). An arriving document emits a
+  * candidate pair against every stored member — deduplicated across bands
+  * WITHOUT a second stateful pass by the MIN-COLLIDING-BAND rule: the
+  * pair is emitted only by the smallest band index on which the two key
+  * vectors agree (every other shared band sees the same vectors and stays
+  * silent), so each group only needs keys [0..its own band] — the stored
+  * PREFIX. Old×old pairs are suppressed
   * at emission (both sides' isNew false — the incremental contract), but
   * old documents still accumulate into the store, which is what makes the
   * corpus side queryable forever.
@@ -34,17 +35,18 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * StreamingDedupSpec pins. Document ids must be unique across the stream
   * (a re-ingested id would re-pair).
   *
-  * Scale: state per (band, key) is the bucket population × ~(bands + 2)
-  * longs — the classic LSH bucket-skew exposure, bounded by band-key
-  * cardinality exactly like the batch join's hot keys; signatures (not
-  * shingle sets) live in state, so verification joins the candidate ids
-  * back to the corpus-side shingle store (id-keyed, broadcast-free).
-  * Output is append-mode (each pair exactly once).
+  * Scale: state per (band, key) is the bucket population × (band + 3)
+  * longs (the key prefix — bands(bands+1)/2 per doc summed over its
+  * groups, not bands²) — the classic LSH bucket-skew exposure, bounded by
+  * band-key cardinality exactly like the batch join's hot keys; key
+  * prefixes (not shingle sets) live in state, so verification joins the
+  * candidate ids back to the corpus-side shingle store (id-keyed,
+  * broadcast-free). Output is append-mode (each pair exactly once).
   */
 object StreamingDedup {
 
   /** One (band, key) routing row: the doc's id, new-side flag, and its
-    * FULL band-key vector (for the min-colliding-band rule). */
+    * band-key PREFIX [0..band] (all the min-colliding-band rule reads). */
   case class BandDoc(band: Int, key: Long, id: Long, isNew: Boolean,
                      keys: Seq[Long])
 
@@ -83,20 +85,29 @@ object StreamingDedup {
       .select(col("id"), col("isNew"),
         graft.functions.TextKernels.minhash_sig(col("sh"), bands * rows)
           .as("sig"))
-    // band key = the slice fold shared with Dedup.bandedCandidatesFromSigs
+    // band key = the slice fold shared with Dedup.bandedCandidatesFromSigs;
+    // each routing row carries only the key PREFIX [0..band] — the
+    // min-colliding-band scan never reads past this group's own band, so
+    // the accumulating store holds bands(bands+1)/2 longs per doc instead
+    // of bands² (state size is the firehose's bill)
     val banded = sigs.select(col("id"), col("isNew"),
         transform(sequence(lit(0), lit(bands - 1)), b =>
           aggregate(slice(col("sig"), b * rows + lit(1), lit(rows)), lit(0L),
             (acc, v) => (acc * 31 + v) % PolyHash.Prime)).as("keys"))
       .select(posexplode(col("keys")).as(Seq("band", "key")),
-        col("id"), col("isNew"), col("keys"))
+        col("id"), col("isNew"),
+        slice(col("keys"), lit(1), col("band") + 1).as("keys"))
       .as[BandDoc]
     banded.groupByKey(d => (d.band, d.key))
       .flatMapGroupsWithState[BandState, CandPair](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (bk: (Int, Long), ds: Iterator[BandDoc], state: GroupState[BandState]) =>
           val band = bk._1
-          var members = state.getOption.fold(Seq.empty[BandMember])(_.members)
+          // amortized O(1) appends — a hot LSH bucket's initial micro-
+          // batch can route thousands of docs into one group, and an
+          // immutable :+ per doc would copy the whole store each time
+          val members = scala.collection.mutable.ArrayBuffer
+            .from(state.getOption.fold(Seq.empty[BandMember])(_.members))
           val out = Seq.newBuilder[CandPair]
           // id order makes batch-mode processing deterministic; the
           // emitted SET is order-independent (pairs are symmetric)
@@ -106,9 +117,9 @@ object StreamingDedup {
                   minCollidingBand(m.keys, d.keys) == band)
                 out += CandPair(math.min(m.id, d.id), math.max(m.id, d.id))
             }
-            members = members :+ BandMember(d.id, d.isNew, d.keys)
+            members += BandMember(d.id, d.isNew, d.keys)
           }
-          state.update(BandState(members))
+          state.update(BandState(members.toSeq))
           out.result().iterator
       }
   }

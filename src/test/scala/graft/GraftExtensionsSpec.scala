@@ -74,6 +74,23 @@ class GraftExtensionsSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(r.getString(4) == "é", "combining acute folds to é")
   }
 
+  test("minhash_sig folds full-range inputs into the poly-hash domain") {
+    // xxhash64-scale longs used to overflow h·a and emit negative
+    // signature garbage through Java's sign-preserving %; the kernel now
+    // folds each input once, so sig(h) == sig(floorMod(h, P)) and every
+    // entry is non-negative
+    val P = graft.functions.PolyHash.Prime
+    val raw = Seq(Long.MaxValue - 11, -987654321098765432L, 42L)
+    val folded = raw.map(h => Math.floorMod(h, P))
+    val r = sql.sql(
+      s"""SELECT minhash_sig(array(${raw.mkString("L,")}L), 16) AS a,
+         |  minhash_sig(array(${folded.mkString("L,")}L), 16) AS b"""
+        .stripMargin).head()
+    val (a, b) = (r.getSeq[Long](0), r.getSeq[Long](1))
+    assert(a == b, "full-range input must hash like its folded form")
+    assert(a.forall(v => v >= 0 && v < P), s"entries outside [0, P): $a")
+  }
+
   test("SQL registration plans the same expression tree as the Column form") {
     import org.apache.spark.sql.functions.{col, expr}
     import sql.implicits._
