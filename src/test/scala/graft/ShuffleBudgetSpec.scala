@@ -548,7 +548,14 @@ class ShuffleBudgetSpec extends GraftSuite {
     // from it and the grid joins broadcast — a blown budget means the
     // grid started shuffling the published table itself)
     "l_diversity" -> (1500L, 6900L),
-    "t_closeness" -> (11000L, 50000L))
+    "t_closeness" -> (11000L, 50000L),
+    // round-12 continuous-ingest dedup — the stateful banding BUILD
+    // (memo evicted): signature/band-key projection into the (band, key)
+    // groupByKey exchange + the two id-keyed verify joins; ~799k at
+    // sf0.01 (the band routing rows carry the key prefixes). A blown
+    // budget means the routing rows fattened (e.g. full key vectors
+    // again) or the verify joins stopped being id-keyed.
+    "dedup_stream" -> (260000L, 1600000L))
 
   /** Memo keys to evict after the warm pass so the measured pass runs the
     * gate's build plan instead of reading a checkpoint. dedup_groups
@@ -572,7 +579,10 @@ class ShuffleBudgetSpec extends GraftSuite {
       "mreach_stability" -> graft.queries.ClusterQueries.MreachCompKey,
       // the mutual-reachability forest memo: pin the core-distance +
       // weighted-boruvka build, not the checkpoint read
-      "mreach_mst" -> graft.queries.ClusterQueries.MreachKey)
+      "mreach_mst" -> graft.queries.ClusterQueries.MreachKey,
+      // the stateful band-pair memo (round 12): pin the banding +
+      // verify build, not the checkpoint read
+      "dedup_stream" -> graft.queries.TextQueries.StreamPairsKey)
 
   for ((q, (lo, hi)) <- budgets)
     test(s"$q shuffle-write volume stays within budget at sf0.01") {
