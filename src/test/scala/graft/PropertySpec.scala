@@ -36,6 +36,43 @@ class PropertySpec extends GraftSuite {
     }
   }
 
+  test("minhash signature agreement tracks true Jaccard (property)") {
+    // Broder's estimator contract over the DETERMINISTIC permutation
+    // family (Dedup.minhashPerms): for random hash sets with known
+    // overlap, the per-permutation agreement fraction estimates true
+    // Jaccard within binomial error (sd <= sqrt(J(1-J)/64) ~= 0.06).
+    // The round-11 small-multiplier family FAILS this spec through its
+    // min-dominator degeneracy — a hash below ~P/127 never wraps mod P
+    // and wins every permutation, so the adversarial pair below (tiny
+    // hash in the symmetric difference, J ~= 0.97) read agreement ~0.
+    val P = graft.functions.PolyHash.Prime
+    val perms = graft.operators.Dedup.minhashPerms(64)
+    def sig(s: Set[Long]): Seq[Long] =
+      perms.map { case (a, b) => s.iterator.map(h => (h * a + b) % P).min }
+    def agree(x: Set[Long], y: Set[Long]): Double =
+      sig(x).zip(sig(y)).count { case (u, v) => u == v } / 64.0
+    def jac(x: Set[Long], y: Set[Long]): Double =
+      (x & y).size.toDouble / (x | y).size
+    val rnd = new scala.util.Random(20251216L)
+    def draw(n: Int): IndexedSeq[Long] =
+      IndexedSeq.fill(n)(rnd.nextLong(P - 1) + 1).distinct
+    val errs = (0 until 40).map { _ =>
+      val shared = draw(rnd.between(5, 40)).toSet
+      val a = shared ++ draw(rnd.between(0, 25))
+      val b = shared ++ draw(rnd.between(0, 25))
+      math.abs(agree(a, b) - jac(a, b))
+    }
+    assert(errs.sum / errs.size < 0.06,
+      f"mean |agreement - J| = ${errs.sum / errs.size}%.3f")
+    assert(errs.max < 0.25, f"max |agreement - J| = ${errs.max}%.3f")
+    // the adversarial min-dominator pair: one tiny hash in the
+    // difference of two otherwise-identical 40-element sets
+    val base = draw(40).toSet
+    val adv = math.abs(agree(base + 12345L, base) - jac(base + 12345L, base))
+    assert(adv < 0.25, f"min-dominator pair error $adv%.3f — the " +
+      "small-multiplier degeneracy is back")
+  }
+
   test("sorted merge-intersect equals array_intersect size (property)") {
     val gen = for {
       na <- Gen.choose(0, 40)
