@@ -72,13 +72,77 @@ object StreamingDedup {
   /** MinHash-banded candidate pairs with at least one NEW side, from a
     * (batch or streaming) document frame. `newCol` is a boolean column
     * marking the new-ingest side; empty documents (no shingles) are
-    * dropped exactly as in the batch banding. */
+    * dropped exactly as in the batch banding.
+    *
+    * `bootstrapOpt`: a STATIC corpus frame (same idCol/textCol) loaded
+    * directly into the group state as the initial signature store —
+    * Structured Streaming's initial-state API — so the stream starts
+    * against an existing 100 TB corpus WITHOUT replaying it through the
+    * micro-batch path (bootstrap rows never traverse the handler as
+    * arrivals: zero old×old work, by construction rather than by flag).
+    * Bootstrapped members carry isNew = false. */
   def bandedCandidatesStateful(docs: DataFrame, idCol: String,
                                textCol: String, newCol: String, n: Int,
-                               bands: Int, rows: Int): Dataset[CandPair] = {
+                               bands: Int, rows: Int,
+                               bootstrapOpt: Option[DataFrame] = None)
+  : Dataset[CandPair] = {
     import docs.sparkSession.implicits._
+    val banded = bandDocs(docs, idCol, textCol, Some(newCol), n, bands, rows)
+    val grouped = banded.groupByKey(d => (d.band, d.key))
+    bootstrapOpt match {
+      case None =>
+        grouped.flatMapGroupsWithState[BandState, CandPair](
+          OutputMode.Append, GroupStateTimeout.NoTimeout)(handler)
+      case Some(corpus) =>
+        // one BandState per (band, key): the store a previous batch run
+        // (or a snapshot of this stream's own state) would have built
+        val init = bandDocs(corpus, idCol, textCol, None, n, bands, rows)
+          .groupByKey(d => (d.band, d.key))
+          .mapGroups { (k, ds) =>
+            (k, BandState(ds.map(d => BandMember(d.id, d.isNew, d.keys)).toSeq))
+          }
+          .groupByKey(_._1).mapValues(_._2)
+        grouped.flatMapGroupsWithState[BandState, CandPair](
+          OutputMode.Append, GroupStateTimeout.NoTimeout, init)(handler)
+    }
+  }
+
+  /** The shared group handler: emit min-band candidate pairs of each
+    * arrival against the accumulated store, then append the arrival. */
+  private val handler: ((Int, Long), Iterator[BandDoc],
+                        GroupState[BandState]) => Iterator[CandPair] =
+    (bk, ds, state) => {
+      val band = bk._1
+      // amortized O(1) appends — a hot LSH bucket's initial micro-
+      // batch can route thousands of docs into one group, and an
+      // immutable :+ per doc would copy the whole store each time
+      val members = scala.collection.mutable.ArrayBuffer
+        .from(state.getOption.fold(Seq.empty[BandMember])(_.members))
+      val out = Seq.newBuilder[CandPair]
+      // id order makes batch-mode processing deterministic; the
+      // emitted SET is order-independent (pairs are symmetric)
+      ds.toSeq.sortBy(_.id).foreach { d =>
+        members.foreach { m =>
+          if ((m.isNew || d.isNew) && m.id != d.id &&
+              minCollidingBand(m.keys, d.keys) == band)
+            out += CandPair(math.min(m.id, d.id), math.max(m.id, d.id))
+        }
+        members += BandMember(d.id, d.isNew, d.keys)
+      }
+      state.update(BandState(members.toSeq))
+      out.result().iterator
+    }
+
+  /** Signature + band-key-prefix routing rows for a document frame;
+    * `newColOpt = None` marks every row isNew = false (the bootstrap
+    * corpus side). */
+  private def bandDocs(docs: DataFrame, idCol: String, textCol: String,
+                       newColOpt: Option[String], n: Int, bands: Int,
+                       rows: Int): Dataset[BandDoc] = {
+    import docs.sparkSession.implicits._
+    val isNew = newColOpt.map(col).getOrElse(lit(false))
     val sigs = docs.select(col(idCol).cast("long").as("id"),
-        col(newCol).as("isNew"),
+        isNew.as("isNew"),
         graft.functions.TextKernels.shingle_hashes(col(textCol), lit(n))
           .as("sh"))
       .where(size(col("sh")) > 0)
@@ -90,7 +154,7 @@ object StreamingDedup {
     // min-colliding-band scan never reads past this group's own band, so
     // the accumulating store holds bands(bands+1)/2 longs per doc instead
     // of bands² (state size is the firehose's bill)
-    val banded = sigs.select(col("id"), col("isNew"),
+    sigs.select(col("id"), col("isNew"),
         transform(sequence(lit(0), lit(bands - 1)), b =>
           aggregate(slice(col("sig"), b * rows + lit(1), lit(rows)), lit(0L),
             (acc, v) => (acc * 31 + v) % PolyHash.Prime)).as("keys"))
@@ -98,29 +162,5 @@ object StreamingDedup {
         col("id"), col("isNew"),
         slice(col("keys"), lit(1), col("band") + 1).as("keys"))
       .as[BandDoc]
-    banded.groupByKey(d => (d.band, d.key))
-      .flatMapGroupsWithState[BandState, CandPair](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (bk: (Int, Long), ds: Iterator[BandDoc], state: GroupState[BandState]) =>
-          val band = bk._1
-          // amortized O(1) appends — a hot LSH bucket's initial micro-
-          // batch can route thousands of docs into one group, and an
-          // immutable :+ per doc would copy the whole store each time
-          val members = scala.collection.mutable.ArrayBuffer
-            .from(state.getOption.fold(Seq.empty[BandMember])(_.members))
-          val out = Seq.newBuilder[CandPair]
-          // id order makes batch-mode processing deterministic; the
-          // emitted SET is order-independent (pairs are symmetric)
-          ds.toSeq.sortBy(_.id).foreach { d =>
-            members.foreach { m =>
-              if ((m.isNew || d.isNew) && m.id != d.id &&
-                  minCollidingBand(m.keys, d.keys) == band)
-                out += CandPair(math.min(m.id, d.id), math.max(m.id, d.id))
-            }
-            members += BandMember(d.id, d.isNew, d.keys)
-          }
-          state.update(BandState(members.toSeq))
-          out.result().iterator
-      }
   }
 }

@@ -73,6 +73,33 @@ class StreamingDedupSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("bootstrapped store: streaming only the NEW docs = full replay") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    // the 100 TB shape: the corpus loads into group state via the
+    // initial-state API (never traverses the micro-batch path), and the
+    // stream carries ONLY the new side — output must equal the full
+    // replay (= batch mode over old+new)
+    val corpus = graft.core.Tables.table(spark, sf0001, "documents")
+      .where(col("doc_id") < Split)
+    val newRows = docsDf.as[(Long, String, Boolean)].collect().filter(_._3)
+    val batches = Seq(newRows.filter(_._1 % 2 == 0), newRows.filter(_._1 % 2 == 1))
+    val src = MemoryStream[(Long, String, Boolean)]
+    val q = StreamingDedup.bandedCandidatesStateful(
+        src.toDF().toDF("doc_id", "text", "is_new"),
+        "doc_id", "text", "is_new", N, Bands, Rows,
+        bootstrapOpt = Some(corpus))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sdb_out").start()
+    try {
+      batches.foreach { b => src.addData(b.toSeq); q.processAllAvailable() }
+      val got = spark.table("sdb_out").as[(Long, Long)].collect()
+      assert(got.length == got.toSet.size, "a pair was emitted twice")
+      assert(got.toSet == batchCandidates,
+        s"bootstrapped ${got.length} pairs != full replay ${batchCandidates.size}")
+    } finally q.stop()
+  }
+
   test("verified stateful pairs = the exact incremental pair set") {
     val d = graft.core.Tables.table(spark, sf0001, "documents")
     val exact = graft.operators.Dedup.incrementalJaccardPairs(
