@@ -84,6 +84,12 @@ object VectorQueries {
         CosTau).localCheckpoint()
     }
 
+  /** embed_stream's verified pair set (sign-band stateful banding +
+    * exact cosine verify), memoized like the text-side StreamPairsKey. */
+  private[graft] val EmbStreamKey = "vector.embedStreamPairs"
+  /** embed_stream's ingest split: vec_id >= split is the new side. */
+  private val EmbIncrSplit = 400
+
   /** SemDeDup's fixed-quantizer assignment (bucket, id, vec), memoized +
     * checkpointed per (session, dir): [[graft.operators.SkewJoin
     * .blockedSelfPairs]] documents that it executes its input plan three
@@ -197,6 +203,37 @@ object VectorQueries {
     // cartesian-free in SimilaritySearchSpec.
     "embed_pairs_lsh" -> ((s, dir) => {
       sharedEmbedPairs(s, dir).orderBy("id_a", "id_b")
+    }),
+
+    // continuous-ingest EMBEDDING near-dup — dedup_stream's sign-band
+    // sibling (the banding-agnostic stateful core,
+    // StreamingDedup.bandedCandidatesStatefulFromKeys): each vector's 64
+    // sign-band keys route it into the accumulating store, pairs emit
+    // exactly once via the min-colliding-band rule with >= 1 new side
+    // (vec_id >= EmbIncrSplit), and candidates verify with exact cosine
+    // >= CosTau. Run in batch mode here (split-invariant, like
+    // dedup_stream); same full-recall-at-this-geometry argument as
+    // embed_pairs_lsh, so the oracle is the brute pair SQL + side filter.
+    "embed_stream" -> ((s, dir) => {
+      graft.core.QueryCache.shared(EmbStreamKey, s, dir) {
+        val e = embs(s, dir)
+        val base = e.select(col("vec_id").cast("long").as("id"),
+          col("embedding").cast("array<double>").as("vec"))
+        val keyed = base.select(col("id"),
+          (col("id") >= EmbIncrSplit).as("isNew"),
+          graft.functions.VecKernels.sign_bands(col("vec"), dim = 64,
+            bits = 5, bands = 64).as("keys"))
+        val cand = graft.streaming.StreamingDedup
+          .bandedCandidatesStatefulFromKeys(keyed).toDF()
+        cand
+          .join(base.select(col("id").as("id_a"), col("vec").as("vec_a")), "id_a")
+          .join(base.select(col("id").as("id_b"), col("vec").as("vec_b")), "id_b")
+          .select(col("id_a"), col("id_b"),
+            round(graft.functions.Distances.cosine(col("vec_a"), col("vec_b")), 6)
+              .as("sim"))
+          .where(col("sim") >= CosTau)
+          .localCheckpoint()
+      }.orderBy("id_a", "id_b")
     }),
 
     // chunk->document mean pooling: vectors grouped into synthetic docs
@@ -1350,6 +1387,17 @@ object VectorQueries {
          |SELECT a.vec_id AS id_a, b.vec_id AS id_b, round($sqlCos, 6) AS sim
          |FROM v a JOIN v b ON a.vec_id < b.vec_id
          |WHERE round($sqlCos, 6) >= $CosTau
+         |ORDER BY id_a, id_b""".stripMargin,
+    // embed_pairs_lsh's brute mirror restricted to >= 1-new-side pairs —
+    // the stateful sign-band stream's batch-mode output lands exactly
+    // here (same full-recall-at-this-geometry argument)
+    "embed_stream" ->
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+         |  FROM embeddings)
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b, round($sqlCos, 6) AS sim
+         |FROM v a JOIN v b ON a.vec_id < b.vec_id
+         |WHERE round($sqlCos, 6) >= $CosTau
+         |  AND (a.vec_id >= $EmbIncrSplit OR b.vec_id >= $EmbIncrSplit)
          |ORDER BY id_a, id_b""".stripMargin,
     "pq_encode" ->
       s"""WITH $sqlPqCodes

@@ -85,10 +85,22 @@ object StreamingDedup {
                                textCol: String, newCol: String, n: Int,
                                bands: Int, rows: Int,
                                bootstrapOpt: Option[DataFrame] = None)
+  : Dataset[CandPair] =
+    bandedCandidatesStatefulFromKeys(
+      textKeys(docs, idCol, textCol, Some(newCol), n, bands, rows),
+      bootstrapOpt.map(c => textKeys(c, idCol, textCol, None, n, bands, rows)))
+
+  /** The banding-agnostic core: stateful candidate pairs from a keyed
+    * frame (id: long, isNew: boolean, keys: array<long> — one key per
+    * band, ANY LSH family). [[bandedCandidatesStateful]] feeds it MinHash
+    * band keys over text; an embedding stream feeds sign-band keys
+    * ([[graft.functions.VecKernels.sign_bands]]) — same store, same
+    * min-colliding-band exactly-once rule, same bootstrap path. */
+  def bandedCandidatesStatefulFromKeys(keyed: DataFrame,
+                                       bootstrapOpt: Option[DataFrame] = None)
   : Dataset[CandPair] = {
-    import docs.sparkSession.implicits._
-    val banded = bandDocs(docs, idCol, textCol, Some(newCol), n, bands, rows)
-    val grouped = banded.groupByKey(d => (d.band, d.key))
+    import keyed.sparkSession.implicits._
+    val grouped = explodePrefix(keyed).groupByKey(d => (d.band, d.key))
     bootstrapOpt match {
       case None =>
         grouped.flatMapGroupsWithState[BandState, CandPair](
@@ -96,7 +108,7 @@ object StreamingDedup {
       case Some(corpus) =>
         // one BandState per (band, key): the store a previous batch run
         // (or a snapshot of this stream's own state) would have built
-        val init = bandDocs(corpus, idCol, textCol, None, n, bands, rows)
+        val init = explodePrefix(corpus)
           .groupByKey(d => (d.band, d.key))
           .mapGroups { (k, ds) =>
             (k, BandState(ds.map(d => BandMember(d.id, d.isNew, d.keys)).toSeq))
@@ -133,15 +145,15 @@ object StreamingDedup {
       out.result().iterator
     }
 
-  /** Signature + band-key-prefix routing rows for a document frame;
+  /** MinHash band keys for a document frame — (id, isNew, keys);
     * `newColOpt = None` marks every row isNew = false (the bootstrap
-    * corpus side). */
-  private def bandDocs(docs: DataFrame, idCol: String, textCol: String,
+    * corpus side). Band key = the slice fold shared with
+    * [[graft.operators.Dedup.bandedCandidatesFromSigs]]. */
+  private def textKeys(docs: DataFrame, idCol: String, textCol: String,
                        newColOpt: Option[String], n: Int, bands: Int,
-                       rows: Int): Dataset[BandDoc] = {
-    import docs.sparkSession.implicits._
+                       rows: Int): DataFrame = {
     val isNew = newColOpt.map(col).getOrElse(lit(false))
-    val sigs = docs.select(col(idCol).cast("long").as("id"),
+    docs.select(col(idCol).cast("long").as("id"),
         isNew.as("isNew"),
         graft.functions.TextKernels.shingle_hashes(col(textCol), lit(n))
           .as("sh"))
@@ -149,17 +161,21 @@ object StreamingDedup {
       .select(col("id"), col("isNew"),
         graft.functions.TextKernels.minhash_sig(col("sh"), bands * rows)
           .as("sig"))
-    // band key = the slice fold shared with Dedup.bandedCandidatesFromSigs;
-    // each routing row carries only the key PREFIX [0..band] — the
-    // min-colliding-band scan never reads past this group's own band, so
-    // the accumulating store holds bands(bands+1)/2 longs per doc instead
-    // of bands² (state size is the firehose's bill)
-    sigs.select(col("id"), col("isNew"),
+      .select(col("id"), col("isNew"),
         transform(sequence(lit(0), lit(bands - 1)), b =>
           aggregate(slice(col("sig"), b * rows + lit(1), lit(rows)), lit(0L),
             (acc, v) => (acc * 31 + v) % PolyHash.Prime)).as("keys"))
-      .select(posexplode(col("keys")).as(Seq("band", "key")),
-        col("id"), col("isNew"),
+  }
+
+  /** (id, isNew, keys) → per-band routing rows carrying only the key
+    * PREFIX [0..band] — the min-colliding-band scan never reads past a
+    * group's own band, so the accumulating store holds bands(bands+1)/2
+    * longs per doc instead of bands² (state size is the firehose's
+    * bill). */
+  private def explodePrefix(keyed: DataFrame): Dataset[BandDoc] = {
+    import keyed.sparkSession.implicits._
+    keyed.select(posexplode(col("keys")).as(Seq("band", "key")),
+        col("id").cast("long").as("id"), col("isNew"),
         slice(col("keys"), lit(1), col("band") + 1).as("keys"))
       .as[BandDoc]
   }

@@ -100,6 +100,39 @@ class StreamingDedupSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("sign-band fromKeys path: streaming = batch (embedding stream)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    // the banding-agnostic core under a DIFFERENT LSH family: embedding
+    // sign-band keys (embed_stream's geometry) — same store, same
+    // min-colliding-band rule, so stream must equal batch here too
+    val keyedDf = graft.core.Tables.table(spark, sf0001, "embeddings")
+      .select(col("vec_id").cast("long").as("id"),
+        (col("vec_id") >= 250).as("isNew"),
+        graft.functions.VecKernels.sign_bands(
+          col("embedding").cast("array<double>"), dim = 64, bits = 5,
+          bands = 64).as("keys"))
+    val batch = StreamingDedup.bandedCandidatesStatefulFromKeys(keyedDf)
+      .as[(Long, Long)].collect().toSet
+    assert(batch.nonEmpty, "no sign-band candidates — test is vacuous")
+    val rows = keyedDf.as[(Long, Boolean, Seq[Long])].collect().toSeq
+    val batches = Seq(rows.filter(!_._2),
+      rows.filter(r => r._2 && r._1 % 2 == 0),
+      rows.filter(r => r._2 && r._1 % 2 == 1))
+    val src = MemoryStream[(Long, Boolean, Seq[Long])]
+    val q = StreamingDedup.bandedCandidatesStatefulFromKeys(
+        src.toDF().toDF("id", "isNew", "keys"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sde_out").start()
+    try {
+      batches.foreach { b => src.addData(b); q.processAllAvailable() }
+      val got = spark.table("sde_out").as[(Long, Long)].collect()
+      assert(got.length == got.toSet.size, "a pair was emitted twice")
+      assert(got.toSet == batch,
+        s"stream ${got.length} pairs != batch ${batch.size}")
+    } finally q.stop()
+  }
+
   test("verified stateful pairs = the exact incremental pair set") {
     val d = graft.core.Tables.table(spark, sf0001, "documents")
     val exact = graft.operators.Dedup.incrementalJaccardPairs(
