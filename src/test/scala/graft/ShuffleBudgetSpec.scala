@@ -555,7 +555,11 @@ class ShuffleBudgetSpec extends GraftSuite {
     // sf0.01 (the band routing rows carry the key prefixes). A blown
     // budget means the routing rows fattened (e.g. full key vectors
     // again) or the verify joins stopped being id-keyed.
-    "dedup_stream" -> (260000L, 1600000L))
+    "dedup_stream" -> (260000L, 1600000L),
+    // its sign-band sibling over the embeddings (64 bands of 5 bits →
+    // more routing rows per item than the 16-band text geometry);
+    // ~2.67M at sf0.01, same blow-up semantics
+    "embed_stream" -> (900000L, 5400000L))
 
   /** Memo keys to evict after the warm pass so the measured pass runs the
     * gate's build plan instead of reading a checkpoint. dedup_groups
@@ -580,9 +584,10 @@ class ShuffleBudgetSpec extends GraftSuite {
       // the mutual-reachability forest memo: pin the core-distance +
       // weighted-boruvka build, not the checkpoint read
       "mreach_mst" -> graft.queries.ClusterQueries.MreachKey,
-      // the stateful band-pair memo (round 12): pin the banding +
-      // verify build, not the checkpoint read
-      "dedup_stream" -> graft.queries.TextQueries.StreamPairsKey)
+      // the stateful band-pair memos (round 12): pin the banding +
+      // verify builds, not the checkpoint reads
+      "dedup_stream" -> graft.queries.TextQueries.StreamPairsKey,
+      "embed_stream" -> graft.queries.VectorQueries.EmbStreamKey)
 
   for ((q, (lo, hi)) <- budgets)
     test(s"$q shuffle-write volume stays within budget at sf0.01") {
