@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.functions.PolyHash
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -32,30 +32,102 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * in one micro-batch or months apart, the same single (band, key) group
   * emits their pair, so batch mode (state empty, each group sees all rows
   * at once) is row-equivalent to any streaming schedule — the equivalence
-  * StreamingDedupSpec pins. Document ids must be unique across the stream
-  * (a re-ingested id would re-pair).
+  * StreamingDedupSpec pins. Document ids must be unique across the
+  * stream; a re-ingested id whose first copy is STORED is skipped by the
+  * handler (no re-emission, no double append — the append-mode
+  * exactly-once invariant survives an upstream replay). A re-ingest of an
+  * id that previously OVERFLOWED (below) is not detectable from state
+  * and remains the caller's contract.
   *
-  * Scale: state per (band, key) is the bucket population × (band + 3)
-  * longs (the key prefix — bands(bands+1)/2 per doc summed over its
-  * groups, not bands²) — the classic LSH bucket-skew exposure, bounded by
-  * band-key cardinality exactly like the batch join's hot keys; key
-  * prefixes (not shingle sets) live in state, so verification joins the
-  * candidate ids back to the corpus-side shingle store (id-keyed,
-  * broadcast-free). Output is append-mode (each pair exactly once).
+  * Scale — the hot-bucket cap (`maxBucket`, default [[DefaultMaxBucket]]):
+  * a (band, key) group is pinned to one stateful task and CANNOT be
+  * re-partitioned, so an unguarded hot LSH bucket (the boilerplate-heavy
+  * shingle case) concentrates O(bucket²) emission and O(bucket) state in
+  * one unsplittable task — the streaming sibling of the batch skew
+  * [[graft.operators.SkewJoin.blockedSelfPairs]] guards with triangle
+  * blocking. Here the guard is a bounded store with an EXPLICIT overflow
+  * policy: a bucket stores at most `maxBucket` members; an arrival at a
+  * saturated bucket still pairs against the stored members (work and
+  * emission per arrival stay ≤ `maxBucket`) but is NOT appended —
+  * instead an overflow ROUTING record ([[StoreEvent]] with
+  * `overflow = true`, carrying the doc id and the saturated (band, key))
+  * is emitted for a batch-side recovery pass. Without retention the
+  * missed pairs are EXACTLY the overflow×overflow pairs of each bucket
+  * (an overflowed doc pairs with everything stored before it; everything
+  * after it either sees the same full bucket and overflows too, or is a
+  * stored member it already paired with), so
+  * [[overflowRecoveryPairs]] restores the uncapped pair set exactly:
+  * capped stream ∪ recovery = uncapped stream, any cap, any schedule —
+  * StreamingDedupSpec pins this cap-invariance at caps 1/4/64. State per
+  * group is ≤ maxBucket × (band + 4) longs, per-arrival work ≤ 2·maxBucket
+  * member scans. The default cap (1024) clears the measured gate-corpus
+  * maxima ~7× (sf0.1: text bucket max 18, sign-band bucket max 141 —
+  * tools/ProbeBuckets) while bounding a genuinely hot 100 TB bucket.
+  * Bootstrap buckets larger than the cap are truncated to the
+  * `maxBucket` smallest ids (the corpus-build path should pre-resolve
+  * its hot buckets — they are exactly what the batch
+  * `blockedSelfPairs` path handles).
+  *
+  * Retention ([[Retention]], optional, [[bandedCandidatesStatefulFromKeys]]
+  * only): bounded state for operators who don't need the
+  * queryable-forever store. The keyed frame carries an event-time `ts`
+  * column (watermarked here); a member stops pairing — and is evicted —
+  * once the watermark has advanced `horizonMs` past its event time, and
+  * wholly-expired groups are removed via event-time timeout, so state is
+  * bounded by the live horizon instead of the corpus. Within the horizon
+  * the emitted pairs equal the unretained stream's (spec-pinned); pairs
+  * whose sides are more than a horizon apart are intentionally dropped.
+  * Retention is a STREAMING-mode feature: in batch execution there is no
+  * watermark, so nothing expires. Combining retention with cap overflow
+  * weakens the exact-recovery contract (an evicted slot can re-open and
+  * store a later doc the overflowed one never paired with); route
+  * overflowed docs to a batch re-verification against the full corpus in
+  * that mode.
+  *
+  * State bill: per doc, prefixes sum to bands(bands+1)/2 key longs (+ 3
+  * bookkeeping longs per membership) across its groups, not bands² —
+  * StreamingDedupSpec pins the measured `stateOperators` rows/bytes
+  * against this budget. Verification joins candidate ids back to the
+  * corpus-side shingle store (id-keyed, broadcast-free). Output is
+  * append-mode (each pair exactly once).
   */
 object StreamingDedup {
 
-  /** One (band, key) routing row: the doc's id, new-side flag, and its
-    * band-key PREFIX [0..band] (all the min-colliding-band rule reads). */
+  /** Default hot-bucket cap — see the scale note above: ~7× the largest
+    * bucket either gate geometry produces on the sf0.1 corpus, small
+    * enough that one saturated bucket's state (≤ 1024 prefixes) and
+    * per-arrival scan stay bounded at any corpus size. */
+  val DefaultMaxBucket = 1024
+
+  /** One (band, key) routing row: the doc's id, new-side flag, its
+    * band-key PREFIX [0..band] (all the min-colliding-band rule reads),
+    * and its event time (None when the feed carries no `ts`). The raw
+    * timestamp — not derived millis — rides through so the watermarked
+    * attribute reaches the stateful operator (event-time timeout's
+    * analyzer requirement). */
   case class BandDoc(band: Int, key: Long, id: Long, isNew: Boolean,
-                     keys: Seq[Long])
+                     keys: Seq[Long], ts: Option[java.sql.Timestamp])
 
   /** The accumulating per-bucket signature store. */
-  case class BandMember(id: Long, isNew: Boolean, keys: Seq[Long])
+  case class BandMember(id: Long, isNew: Boolean, keys: Seq[Long], tsMs: Long)
   case class BandState(members: Seq[BandMember])
 
   /** An emitted candidate pair (id_a < id_b), pre-verification. */
   case class CandPair(id_a: Long, id_b: Long)
+
+  /** Full handler output: a candidate pair (`overflow = false`,
+    * id_a < id_b, band/key = the emitting bucket) or an overflow routing
+    * record (`overflow = true`: id_a = the doc that arrived at the
+    * saturated (band, key) bucket and was not stored; id_b = -1). */
+  case class StoreEvent(id_a: Long, id_b: Long, band: Int, key: Long,
+                        overflow: Boolean)
+
+  /** Bounded-retention policy: members expire `horizonMs` after their
+    * event time (relative to the stream watermark, whose lateness
+    * allowance is `watermarkDelay`). */
+  case class Retention(horizonMs: Long, watermarkDelay: String = "0 seconds") {
+    require(horizonMs > 0, "retention horizon must be positive")
+  }
 
   /** Smallest band index on which two key vectors agree; both docs
     * sharing a (band, key) group guarantees one exists at or below that
@@ -84,64 +156,159 @@ object StreamingDedup {
   def bandedCandidatesStateful(docs: DataFrame, idCol: String,
                                textCol: String, newCol: String, n: Int,
                                bands: Int, rows: Int,
-                               bootstrapOpt: Option[DataFrame] = None)
+                               bootstrapOpt: Option[DataFrame] = None,
+                               maxBucket: Int = DefaultMaxBucket)
   : Dataset[CandPair] =
     bandedCandidatesStatefulFromKeys(
       textKeys(docs, idCol, textCol, Some(newCol), n, bands, rows),
-      bootstrapOpt.map(c => textKeys(c, idCol, textCol, None, n, bands, rows)))
+      bootstrapOpt.map(c => textKeys(c, idCol, textCol, None, n, bands, rows)),
+      maxBucket)
 
   /** The banding-agnostic core: stateful candidate pairs from a keyed
     * frame (id: long, isNew: boolean, keys: array<long> — one key per
-    * band, ANY LSH family). [[bandedCandidatesStateful]] feeds it MinHash
-    * band keys over text; an embedding stream feeds sign-band keys
+    * band, ANY LSH family; plus a `ts` timestamp column when `retention`
+    * is set). [[bandedCandidatesStateful]] feeds it MinHash band keys
+    * over text; an embedding stream feeds sign-band keys
     * ([[graft.functions.VecKernels.sign_bands]]) — same store, same
-    * min-colliding-band exactly-once rule, same bootstrap path. */
+    * min-colliding-band exactly-once rule, same bootstrap path. Overflow
+    * routing records are dropped here — use [[statefulEventsFromKeys]]
+    * to wire the [[overflowRecoveryPairs]] batch path. */
   def bandedCandidatesStatefulFromKeys(keyed: DataFrame,
-                                       bootstrapOpt: Option[DataFrame] = None)
+                                       bootstrapOpt: Option[DataFrame] = None,
+                                       maxBucket: Int = DefaultMaxBucket,
+                                       retention: Option[Retention] = None)
   : Dataset[CandPair] = {
     import keyed.sparkSession.implicits._
-    val grouped = explodePrefix(keyed).groupByKey(d => (d.band, d.key))
+    statefulEventsFromKeys(keyed, bootstrapOpt, maxBucket, retention)
+      .filter(!_.overflow)
+      .map(e => CandPair(e.id_a, e.id_b))
+  }
+
+  /** [[bandedCandidatesStatefulFromKeys]] with the overflow routing
+    * records kept in-stream: candidate pairs ride `overflow = false`
+    * rows; saturated-bucket arrivals ride `overflow = true` rows for the
+    * batch-side [[overflowRecoveryPairs]] pass. */
+  def statefulEventsFromKeys(keyed: DataFrame,
+                             bootstrapOpt: Option[DataFrame] = None,
+                             maxBucket: Int = DefaultMaxBucket,
+                             retention: Option[Retention] = None)
+  : Dataset[StoreEvent] = {
+    require(maxBucket > 0, "maxBucket must be positive")
+    import keyed.sparkSession.implicits._
+    val input = retention.fold(keyed) { r =>
+      require(keyed.columns.contains("ts"),
+        "retention requires an event-time `ts` column on the keyed frame")
+      keyed.withWatermark("ts", r.watermarkDelay)
+    }
+    val grouped = explodePrefix(input).groupByKey(d => (d.band, d.key))
+    val timeoutConf = retention.fold[GroupStateTimeout](
+      GroupStateTimeout.NoTimeout)(_ => GroupStateTimeout.EventTimeTimeout)
+    val h = handler(maxBucket, retention)
     bootstrapOpt match {
       case None =>
-        grouped.flatMapGroupsWithState[BandState, CandPair](
-          OutputMode.Append, GroupStateTimeout.NoTimeout)(handler)
+        grouped.flatMapGroupsWithState[BandState, StoreEvent](
+          OutputMode.Append, timeoutConf)(h)
       case Some(corpus) =>
         // one BandState per (band, key): the store a previous batch run
-        // (or a snapshot of this stream's own state) would have built
+        // (or a snapshot of this stream's own state) would have built;
+        // buckets beyond the cap keep their maxBucket smallest ids
         val init = explodePrefix(corpus)
           .groupByKey(d => (d.band, d.key))
           .mapGroups { (k, ds) =>
-            (k, BandState(ds.map(d => BandMember(d.id, d.isNew, d.keys)).toSeq))
+            (k, BandState(ds.map(d => BandMember(d.id, d.isNew, d.keys,
+                d.ts.fold(0L)(_.getTime)))
+              .toSeq.sortBy(_.id).take(maxBucket)))
           }
           .groupByKey(_._1).mapValues(_._2)
-        grouped.flatMapGroupsWithState[BandState, CandPair](
-          OutputMode.Append, GroupStateTimeout.NoTimeout, init)(handler)
+        grouped.flatMapGroupsWithState[BandState, StoreEvent](
+          OutputMode.Append, timeoutConf, init)(h)
     }
   }
 
-  /** The shared group handler: emit min-band candidate pairs of each
-    * arrival against the accumulated store, then append the arrival. */
-  private val handler: ((Int, Long), Iterator[BandDoc],
-                        GroupState[BandState]) => Iterator[CandPair] =
+  /** Batch recovery of the pairs a capped stream routed out-of-band: the
+    * overflow records of [[statefulEventsFromKeys]] joined back to their
+    * full key vectors (`keyed`: the same id/isNew/keys frame the stream
+    * consumed — at 100 TB, the id-keyed corpus-side store), then the
+    * within-bucket all-pairs under the SAME min-colliding-band and
+    * ≥ 1-new-side rules the handler applies. The self-join runs through
+    * [[graft.operators.SkewJoin.blockedSelfPairs]] (cap 256), so a hot
+    * bucket's recovery work is spread across tasks instead of recreating
+    * the skew the stream-side cap removed. Without retention,
+    * capped pairs ∪ these = the uncapped pair set, each pair exactly
+    * once (see the class note for why). Output columns: id_a < id_b. */
+  def overflowRecoveryPairs(events: Dataset[StoreEvent], keyed: DataFrame)
+  : DataFrame = {
+    val over = events.filter(_.overflow).toDF()
+      .select(col("id_a").as("id"), col("band"), col("key"))
+    val sides = over.join(
+      keyed.select(col("id").cast("long").as("id"), col("isNew"),
+        col("keys")), "id")
+    val blocked = graft.operators.SkewJoin.blockedSelfPairs(
+      sides.select(struct(col("band"), col("key")).as("bk"), col("id"),
+        col("isNew"), col("keys")),
+      groupCol = "bk", idCol = "id", cap = 256)
+    // first index where the FULL key vectors agree (1-based, 0 = never);
+    // restricting emission to the bucket's own band keeps cross-band
+    // duplicates out, exactly as the stateful handler does
+    val minBand = array_position(
+      zip_with(col("keys_a"), col("keys_b"), (x, y) => x === y), true) - 1
+    blocked
+      .where(minBand === col("bk.band"))
+      .where(col("isNew_a") || col("isNew_b"))
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"))
+  }
+
+  /** The shared group handler: evict expired members (retention mode),
+    * emit min-band candidate pairs of each arrival against the
+    * accumulated store, then append the arrival — or emit an overflow
+    * routing record when the bucket is saturated. */
+  private def handler(maxBucket: Int, retention: Option[Retention])
+  : ((Int, Long), Iterator[BandDoc], GroupState[BandState])
+    => Iterator[StoreEvent] =
     (bk, ds, state) => {
-      val band = bk._1
+      val (band, key) = bk
+      // watermark is only readable under EventTimeTimeout on a streaming
+      // query; batch execution has none → nothing expires there
+      val wm = retention.fold(Long.MinValue) { _ =>
+        try state.getCurrentWatermarkMs()
+        catch { case _: UnsupportedOperationException => Long.MinValue }
+      }
+      val stored = state.getOption.fold(Seq.empty[BandMember])(_.members)
       // amortized O(1) appends — a hot LSH bucket's initial micro-
       // batch can route thousands of docs into one group, and an
       // immutable :+ per doc would copy the whole store each time
-      val members = scala.collection.mutable.ArrayBuffer
-        .from(state.getOption.fold(Seq.empty[BandMember])(_.members))
-      val out = Seq.newBuilder[CandPair]
+      val members = scala.collection.mutable.ArrayBuffer.from(
+        retention.filter(_ => wm != Long.MinValue)
+          .fold(stored)(r => stored.filter(_.tsMs + r.horizonMs > wm)))
+      val out = Seq.newBuilder[StoreEvent]
       // id order makes batch-mode processing deterministic; the
       // emitted SET is order-independent (pairs are symmetric)
-      ds.toSeq.sortBy(_.id).foreach { d =>
-        members.foreach { m =>
-          if ((m.isNew || d.isNew) && m.id != d.id &&
-              minCollidingBand(m.keys, d.keys) == band)
-            out += CandPair(math.min(m.id, d.id), math.max(m.id, d.id))
+      if (!state.hasTimedOut) ds.toSeq.sortBy(_.id).foreach { d =>
+        // unique-id guard: a replayed doc whose first copy is stored
+        // must not re-emit or double-append (exactly-once output)
+        if (!members.exists(_.id == d.id)) {
+          members.foreach { m =>
+            if ((m.isNew || d.isNew) && minCollidingBand(m.keys, d.keys) == band)
+              out += StoreEvent(math.min(m.id, d.id), math.max(m.id, d.id),
+                band, key, overflow = false)
+          }
+          if (members.length < maxBucket)
+            members += BandMember(d.id, d.isNew, d.keys,
+              d.ts.fold(0L)(_.getTime))
+          else
+            out += StoreEvent(d.id, -1L, band, key, overflow = true)
         }
-        members += BandMember(d.id, d.isNew, d.keys)
       }
-      state.update(BandState(members.toSeq))
+      if (members.isEmpty && retention.isDefined) state.remove()
+      else {
+        state.update(BandState(members.toSeq))
+        // wake the group once its youngest member can expire, so idle
+        // groups drain instead of holding state forever
+        if (retention.isDefined && wm != Long.MinValue)
+          state.setTimeoutTimestamp(
+            members.map(_.tsMs).max + retention.get.horizonMs)
+      }
       out.result().iterator
     }
 
@@ -171,12 +338,17 @@ object StreamingDedup {
     * PREFIX [0..band] — the min-colliding-band scan never reads past a
     * group's own band, so the accumulating store holds bands(bands+1)/2
     * longs per doc instead of bands² (state size is the firehose's
-    * bill). */
+    * bill). The `ts` column rides through UNALIASED when present (the
+    * retention mode) so its watermark metadata survives to the stateful
+    * operator; absent, a null timestamp fills the slot. */
   private def explodePrefix(keyed: DataFrame): Dataset[BandDoc] = {
     import keyed.sparkSession.implicits._
+    val ts: Column =
+      if (keyed.columns.contains("ts")) col("ts")
+      else lit(null).cast("timestamp").as("ts")
     keyed.select(posexplode(col("keys")).as(Seq("band", "key")),
         col("id").cast("long").as("id"), col("isNew"),
-        slice(col("keys"), lit(1), col("band") + 1).as("keys"))
+        slice(col("keys"), lit(1), col("band") + 1).as("keys"), ts)
       .as[BandDoc]
   }
 }

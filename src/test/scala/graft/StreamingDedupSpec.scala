@@ -133,6 +133,188 @@ class StreamingDedupSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  /** The sign-band keyed frame (embed_stream's geometry) — sf0.001
+    * buckets reach 45 members (tools/ProbeBuckets), so small caps
+    * genuinely saturate and the overflow policy has real witnesses. */
+  private def signKeyed = graft.core.Tables.table(spark, sf0001, "embeddings")
+    .select(col("vec_id").cast("long").as("id"),
+      (col("vec_id") >= 250).as("isNew"),
+      graft.functions.VecKernels.sign_bands(
+        col("embedding").cast("array<double>"), dim = 64, bits = 5,
+        bands = 64).as("keys"))
+
+  test("hot-bucket cap: capped pairs + overflow recovery = uncapped, any cap") {
+    val uncapped = StreamingDedup.bandedCandidatesStatefulFromKeys(signKeyed)
+      .as[(Long, Long)].collect().toSet
+    assert(uncapped.nonEmpty, "no uncapped candidates — test is vacuous")
+    for (cap <- Seq(1, 4, 64)) {
+      val events = StreamingDedup.statefulEventsFromKeys(signKeyed,
+        maxBucket = cap).cache()
+      try {
+        val streamed = events.filter(!_.overflow)
+          .map(e => (e.id_a, e.id_b)).collect()
+        val overflowed = events.filter(_.overflow).count()
+        assert(cap >= 64 || overflowed > 0,
+          s"cap $cap produced no overflow — saturation not exercised")
+        val recovered = StreamingDedup
+          .overflowRecoveryPairs(events, signKeyed)
+          .as[(Long, Long)].collect()
+        // exactly-once across the two paths: no pair twice within either
+        // stream, and no pair in both
+        assert(streamed.length == streamed.toSet.size,
+          s"cap $cap: a streamed pair was emitted twice")
+        assert(recovered.length == recovered.toSet.size,
+          s"cap $cap: a recovered pair was emitted twice")
+        assert(streamed.toSet.intersect(recovered.toSet).isEmpty,
+          s"cap $cap: a pair rode both the stream and the recovery")
+        assert(streamed.toSet ++ recovered.toSet == uncapped,
+          s"cap $cap: streamed ${streamed.length} + recovered " +
+            s"${recovered.length} != uncapped ${uncapped.size}")
+      } finally events.unpersist()
+    }
+  }
+
+  test("hot-bucket cap union is schedule-invariant (streaming, cap 4)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val uncapped = StreamingDedup.bandedCandidatesStatefulFromKeys(signKeyed)
+      .as[(Long, Long)].collect().toSet
+    val rows = signKeyed.as[(Long, Boolean, Seq[Long])].collect().toSeq
+    val batches = Seq(rows.filter(!_._2),
+      rows.filter(r => r._2 && r._1 % 2 == 0),
+      rows.filter(r => r._2 && r._1 % 2 == 1))
+    val src = MemoryStream[(Long, Boolean, Seq[Long])]
+    val q = StreamingDedup.statefulEventsFromKeys(
+        src.toDF().toDF("id", "isNew", "keys"), maxBucket = 4)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sdc_out").start()
+    try {
+      batches.foreach { b => src.addData(b); q.processAllAvailable() }
+      val events = spark.table("sdc_out")
+        .as[StreamingDedup.StoreEvent]
+      val streamed = events.filter(!_.overflow)
+        .map(e => (e.id_a, e.id_b)).collect()
+      val recovered = StreamingDedup
+        .overflowRecoveryPairs(events, signKeyed)
+        .as[(Long, Long)].collect()
+      assert(streamed.length == streamed.toSet.size, "a pair emitted twice")
+      assert(streamed.toSet.intersect(recovered.toSet).isEmpty,
+        "a pair rode both paths")
+      assert(streamed.toSet ++ recovered.toSet == uncapped,
+        s"streamed ${streamed.length} + recovered ${recovered.length} " +
+          s"!= uncapped ${uncapped.size}")
+    } finally q.stop()
+  }
+
+  test("unique-id guard: a replayed document does not re-emit or re-pair") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val rows = docsDf.as[(Long, String, Boolean)].collect().toSeq
+    val src = MemoryStream[(Long, String, Boolean)]
+    val q = StreamingDedup.bandedCandidatesStateful(
+        src.toDF().toDF("doc_id", "text", "is_new"),
+        "doc_id", "text", "is_new", N, Bands, Rows)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sdr_out").start()
+    try {
+      src.addData(rows); q.processAllAvailable()
+      // full upstream replay: every id re-ingested in a second batch
+      src.addData(rows); q.processAllAvailable()
+      val got = spark.table("sdr_out").as[(Long, Long)].collect()
+      assert(got.length == got.toSet.size, "replay duplicated a pair")
+      assert(got.toSet == batchCandidates,
+        s"replayed stream ${got.length} pairs != single ingest " +
+          s"${batchCandidates.size}")
+    } finally q.stop()
+    // batch mode: the same guard catches an in-batch duplicate row
+    val doubled = docsDf.unionAll(docsDf)
+    val batchGot = StreamingDedup.bandedCandidatesStateful(
+        doubled, "doc_id", "text", "is_new", N, Bands, Rows)
+      .as[(Long, Long)].collect()
+    assert(batchGot.length == batchGot.toSet.size,
+      "batch duplicate row duplicated a pair")
+    assert(batchGot.toSet == batchCandidates,
+      "batch duplicate rows changed the pair set")
+  }
+
+  test("state size matches the prefix-key design bill (stateOperators)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val rows = signKeyed.as[(Long, Boolean, Seq[Long])].collect().toSeq
+    // the design bill: one state row per non-empty (band, key) bucket,
+    // and per doc its prefixes sum to bands(bands+1)/2 key longs
+    val exploded = signKeyed.select(posexplode(col("keys")).as(Seq("band", "key")))
+    val expectedRows = exploded.select("band", "key").distinct().count()
+    val prefixLongs = exploded.agg(sum(col("band") + 1)).as[Long].head()
+    val src = MemoryStream[(Long, Boolean, Seq[Long])]
+    val q = StreamingDedup.bandedCandidatesStatefulFromKeys(
+        src.toDF().toDF("id", "isNew", "keys"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sds_out").start()
+    try {
+      src.addData(rows); q.processAllAvailable()
+      src.addData(Seq.empty[(Long, Boolean, Seq[Long])]); q.processAllAvailable()
+      val st = q.recentProgress.flatMap(_.stateOperators)
+        .filter(_.numRowsTotal > 0).last
+      assert(st.numRowsTotal == expectedRows,
+        s"state rows ${st.numRowsTotal} != ${expectedRows} buckets")
+      // memory bill: prefix key longs + bookkeeping per membership +
+      // per-row store overhead. Measured: 17.4 MB for 1.04M prefix longs
+      // / 32k memberships / 2048 buckets — ~1.9x the raw payload (the
+      // HDFS-backed store holds each bucket as one UnsafeRow pair). The
+      // 24 B/long roof keeps ~1.6x headroom over that while a
+      // keys-not-prefix regression (bands^2 longs per doc, ~31 MB here)
+      // trips it
+      val memberships = exploded.count()
+      val budget = 24L * prefixLongs + 64L * memberships + 512L * expectedRows
+      assert(st.memoryUsedBytes > 0, "store reported no memory")
+      info(s"state: ${st.numRowsTotal} rows, ${st.memoryUsedBytes} B " +
+        s"(budget $budget B, $prefixLongs prefix longs, $memberships memberships)")
+      assert(st.memoryUsedBytes < budget,
+        s"state ${st.memoryUsedBytes} B exceeds the design budget $budget B")
+    } finally q.stop()
+  }
+
+  test("retention: expired members stop pairing; live-horizon pairs kept") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    // base offset keeps every event strictly above the initial watermark
+    // (an event AT the epoch boundary is filtered as late data)
+    def ts(sec: Long) = new java.sql.Timestamp((1000000L + sec) * 1000L)
+    val X = Seq(7L)   // one shared bucket for the docs under test
+    val Y = Seq(8L)   // a disjoint bucket that advances the watermark
+    // (id, isNew, keys, ts); horizon 10 s, watermark delay 0. The handler
+    // sees the PREVIOUS batch's watermark, so batch 3's arrivals pair
+    // against members still live at wm = 8 s, batch 5's at wm = 30 s.
+    val batches = Seq(
+      Seq((1L, false, X, ts(0)), (2L, true, X, ts(5))), // pair (1,2)
+      Seq((9L, true, Y, ts(8))),                        // wm -> 8 s
+      Seq((3L, true, X, ts(9))),   // wm 8: 1,2 live (0+10, 5+10 > 8) -> pairs
+      Seq((10L, true, Y, ts(30))), // wm 9: 9 live -> pair (9,10); wm -> 30 s
+      Seq((4L, true, X, ts(31))))  // wm 30: 1,2,3 all expired -> no pairs
+    val src = MemoryStream[(Long, Boolean, Seq[Long], java.sql.Timestamp)]
+    val q = StreamingDedup.bandedCandidatesStatefulFromKeys(
+        src.toDF().toDF("id", "isNew", "keys", "ts"),
+        retention = Some(StreamingDedup.Retention(horizonMs = 10000L)))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sdt_out").start()
+    try {
+      batches.foreach { b => src.addData(b); q.processAllAvailable() }
+      val got = spark.table("sdt_out").as[(Long, Long)].collect().toSet
+      assert(got == Set((1L, 2L), (1L, 3L), (2L, 3L), (9L, 10L)),
+        s"retained pairs $got != live-horizon set {(1,2),(1,3),(2,3),(9,10)}")
+      // wholly-expired groups drain via event-time timeout: bucket X's
+      // members all expired at wm 30; two more watermark advances give
+      // the timeout a chance to fire and remove the group
+      src.addData(Seq((11L, true, Y, ts(60)))); q.processAllAvailable()
+      src.addData(Seq((12L, true, Y, ts(61)))); q.processAllAvailable()
+      val st = q.recentProgress.flatMap(_.stateOperators)
+        .filter(_.numRowsTotal > 0).last
+      assert(st.numRowsTotal == 1,
+        s"expired bucket not drained: ${st.numRowsTotal} state rows != 1 (Y)")
+    } finally q.stop()
+  }
+
   test("verified stateful pairs = the exact incremental pair set") {
     val d = graft.core.Tables.table(spark, sf0001, "documents")
     val exact = graft.operators.Dedup.incrementalJaccardPairs(
