@@ -284,6 +284,152 @@ class PropertySpec extends GraftSuite {
     }
   }
 
+  test("simhash bit agreement tracks set cosine; <=3-bit pairs always band-collide (property)") {
+    // The round-12 MinHash lesson applied to SimHash: the hash-exact
+    // gates can't see an estimator degeneracy their oracle mirrors, so
+    // pin the CONTRACT against brute similarity. simhash60 is signed
+    // random projection with Rademacher planes (bit b of each shingle's
+    // 60-bit hash), so for two shingle sets at angle θ the expected
+    // per-bit agreement is 1 - θ/π (Charikar STOC'02); measured over 60
+    // bits and 40 random pairs the mean error must sit inside sampling
+    // noise. A constant/correlated-bit degeneracy reads agreement ~1 for
+    // everything; a broken sign reads ~0.5 everywhere.
+    def sim(words: Seq[String]): Long =
+      graft.functions.TextKernels.simhash60(words.mkString(" "), 1)
+    def agree(a: Long, b: Long): Double =
+      (60 - java.lang.Long.bitCount((a ^ b) & ((1L << 60) - 1))) / 60.0
+    val rnd = new scala.util.Random(20260816L)
+    var vocabAt = 0
+    // tokens long enough that PolyHash wraps mod the prime (short strings
+    // leave the high fingerprint bits unpopulated — which is fine for the
+    // gate's multi-word shingles but would bias this unigram probe)
+    def draw(n: Int): Seq[String] =
+      (0 until n).map { _ => vocabAt += 1; f"token$vocabAt%08dpadding" }
+    val errs = (0 until 40).map { _ =>
+      val shared = draw(rnd.between(10, 50))
+      val a = shared ++ draw(rnd.between(0, 30))
+      val b = shared ++ draw(rnd.between(0, 30))
+      val cos = shared.size.toDouble / math.sqrt(a.size.toDouble * b.size)
+      val expected = 1.0 - math.acos(cos) / math.Pi
+      math.abs(agree(sim(a), sim(b)) - expected)
+    }
+    assert(errs.sum / errs.size < 0.06,
+      f"mean |agreement - (1 - theta/pi)| = ${errs.sum / errs.size}%.3f")
+    assert(errs.max < 0.25, f"max contract error = ${errs.max}%.3f")
+    // identical sets agree exactly; disjoint sets sit near 0.5
+    val x = draw(40)
+    assert(agree(sim(x), sim(x)) == 1.0)
+    val far = (0 until 20).map(_ => agree(sim(draw(40)), sim(draw(40))))
+    assert(math.abs(far.sum / far.size - 0.5) < 0.1,
+      f"disjoint-set agreement ${far.sum / far.size}%.3f not near 0.5")
+    // simhashPairs' recall guarantee is DETERMINISTIC, not statistical:
+    // hamming <= 3 over 4 disjoint 15-bit bands pigeonholes >= 1 band
+    // equal, so no <= maxHamming pair can escape the candidate join
+    (0 until 200).foreach { _ =>
+      val fp = rnd.nextLong() & ((1L << 60) - 1)
+      val flipped = (0 until rnd.between(0, 4))
+        .foldLeft(fp)((f, _) => f ^ (1L << rnd.nextInt(60)))
+      val bands = (0 until 4).map(b => ((fp >> (b * 15)) & 0x7FFF,
+        (flipped >> (b * 15)) & 0x7FFF))
+      assert(bands.exists(p => p._1 == p._2),
+        f"<=3-bit pair escaped all 4 bands: $fp%x vs $flipped%x")
+    }
+  }
+
+  test("sign-band agreement tracks vector angle; gate geometry has full recall (property)") {
+    // Same contract pin for the embedding LSH family: per-hyperplane
+    // sign agreement on vectors at a KNOWN angle must read 1 - θ/π.
+    // Probed through the public column (bits = 1 → every band key IS one
+    // plane's sign), so the pin covers the shipped kernel end-to-end.
+    val angles = Seq(0.3, 0.7, 1.1, 1.6, 2.1, 2.6)
+    val rnd = new scala.util.Random(20260817L)
+    val dim = 64
+    val rows = for (α <- angles; i <- 0 until 6) yield {
+      val v = Array.fill(dim)(rnd.nextGaussian())
+      val r = Array.fill(dim)(rnd.nextGaussian())
+      val vn = math.sqrt(v.map(x => x * x).sum)
+      val dotVR = v.zip(r).map(p => p._1 * p._2).sum / (vn * vn)
+      val u0 = r.zip(v).map(p => p._1 - dotVR * p._2) // r ⊥ v component
+      val un = math.sqrt(u0.map(x => x * x).sum)
+      val w = v.zip(u0).map(p =>
+        math.cos(α) * p._1 / vn + math.sin(α) * p._2 / un)
+      (α, i, v.map(_ / vn), w)
+    }
+    val keyed = rows.toDF("angle", "i", "a", "b").select(col("angle"), col("i"),
+      graft.functions.VecKernels.sign_bands(col("a"), dim, bits = 1,
+        bands = 320).as("ka"),
+      graft.functions.VecKernels.sign_bands(col("b"), dim, bits = 1,
+        bands = 320).as("kb"))
+      .select(col("angle"),
+        (size(filter(zip_with(col("ka"), col("kb"), (x, y) => x === y),
+          m => m)) / 320.0).as("agree"))
+      .groupBy("angle").agg(avg("agree").as("agree"))
+      .as[(Double, Double)].collect().toMap
+    angles.foreach { α =>
+      val expected = 1.0 - α / math.Pi
+      assert(math.abs(keyed(α) - expected) < 0.05,
+        f"angle $α%.1f: agreement ${keyed(α)}%.3f vs ${expected}%.3f")
+    }
+    // The embed gates' correctness rides the 64-band/5-bit geometry
+    // having EMPIRICAL full recall at cos >= 0.4 on the test embeddings
+    // (their oracle is the brute pair SQL) — measure it the way the text
+    // side measures banding recall, on both the correctness corpus
+    // (sf0.01) and the bench corpus (sf0.1)
+    for (dirSf <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val e = graft.core.Tables.table(spark, dirSf, "embeddings")
+        .select(col("vec_id").cast("long").as("id"),
+          col("embedding").cast("array<double>").as("vec"))
+        .localCheckpoint()
+      val brute = graft.operators.SimilaritySearch
+        .cosinePairs(e.select(col("id").as("vec_id"), col("vec").as("embedding")),
+          "vec_id", "embedding", 0.4)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      val banded = e.select(col("id"), posexplode(
+          graft.functions.VecKernels.sign_bands(col("vec"), dim = 64,
+            bits = 5, bands = 64)).as(Seq("band", "key")))
+      val cand = banded.as("a").join(banded.as("b"),
+          col("a.band") === col("b.band") && col("a.key") === col("b.key")
+            && col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        .distinct().as[(Long, Long)].collect().toSet
+      assert(brute.nonEmpty, s"$dirSf: no brute pairs — recall pin vacuous")
+      assert(brute.subsetOf(cand),
+        s"$dirSf: sign-band candidates miss ${(brute -- cand).size} of " +
+          s"${brute.size} brute pairs >= 0.4: ${(brute -- cand).take(5)}")
+    }
+  }
+
+  test("winnowing fingerprints honor the shared-substring guarantee (property)") {
+    // Schleimer SIGMOD'03 guarantee: a shared token run of length
+    // >= w + n - 1 contains a full window of w shared n-gram hashes, and
+    // enc = h·2^20 + posbits makes each doc select that window's minimal
+    // HASH (h dominates the encoding), so the docs must share >= 1
+    // fingerprint hash — for any surrounding text, any run placement.
+    val n = 2
+    val w = 4
+    def fps(words: Seq[String]): Set[Long] =
+      graft.functions.TextKernels
+        .winnowFingerprints(words.mkString(" "), n, w).map(_ >> 20).toSet
+    val rnd = new scala.util.Random(20260818L)
+    (0 until 30).foreach { t =>
+      val run = (0 until w + n - 1).map(i => s"s${t}_$i")  // exactly w+n-1
+      def host(prefix: String): Seq[String] = {
+        val pre = Seq.fill(rnd.nextInt(20))(s"$prefix${rnd.nextInt(50)}")
+        val post = Seq.fill(rnd.nextInt(20))(s"$prefix${rnd.nextInt(50)}")
+        pre ++ run ++ post
+      }
+      val a = host("a")
+      val b = host("b")
+      assert((fps(a) & fps(b)).nonEmpty,
+        s"planted ${w + n - 1}-token run produced no shared fingerprint " +
+          s"(|a|=${a.size} |b|=${b.size} trial $t)")
+      // control: disjoint vocabularies share nothing
+      val c = Seq.fill(20 + rnd.nextInt(20))(s"c${rnd.nextInt(50)}")
+      assert((fps(a) & fps(c)).isEmpty,
+        s"disjoint-vocab docs shared a fingerprint (trial $t)")
+    }
+  }
+
   test("unimax waterfill equals the brute-force integer water level (property)") {
     // the closed-form window waterfill (Sampling.unimaxAlloc) must pick
     // exactly alloc_s = min(cap_s, θ*) with θ* the LARGEST integer level
