@@ -38,10 +38,15 @@ object PointScale {
     val sizes = if (args.nonEmpty) args.map(_.toInt).toSeq
       else Seq(10000, 100000, 1000000)
     val eps = sys.env.getOrElse("SPARK_GRAFT_SCALE_EPS", "15.0").toDouble
+    // machine-layout knobs ride env with this box's values as defaults,
+    // so the tool runs anywhere the reference CSV was copied to
+    val csv = sys.env.getOrElse("SPARK_GRAFT_SCALE_CSV",
+      "/root/reference/data10k_6attr.csv")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = Tables.configure(SparkSession.builder())
-      .master("local[32]")
+      .master(s"local[$cpus]")
       .appName("graft-point-scale")
-      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -50,7 +55,7 @@ object PointScale {
     // empirical base: the reference's 10k × 6-int rows, driver-held ONLY
     // as the bounded resampling table (10k × 6 ints, the ReferenceScale
     // contract — never the generated corpus)
-    val base = Tables.readPointsCsv(spark, "/root/reference/data10k_6attr.csv", 6)
+    val base = Tables.readPointsCsv(spark, csv, 6)
       .select(array((0 until 6).map(i => col(s"x$i").cast("int")): _*).as("xs"))
       .collect()
       .map(_.getSeq[Int](0).toArray)
