@@ -165,6 +165,16 @@ object TextQueries {
     * memoized like the other one-per-ingest builds. */
   private[graft] val StreamPairsKey = "text.streamBandPairs"
 
+  /** dedup_stream_capped's verified pair set (capped store + overflow
+    * recovery union), memoized the same way. */
+  private[graft] val StreamCappedKey = "text.streamCappedPairs"
+
+  /** dedup_stream_capped's deliberately tiny hot-bucket cap: below the
+    * text geometry's measured bucket maxima at every SF (3-18 members,
+    * tools/ProbeBuckets), so the overflow path carries real traffic in
+    * the gate itself. */
+  private val StreamCap = 2
+
   /** The component labels over [[sharedJaccardPairs]] — dedup_groups and
     * dedup_canonical both walk them, and a real pipeline labels the dup
     * graph once. Memoized like the pair set; the shuffle-budget spec
@@ -841,6 +851,47 @@ object TextQueries {
           (col("doc_id") >= IncrSplit).as("is_new"))
         val cand = graft.streaming.StreamingDedup.bandedCandidatesStateful(
           d, "doc_id", "text", "is_new", ShingleN, Bands, Rows).toDF()
+        val side = sharedMinhashSide(s, dir)
+        val inter = graft.functions.VecKernels
+          .sorted_intersect_count(col("sh_a"), col("sh_b"))
+        cand
+          .join(side.select(col("id").as("id_a"), col("shs").as("sh_a")), "id_a")
+          .join(side.select(col("id").as("id_b"), col("shs").as("sh_b")), "id_b")
+          .withColumn("jaccard",
+            round(inter.cast("double") /
+              (size(col("sh_a")) + size(col("sh_b")) - inter), 6))
+          .where(col("jaccard") >= JaccardTau)
+          .select("id_a", "id_b", "jaccard")
+          .localCheckpoint()
+      }.orderBy("id_a", "id_b")
+    }),
+
+    // the capped store under REAL overflow traffic (StreamingDedup's
+    // hot-bucket guard, maxBucket = StreamCap = 2 < every SF's measured
+    // bucket maxima): saturated-bucket arrivals route out-of-band as
+    // overflow records, overflowRecoveryPairs restores exactly the
+    // overflow x overflow pairs batch-side through the skew-safe blocked
+    // self-join, and the plain (not distinct-ed) union + exact-Jaccard
+    // verify must land on dedup_stream's oracle — the driver gate itself
+    // pins that capped + recovery = uncapped with each pair EXACTLY once
+    // (a double-emitted pair would duplicate a verified row and fail the
+    // hash compare).
+    "dedup_stream_capped" -> ((s, dir) => {
+      graft.core.QueryCache.shared(StreamCappedKey, s, dir) {
+        val d = docs(s, dir).select(col("doc_id"), col("text"),
+          (col("doc_id") >= IncrSplit).as("is_new"))
+        val keyed = graft.streaming.StreamingDedup.textBandKeys(
+          d, "doc_id", "text", Some("is_new"), ShingleN, Bands, Rows)
+          .localCheckpoint()
+        val events = graft.streaming.StreamingDedup
+          .statefulEventsFromKeys(keyed, maxBucket = StreamCap)
+          .localCheckpoint()
+        import s.implicits._
+        val streamPairs = events.filter(!_.overflow)
+          .map(e => (e.id_a, e.id_b)).toDF("id_a", "id_b")
+        val recovered = graft.streaming.StreamingDedup
+          .overflowRecoveryPairs(events, keyed)
+        val cand = streamPairs.unionAll(recovered)
         val side = sharedMinhashSide(s, dir)
         val inter = graft.functions.VecKernels
           .sorted_intersect_count(col("sh_a"), col("sh_b"))
@@ -1787,6 +1838,22 @@ object TextQueries {
     // incremental >= 1-new-side filter — the stateful stream's batch-mode
     // output must land exactly here (band geometry shared by construction)
     "dedup_stream" ->
+      s"""WITH $sqlToks,
+         |$sqlShingles,
+         |$sqlShingleHashes,
+         |$sqlMinhash
+         |SELECT c.id_a, c.id_b,
+         |  round(CAST(i.c AS DOUBLE) / (sa.n + sb.n - i.c), 6) AS jaccard
+         |FROM cand c JOIN inter i ON c.id_a = i.id_a AND c.id_b = i.id_b
+         |JOIN sizes sa ON c.id_a = sa.doc_id
+         |JOIN sizes sb ON c.id_b = sb.doc_id
+         |WHERE round(CAST(i.c AS DOUBLE) / (sa.n + sb.n - i.c), 6)
+         |  >= $JaccardTau
+         |  AND (c.id_a >= $IncrSplit OR c.id_b >= $IncrSplit)
+         |ORDER BY c.id_a, c.id_b""".stripMargin,
+    // the capped store + recovery union must restore dedup_stream's
+    // exact output — same oracle
+    "dedup_stream_capped" ->
       s"""WITH $sqlToks,
          |$sqlShingles,
          |$sqlShingleHashes,

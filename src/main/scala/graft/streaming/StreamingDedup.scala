@@ -160,8 +160,8 @@ object StreamingDedup {
                                maxBucket: Int = DefaultMaxBucket)
   : Dataset[CandPair] =
     bandedCandidatesStatefulFromKeys(
-      textKeys(docs, idCol, textCol, Some(newCol), n, bands, rows),
-      bootstrapOpt.map(c => textKeys(c, idCol, textCol, None, n, bands, rows)),
+      textBandKeys(docs, idCol, textCol, Some(newCol), n, bands, rows),
+      bootstrapOpt.map(c => textBandKeys(c, idCol, textCol, None, n, bands, rows)),
       maxBucket)
 
   /** The banding-agnostic core: stateful candidate pairs from a keyed
@@ -315,10 +315,12 @@ object StreamingDedup {
   /** MinHash band keys for a document frame — (id, isNew, keys);
     * `newColOpt = None` marks every row isNew = false (the bootstrap
     * corpus side). Band key = the slice fold shared with
-    * [[graft.operators.Dedup.bandedCandidatesFromSigs]]. */
-  private def textKeys(docs: DataFrame, idCol: String, textCol: String,
-                       newColOpt: Option[String], n: Int, bands: Int,
-                       rows: Int): DataFrame = {
+    * [[graft.operators.Dedup.bandedCandidatesFromSigs]]. Public so a
+    * capped-store caller can hold the keyed frame for the
+    * [[overflowRecoveryPairs]] batch pass. */
+  def textBandKeys(docs: DataFrame, idCol: String, textCol: String,
+                   newColOpt: Option[String], n: Int, bands: Int,
+                   rows: Int): DataFrame = {
     val isNew = newColOpt.map(col).getOrElse(lit(false))
     docs.select(col(idCol).cast("long").as("id"),
         isNew.as("isNew"),

@@ -559,7 +559,13 @@ class ShuffleBudgetSpec extends GraftSuite {
     // its sign-band sibling over the embeddings (64 bands of 5 bits →
     // more routing rows per item than the 16-band text geometry);
     // ~2.67M at sf0.01, same blow-up semantics
-    "embed_stream" -> (900000L, 5400000L))
+    "embed_stream" -> (900000L, 5400000L),
+    // round-13 capped-store gate: dedup_stream's banding + verify build
+    // plus the overflow-recovery blocked self-join (size agg + the
+    // (band, key, slice) equi-join over the overflow rows). Measured
+    // 383k with the MinHash side table memoized by its sibling's pin;
+    // the roof covers the standalone build (sibling semantics, ~850k)
+    "dedup_stream_capped" -> (130000L, 1700000L))
 
   /** Memo keys to evict after the warm pass so the measured pass runs the
     * gate's build plan instead of reading a checkpoint. dedup_groups
@@ -587,7 +593,8 @@ class ShuffleBudgetSpec extends GraftSuite {
       // the stateful band-pair memos (round 12): pin the banding +
       // verify builds, not the checkpoint reads
       "dedup_stream" -> graft.queries.TextQueries.StreamPairsKey,
-      "embed_stream" -> graft.queries.VectorQueries.EmbStreamKey)
+      "embed_stream" -> graft.queries.VectorQueries.EmbStreamKey,
+      "dedup_stream_capped" -> graft.queries.TextQueries.StreamCappedKey)
 
   for ((q, (lo, hi)) <- budgets)
     test(s"$q shuffle-write volume stays within budget at sf0.01") {

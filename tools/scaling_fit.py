@@ -73,8 +73,12 @@ def main():
         })
     rows.sort(key=lambda r: -r["exp_top"])
     flagged = [r for r in rows if r["flagged"]]
+    legs = [{"sf": s, "reps": d.get("reps"),
+             "load_start": d.get("load_start"), "load_end": d.get("load_end")}
+            for s, d in zip(sfs, details)]
     summary = {
         "sfs": sfs,
+        "legs": legs,
         "n_gates": len(rows),
         "n_flagged": len(flagged),
         "flagged": [r["gate"] for r in flagged],
@@ -86,6 +90,9 @@ def main():
         f.write("# Per-gate scaling exponents (sf0.001 / sf0.01 / sf0.1)\n\n")
         f.write(f"{len(rows)} gates fitted; {len(flagged)} flagged "
                 "(top-leg exponent > 1.3 and t(sf0.1) > 0.5 s).\n\n")
+        f.write("Legs: " + "; ".join(
+            f"sf{l['sf']}: reps={l['reps']} load={l['load_start']}->"
+            f"{l['load_end']}" for l in legs) + "\n\n")
         f.write("| gate | t(0.001) | t(0.01) | t(0.1) | exp_fit | exp_top | flag |\n")
         f.write("|---|---|---|---|---|---|---|\n")
         for r in rows:
