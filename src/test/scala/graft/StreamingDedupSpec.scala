@@ -237,6 +237,34 @@ class StreamingDedupSpec extends GraftSuite {
       "batch duplicate rows changed the pair set")
   }
 
+  test("bootstrap buckets beyond the cap truncate to the smallest ids") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    // one shared single-band bucket: corpus ids 1..6 bootstrap into a
+    // cap-3 store -> only {1,2,3} are live members; the arriving new doc
+    // pairs against exactly those and overflows (bucket at cap)
+    val K = Seq(5L)
+    val corpus = Seq(6L, 4L, 2L, 1L, 5L, 3L).map(id => (id, false, K))
+      .toDF("id", "isNew", "keys")
+    val src = MemoryStream[(Long, Boolean, Seq[Long])]
+    val q = StreamingDedup.statefulEventsFromKeys(
+        src.toDF().toDF("id", "isNew", "keys"),
+        bootstrapOpt = Some(corpus), maxBucket = 3)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sdb2_out").start()
+    try {
+      src.addData(Seq((10L, true, K))); q.processAllAvailable()
+      val events = spark.table("sdb2_out")
+        .as[StreamingDedup.StoreEvent].collect()
+      val pairs = events.filter(!_.overflow).map(e => (e.id_a, e.id_b)).toSet
+      assert(pairs == Set((1L, 10L), (2L, 10L), (3L, 10L)),
+        s"pairs $pairs != truncated-store set {(1,10),(2,10),(3,10)}")
+      assert(events.count(_.overflow) == 1 &&
+        events.filter(_.overflow).head.id_a == 10L,
+        "the arrival at the saturated bootstrap bucket must overflow")
+    } finally q.stop()
+  }
+
   test("state size matches the prefix-key design bill (stateOperators)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sq = spark.sqlContext
