@@ -532,4 +532,23 @@ class PlanHygieneSpec extends GraftSuite {
     assert(smj <= 6,
       s"expected <=3 joins x2 (band candidates + 2 doc sides), got $smj:\n${p.take(800)}")
   }
+
+  test("overflow recovery plans as blocked equi joins with a broadcast size table") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.core.Tables.table(spark, sf0001, "documents")
+      .select(col("doc_id"), col("text"), (col("doc_id") >= 400).as("is_new"))
+    val keyed = graft.streaming.StreamingDedup.textBandKeys(
+      docs, "doc_id", "text", Some("is_new"), 2, 16, 4)
+    val events = graft.streaming.StreamingDedup
+      .statefulEventsFromKeys(keyed, maxBucket = 2)
+    val p = graft.streaming.StreamingDedup
+      .overflowRecoveryPairs(events, keyed)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"recovery join lost its equi keys:\n${p.take(800)}")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the per-bucket slice-count table stopped broadcasting:\n${p.take(800)}")
+  }
 }
