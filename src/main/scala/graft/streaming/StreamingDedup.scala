@@ -78,11 +78,21 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * the emitted pairs equal the unretained stream's (spec-pinned); pairs
   * whose sides are more than a horizon apart are intentionally dropped.
   * Retention is a STREAMING-mode feature: in batch execution there is no
-  * watermark, so nothing expires. Combining retention with cap overflow
+  * watermark, so nothing expires. Retention + bootstrap is refused at
+  * call time (initial-state groups register no timeout, so an untouched
+  * bootstrapped bucket would outlive any horizon — a horizon-bounded
+  * store bootstraps by replaying the retained window). Combining
+  * retention with cap overflow
   * weakens the exact-recovery contract (an evicted slot can re-open and
   * store a later doc the overflowed one never paired with); route
   * overflowed docs to a batch re-verification against the full corpus in
   * that mode.
+  *
+  * Checkpoint compatibility: round 13 widened the state schema
+  * (BandMember gained `tsMs`) and the handler output (StoreEvent
+  * replaces CandPair at the stateful operator) — a streaming query
+  * checkpointed on the round-12 store cannot resume on this one; restart
+  * with a fresh checkpoint, bootstrapping from the corpus store.
   *
   * State bill: per doc, prefixes sum to bands(bands+1)/2 key longs (+ 3
   * bookkeeping longs per membership) across its groups, not bands² —
@@ -179,9 +189,20 @@ object StreamingDedup {
                                        retention: Option[Retention] = None)
   : Dataset[CandPair] = {
     import keyed.sparkSession.implicits._
+    // the pairs-only view has no channel for overflow routing records,
+    // so a saturated bucket here would mean SILENTLY missing pairs —
+    // the bug class round 12 existed to kill. Fail the task loudly
+    // instead; the capped path is statefulEventsFromKeys +
+    // overflowRecoveryPairs.
     statefulEventsFromKeys(keyed, bootstrapOpt, maxBucket, retention)
-      .filter(!_.overflow)
-      .map(e => CandPair(e.id_a, e.id_b))
+      .map { e =>
+        if (e.overflow) throw new IllegalStateException(
+          s"(band=${e.band}, key=${e.key}) overflowed maxBucket=$maxBucket: " +
+            "the pairs-only view would silently miss its overflow pairs — " +
+            "raise maxBucket or use statefulEventsFromKeys + " +
+            "overflowRecoveryPairs")
+        CandPair(e.id_a, e.id_b)
+      }
   }
 
   /** [[bandedCandidatesStatefulFromKeys]] with the overflow routing
@@ -194,6 +215,15 @@ object StreamingDedup {
                              retention: Option[Retention] = None)
   : Dataset[StoreEvent] = {
     require(maxBucket > 0, "maxBucket must be positive")
+    // retention + bootstrap is refused, not fudged: initial-state groups
+    // register no event-time timeout (an untouched bootstrapped bucket
+    // would hold state past any horizon), and a ts-less corpus would
+    // land at tsMs = 0 and silently evict wholesale on first touch. A
+    // horizon-bounded store bootstraps by REPLAYING the retained window
+    // — which is the supported path.
+    require(retention.isEmpty || bootstrapOpt.isEmpty,
+      "retention with a bootstrap store is not supported: bootstrap by " +
+        "replaying the retention window instead")
     import keyed.sparkSession.implicits._
     val input = retention.fold(keyed) { r =>
       require(keyed.columns.contains("ts"),

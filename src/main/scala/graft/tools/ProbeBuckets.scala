@@ -16,21 +16,15 @@ object ProbeBuckets {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    import graft.functions.PolyHash
     for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
       val dir = s"/root/testdata/$sf"
-      // text geometry: 2-shingles, 16 bands x 4 rows (the dedup_stream gate)
+      // text geometry: 2-shingles, 16 bands x 4 rows (the dedup_stream
+      // gate) — through the SHIPPED key builder, so the cap is sized
+      // against exactly what the store routes on
       val d = graft.core.Tables.table(spark, dir, "documents")
-      val textBuckets = d
-        .select(col("doc_id"),
-          graft.functions.TextKernels.shingle_hashes(col("text"), lit(2)).as("sh"))
-        .where(size(col("sh")) > 0)
-        .select(col("doc_id"),
-          graft.functions.TextKernels.minhash_sig(col("sh"), 64).as("sig"))
-        .select(col("doc_id"), posexplode(
-          transform(sequence(lit(0), lit(15)), b =>
-            aggregate(slice(col("sig"), b * 4 + lit(1), lit(4)), lit(0L),
-              (acc, v) => (acc * 31 + v) % PolyHash.Prime))).as(Seq("band", "key")))
+      val textBuckets = graft.streaming.StreamingDedup
+        .textBandKeys(d, "doc_id", "text", None, 2, 16, 4)
+        .select(posexplode(col("keys")).as(Seq("band", "key")))
         .groupBy("band", "key").count()
         .agg(max("count").as("max"), expr("percentile(count, 0.99)").as("p99"),
           count(lit(1)).as("buckets"))

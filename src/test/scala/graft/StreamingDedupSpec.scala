@@ -206,6 +206,28 @@ class StreamingDedupSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("pairs-only view fails loudly on overflow; retention+bootstrap refused") {
+    // the pairs-only wrapper has no channel for overflow routing
+    // records, so saturation there must be a task failure, never a
+    // silently smaller pair set
+    val ex = intercept[org.apache.spark.SparkException] {
+      StreamingDedup.bandedCandidatesStatefulFromKeys(signKeyed,
+        maxBucket = 4).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: messages(e.getCause))
+    assert(messages(ex).exists(m => m != null && m.contains("overflowed maxBucket")),
+      s"expected the overflow IllegalStateException, got: ${ex.getMessage}")
+    // an initial-state group registers no event-time timeout, so a
+    // horizon-bounded store cannot be bootstrapped — refused at call time
+    val bad = intercept[IllegalArgumentException] {
+      StreamingDedup.statefulEventsFromKeys(signKeyed,
+        bootstrapOpt = Some(signKeyed),
+        retention = Some(StreamingDedup.Retention(1000L)))
+    }
+    assert(bad.getMessage.contains("bootstrap"), bad.getMessage)
+  }
+
   test("unique-id guard: a replayed document does not re-emit or re-pair") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sq = spark.sqlContext
