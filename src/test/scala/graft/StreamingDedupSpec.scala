@@ -365,6 +365,80 @@ class StreamingDedupSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("retention bounds state to the live horizon (measured plateau)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    // 12 batches x 50 docs, every doc its own (band, key) bucket, event
+    // time advancing 10 s per batch, horizon 25 s -> only ~3 batches of
+    // buckets can be live at once. An unbounded store would hold all
+    // 600 buckets; the retained one must plateau near 150 (plus the
+    // timeout-lag slack of one batch — expiry is processed when the
+    // group is next touched or times out, both watermark-driven).
+    def ts(sec: Long) = new java.sql.Timestamp((1000000L + sec) * 1000L)
+    val src = MemoryStream[(Long, Boolean, Seq[Long], java.sql.Timestamp)]
+    val q = StreamingDedup.bandedCandidatesStatefulFromKeys(
+        src.toDF().toDF("id", "isNew", "keys", "ts"),
+        retention = Some(StreamingDedup.Retention(horizonMs = 25000L)))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sdp_out").start()
+    try {
+      (0 until 12).foreach { i =>
+        val docs = (0 until 50).map { j =>
+          val id = i * 50L + j
+          (id, true, Seq(10000L + id), ts(i * 10L))
+        }
+        src.addData(docs); q.processAllAvailable()
+      }
+      val rows = q.recentProgress.flatMap(_.stateOperators)
+        .filter(_.numRowsTotal > 0).map(_.numRowsTotal)
+      assert(rows.last <= 250,
+        s"retained state ${rows.last} rows — no plateau (600 buckets touched)")
+      assert(rows.max <= 250,
+        s"retained state peaked at ${rows.max} rows — eviction lagging")
+      assert(rows.last >= 100, s"state ${rows.last} below the live window " +
+        "— retention evicting too eagerly")
+    } finally q.stop()
+  }
+
+  test("restart from checkpoint: state recovers, pairs stay exactly-once") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    // the operational property behind "continuous-ingest": a query
+    // stopped between micro-batches and restarted from its checkpoint
+    // must resume the SAME store — no pair lost (state recovered), no
+    // pair doubled (offsets recovered). File sink + checkpoint is the
+    // fault-tolerant pairing Structured Streaming guarantees.
+    val root = java.nio.file.Files
+      .createTempDirectory("sdd_restart").toString
+    val rows = signKeyed.as[(Long, Boolean, Seq[Long])].collect().toSeq
+    val batches = Seq(rows.filter(!_._2),
+      rows.filter(r => r._2 && r._1 % 2 == 0),
+      rows.filter(r => r._2 && r._1 % 2 == 1))
+    val src = MemoryStream[(Long, Boolean, Seq[Long])]
+    def start() = StreamingDedup.bandedCandidatesStatefulFromKeys(
+        src.toDF().toDF("id", "isNew", "keys"))
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$root/ckpt")
+      .format("parquet").option("path", s"$root/out").start()
+    val q1 = start()
+    try {
+      batches.take(2).foreach { b => src.addData(b); q1.processAllAvailable() }
+    } finally q1.stop()
+    val q2 = start()
+    try {
+      src.addData(batches(2)); q2.processAllAvailable()
+    } finally q2.stop()
+    val got = spark.read.parquet(s"$root/out")
+      .as[(Long, Long)].collect()
+    val expected = StreamingDedup.bandedCandidatesStatefulFromKeys(signKeyed)
+      .as[(Long, Long)].collect().toSet
+    assert(got.length == got.toSet.size,
+      "restart doubled a pair (offsets not recovered)")
+    assert(got.toSet == expected,
+      s"restarted stream ${got.length} pairs != batch ${expected.size} " +
+        "(state not recovered)")
+  }
+
   test("verified stateful pairs = the exact incremental pair set") {
     val d = graft.core.Tables.table(spark, sf0001, "documents")
     val exact = graft.operators.Dedup.incrementalJaccardPairs(
