@@ -180,9 +180,11 @@ object StreamingDedup {
     * is set). [[bandedCandidatesStateful]] feeds it MinHash band keys
     * over text; an embedding stream feeds sign-band keys
     * ([[graft.functions.VecKernels.sign_bands]]) — same store, same
-    * min-colliding-band exactly-once rule, same bootstrap path. Overflow
-    * routing records are dropped here — use [[statefulEventsFromKeys]]
-    * to wire the [[overflowRecoveryPairs]] batch path. */
+    * min-colliding-band exactly-once rule, same bootstrap path. This
+    * pairs-only view has no channel for overflow routing records, so a
+    * saturated bucket FAILS the task rather than silently shrinking the
+    * pair set — use [[statefulEventsFromKeys]] +
+    * [[overflowRecoveryPairs]] when buckets can exceed the cap. */
   def bandedCandidatesStatefulFromKeys(keyed: DataFrame,
                                        bootstrapOpt: Option[DataFrame] = None,
                                        maxBucket: Int = DefaultMaxBucket,
