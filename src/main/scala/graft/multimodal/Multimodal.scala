@@ -6,16 +6,39 @@ import org.apache.spark.sql.functions._
 /** Multimodal (image/audio/video) column plumbing.
   *
   * Media ride through the engine as opaque `binary` payload columns plus a
-  * typed metadata struct — the schema/partitioning/batch-shape layer is
-  * real and tested; only the codec kernel itself is a STUB (this container
-  * has no image/audio libraries), clearly marked in [[StubCodec]]. A real
-  * deployment swaps [[StubCodec]] for JNI/javacpp bindings without touching
-  * any dataflow code: decode runs in `mapPartitions` so a batch of payloads
-  * amortizes codec init per partition (the Scala analogue of a Pandas-UDF
-  * `mapInPandas` batch), and partition sizing is by `repartition` on the
-  * id — at 100 TB the payloads never pass through a shuffle unless asked.
+  * typed metadata struct — the shape of a lakehouse media table. The
+  * payloads are REAL encoded media and the decode kernels are REAL
+  * JDK-native decoders (round 14; the stub era's "no image/audio
+  * libraries" claim was wrong — `java.desktop` ships with this JDK):
+  *
+  *  - images are PNG, encoded/decoded via `javax.imageio.ImageIO`
+  *    (headless-safe: `BufferedImage` + raster I/O, no display);
+  *  - audio is 8-bit unsigned PCM mono WAV via
+  *    `javax.sound.sampled.AudioSystem`;
+  *  - video (no JDK codec exists) is an MJPEG-style container of
+  *    length-prefixed PNG frames — frame SEEKING reads only the length
+  *    prefixes, so stride sampling decodes just the sampled frames.
+  *
+  * The synthetic corpus derives payload content deterministically from the
+  * `documents` table (pixel i / sample i = byte i of the ASCII text), so
+  * every decoded value is SQL-reproducible and the gates stay
+  * value-oracle-checked end to end over real codec output. [[StubCodec]]
+  * remains as a test seam (a decoder whose output is the identity on the
+  * payload bytes) so specs can cross-check the real decode against the
+  * formula directly.
+  *
+  * Decode runs in `mapPartitions` so a batch of payloads amortizes codec
+  * init per partition (the Scala analogue of a Pandas-UDF `mapInPandas`
+  * batch); at 100 TB the payloads never pass through a shuffle unless
+  * asked, and per-row decode state is bounded by one frame/clip.
   */
 object Multimodal {
+
+  /** Synthetic-corpus geometry: image scanline width (pixels), video
+    * frame payload size (pixels per frame), audio sample rate (Hz). */
+  val ImageWidth = 16
+  val VideoFrameBytes = 32
+  val SampleRate = 16000
 
   /** Typed media row: payload + metadata (what a real lakehouse media
     * table looks like: bytes + sidecar fields). */
@@ -26,8 +49,134 @@ object Multimodal {
   case class DecodedImage(media_id: Long, width: Int, height: Int,
                           channels: Int, mean: Array[Double], embedding: Array[Float])
 
-  /** STUB CODEC — deterministic fake. Real impl would call an image/audio
-    * library here; everything below this object is production dataflow. */
+  /** REAL JDK-native codec: PNG via ImageIO, WAV via AudioSystem, and a
+    * length-prefixed PNG-frame container for video. Headless-safe (raster
+    * I/O only). Every decode validates its input and THROWS on a payload
+    * it cannot decode exactly — a corrupt media byte must fail the task,
+    * not ride through as silently-wrong features. */
+  object JdkCodec {
+    import java.awt.image.BufferedImage
+    import java.io.{ByteArrayInputStream, ByteArrayOutputStream,
+      DataInputStream, DataOutputStream}
+    import javax.imageio.ImageIO
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat,
+      AudioInputStream, AudioSystem}
+
+    /** Encode row-major 8-bit gray pixels as a PNG. */
+    def encodePng(pixels: Array[Byte], width: Int, height: Int): Array[Byte] = {
+      require(width > 0 && height > 0 && pixels.length == width * height,
+        s"encodePng: ${pixels.length} bytes != ${width}x$height")
+      val img = new BufferedImage(width, height, BufferedImage.TYPE_BYTE_GRAY)
+      img.getRaster.setDataElements(0, 0, width, height, pixels)
+      val bos = new ByteArrayOutputStream()
+      ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+
+    /** Decode a PNG to (width, height, row-major pixel grid of 0..255
+      * gray samples). Multi-channel inputs read band 0. */
+    def decodePng(payload: Array[Byte]): (Int, Int, Array[Array[Int]]) = {
+      val img = ImageIO.read(new ByteArrayInputStream(payload))
+      require(img != null, "decodePng: undecodable image payload")
+      val w = img.getWidth
+      val h = img.getHeight
+      val raster = img.getRaster
+      val px = Array.ofDim[Int](h, w)
+      var y = 0
+      while (y < h) {
+        raster.getSamples(0, y, w, 1, 0, px(y))
+        y += 1
+      }
+      (w, h, px)
+    }
+
+    /** Encode 8-bit unsigned PCM mono samples as a WAV file. */
+    def encodeWav(samples: Array[Byte], sampleRate: Int): Array[Byte] = {
+      require(samples.nonEmpty, "encodeWav: empty sample array")
+      val fmt = new AudioFormat(AudioFormat.Encoding.PCM_UNSIGNED,
+        sampleRate.toFloat, 8, 1, 1, sampleRate.toFloat, false)
+      val ais = new AudioInputStream(
+        new ByteArrayInputStream(samples), fmt, samples.length.toLong)
+      val bos = new ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+
+    /** Decode a WAV to (sampleRate, unsigned 0..255 samples). Only the
+      * corpus format (8-bit unsigned PCM mono) is accepted — anything
+      * else fails loudly rather than resampling silently. */
+    def decodeWav(payload: Array[Byte]): (Int, Array[Int]) = {
+      val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(payload))
+      try {
+        val fmt = ais.getFormat
+        require(fmt.getEncoding == AudioFormat.Encoding.PCM_UNSIGNED &&
+          fmt.getSampleSizeInBits == 8 && fmt.getChannels == 1,
+          s"decodeWav: unsupported format $fmt (want 8-bit unsigned PCM mono)")
+        val bytes = ais.readAllBytes()
+        (fmt.getSampleRate.toInt, bytes.map(java.lang.Byte.toUnsignedInt))
+      } finally ais.close()
+    }
+
+    /** Pack frames (each a row of gray pixels) into the video container:
+      * repeated [int32 length][PNG of the frame as a len×1 image]. */
+    def encodeFrameContainer(frames: Iterator[Array[Byte]]): Array[Byte] = {
+      val bos = new ByteArrayOutputStream()
+      val dos = new DataOutputStream(bos)
+      frames.foreach { f =>
+        val png = encodePng(f, f.length, 1)
+        dos.writeInt(png.length)
+        dos.write(png)
+      }
+      dos.flush()
+      bos.toByteArray
+    }
+
+    /** Lazily walk a frame container WITHOUT decoding: yields (frameIdx,
+      * png bytes). Seeking past an unsampled frame costs one length read. */
+    def frameIndex(payload: Array[Byte]): Iterator[(Int, Array[Byte])] =
+      new Iterator[(Int, Array[Byte])] {
+        private val in = new DataInputStream(new ByteArrayInputStream(payload))
+        private var avail = payload.length
+        private var idx = -1
+        def hasNext: Boolean = avail > 0
+        def next(): (Int, Array[Byte]) = {
+          val len = in.readInt()
+          require(len > 0 && len <= avail - 4,
+            s"frameIndex: corrupt frame length $len with $avail bytes left")
+          val png = new Array[Byte](len)
+          in.readFully(png)
+          avail -= 4 + len
+          idx += 1
+          (idx, png)
+        }
+      }
+  }
+
+  /** Shared media feature kernels — pure pixel math, codec-independent. */
+  object MediaFeatures {
+    /** 8-bin intensity histogram, L1-normalized. */
+    def histogram8(pixels: Array[Array[Int]]): Array[Float] = {
+      val h = new Array[Float](8)
+      var n = 0
+      pixels.foreach(_.foreach { p => h(p / 32) += 1f; n += 1 })
+      if (n > 0) (0 until 8).foreach(i => h(i) /= n)
+      h
+    }
+
+    /** Resize by integer-factor pixel averaging (nearest sample). */
+    def resize(pixels: Array[Array[Int]], outW: Int, outH: Int): Array[Array[Int]] = {
+      val inH = pixels.length; val inW = pixels.headOption.map(_.length).getOrElse(0)
+      Array.tabulate(outH, outW) { (y, x) =>
+        pixels(math.min(y * inH / math.max(outH, 1), inH - 1))(
+          math.min(x * inW / math.max(outW, 1), inW - 1))
+      }
+    }
+  }
+
+  /** TEST SEAM — the identity "codec" (bytes-as-pixels, no container).
+    * Specs use it to cross-check the real decode: for the synthetic
+    * corpus, `JdkCodec.decodePng(encodePng(bytes, w, h))` must equal
+    * `StubCodec.decodeImage(bytes, w, h)` sample-for-sample. */
   object StubCodec {
     /** "Decode" a payload: interpret bytes as row-major gray pixels. */
     def decodeImage(payload: Array[Byte], width: Int, height: Int): Array[Array[Int]] = {
@@ -41,55 +190,72 @@ object Multimodal {
       px
     }
 
-    /** "Feature-extract": 8-bin intensity histogram, L1-normalized. */
-    def embed(pixels: Array[Array[Int]]): Array[Float] = {
-      val h = new Array[Float](8)
-      var n = 0
-      pixels.foreach(_.foreach { p => h(p / 32) += 1f; n += 1 })
-      if (n > 0) (0 until 8).foreach(i => h(i) /= n)
-      h
-    }
-
-    /** "Resize" by integer-factor pixel averaging. */
-    def resize(pixels: Array[Array[Int]], outW: Int, outH: Int): Array[Array[Int]] = {
-      val inH = pixels.length; val inW = pixels.headOption.map(_.length).getOrElse(0)
-      Array.tabulate(outH, outW) { (y, x) =>
-        pixels(math.min(y * inH / math.max(outH, 1), inH - 1))(
-          math.min(x * inW / math.max(outW, 1), inW - 1))
-      }
-    }
+    /** Retained aliases (pre-round-14 call sites and specs). */
+    def embed(pixels: Array[Array[Int]]): Array[Float] =
+      MediaFeatures.histogram8(pixels)
+    def resize(pixels: Array[Array[Int]], outW: Int, outH: Int): Array[Array[Int]] =
+      MediaFeatures.resize(pixels, outW, outH)
   }
 
-  /** Deterministic synthetic media table derived from `documents` (text
-    * bytes as payload), so every SF has a media corpus without binary
-    * fixtures. */
+  /** Deterministic synthetic media table derived from `documents`: the
+    * doc's ASCII bytes become the pixel/sample values, REALLY ENCODED —
+    * images as PNG (16-wide gray scanlines, `n_chars / 16` tall; a text
+    * shorter than one scanline is an undecodable source and carries an
+    * empty payload), audio as 8-bit PCM WAV at 16 kHz, video as the
+    * PNG-frame container with [[VideoFrameBytes]]-pixel frames. Encoding
+    * runs in `mapPartitions` (codec init amortized per partition), so
+    * every SF has a real-bytes media corpus without binary fixtures and
+    * every decoded value is still `ord(substr(text, i, 1))`-reproducible
+    * in SQL. */
   def syntheticMedia(spark: SparkSession, sfDir: String): Dataset[MediaRow] = {
     import spark.implicits._
     spark.read.parquet(s"$sfDir/documents.parquet")
-      .select(col("doc_id").as("media_id"),
-        element_at(array(lit("image"), lit("audio"), lit("video")),
-          (col("doc_id") % 3 + 1).cast("int")).as("kind"),
-        encode(col("text"), "UTF-8").as("payload"),
-        lit(16).as("width"),
-        (col("n_chars") / lit(16)).cast("int").as("height"),
-        lit(16000).as("sample_rate"))
-      .as[MediaRow]
+      .select(col("doc_id"), (col("doc_id") % 3).cast("int").as("k"),
+        encode(col("text"), "UTF-8").as("bytes"))
+      .as[(Long, Int, Array[Byte])]
+      .mapPartitions { rows =>
+        // real codecs init per partition, amortized over the batch
+        rows.map { case (id, k, b) =>
+          val height = b.length / ImageWidth
+          k match {
+            case 0 =>
+              val payload =
+                if (height >= 1) JdkCodec.encodePng(
+                  b.take(ImageWidth * height), ImageWidth, height)
+                else Array.empty[Byte]
+              MediaRow(id, "image", payload, ImageWidth, height, SampleRate)
+            case 1 =>
+              val payload =
+                if (b.nonEmpty) JdkCodec.encodeWav(b, SampleRate)
+                else Array.empty[Byte]
+              MediaRow(id, "audio", payload, ImageWidth, height, SampleRate)
+            case _ =>
+              val payload =
+                if (b.nonEmpty) JdkCodec.encodeFrameContainer(
+                  b.grouped(VideoFrameBytes))
+                else Array.empty[Byte]
+              MediaRow(id, "video", payload, ImageWidth, height, SampleRate)
+          }
+        }
+      }
   }
 
-  /** Batch decode + feature-extract via mapPartitions: one codec "init"
-    * per partition, vectorized over the partition's rows. */
+  /** Batch PNG decode + feature-extract via mapPartitions: one codec init
+    * per partition, vectorized over the partition's rows. Decoded
+    * dimensions are cross-checked against the sidecar metadata — a
+    * payload/sidecar mismatch fails the task rather than mislabeling
+    * features. Empty payloads (sub-scanline sources, undecodable by
+    * construction) are skipped — the row-dropping codec policy the SQL
+    * oracle shares. */
   def decodeImages(media: Dataset[MediaRow]): Dataset[DecodedImage] = {
     import media.sparkSession.implicits._
-    // payloads below one scanline (height 0) are undecodable and skipped —
-    // a row-dropping codec policy both the SQL oracle and the stub share
-    // (the old max(height,1) clamp silently diverged from the oracle's
-    // n_chars//16 on sub-scanline docs)
-    media.filter(r => r.kind == "image" && r.height >= 1).mapPartitions { rows =>
-      // real codec would init here, once per partition
+    media.filter(r => r.kind == "image" && r.payload.nonEmpty).mapPartitions { rows =>
       rows.map { r =>
-        val px = StubCodec.decodeImage(r.payload, r.width, r.height)
-        val mean = Array(px.map(_.sum.toDouble).sum / (r.width * r.height))
-        DecodedImage(r.media_id, r.width, r.height, 1, mean, StubCodec.embed(px))
+        val (w, h, px) = JdkCodec.decodePng(r.payload)
+        require(w == r.width && h == r.height,
+          s"media_id=${r.media_id}: decoded ${w}x$h != sidecar ${r.width}x${r.height}")
+        val mean = Array(px.map(_.sum.toDouble).sum / (w * h))
+        DecodedImage(r.media_id, w, h, 1, mean, MediaFeatures.histogram8(px))
       }
     }
   }
@@ -98,33 +264,43 @@ object Multimodal {
   case class DecodedAudio(media_id: Long, sample_rate: Int, n_samples: Long,
                           mean_amplitude: Double)
 
-  /** Batch audio decode via mapPartitions (same codec-init-amortizing
-    * shape as [[decodeImages]]): bytes as unsigned 8-bit samples — the
-    * stub's deterministic stand-in for a PCM decoder. Empty payloads are
-    * undecodable and skipped. */
+  /** Batch WAV decode via mapPartitions (same codec-init-amortizing shape
+    * as [[decodeImages]]): AudioSystem parses the container and the
+    * unsigned 8-bit PCM samples summarize to count + mean amplitude. The
+    * decoded sample rate is cross-checked against the sidecar. Empty
+    * payloads (empty sources) are skipped. */
   def decodeAudio(media: Dataset[MediaRow]): Dataset[DecodedAudio] = {
     import media.sparkSession.implicits._
     media.filter(r => r.kind == "audio" && r.payload.nonEmpty)
       .mapPartitions { rows =>
-        // real codec would init here, once per partition
         rows.map { r =>
-          val n = r.payload.length
+          val (rate, samples) = JdkCodec.decodeWav(r.payload)
+          require(rate == r.sample_rate,
+            s"media_id=${r.media_id}: decoded rate $rate != sidecar ${r.sample_rate}")
           var s = 0L
           var i = 0
-          while (i < n) { s += java.lang.Byte.toUnsignedInt(r.payload(i)); i += 1 }
-          DecodedAudio(r.media_id, r.sample_rate, n.toLong, s.toDouble / n)
+          while (i < samples.length) { s += samples(i); i += 1 }
+          DecodedAudio(r.media_id, rate, samples.length.toLong,
+            s.toDouble / samples.length)
         }
       }
   }
 
-  /** Frame sampling for video rows: every `stride`-th "frame" (payload
-    * slice) becomes a row — the explode-shaped op of video pipelines. */
-  def sampleFrames(media: Dataset[MediaRow], frameBytes: Int, stride: Int): DataFrame = {
+  /** Frame sampling for video rows: every `stride`-th frame of the
+    * container is DECODED (PNG → pixel bytes) and becomes a row — the
+    * explode-shaped op of video pipelines. Unsampled frames are skipped
+    * by length-prefix seek without decoding, so the per-row decode bill
+    * is `n_frames / stride`, not `n_frames`. */
+  def sampleFrames(media: Dataset[MediaRow], stride: Int): DataFrame = {
     import media.sparkSession.implicits._
-    media.filter(_.kind == "video").flatMap { r =>
-      r.payload.grouped(frameBytes).zipWithIndex
-        .filter(_._2 % stride == 0)
-        .map { case (frame, idx) => (r.media_id, idx, frame) }
+    media.filter(r => r.kind == "video" && r.payload.nonEmpty).flatMap { r =>
+      JdkCodec.frameIndex(r.payload)
+        .filter(_._1 % stride == 0)
+        .map { case (idx, png) =>
+          val (w, h, px) = JdkCodec.decodePng(png)
+          require(h == 1, s"media_id=${r.media_id} frame $idx: height $h != 1")
+          (r.media_id, idx, px(0).take(w).map(_.toByte))
+        }
     }.toDF("media_id", "frame_idx", "frame")
   }
 

@@ -4,10 +4,12 @@ import graft.multimodal.Multimodal
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Multimodal-plumbing gate queries. The codec is a deterministic stub
-  * (bytes-as-pixels, see Multimodal.StubCodec), which makes even the
-  * mapPartitions decode path value-oracle-checkable in SQL: the synthetic
-  * payloads are ASCII document texts, so byte i == ord(char i).
+/** Multimodal gate queries over REAL codecs: the payloads are real
+  * PNG/WAV/frame-container bytes and the decoders are the JDK's ImageIO /
+  * AudioSystem (Multimodal.JdkCodec). The corpus encodes the documents'
+  * ASCII bytes as the pixel/sample values, so byte i == ord(char i) and
+  * every gate stays value-oracle-checkable in SQL even though the bytes
+  * on the wire are genuine encoded media.
   */
 object MultimodalQueries {
 
@@ -17,9 +19,9 @@ object MultimodalQueries {
       Multimodal.mediaStats(s, dir).orderBy("media_id")
     }),
 
-    // audio decode plumbing: per clip, sample count, mean amplitude,
-    // duration at the sidecar sample rate (stub codec is deterministic
-    // bytes-as-PCM, so this is value-oracle-checked like media_stats)
+    // audio decode: per WAV clip, sample count, mean amplitude, duration
+    // at the decoded sample rate (the corpus samples are the doc's ASCII
+    // bytes, so this is value-oracle-checked like media_stats)
     "media_audio" -> ((s, dir) => {
       Multimodal.decodeAudio(Multimodal.syntheticMedia(s, dir))
         .toDF().select(col("media_id"), col("n_samples"),
@@ -32,16 +34,17 @@ object MultimodalQueries {
     // frame sampling: per video, how many frames survive the stride
     "media_frames" -> ((s, dir) => {
       val media = Multimodal.syntheticMedia(s, dir)
-      Multimodal.sampleFrames(media, frameBytes = 32, stride = 2)
+      Multimodal.sampleFrames(media, stride = 2)
         .groupBy("media_id").agg(count(lit(1)).as("n_frames"))
         .orderBy("media_id")
     }),
 
-    // cross-module integration: decode images -> histogram embeddings ->
-    // brute-force cosine top-k over them (the full multimodal-to-ANN
-    // pipeline). The stub codec is deterministic and its float histogram
-    // arithmetic is exactly reproducible in SQL (exact-int operands, one
-    // REAL division), so even this composite is value-oracle-checked.
+    // cross-module integration: PNG-decode images -> histogram embeddings
+    // -> brute-force cosine top-k over them (the full multimodal-to-ANN
+    // pipeline). The decoded pixels are the doc bytes and the float
+    // histogram arithmetic is exactly reproducible in SQL (exact-int
+    // operands, one REAL division), so even this composite is
+    // value-oracle-checked.
     "media_similar" -> ((s, dir) => {
       val dec = Multimodal.decodeImages(Multimodal.syntheticMedia(s, dir))
         .toDF().select(col("media_id"), col("embedding"))

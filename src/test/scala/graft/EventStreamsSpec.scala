@@ -306,7 +306,7 @@ class MultimodalSpec extends GraftSuite {
 
   test("frame sampling: stride-2 keeps every other frame") {
     val m = Multimodal.syntheticMedia(spark, sf0001)
-    val frames = Multimodal.sampleFrames(m, frameBytes = 32, stride = 2)
+    val frames = Multimodal.sampleFrames(m, stride = 2)
     val idx = frames.select("frame_idx").as[Int].collect()
     assert(idx.nonEmpty && idx.forall(_ % 2 == 0))
   }
@@ -316,5 +316,61 @@ class MultimodalSpec extends GraftSuite {
     val out = Multimodal.StubCodec.resize(px, 4, 4)
     assert(out.length == 4 && out.head.length == 4)
     assert(out(0)(0) == 0 && out(3)(3) == px(6)(6))
+  }
+
+  test("JdkCodec: PNG round-trips bytes exactly and matches the stub seam") {
+    val bytes = Array.tabulate(48)(i => (32 + i % 95).toByte) // printable ASCII
+    val png = Multimodal.JdkCodec.encodePng(bytes, 16, 3)
+    // a real PNG on the wire, not the raw bytes
+    assert(png.take(4).toSeq == Seq(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte))
+    val (w, h, px) = Multimodal.JdkCodec.decodePng(png)
+    assert(w == 16 && h == 3)
+    val stub = Multimodal.StubCodec.decodeImage(bytes, 16, 3)
+    assert(px.map(_.toSeq).toSeq == stub.map(_.toSeq).toSeq,
+      "real PNG decode must equal the identity seam sample-for-sample")
+  }
+
+  test("JdkCodec: WAV round-trips 8-bit unsigned PCM exactly") {
+    val samples = Array.tabulate(100)(i => (i % 256).toByte)
+    val wav = Multimodal.JdkCodec.encodeWav(samples, 16000)
+    assert(new String(wav.take(4), "US-ASCII") == "RIFF")
+    val (rate, out) = Multimodal.JdkCodec.decodeWav(wav)
+    assert(rate == 16000)
+    assert(out.toSeq == samples.map(java.lang.Byte.toUnsignedInt).toSeq)
+  }
+
+  test("JdkCodec: frame container seeks by prefix and decodes sampled frames") {
+    val chunks = Seq(Array.fill(32)(7.toByte), Array.fill(32)(9.toByte),
+      Array.fill(5)(3.toByte)) // short tail frame
+    val container = Multimodal.JdkCodec.encodeFrameContainer(chunks.iterator)
+    val frames = Multimodal.JdkCodec.frameIndex(container).toSeq
+    assert(frames.map(_._1) == Seq(0, 1, 2))
+    val decoded = frames.map { case (_, png) => Multimodal.JdkCodec.decodePng(png) }
+    assert(decoded.map(_._1) == Seq(32, 32, 5), "frame widths preserved")
+    assert(decoded(2)._3(0).toSeq == Seq(3, 3, 3, 3, 3))
+    // corrupt length prefix fails loudly instead of yielding junk frames
+    val corrupt = container.clone(); corrupt(0) = 0x7f.toByte
+    intercept[IllegalArgumentException] {
+      Multimodal.JdkCodec.frameIndex(corrupt).toSeq
+    }
+  }
+
+  test("synthetic media payloads are real encoded media, decode = doc bytes") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    val m = Multimodal.syntheticMedia(spark, sf0001)
+    val img = Multimodal.decodeImages(m).take(5)
+    img.foreach { d =>
+      val expect = docs(d.media_id).getBytes("UTF-8")
+        .take(d.width * d.height).map(java.lang.Byte.toUnsignedInt(_))
+      assert(math.abs(d.mean.head - expect.map(_.toDouble).sum / expect.length) < 1e-9,
+        s"decoded PNG mean must equal the text-byte formula for ${d.media_id}")
+    }
+    val aud = Multimodal.decodeAudio(m).take(5)
+    aud.foreach { a =>
+      val expect = docs(a.media_id).getBytes("UTF-8").map(java.lang.Byte.toUnsignedInt(_))
+      assert(a.n_samples == expect.length)
+      assert(math.abs(a.mean_amplitude - expect.map(_.toDouble).sum / expect.length) < 1e-9)
+    }
   }
 }
