@@ -36,8 +36,11 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * stream; a re-ingested id whose first copy is STORED is skipped by the
   * handler (no re-emission, no double append — the append-mode
   * exactly-once invariant survives an upstream replay). A re-ingest of an
-  * id that previously OVERFLOWED (below) is not detectable from state
-  * and remains the caller's contract.
+  * id that previously OVERFLOWED (below) is not detectable from state —
+  * it re-pairs against the stored members, which remains the caller's
+  * replay contract — but its duplicate overflow ROUTING record is
+  * harmless: [[overflowRecoveryPairs]] dedups routing records on
+  * (id, band, key), so the batch recovery stays exactly-once regardless.
   *
   * Scale — the hot-bucket cap (`maxBucket`, default [[DefaultMaxBucket]]):
   * a (band, key) group is pinned to one stateful task and CANNOT be
@@ -63,10 +66,14 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * member scans. The default cap (1024) clears the measured gate-corpus
   * maxima ~7× (sf0.1: text bucket max 18, sign-band bucket max 141 —
   * tools/ProbeBuckets) while bounding a genuinely hot 100 TB bucket.
-  * Bootstrap buckets larger than the cap are truncated to the
-  * `maxBucket` smallest ids (the corpus-build path should pre-resolve
-  * its hot buckets — they are exactly what the batch
-  * `blockedSelfPairs` path handles).
+  * A bootstrap bucket larger than the cap is REFUSED by default (round
+  * 14): bootstrap rows never traverse the handler, so no overflow record
+  * could ever be emitted for a dropped member and its future pairs would
+  * be silently lost — the one silent-loss seam left after round 13, now
+  * fail-loud like the pairs-only view. Pre-resolve hot buckets
+  * batch-side (they are exactly what `blockedSelfPairs` handles), raise
+  * the cap, or opt into `truncateBootstrap = true` to keep the
+  * `maxBucket` smallest ids with the documented loss.
   *
   * Retention ([[Retention]], optional, [[bandedCandidatesStatefulFromKeys]]
   * only): bounded state for operators who don't need the
@@ -88,11 +95,16 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * overflowed docs to a batch re-verification against the full corpus in
   * that mode.
   *
-  * Checkpoint compatibility: round 13 widened the state schema
-  * (BandMember gained `tsMs`) and the handler output (StoreEvent
-  * replaces CandPair at the stateful operator) — a streaming query
-  * checkpointed on the round-12 store cannot resume on this one; restart
-  * with a fresh checkpoint, bootstrapping from the corpus store.
+  * Checkpoint compatibility: the state now carries an explicit
+  * [[StateVersion]] tag (round 14), checked on every group read, so a
+  * semantically-incompatible checkpoint fails with an actionable message
+  * instead of whatever the state-store deserializer throws. History:
+  * round 13 widened the state schema (BandMember gained `tsMs`, StoreEvent
+  * replaced CandPair) — those SHAPE changes Spark's own
+  * `stateStore.stateSchemaCheck` rejects at restart; the version tag
+  * additionally catches same-shape semantic drift. A checkpoint from
+  * either earlier round cannot resume here; restart with a fresh
+  * checkpoint, bootstrapping from the corpus store.
   *
   * State bill: per doc, prefixes sum to bands(bands+1)/2 key longs (+ 3
   * bookkeeping longs per membership) across its groups, not bands² —
@@ -118,9 +130,18 @@ object StreamingDedup {
   case class BandDoc(band: Int, key: Long, id: Long, isNew: Boolean,
                      keys: Seq[Long], ts: Option[java.sql.Timestamp])
 
-  /** The accumulating per-bucket signature store. */
+  /** The accumulating per-bucket signature store. `version` is the
+    * state-semantics tag ([[StateVersion]]) checked on every group read —
+    * a checkpoint written under different store semantics fails with an
+    * actionable message instead of decoding into silently-wrong state. */
   case class BandMember(id: Long, isNew: Boolean, keys: Seq[Long], tsMs: Long)
-  case class BandState(members: Seq[BandMember])
+  case class BandState(version: Int, members: Seq[BandMember])
+
+  /** Current state-semantics version. Bump whenever the MEANING of stored
+    * state changes (field repurposing, eviction-rule changes, …) — shape
+    * changes are already rejected by Spark's state-schema check, but a
+    * same-shape semantic change would otherwise resume quietly. */
+  val StateVersion = 3
 
   /** An emitted candidate pair (id_a < id_b), pre-verification. */
   case class CandPair(id_a: Long, id_b: Long)
@@ -167,12 +188,13 @@ object StreamingDedup {
                                textCol: String, newCol: String, n: Int,
                                bands: Int, rows: Int,
                                bootstrapOpt: Option[DataFrame] = None,
-                               maxBucket: Int = DefaultMaxBucket)
+                               maxBucket: Int = DefaultMaxBucket,
+                               truncateBootstrap: Boolean = false)
   : Dataset[CandPair] =
     bandedCandidatesStatefulFromKeys(
       textBandKeys(docs, idCol, textCol, Some(newCol), n, bands, rows),
       bootstrapOpt.map(c => textBandKeys(c, idCol, textCol, None, n, bands, rows)),
-      maxBucket)
+      maxBucket, truncateBootstrap = truncateBootstrap)
 
   /** The banding-agnostic core: stateful candidate pairs from a keyed
     * frame (id: long, isNew: boolean, keys: array<long> — one key per
@@ -188,7 +210,8 @@ object StreamingDedup {
   def bandedCandidatesStatefulFromKeys(keyed: DataFrame,
                                        bootstrapOpt: Option[DataFrame] = None,
                                        maxBucket: Int = DefaultMaxBucket,
-                                       retention: Option[Retention] = None)
+                                       retention: Option[Retention] = None,
+                                       truncateBootstrap: Boolean = false)
   : Dataset[CandPair] = {
     import keyed.sparkSession.implicits._
     // the pairs-only view has no channel for overflow routing records,
@@ -196,7 +219,8 @@ object StreamingDedup {
     // the bug class round 12 existed to kill. Fail the task loudly
     // instead; the capped path is statefulEventsFromKeys +
     // overflowRecoveryPairs.
-    statefulEventsFromKeys(keyed, bootstrapOpt, maxBucket, retention)
+    statefulEventsFromKeys(keyed, bootstrapOpt, maxBucket, retention,
+      truncateBootstrap)
       .map { e =>
         if (e.overflow) throw new IllegalStateException(
           s"(band=${e.band}, key=${e.key}) overflowed maxBucket=$maxBucket: " +
@@ -214,7 +238,8 @@ object StreamingDedup {
   def statefulEventsFromKeys(keyed: DataFrame,
                              bootstrapOpt: Option[DataFrame] = None,
                              maxBucket: Int = DefaultMaxBucket,
-                             retention: Option[Retention] = None)
+                             retention: Option[Retention] = None,
+                             truncateBootstrap: Boolean = false)
   : Dataset[StoreEvent] = {
     require(maxBucket > 0, "maxBucket must be positive")
     // retention + bootstrap is refused, not fudged: initial-state groups
@@ -242,14 +267,27 @@ object StreamingDedup {
           OutputMode.Append, timeoutConf)(h)
       case Some(corpus) =>
         // one BandState per (band, key): the store a previous batch run
-        // (or a snapshot of this stream's own state) would have built;
-        // buckets beyond the cap keep their maxBucket smallest ids
+        // (or a snapshot of this stream's own state) would have built.
+        // A bucket beyond the cap is REFUSED unless the caller opted
+        // into truncation: bootstrap rows never traverse the handler,
+        // so no overflow record can ever cover a dropped member — the
+        // silent-loss seam the strict default closes (round 14).
         val init = explodePrefix(corpus)
           .groupByKey(d => (d.band, d.key))
           .mapGroups { (k, ds) =>
-            (k, BandState(ds.map(d => BandMember(d.id, d.isNew, d.keys,
+            val all = ds.map(d => BandMember(d.id, d.isNew, d.keys,
                 d.ts.fold(0L)(_.getTime)))
-              .toSeq.sortBy(_.id).take(maxBucket)))
+              .toSeq.sortBy(_.id)
+            if (all.length > maxBucket && !truncateBootstrap)
+              throw new IllegalStateException(
+                s"bootstrap bucket (band=${k._1}, key=${k._2}) holds " +
+                  s"${all.length} members > maxBucket=$maxBucket: pairs " +
+                  "against the dropped members would be silently lost " +
+                  "(bootstrap rows emit no overflow records). Pre-resolve " +
+                  "hot buckets batch-side (SkewJoin.blockedSelfPairs), " +
+                  "raise maxBucket, or pass truncateBootstrap = true to " +
+                  "keep the maxBucket smallest ids")
+            (k, BandState(StateVersion, all.take(maxBucket)))
           }
           .groupByKey(_._1).mapValues(_._2)
         grouped.flatMapGroupsWithState[BandState, StoreEvent](
@@ -270,8 +308,13 @@ object StreamingDedup {
     * once (see the class note for why). Output columns: id_a < id_b. */
   def overflowRecoveryPairs(events: Dataset[StoreEvent], keyed: DataFrame)
   : DataFrame = {
+    // a re-ingest of an id whose FIRST copy overflowed is invisible to
+    // the stream-side unique-id guard (only stored members are checked),
+    // so it emits a second identical overflow record; dedup here keeps
+    // the recovered pair set exactly-once even under such a replay
     val over = events.filter(_.overflow).toDF()
       .select(col("id_a").as("id"), col("band"), col("key"))
+      .dropDuplicates("id", "band", "key")
     val sides = over.join(
       keyed.select(col("id").cast("long").as("id"), col("isNew"),
         col("keys")), "id")
@@ -295,7 +338,7 @@ object StreamingDedup {
     * emit min-band candidate pairs of each arrival against the
     * accumulated store, then append the arrival — or emit an overflow
     * routing record when the bucket is saturated. */
-  private def handler(maxBucket: Int, retention: Option[Retention])
+  private[graft] def handler(maxBucket: Int, retention: Option[Retention])
   : ((Int, Long), Iterator[BandDoc], GroupState[BandState])
     => Iterator[StoreEvent] =
     (bk, ds, state) => {
@@ -306,7 +349,16 @@ object StreamingDedup {
         try state.getCurrentWatermarkMs()
         catch { case _: UnsupportedOperationException => Long.MinValue }
       }
-      val stored = state.getOption.fold(Seq.empty[BandMember])(_.members)
+      val st = state.getOption
+      st.foreach { s =>
+        if (s.version != StateVersion) throw new IllegalStateException(
+          s"(band=$band, key=$key): checkpointed state version " +
+            s"${s.version} != this store's $StateVersion — the checkpoint " +
+            "was written under incompatible store semantics and cannot " +
+            "resume here. Restart with a fresh checkpoint, bootstrapping " +
+            "from the corpus store")
+      }
+      val stored = st.fold(Seq.empty[BandMember])(_.members)
       // amortized O(1) appends — a hot LSH bucket's initial micro-
       // batch can route thousands of docs into one group, and an
       // immutable :+ per doc would copy the whole store each time
@@ -317,6 +369,15 @@ object StreamingDedup {
       // id order makes batch-mode processing deterministic; the
       // emitted SET is order-independent (pairs are symmetric)
       if (!state.hasTimedOut) ds.toSeq.sortBy(_.id).foreach { d =>
+        // retention keys eviction on the event time: a null ts would
+        // store tsMs = 0 and silently evict on the first watermark
+        // advance — fail the task instead (quiet data loss, round 14)
+        if (retention.isDefined && d.ts.isEmpty)
+          throw new IllegalStateException(
+            s"retention mode: doc id=${d.id} has a null event time `ts` " +
+              "— it would be stored at epoch 0 and silently evicted on " +
+              "the first watermark advance. Filter or timestamp null-ts " +
+              "rows upstream")
         // unique-id guard: a replayed doc whose first copy is stored
         // must not re-emit or double-append (exactly-once output)
         if (!members.exists(_.id == d.id)) {
@@ -334,7 +395,7 @@ object StreamingDedup {
       }
       if (members.isEmpty && retention.isDefined) state.remove()
       else {
-        state.update(BandState(members.toSeq))
+        state.update(BandState(StateVersion, members.toSeq))
         // wake the group once its youngest member can expire, so idle
         // groups drain instead of holding state forever
         if (retention.isDefined && wm != Long.MinValue)

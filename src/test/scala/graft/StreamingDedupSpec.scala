@@ -259,19 +259,31 @@ class StreamingDedupSpec extends GraftSuite {
       "batch duplicate rows changed the pair set")
   }
 
-  test("bootstrap buckets beyond the cap truncate to the smallest ids") {
+  test("oversized bootstrap bucket: strict default refuses, opt-in truncates") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sq = spark.sqlContext
-    // one shared single-band bucket: corpus ids 1..6 bootstrap into a
-    // cap-3 store -> only {1,2,3} are live members; the arriving new doc
-    // pairs against exactly those and overflows (bucket at cap)
+    // one shared single-band bucket: corpus ids 1..6 against a cap-3 store
     val K = Seq(5L)
     val corpus = Seq(6L, 4L, 2L, 1L, 5L, 3L).map(id => (id, false, K))
       .toDF("id", "isNew", "keys")
+    val arrivals = Seq((10L, true, K)).toDF("id", "isNew", "keys")
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: messages(e.getCause))
+    // STRICT DEFAULT: bootstrap rows emit no overflow records, so pairs
+    // against a dropped member would be silently unrecoverable — the
+    // store must refuse the oversized bucket, not shrink it quietly
+    val ex = intercept[org.apache.spark.SparkException] {
+      StreamingDedup.statefulEventsFromKeys(arrivals,
+        bootstrapOpt = Some(corpus), maxBucket = 3).collect()
+    }
+    assert(messages(ex).exists(m => m != null && m.contains("bootstrap bucket")),
+      s"expected the strict bootstrap refusal, got: ${ex.getMessage}")
+    // OPT-IN truncation: only {1,2,3} are live members; the arriving new
+    // doc pairs against exactly those and overflows (bucket at cap)
     val src = MemoryStream[(Long, Boolean, Seq[Long])]
     val q = StreamingDedup.statefulEventsFromKeys(
         src.toDF().toDF("id", "isNew", "keys"),
-        bootstrapOpt = Some(corpus), maxBucket = 3)
+        bootstrapOpt = Some(corpus), maxBucket = 3, truncateBootstrap = true)
       .writeStream.outputMode("append")
       .format("memory").queryName("sdb2_out").start()
     try {
@@ -285,6 +297,64 @@ class StreamingDedupSpec extends GraftSuite {
         events.filter(_.overflow).head.id_a == 10L,
         "the arrival at the saturated bootstrap bucket must overflow")
     } finally q.stop()
+  }
+
+  test("overflow recovery dedups replayed routing records") {
+    // a re-ingest of an id whose first copy overflowed emits a second
+    // identical routing record — the batch pass must not double the
+    // recovered pairs
+    val keyed = Seq((10L, true, Seq(5L)), (11L, true, Seq(5L)))
+      .toDF("id", "isNew", "keys")
+    val ev = Seq(
+      StreamingDedup.StoreEvent(10L, -1L, 0, 5L, overflow = true),
+      StreamingDedup.StoreEvent(10L, -1L, 0, 5L, overflow = true), // replay
+      StreamingDedup.StoreEvent(11L, -1L, 0, 5L, overflow = true)).toDS()
+    val rec = StreamingDedup.overflowRecoveryPairs(ev, keyed)
+      .as[(Long, Long)].collect().toSeq
+    assert(rec == Seq((10L, 11L)),
+      s"expected exactly one recovered pair, got $rec")
+  }
+
+  test("state version guard: incompatible checkpointed state fails actionably") {
+    import org.apache.spark.api.java.Optional
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    val h = StreamingDedup.handler(maxBucket = 8, retention = None)
+    val doc = StreamingDedup.BandDoc(0, 5L, 1L, isNew = true, Seq(5L), None)
+    val oldState = TestGroupState.create[StreamingDedup.BandState](
+      Optional.of(StreamingDedup.BandState(
+        StreamingDedup.StateVersion - 1, Seq.empty)),
+      GroupStateTimeout.NoTimeout, 0L, Optional.empty[Long](),
+      hasTimedOut = false)
+    val ex = intercept[IllegalStateException] {
+      h((0, 5L), Iterator(doc), oldState).toSeq
+    }
+    assert(ex.getMessage.contains("state version") &&
+      ex.getMessage.contains("fresh checkpoint"), ex.getMessage)
+    // same-version state processes normally
+    val curState = TestGroupState.create[StreamingDedup.BandState](
+      Optional.of(StreamingDedup.BandState(
+        StreamingDedup.StateVersion,
+        Seq(StreamingDedup.BandMember(2L, false, Seq(5L), 0L)))),
+      GroupStateTimeout.NoTimeout, 0L, Optional.empty[Long](),
+      hasTimedOut = false)
+    val out = h((0, 5L), Iterator(doc), curState).toSeq
+    assert(out == Seq(StreamingDedup.StoreEvent(1L, 2L, 0, 5L, overflow = false)))
+  }
+
+  test("retention: a null event time fails the task, never epoch-0 eviction") {
+    import org.apache.spark.api.java.Optional
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    val h = StreamingDedup.handler(maxBucket = 8,
+      retention = Some(StreamingDedup.Retention(1000L)))
+    val nullTs = StreamingDedup.BandDoc(0, 5L, 1L, isNew = true, Seq(5L), None)
+    val state = TestGroupState.create[StreamingDedup.BandState](
+      Optional.empty[StreamingDedup.BandState](),
+      GroupStateTimeout.EventTimeTimeout, 0L, Optional.of(100L),
+      hasTimedOut = false)
+    val ex = intercept[IllegalStateException] {
+      h((0, 5L), Iterator(nullTs), state).toSeq
+    }
+    assert(ex.getMessage.contains("null event time"), ex.getMessage)
   }
 
   test("state size matches the prefix-key design bill (stateOperators)") {
