@@ -71,7 +71,7 @@ object Dbscan {
     * null in both columns. Shared by [[run]]'s noise assign and
     * [[sweepRecordsBatched]]'s per-ε noise stats so the two paths cannot
     * drift. `sorted` MUST be ascending by component id. */
-  private def withKernelNearest(df: DataFrame, qiCol: String,
+  private[graft] def withKernelNearest(df: DataFrame, qiCol: String,
                                 sorted: IndexedSeq[(Long, Array[Double])],
                                 ccName: String, dName: String): DataFrame = {
     val idxCents = sorted.indices.map(i => i -> sorted(i)._2)

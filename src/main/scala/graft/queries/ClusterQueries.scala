@@ -103,6 +103,46 @@ object ClusterQueries {
         pairsOpt = Some(sharedPairs(s, dir)))
     }
 
+  /** ml_pipeline / ml_kmeans_model input: the same (p_size, p_retailprice)
+    * points, but as raw columns for VectorAssembler to pack — the MLlib
+    * half of the pipeline under test. */
+  private def mlInput(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "part").select(col("p_partkey").as("id"),
+      col("p_size").cast("double").as("x0"),
+      col("p_retailprice").cast("double").as("x1"))
+
+  /** Releasable wrapper so [[QueryCache.evictSession]] frees the fitted
+    * stages' cached assignment blocks. */
+  private case class MlHolder(pm: org.apache.spark.ml.PipelineModel)
+      extends QueryCache.Releasable {
+    def release(): Unit = pm.stages.foreach {
+      case m: graft.ml.GraftDbscanModel => m.release()
+      case m: graft.ml.GraftKMeansModel => m.release()
+      case _ => ()
+    }
+  }
+
+  /** The fitted [VectorAssembler -> GraftDbscan] PipelineModel, memoized
+    * per (session, dir) like [[sharedModel]] (one fit, many transforms).
+    * The fit deliberately goes through the public Estimator surface — no
+    * sharedPairs shortcut — so the gate exercises the same path a
+    * Pipeline user runs. */
+  private[graft] val MlPipelineKey = "cluster.mlPipelineModel"
+  private def sharedMlPipeline(s: SparkSession, dir: String)
+  : org.apache.spark.ml.PipelineModel =
+    QueryCache.shared(MlPipelineKey, s, dir) {
+      import org.apache.spark.ml.Pipeline
+      import org.apache.spark.ml.feature.VectorAssembler
+      MlHolder(new Pipeline().setStages(Array(
+          new VectorAssembler()
+            .setInputCols(Array("x0", "x1")).setOutputCol("features"),
+          new graft.ml.GraftDbscan()
+            .setIdCol("id").setFeaturesCol("features")
+            .setPredictionCol("component")
+            .setEps(eps).setMinPts(minPts).setKAnon(kAnon)))
+        .fit(mlInput(s, dir)))
+    }.pm
+
   /** The published anonymized table joined with the sensitive attribute —
     * the input both privacy-audit gates (l_diversity, t_closeness) read:
     * one row per point with its published quasi-identifier group (the
@@ -708,6 +748,48 @@ object ClusterQueries {
             .cast("int").as("labels_valid"))
     }),
 
+    // The engine AS an MLlib pipeline stage (round 14): a spark.ml
+    // Pipeline of [VectorAssembler (MLlib) -> GraftDbscan (graft
+    // Estimator)] fit + transform — same labels as dbscan_labels, but
+    // produced through the Estimator/Model surface, so the Pipeline
+    // composition itself is under the exact recursive-CTE oracle. The
+    // fitted PipelineModel is memoized per (session, dir) like the
+    // engine's own sharedModel (a real user fits once, transforms many).
+    "ml_pipeline" -> ((s, dir) => {
+      sharedMlPipeline(s, dir).transform(mlInput(s, dir))
+        .select(col("id"), col("component"),
+          col("component").isNull.as("is_noise"))
+        .orderBy("id")
+    }),
+
+    // A directly-constructed GraftKMeansModel (the stateless scoring
+    // path: fixed centroid matrix, no fitted assignment) riding a
+    // Pipeline after VectorAssembler — kmeans_assign's exact oracle, but
+    // through the Model.transform surface.
+    "ml_kmeans_model" -> ((s, dir) => {
+      import org.apache.spark.ml.Pipeline
+      import org.apache.spark.ml.feature.VectorAssembler
+      val assembler = new VectorAssembler()
+        .setInputCols(Array("x0", "x1")).setOutputCol("features")
+      val model = new graft.ml.GraftKMeansModel("frozen",
+          FrozenCentroids.toIndexedSeq)
+        .setIdCol("id").setFeaturesCol("features").setPredictionCol("cluster")
+      val input = mlInput(s, dir)
+      val out = new Pipeline().setStages(Array(assembler, model))
+        .fit(input).transform(input)
+      // decode the assigned centroid to recompute d with the same abs/add
+      // order as the kernel (and the oracle) — bit-identical doubles
+      val cents = array(FrozenCentroids.sortBy(_._1).map { case (_, c) =>
+        array(c.map(lit(_)): _*)
+      }: _*)
+      out.withColumn("c", element_at(cents, col("cluster") + 1))
+        .withColumn("d", abs(col("x0") - element_at(col("c"), 1)) +
+          abs(col("x1") - element_at(col("c"), 2)))
+        .groupBy("cluster")
+        .agg(count(lit(1)).as("n_members"), round(sum("d"), 2).as("cost"))
+        .orderBy("cluster")
+    }),
+
     // G5 done right: the reference's abandoned BFS cluster expansion
     // (DBSCAN-checkpoint.ipynb cell 6 — a driver-global visited-set queue
     // walk that crashes on its own saved output) as a distributed
@@ -1223,6 +1305,20 @@ object ClusterQueries {
          |  FROM pts p CROSS JOIN cents0 c)
          |SELECT cluster, count(*) AS n_members, round(sum(d), 2) AS cost
          |FROM asg WHERE rn = 1 GROUP BY cluster ORDER BY cluster""".stripMargin,
+    // Model.transform over the frozen matrix = the assignment kernel —
+    // same oracle as kmeans_assign
+    "ml_kmeans_model" ->
+      s"""WITH pts AS (SELECT p_partkey AS id, CAST(p_size AS DOUBLE) AS x0,
+         |    p_retailprice AS x1 FROM part),
+         |$sqlFrozenCents,
+         |asg AS (SELECT p.id, c.cluster,
+         |    abs(p.x0 - c.c0) + abs(p.x1 - c.c1) AS d,
+         |    row_number() OVER (PARTITION BY p.id
+         |      ORDER BY abs(p.x0 - c.c0) + abs(p.x1 - c.c1), c.cluster)
+         |      AS rn
+         |  FROM pts p CROSS JOIN cents0 c)
+         |SELECT cluster, count(*) AS n_members, round(sum(d), 2) AS cost
+         |FROM asg WHERE rn = 1 GROUP BY cluster ORDER BY cluster""".stripMargin,
     // E1's whole sweep, value-checked: one derived-table leg per ε,
     // UNION ALL'd — upgraded from rows-only once the per-ε pipeline SQL
     // existed for dbscan_errors
@@ -1240,6 +1336,14 @@ object ClusterQueries {
          |$sqlCc
          |SELECT id, component FROM comp ORDER BY id""".stripMargin,
     "dbscan_labels" ->
+      s"""WITH RECURSIVE
+         |$sqlGraph,
+         |$sqlCc
+         |SELECT id, component, component IS NULL AS is_noise
+         |FROM labels ORDER BY id""".stripMargin,
+    // the Pipeline surface must reproduce the engine's labels exactly —
+    // same oracle as dbscan_labels
+    "ml_pipeline" ->
       s"""WITH RECURSIVE
          |$sqlGraph,
          |$sqlCc
