@@ -50,7 +50,23 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * [[RetrySpreadRatio]] (max/min) with median above [[RetryFloorSec]]
   * re-runs its timed reps once and keeps the LOWER-median set (contention
   * inflates, never deflates) — retried gates are listed in the headline's
-  * `retried` field. Exit status stays 0 by default (the driver parses the
+  * `retried` field, and BOTH medians ride bench_detail's
+  * `retried_medians` so a persistent bimodal gate is distinguishable
+  * from one-off contention (round 14).
+  *
+  * Round 14 adds the run-quality layer on top: (1) a quiet-window
+  * pre-flight delays the run start until the 1-min load drops below
+  * SPARK_GRAFT_LOAD_GATE (default 2.0), bounded by
+  * SPARK_GRAFT_LOAD_WAIT_MAX seconds, with the wait and a `quiet_run`
+  * verdict stamped in the artifact; (2) a per-gate history envelope
+  * (SPARK_GRAFT_BENCH_HISTORY, default bench_history.json — committed so
+  * it persists across rounds) records each gate's quiet-run medians, and
+  * any gate whose new median leaves the historical envelope is flagged
+  * in the `drift` field — so machine drift vs code regression is decided
+  * by the artifact, not re-derived by the reader. Contended runs can
+  * flag drift but never write history.
+  *
+  * Exit status stays 0 by default (the driver parses the
   * artifact, not the exit code — a teardown hiccup must not discard a
   * valid run); CI callers that key on exit codes can set
   * SPARK_GRAFT_STRICT_EXIT=1 to get exit 2 when any gate failed.
@@ -101,12 +117,43 @@ object Bench {
   /** Below this median the "spread" is scheduler noise, not contention. */
   private val RetryFloorSec = 0.3
 
+  /** History-envelope slack: a gate drifts when its new median leaves
+    * [hist_min / DriftSlack, hist_max * DriftSlack] (history = quiet-run
+    * medians persisted in the bench-history file). Round 13 measured
+    * ±6-7% round-over-round swing on unchanged code plus occasional
+    * 1.5× machine drift (rand_walks 3.06 → 4.69 s with tight rep
+    * spread), so the envelope is wide: it exists to separate "moved
+    * outside anything history has seen" from ordinary wobble. */
+  private val DriftSlack = 1.3
+
+  /** Quiet-run history entries kept per gate. */
+  private val HistoryDepth = 8
+
   private def loadAvg(): Double =
     java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // Quiet-window pre-flight (round 14): rounds 12 AND 13 both drew
+    // their reps in contended windows (load 8+ at start) — the artifact
+    // self-diagnosed it, but the headline was still not a trend point.
+    // Sample the 1-min load and DELAY the run until it drops below the
+    // gate (env-tunable), bounded by a max wait; the wait is stamped in
+    // the artifact so a still-contended start is legible.
+    val loadGate = scala.util.Try(
+      sys.env.getOrElse("SPARK_GRAFT_LOAD_GATE", "2.0").trim.toDouble)
+      .getOrElse(2.0)
+    val maxWaitS = scala.util.Try(
+      sys.env.getOrElse("SPARK_GRAFT_LOAD_WAIT_MAX", "300").trim.toInt)
+      .getOrElse(300)
+    var waitedS = 0
+    while (loadAvg() > loadGate && waitedS < maxWaitS) {
+      System.err.println(f"[bench] load ${loadAvg()}%.1f > gate $loadGate%.1f" +
+        f" — waiting (${waitedS}s/${maxWaitS}s)")
+      Thread.sleep(15000)
+      waitedS += 15
+    }
     val loadStart = loadAvg()
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = graft.core.Tables.configure(SparkSession.builder())
@@ -154,7 +201,8 @@ object Bench {
     final case class QResult(name: String, cold: Double, times: Seq[Double],
                              ok: Boolean, sr: Long, sw: Long, pm: Long,
                              builds: Seq[Double] = Seq.empty,
-                             retried: Boolean = false) {
+                             retried: Boolean = false,
+                             discardedMedian: Option[Double] = None) {
       def median: Double = if (times.isEmpty) cold else medianOf(times)
       def min: Double = if (times.isEmpty) cold else times.min
       def max: Double = if (times.isEmpty) cold else times.max
@@ -196,22 +244,27 @@ object Bench {
         }
       // contention self-defense: a rep set whose spread exceeds the
       // ratio at a non-noise median is re-drawn once, keeping the
-      // lower-median set (contention inflates, never deflates)
-      val (times2, retried) =
+      // lower-median set (contention inflates, never deflates). BOTH
+      // medians are recorded — a persistent bimodal gate whose slow
+      // draw keeps being discarded must be distinguishable from one-off
+      // contention in the artifact, not just in this process's stderr.
+      val (times2, retried, discarded) =
         if (ok && times.nonEmpty && medianOf(times) > RetryFloorSec &&
             times.max / math.max(times.min, 1e-9) > RetrySpreadRatio) {
           System.err.println(f"[bench] $name spread ${times.max}%.2f/" +
             f"${times.min}%.2f exceeds ${RetrySpreadRatio}%.1fx — retrying")
           try {
             val redo = Seq.fill(reps)(timed(fn))
-            (if (medianOf(redo) < medianOf(times)) redo else times, true)
+            if (medianOf(redo) < medianOf(times))
+              (redo, true, Some(medianOf(times)))
+            else (times, true, Some(medianOf(redo)))
           } catch {
             case e: Throwable =>
               System.err.println(s"[bench] $name retry failed (kept " +
                 s"original reps): $e")
-              (times, true)
+              (times, true, None)
           }
-        } else (times, false)
+        } else (times, false, None)
       val builds =
         if (!ok) Seq.empty[Double]
         else buildProbes.get(name).fold(Seq.empty[Double]) { keys =>
@@ -227,7 +280,8 @@ object Bench {
               Seq.empty[Double]
           }
         }
-      val r = QResult(name, cold, times2, ok, sr, sw, pm, builds, retried)
+      val r = QResult(name, cold, times2, ok, sr, sw, pm, builds, retried,
+        discarded)
       System.err.println(
         f"[bench] $name%-20s med ${r.median}%8.2fs cold ${cold}%8.2fs ${if (ok) "" else "FAILED"}%s")
       r
@@ -263,13 +317,77 @@ object Bench {
       .map(r => "\"" + r.name + "\":" + r3(medianOf(r.builds))).mkString("{", ",", "}")
     val retriedQ = results.collect { case r if r.retried => "\"" + r.name + "\"" }
       .mkString("[", ",", "]")
+    // both medians of every retried gate: {"gate":{"kept":x,"discarded":y}}
+    val retriedM = results.collect {
+      case r if r.discardedMedian.isDefined =>
+        "\"" + r.name + s"""":{"kept":${r3(r.median)},"discarded":${r3(r.discardedMedian.get)}}"""
+    }.mkString("{", ",", "}")
     val loadEnd = loadAvg()
     def r2(v: Double): String = f"$v%.2f"
-    val loadF = s""""load_start":${r2(loadStart)},"load_end":${r2(loadEnd)}"""
+
+    // Per-gate history envelope (round 14): rand_walks moved 3.06 → 4.69s
+    // on UNCHANGED code with a tight rep spread — intra-run spread can't
+    // certify cross-run comparability, so drift-vs-regression must be
+    // decided by the artifact. The history file holds each gate's last
+    // HistoryDepth QUIET-run medians; a new median outside
+    // [min/DriftSlack, max*DriftSlack] is flagged on both JSON lines.
+    // Only quiet runs (load below the gate at both ends) append, so a
+    // contended draw can flag drift but never pollutes the envelope.
+    val histPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_HISTORY",
+      "bench_history.json")
+    val history: Map[String, Seq[Double]] =
+      try {
+        val f = java.nio.file.Paths.get(histPath)
+        if (java.nio.file.Files.exists(f)) {
+          import org.json4s._
+          import org.json4s.jackson.JsonMethods.parse
+          implicit val fmt: Formats = DefaultFormats
+          parse(java.nio.file.Files.readString(f))
+            .extract[Map[String, Seq[Double]]]
+        } else Map.empty
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[bench] history read failed (fresh start): $e")
+          Map.empty
+      }
+    val driftAll = results.filter(_.ok).flatMap { r =>
+      history.get(r.name).filter(_.size >= 2).flatMap { h =>
+        if (r.median < h.min / DriftSlack || r.median > h.max * DriftSlack)
+          Some(r.median -> ("\"" + r.name +
+            s"""":{"median":${r3(r.median)},"hist_min":${r3(h.min)},"hist_max":${r3(h.max)}}"""))
+        else None
+      }
+    }
+    // the headline rides a ~2000-byte stdout tail: keep the 12 most
+    // expensive drifters inline, count the rest
+    val drift = driftAll.sortBy(-_._1).take(12).map(_._2)
+      .mkString("{", ",", "}") +
+      (if (driftAll.size > 12) s""","drift_more":${driftAll.size - 12}"""
+       else "")
+    val quietRun = loadStart <= loadGate && loadEnd <= loadGate
+    if (quietRun) {
+      try {
+        val merged = (history.keySet ++ results.filter(_.ok).map(_.name))
+          .toSeq.sorted.map { name =>
+            val h = history.getOrElse(name, Seq.empty) ++
+              results.find(r => r.name == name && r.ok).map(_.median)
+            "\"" + name + "\":" +
+              h.takeRight(HistoryDepth).map(r3).mkString("[", ",", "]")
+          }.mkString("{", ",", "}")
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(histPath), merged)
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[bench] history write failed: $e")
+      }
+    }
+
+    val loadF = s""""load_start":${r2(loadStart)},"load_end":${r2(loadEnd)}""" +
+      s""","load_wait_s":$waitedS,"quiet_run":$quietRun"""
     val lines = Seq(
       s"""{"metric":"stage_metrics","stage_metrics":$sh,"sf":"$sfDir"}""",
-      s"""{"metric":"bench_detail","reps":$reps,"median":${jmap(_.median)},"cold":${jmap(_.cold)},"min":${jmap(_.min)},"max":${jmap(_.max)},"stddev":${jmap(_.stddev)},"build":$buildQ,"retried":$retriedQ,$loadF,"sf":"$sfDir"}""",
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.length},"queries":$topQ,"queries_note":"top-$TopNHeadline medians by cost; full map on bench_detail","failed":$failed,"reps":$reps,"cold_total":${r3(coldTotal)},"build":$buildQ,"retried":$retriedQ,$loadF,"sf":"$sfDir"}""")
+      s"""{"metric":"bench_detail","reps":$reps,"median":${jmap(_.median)},"cold":${jmap(_.cold)},"min":${jmap(_.min)},"max":${jmap(_.max)},"stddev":${jmap(_.stddev)},"build":$buildQ,"retried":$retriedQ,"retried_medians":$retriedM,"drift":$drift,$loadF,"sf":"$sfDir"}""",
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.length},"queries":$topQ,"queries_note":"top-$TopNHeadline medians by cost; full map on bench_detail","failed":$failed,"reps":$reps,"cold_total":${r3(coldTotal)},"build":$buildQ,"retried":$retriedQ,"drift":$drift,$loadF,"sf":"$sfDir"}""")
     // full machine-readable artifact for the repo/COVERAGE trend notes.
     // A failed artifact write must not cost the round its stdout output.
     try sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
