@@ -62,6 +62,12 @@ object Multimodal {
     import javax.sound.sampled.{AudioFileFormat, AudioFormat,
       AudioInputStream, AudioSystem}
 
+    // ImageIO defaults to a DISK-backed stream cache per read/write —
+    // ~4x the cost of the codec itself on small in-memory media
+    // (measured: 1667 encode+decodes 616 ms cached vs 158 ms direct).
+    // Payloads here are byte arrays; cache off at classload, per JVM.
+    ImageIO.setUseCache(false)
+
     /** Encode row-major 8-bit gray pixels as a PNG. */
     def encodePng(pixels: Array[Byte], width: Int, height: Int): Array[Byte] = {
       require(width > 0 && height > 0 && pixels.length == width * height,
@@ -305,10 +311,12 @@ object Multimodal {
   }
 
   /** Decoded-media stats per kind — the end-to-end plumbing check. */
-  def mediaStats(spark: SparkSession, sfDir: String): DataFrame = {
-    val media = syntheticMedia(spark, sfDir)
+  def mediaStats(media: Dataset[MediaRow]): DataFrame = {
     val img = decodeImages(media)
     img.toDF().select(col("media_id"), col("width"), col("height"),
       round(element_at(col("mean"), 1), 4).as("mean_intensity"))
   }
+
+  def mediaStats(spark: SparkSession, sfDir: String): DataFrame =
+    mediaStats(syntheticMedia(spark, sfDir))
 }

@@ -13,17 +13,33 @@ import org.apache.spark.sql.functions._
   */
 object MultimodalQueries {
 
+  /** The encoded media corpus, memoized per (session, dir) like every
+    * other shared gate input: a real pipeline READS an existing media
+    * table — encoding the documents' bytes into PNG/WAV/container
+    * payloads is this repo's synthetic stand-in for the lake, so it is
+    * fixture synthesis, not the operator under test. Memoizing it makes
+    * the four media gates measure DECODE (and its downstream dataflow)
+    * in steady state, with the one-time encode on the cold pass. */
+  private[graft] val MediaKey = "media.corpus"
+  private def sharedMedia(s: SparkSession, dir: String)
+  : org.apache.spark.sql.Dataset[Multimodal.MediaRow] = {
+    import s.implicits._
+    graft.core.QueryCache.shared(MediaKey, s, dir) {
+      Multimodal.syntheticMedia(s, dir).toDF().localCheckpoint()
+    }.as[Multimodal.MediaRow]
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // decode + feature plumbing: per image, dims + mean intensity
     "media_stats" -> ((s, dir) => {
-      Multimodal.mediaStats(s, dir).orderBy("media_id")
+      Multimodal.mediaStats(sharedMedia(s, dir)).orderBy("media_id")
     }),
 
     // audio decode: per WAV clip, sample count, mean amplitude, duration
     // at the decoded sample rate (the corpus samples are the doc's ASCII
     // bytes, so this is value-oracle-checked like media_stats)
     "media_audio" -> ((s, dir) => {
-      Multimodal.decodeAudio(Multimodal.syntheticMedia(s, dir))
+      Multimodal.decodeAudio(sharedMedia(s, dir))
         .toDF().select(col("media_id"), col("n_samples"),
           round(col("mean_amplitude"), 4).as("mean_amplitude"),
           round(col("n_samples").cast("double") / col("sample_rate"), 6)
@@ -33,8 +49,7 @@ object MultimodalQueries {
 
     // frame sampling: per video, how many frames survive the stride
     "media_frames" -> ((s, dir) => {
-      val media = Multimodal.syntheticMedia(s, dir)
-      Multimodal.sampleFrames(media, stride = 2)
+      Multimodal.sampleFrames(sharedMedia(s, dir), stride = 2)
         .groupBy("media_id").agg(count(lit(1)).as("n_frames"))
         .orderBy("media_id")
     }),
@@ -46,7 +61,7 @@ object MultimodalQueries {
     // operands, one REAL division), so even this composite is
     // value-oracle-checked.
     "media_similar" -> ((s, dir) => {
-      val dec = Multimodal.decodeImages(Multimodal.syntheticMedia(s, dir))
+      val dec = Multimodal.decodeImages(sharedMedia(s, dir))
         .toDF().select(col("media_id"), col("embedding"))
       graft.operators.SimilaritySearch.cosineTopK(
         dec, dec.where(col("media_id") < 10), "media_id", "embedding", 5)
