@@ -60,7 +60,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * SPARK_GRAFT_LOAD_WAIT_MAX seconds, with the wait and a `quiet_run`
   * verdict stamped in the artifact; (2) a per-gate history envelope
   * (SPARK_GRAFT_BENCH_HISTORY, default bench_history.json — committed so
-  * it persists across rounds) records each gate's quiet-run medians, and
+  * it persists across rounds, keyed by SF dir so cross-SF runs never
+  * share an envelope) records each gate's quiet-run medians, and
   * any gate whose new median leaves the historical envelope is flagged
   * in the `drift` field — so machine drift vs code regression is decided
   * by the artifact, not re-derived by the reader. Contended runs can
@@ -335,7 +336,10 @@ object Bench {
     // contended draw can flag drift but never pollutes the envelope.
     val histPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_HISTORY",
       "bench_history.json")
-    val history: Map[String, Seq[Double]] =
+    // the file is keyed by SF dir FIRST — medians at sf0.001 and sf0.1
+    // differ by orders of magnitude, so a shared per-gate list would
+    // flag every cross-SF run as drift and pollute the envelope
+    val fullHistory: Map[String, Map[String, Seq[Double]]] =
       try {
         val f = java.nio.file.Paths.get(histPath)
         if (java.nio.file.Files.exists(f)) {
@@ -343,16 +347,25 @@ object Bench {
           import org.json4s.jackson.JsonMethods.parse
           implicit val fmt: Formats = DefaultFormats
           parse(java.nio.file.Files.readString(f))
-            .extract[Map[String, Seq[Double]]]
+            .extract[Map[String, Map[String, Seq[Double]]]]
         } else Map.empty
       } catch {
         case scala.util.control.NonFatal(e) =>
           System.err.println(s"[bench] history read failed (fresh start): $e")
           Map.empty
       }
+    val history: Map[String, Seq[Double]] =
+      fullHistory.getOrElse(sfDir, Map.empty)
+    // active from the FIRST history entry: with the 1.3x slack a single
+    // quiet median already brackets the documented ±7% wobble, and the
+    // envelope widens as more entries accumulate. Same noise floor as
+    // the retry logic — at sub-RetryFloorSec medians a 1.3x move is
+    // scheduler/barrier noise, not drift (a back-to-back sf0.001 pair
+    // flagged 12 such gates at 1.3-1.4x; none exceeded 2.1s)
     val driftAll = results.filter(_.ok).flatMap { r =>
-      history.get(r.name).filter(_.size >= 2).flatMap { h =>
-        if (r.median < h.min / DriftSlack || r.median > h.max * DriftSlack)
+      history.get(r.name).filter(_.nonEmpty).flatMap { h =>
+        if ((r.median > RetryFloorSec || h.max > RetryFloorSec) &&
+            (r.median < h.min / DriftSlack || r.median > h.max * DriftSlack))
           Some(r.median -> ("\"" + r.name +
             s"""":{"median":${r3(r.median)},"hist_min":${r3(h.min)},"hist_max":${r3(h.max)}}"""))
         else None
@@ -364,18 +377,30 @@ object Bench {
       .mkString("{", ",", "}") +
       (if (driftAll.size > 12) s""","drift_more":${driftAll.size - 12}"""
        else "")
-    val quietRun = loadStart <= loadGate && loadEnd <= loadGate
+    // quiet = the WINDOW WE ENTERED was quiet (pre-flight enforced);
+    // load_end is dominated by the benchmark's own 32-thread work (a
+    // full run leaves the 1-min average near the core count), so gating
+    // on it would make quiet_run unsatisfiable by construction —
+    // load_end stays stamped for visibility only
+    val quietRun = loadStart <= loadGate
     if (quietRun) {
       try {
-        val merged = (history.keySet ++ results.filter(_.ok).map(_.name))
+        def jq(s: String): String = "\"" + s + "\""
+        val mergedSf = (history.keySet ++ results.filter(_.ok).map(_.name))
           .toSeq.sorted.map { name =>
             val h = history.getOrElse(name, Seq.empty) ++
               results.find(r => r.name == name && r.ok).map(_.median)
-            "\"" + name + "\":" +
+            jq(name) + ":" +
               h.takeRight(HistoryDepth).map(r3).mkString("[", ",", "]")
           }.mkString("{", ",", "}")
+        val merged = (fullHistory - sfDir).toSeq.sortBy(_._1).map {
+          case (sf, gates) => jq(sf) + ":" + gates.toSeq.sortBy(_._1).map {
+            case (g, hs) => jq(g) + ":" + hs.map(r3).mkString("[", ",", "]")
+          }.mkString("{", ",", "}")
+        } :+ (jq(sfDir) + ":" + mergedSf)
         java.nio.file.Files.writeString(
-          java.nio.file.Paths.get(histPath), merged)
+          java.nio.file.Paths.get(histPath),
+          merged.mkString("{", ",", "}"))
       } catch {
         case scala.util.control.NonFatal(e) =>
           System.err.println(s"[bench] history write failed: $e")

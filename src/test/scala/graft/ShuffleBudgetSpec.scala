@@ -565,7 +565,14 @@ class ShuffleBudgetSpec extends GraftSuite {
     // (band, key, slice) equi-join over the overflow rows). Measured
     // 383k with the MinHash side table memoized by its sibling's pin;
     // the roof covers the standalone build (sibling semantics, ~850k)
-    "dedup_stream_capped" -> (130000L, 1700000L))
+    "dedup_stream_capped" -> (130000L, 1700000L),
+    // round-14 ml gates — measured: ml_pipeline 59 B (the fitted
+    // PipelineModel's transform: the 2k-row assignment join BROADCASTS,
+    // so steady state is near-shuffle-free — a lost broadcast reads
+    // ~300 KB and trips the roof), ml_kmeans_model 268 B (stateless
+    // frozen-centroid kernel projection + the 8-row cluster agg)
+    "ml_pipeline" -> (10L, 2000L),
+    "ml_kmeans_model" -> (80L, 1500L))
 
   /** Memo keys to evict after the warm pass so the measured pass runs the
     * gate's build plan instead of reading a checkpoint. dedup_groups
