@@ -471,4 +471,40 @@ class PropertySpec extends GraftSuite {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(zero === Map("a" -> 0L, "b" -> 0L))
   }
+
+  test("IVF recall floor survives distribution shift (property)") {
+    // The round-12 MinHash lesson ("kernel and oracle can agree on the
+    // wrong thing") applied to the ANN quantizer: the 0.9 clustered
+    // recall floor was measured on the GATE corpus only, so an
+    // embeddings refresh could silently void the contract. Regenerate
+    // clusterable corpora across data seeds AND cluster counts — fresh
+    // random centers, fresh noise, cluster structure the fit has never
+    // seen — and require the floor to hold on every draw.
+    import graft.operators.SimilaritySearch
+    val dim = 16
+    val perCluster = 40
+    for (dataSeed <- Seq(101L, 202L); nClusters <- Seq(4, 8, 16)) {
+      val rnd = new scala.util.Random(dataSeed * 1000 + nClusters)
+      val centers = Array.fill(nClusters)(Array.fill(dim)(rnd.nextGaussian()))
+        .map { c => val n = math.sqrt(c.map(x => x * x).sum); c.map(_ / n) }
+      val vecs = (for (c <- 0 until nClusters; i <- 0 until perCluster)
+        yield ((c.toLong * perCluster + i),
+          centers(c).map(_ + 0.15 * rnd.nextGaussian()).toSeq))
+        .toDF("vec_id", "embedding").localCheckpoint()
+      val q = vecs.where(col("vec_id") % 37 === 0)
+      val brute = SimilaritySearch
+        .cosineTopK(vecs, q, "vec_id", "embedding", 5)
+        .select("q_id", "id").as[(Long, Long)].collect().toSet
+      assert(brute.nonEmpty, "no brute neighbors — recall pin vacuous")
+      val idx = SimilaritySearch.ivfIndex(vecs, "vec_id", "embedding",
+        nlist = nClusters, seed = 7)
+      val ivf = idx.search(q, "vec_id", "embedding", 5,
+          nprobe = math.max(2, nClusters / 4))
+        .select("q_id", "id").as[(Long, Long)].collect().toSet
+      val recall = (brute & ivf).size.toDouble / brute.size
+      assert(recall >= 0.9,
+        f"dataSeed=$dataSeed nClusters=$nClusters recall=$recall%.3f < 0.9")
+      graft.core.LineageCut.release(vecs)
+    }
+  }
 }
