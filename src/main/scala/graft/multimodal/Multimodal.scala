@@ -292,6 +292,73 @@ object Multimodal {
       }
   }
 
+  /** Resized image: output dims + resized-pixel summary. */
+  case class ResizedImage(media_id: Long, out_w: Int, out_h: Int,
+                          mean_resized: Double)
+
+  /** Decode + resize via mapPartitions — the thumbnail/normalize step of
+    * an image pipeline: real PNG decode, then the deterministic
+    * nearest-sample downscale ([[MediaFeatures.resize]], SQL-exact
+    * integer indexing). Output is the resized-pixel mean, the
+    * value-oracle surface for the whole decode→resize chain. */
+  def resizeImages(media: Dataset[MediaRow], outW: Int, outH: Int)
+  : Dataset[ResizedImage] = {
+    import media.sparkSession.implicits._
+    media.filter(r => r.kind == "image" && r.payload.nonEmpty).mapPartitions { rows =>
+      rows.map { r =>
+        val (w, h, px) = JdkCodec.decodePng(r.payload)
+        require(w == r.width && h == r.height,
+          s"media_id=${r.media_id}: decoded ${w}x$h != sidecar ${r.width}x${r.height}")
+        val rs = MediaFeatures.resize(px, outW, outH)
+        var s = 0L
+        rs.foreach(_.foreach(s += _))
+        ResizedImage(r.media_id, outW, outH, s.toDouble / (outW * outH))
+      }
+    }
+  }
+
+  /** Audio feature row: exact-integer energy plus the mean-crossing
+    * count (the ZCR analogue for unsigned samples — ASCII-derived
+    * corpora never cross the PCM midpoint 128, so crossings are counted
+    * against the clip's own mean). */
+  case class AudioFeatures(media_id: Long, n_samples: Long, rms: Double,
+                           mean_crossings: Long)
+
+  /** Decode + feature-extract for audio beyond the mean: RMS energy
+    * (sum of squares is exact integer arithmetic, so the rounded double
+    * is bit-reproducible cross-engine) and the mean-crossing count
+    * (adjacent sample pairs straddling the clip mean — integer-vs-double
+    * compares, exact). Same mapPartitions decode seam as
+    * [[decodeAudio]]. */
+  def audioFeatures(media: Dataset[MediaRow]): Dataset[AudioFeatures] = {
+    import media.sparkSession.implicits._
+    media.filter(r => r.kind == "audio" && r.payload.nonEmpty)
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val (rate, samples) = JdkCodec.decodeWav(r.payload)
+          require(rate == r.sample_rate,
+            s"media_id=${r.media_id}: decoded rate $rate != sidecar ${r.sample_rate}")
+          val n = samples.length
+          var sum = 0L
+          var sumSq = 0L
+          var i = 0
+          while (i < n) {
+            sum += samples(i); sumSq += samples(i).toLong * samples(i)
+            i += 1
+          }
+          val mean = sum.toDouble / n
+          var crossings = 0L
+          i = 1
+          while (i < n) {
+            if ((samples(i - 1) < mean) != (samples(i) < mean)) crossings += 1
+            i += 1
+          }
+          AudioFeatures(r.media_id, n.toLong,
+            math.sqrt(sumSq.toDouble / n), crossings)
+        }
+      }
+  }
+
   /** Frame sampling for video rows: every `stride`-th frame of the
     * container is DECODED (PNG → pixel bytes) and becomes a row — the
     * explode-shaped op of video pipelines. Unsampled frames are skipped

@@ -47,6 +47,27 @@ object MultimodalQueries {
         .orderBy("media_id")
     }),
 
+    // decode -> resize (thumbnail/normalize): per image, the 8x8
+    // nearest-sample downscale's mean — integer-division indexing, so
+    // the whole chain is SQL-exact over the real PNG decode
+    "media_resize" -> ((s, dir) => {
+      Multimodal.resizeImages(sharedMedia(s, dir), outW = 8, outH = 8)
+        .toDF().select(col("media_id"), col("out_w"), col("out_h"),
+          round(col("mean_resized"), 4).as("mean_resized"))
+        .orderBy("media_id")
+    }),
+
+    // audio feature extraction beyond the mean: RMS energy (exact
+    // integer sum of squares under the sqrt) and the mean-crossing
+    // count (ASCII samples never cross the PCM midpoint, so crossings
+    // count against the clip's own mean)
+    "media_audio_features" -> ((s, dir) => {
+      Multimodal.audioFeatures(sharedMedia(s, dir))
+        .toDF().select(col("media_id"), col("n_samples"),
+          round(col("rms"), 4).as("rms"), col("mean_crossings"))
+        .orderBy("media_id")
+    }),
+
     // frame sampling: per video, how many frames survive the stride
     "media_frames" -> ((s, dir) => {
       Multimodal.sampleFrames(sharedMedia(s, dir), stride = 2)
@@ -110,6 +131,33 @@ object MultimodalQueries {
         |  round(CAST(n_chars AS DOUBLE) / 16000, 6) AS duration_s
         |FROM documents WHERE doc_id % 3 = 1 AND n_chars >= 1
         |ORDER BY media_id""".stripMargin,
+    // resized pixel (y,x) = source pixel (min(y*inH//8, inH-1),
+    // min(x*2, 15)) — the kernel's integer-division indexing verbatim
+    "media_resize" ->
+      """SELECT doc_id AS media_id, 8 AS out_w, 8 AS out_h,
+        |  round(CAST(list_sum(flatten(list_transform(range(0, 8), y ->
+        |    list_transform(range(0, 8), x ->
+        |      ord(substr(text,
+        |        CAST(least(y * (n_chars // 16) // 8, n_chars // 16 - 1)
+        |          * 16 + least(x * 2, 15) + 1 AS INT), 1))))))
+        |    AS DOUBLE) / 64, 4) AS mean_resized
+        |FROM documents WHERE doc_id % 3 = 0 AND n_chars >= 16
+        |ORDER BY media_id""".stripMargin,
+    "media_audio_features" ->
+      """WITH s AS (SELECT doc_id AS media_id, n_chars,
+        |    list_transform(range(1, n_chars + 1),
+        |      i -> ord(substr(text, CAST(i AS INT), 1))) AS sm
+        |  FROM documents WHERE doc_id % 3 = 1 AND n_chars >= 1),
+        |f AS (SELECT media_id, CAST(n_chars AS BIGINT) AS n_samples,
+        |    round(sqrt(CAST(list_sum(list_transform(sm, v -> v * v))
+        |      AS DOUBLE) / n_chars), 4) AS rms,
+        |    CAST(list_sum(sm) AS DOUBLE) / n_chars AS mn, sm, n_chars
+        |  FROM s)
+        |SELECT media_id, n_samples, rms,
+        |  CAST(len(list_filter(range(2, n_chars + 1),
+        |    i -> (sm[CAST(i - 1 AS INT)] < mn) <> (sm[CAST(i AS INT)] < mn)))
+        |    AS BIGINT) AS mean_crossings
+        |FROM f ORDER BY media_id""".stripMargin,
     "media_frames" ->
       """SELECT doc_id AS media_id,
         |  CAST(floor((ceil(n_chars / 32.0) - 1) / 2) + 1 AS BIGINT)

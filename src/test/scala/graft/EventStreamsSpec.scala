@@ -355,6 +355,30 @@ class MultimodalSpec extends GraftSuite {
     }
   }
 
+  test("resize + audio features reproduce the text-byte formulas exactly") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    val m = Multimodal.syntheticMedia(spark, sf0001)
+    Multimodal.resizeImages(m, 8, 8).take(5).foreach { r =>
+      val b = docs(r.media_id).getBytes("UTF-8")
+      val inH = b.length / 16
+      val expect = (for (y <- 0 until 8; x <- 0 until 8) yield
+        b(math.min(y * inH / 8, inH - 1) * 16 + math.min(x * 2, 15)).toDouble)
+        .sum / 64
+      assert(math.abs(r.mean_resized - expect) < 1e-9, s"media_id=${r.media_id}")
+    }
+    Multimodal.audioFeatures(m).take(5).foreach { a =>
+      val s = docs(a.media_id).getBytes("UTF-8")
+        .map(java.lang.Byte.toUnsignedInt(_))
+      val rms = math.sqrt(s.map(v => v.toLong * v).sum.toDouble / s.length)
+      val mean = s.map(_.toLong).sum.toDouble / s.length
+      val mc = s.sliding(2).count(p => (p(0) < mean) != (p(1) < mean))
+      assert(a.n_samples == s.length && math.abs(a.rms - rms) < 1e-12 &&
+        a.mean_crossings == mc, s"media_id=${a.media_id}")
+      assert(a.mean_crossings > 0, "mean-crossing count is vacuously zero")
+    }
+  }
+
   test("synthetic media payloads are real encoded media, decode = doc bytes") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
       .select("doc_id", "text").as[(Long, String)].collect().toMap
