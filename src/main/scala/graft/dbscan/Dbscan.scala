@@ -59,7 +59,7 @@ object Dbscan {
     * literal array would bloat the plan, so [[run]] and
     * [[sweepRecordsBatched]] fall back to the broadcast-join argmin
     * (a regime that really wants an IVF-pruned assign anyway). */
-  private val KernelAssignMaxClusters = 8192
+  private[graft] val KernelAssignMaxClusters = 8192
 
   /** Adds (`ccName`, `dName`) = (nearest centroid's component id, its L1
     * distance) via the [[graft.functions.VecKernels.nearest_centroids]]

@@ -191,6 +191,10 @@ class GraftDbscanModel private[ml] (override val uid: String,
                                     val nNoise: Long)
   extends Model[GraftDbscanModel] with GraftClusterParams with MLWritable {
 
+  /** Kernel-vs-broadcast-join regime threshold — the engine's cap,
+    * overridable only by specs (to force the fallback at test scale). */
+  private[graft] var kernelCap: Int = Dbscan.KernelAssignMaxClusters
+
   override def transform(dataset: Dataset[_]): DataFrame = {
     transformSchema(dataset.schema)
     val df = dataset.toDF()
@@ -199,11 +203,37 @@ class GraftDbscanModel private[ml] (override val uid: String,
       col("component").as("__fit_comp"))
     val joined = in.join(asg,
       in(($(idCol))).cast("long") === asg("__fit_id"), "left")
+    // same regime split as the engine's noise assign: the kernel path's
+    // component-decode literal array bloats the plan past ~8k clusters,
+    // so the broadcast-join min-struct argmin takes over there (that
+    // regime really wants an IVF-pruned assign anyway)
     val withNearest =
       if (centroids.isEmpty)
         joined.withColumn("__nn_comp", lit(null).cast("long"))
-      else Dbscan.withKernelNearest(joined, "__qi", centroids,
-        "__nn_comp", "__nn_d")
+      else if (centroids.size <= kernelCap)
+        Dbscan.withKernelNearest(joined, "__qi", centroids,
+          "__nn_comp", "__nn_d")
+      else {
+        val spark = df.sparkSession
+        import spark.implicits._
+        val cents = broadcast(centroids.map { case (c, arr) => (c, arr.toSeq) }
+          .toDF("__cc", "__cent"))
+        // only the UNSEEN rows need the argmin; id is unique by the
+        // transform contract, so the group-min is keyed on it alone.
+        // A null __qi leaves every d null and min() keeps a
+        // (null, lowest-cc) struct — masked back to a null component.
+        val nn = joined.where(col("__fit_id").isNull)
+          .select(col($(idCol)).cast("long").as("__rid"), col("__qi"))
+          .crossJoin(cents)
+          .select(col("__rid"), struct(
+            graft.functions.Distances.l1(col("__qi"), col("__cent")).as("d"),
+            col("__cc")).as("__s"))
+          .groupBy("__rid").agg(min("__s").as("__s"))
+          .select(col("__rid"),
+            when(col("__s.d").isNotNull, col("__s.__cc")).as("__nn_comp"))
+        joined.join(nn, joined(($(idCol))).cast("long") === nn("__rid"),
+          "left").drop("__rid")
+      }
     withNearest
       .withColumn($(predictionCol),
         when(col("__fit_id").isNotNull, col("__fit_comp"))

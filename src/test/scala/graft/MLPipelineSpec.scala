@@ -154,6 +154,33 @@ class MLPipelineSpec extends GraftSuite {
       st.getOrDefault(st.minPts) == MinPts)
   }
 
+  test("dbscan transform: broadcast-join fallback == kernel path label-for-label") {
+    // past the engine's 8192-cluster cap the component-decode literal
+    // would bloat the plan, so transform switches to the broadcast-join
+    // min-struct argmin — force it at test scale and require equality
+    val model = new GraftDbscan().setIdCol("id").setFeaturesCol("features")
+      .setEps(Eps).setMinPts(MinPts).fit(assembled)
+    assert(model.centroids.nonEmpty)
+    val viaKernel = model.transform(assembled)
+      .select("id", "prediction").as[(Long, Option[Long])].collect().toSet
+    model.kernelCap = 0 // every size now exceeds the "cap"
+    val viaJoin = model.transform(assembled)
+      .select("id", "prediction").as[(Long, Option[Long])].collect().toSet
+    assert(viaJoin == viaKernel, "fallback argmin diverged from the kernel")
+    // the fallback really scores unseen rows too (nearest-centroid)
+    val member = model.transform(assembled)
+      .where(col("prediction").isNotNull)
+      .select("x0", "x1", "prediction").head()
+    val unseen = Seq((8888888L, member.getDouble(0), member.getDouble(1)))
+      .toDF("id", "x0", "x1")
+    val out = model.transform(
+      new VectorAssembler().setInputCols(Array("x0", "x1"))
+        .setOutputCol("features").transform(unseen))
+      .select("prediction").as[Option[Long]].head()
+    assert(out.contains(member.getLong(2)))
+    model.release()
+  }
+
   test("feature column coercion: vector, array<double>, array<float> agree") {
     val km = new GraftKMeansModel("frozen",
       IndexedSeq(0 -> Array(10.0, 900.0), 1 -> Array(40.0, 920.0)))
