@@ -67,6 +67,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * by the artifact, not re-derived by the reader. Contended runs can
   * flag drift but never write history.
   *
+  * Round 15 hardens the envelope against its own first catch (r14:
+  * span_strip flagged at 31.8s in a mid-run contention window, then
+  * APPENDED into the envelope that flagged it): (1) drift-flagged
+  * medians are quarantined — held pending and only baselined when a
+  * second quiet run confirms the level ([[BenchProtocol.mergeHistory]]);
+  * (2) the envelope statistic trims the extreme entry at each end once
+  * four entries exist ([[BenchProtocol.envelopeBounds]]), so one bad
+  * point cannot widen the flag boundary; (3) the 1-min load is sampled
+  * around each gate's rep window and stamped per-gate on bench_detail
+  * (`load` map), gates above SPARK_GRAFT_GATE_LOAD are counted in
+  * `contended_gates`/`contended`, excluded from history, and re-drawn
+  * once even with a tight rep spread — sustained contention inflates
+  * all reps together, which the spread heuristic alone cannot see.
+  *
   * Exit status stays 0 by default (the driver parses the
   * artifact, not the exit code — a teardown hiccup must not discard a
   * valid run); CI callers that key on exit codes can set
@@ -116,19 +130,7 @@ object Bench {
   private val RetrySpreadRatio = 3.0
 
   /** Below this median the "spread" is scheduler noise, not contention. */
-  private val RetryFloorSec = 0.3
-
-  /** History-envelope slack: a gate drifts when its new median leaves
-    * [hist_min / DriftSlack, hist_max * DriftSlack] (history = quiet-run
-    * medians persisted in the bench-history file). Round 13 measured
-    * ±6-7% round-over-round swing on unchanged code plus occasional
-    * 1.5× machine drift (rand_walks 3.06 → 4.69 s with tight rep
-    * spread), so the envelope is wide: it exists to separate "moved
-    * outside anything history has seen" from ordinary wobble. */
-  private val DriftSlack = 1.3
-
-  /** Quiet-run history entries kept per gate. */
-  private val HistoryDepth = 8
+  private val RetryFloorSec = BenchProtocol.RetryFloorSec
 
   private def loadAvg(): Double =
     java.lang.management.ManagementFactory
@@ -199,11 +201,28 @@ object Bench {
       else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
     }
 
+    // Per-gate contention threshold (round 15): the run-level load stamps
+    // can't attribute a mid-run contention window to the gates it hit
+    // (span_strip ran 15x slow in r14 with a tight rep spread — the
+    // spread retry never fired and the run-level quiet_run read true).
+    // The 1-min load is sampled around each gate's rep window; the bench's
+    // OWN 32-thread work holds a quiet box at ~3-5 (measured: load_end
+    // 3.05 / 4.83 on the two r14 quiet draws), while the external
+    // contention windows of r12-r14 all measured 8+, so the default
+    // threshold sits between the two regimes. A gate above it is counted
+    // in `contended_gates`, excluded from the history append, and
+    // re-drawn once even when its rep spread is tight.
+    val gateLoadThreshold = scala.util.Try(
+      sys.env.getOrElse("SPARK_GRAFT_GATE_LOAD", "8.0").trim.toDouble)
+      .getOrElse(8.0)
+
     final case class QResult(name: String, cold: Double, times: Seq[Double],
                              ok: Boolean, sr: Long, sw: Long, pm: Long,
                              builds: Seq[Double] = Seq.empty,
                              retried: Boolean = false,
-                             discardedMedian: Option[Double] = None) {
+                             discardedMedian: Option[Double] = None,
+                             loadWindow: Double = 0.0) {
+      def contended: Boolean = ok && loadWindow > gateLoadThreshold
       def median: Double = if (times.isEmpty) cold else medianOf(times)
       def min: Double = if (times.isEmpty) cold else times.min
       def max: Double = if (times.isEmpty) cold else times.max
@@ -234,38 +253,52 @@ object Bench {
             System.err.println(s"[bench] $name cold failed: $e"); (0.0, false)
         }
       val (sr, sw, pm) = metrics.settle()
-      val (times, ok) =
-        if (!coldOk) (Seq.empty[Double], false)
+      // each rep draw measures its own contention window: the 1-min load
+      // sampled before AND after the reps, max of the two (backward-
+      // looking average, so the after-sample sees the window itself)
+      def drawReps(): (Seq[Double], Double) = {
+        val before = loadAvg()
+        val ts = Seq.fill(reps)(timed(fn))
+        (ts, math.max(before, loadAvg()))
+      }
+      val (times, gateLoad, ok) =
+        if (!coldOk) (Seq.empty[Double], 0.0, false)
         else try {
-          (Seq.fill(reps)(timed(fn)), true)
+          val (ts, l) = drawReps(); (ts, l, true)
         } catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name rep failed: $e")
-            (Seq.empty[Double], false)
+            (Seq.empty[Double], 0.0, false)
         }
-      // contention self-defense: a rep set whose spread exceeds the
-      // ratio at a non-noise median is re-drawn once, keeping the
-      // lower-median set (contention inflates, never deflates). BOTH
-      // medians are recorded — a persistent bimodal gate whose slow
-      // draw keeps being discarded must be distinguishable from one-off
+      // contention self-defense: a rep set is re-drawn once when EITHER
+      // (a) its spread exceeds the ratio at a non-noise median — one-off
+      // contention inflates one rep — or (b) its sampled window load
+      // exceeded the per-gate threshold — SUSTAINED contention inflates
+      // all reps together with a tight spread, which (a) can never catch
+      // (r14's span_strip: 15x slow, spread < 3x, not retried). The
+      // lower-median set wins (contention inflates, never deflates), and
+      // the kept set's OWN window load becomes the gate's stamp. BOTH
+      // medians are recorded — a persistent bimodal gate whose slow draw
+      // keeps being discarded must be distinguishable from one-off
       // contention in the artifact, not just in this process's stderr.
-      val (times2, retried, discarded) =
+      val (times2, load2, retried, discarded) =
         if (ok && times.nonEmpty && medianOf(times) > RetryFloorSec &&
-            times.max / math.max(times.min, 1e-9) > RetrySpreadRatio) {
+            (times.max / math.max(times.min, 1e-9) > RetrySpreadRatio ||
+             gateLoad > gateLoadThreshold)) {
           System.err.println(f"[bench] $name spread ${times.max}%.2f/" +
-            f"${times.min}%.2f exceeds ${RetrySpreadRatio}%.1fx — retrying")
+            f"${times.min}%.2f load ${gateLoad}%.1f — retrying")
           try {
-            val redo = Seq.fill(reps)(timed(fn))
+            val (redo, redoLoad) = drawReps()
             if (medianOf(redo) < medianOf(times))
-              (redo, true, Some(medianOf(times)))
-            else (times, true, Some(medianOf(redo)))
+              (redo, redoLoad, true, Some(medianOf(times)))
+            else (times, gateLoad, true, Some(medianOf(redo)))
           } catch {
             case e: Throwable =>
               System.err.println(s"[bench] $name retry failed (kept " +
                 s"original reps): $e")
-              (times, true, None)
+              (times, gateLoad, true, None)
           }
-        } else (times, false, None)
+        } else (times, gateLoad, false, None)
       val builds =
         if (!ok) Seq.empty[Double]
         else buildProbes.get(name).fold(Seq.empty[Double]) { keys =>
@@ -282,7 +315,7 @@ object Bench {
           }
         }
       val r = QResult(name, cold, times2, ok, sr, sw, pm, builds, retried,
-        discarded)
+        discarded, load2)
       System.err.println(
         f"[bench] $name%-20s med ${r.median}%8.2fs cold ${cold}%8.2fs ${if (ok) "" else "FAILED"}%s")
       r
@@ -356,21 +389,37 @@ object Bench {
       }
     val history: Map[String, Seq[Double]] =
       fullHistory.getOrElse(sfDir, Map.empty)
+    // pending drift levels ride the same file under a reserved key (same
+    // schema: gate -> [level]), so the two-run shift confirmation
+    // survives across bench processes without a second artifact
+    val pendingKey = "__pending__:" + sfDir
+    val pendingLevels: Map[String, Double] =
+      fullHistory.getOrElse(pendingKey, Map.empty)
+        .flatMap { case (g, hs) => hs.lastOption.map(g -> _) }
     // active from the FIRST history entry: with the 1.3x slack a single
     // quiet median already brackets the documented ±7% wobble, and the
     // envelope widens as more entries accumulate. Same noise floor as
     // the retry logic — at sub-RetryFloorSec medians a 1.3x move is
     // scheduler/barrier noise, not drift (a back-to-back sf0.001 pair
-    // flagged 12 such gates at 1.3-1.4x; none exceeded 2.1s)
+    // flagged 12 such gates at 1.3-1.4x; none exceeded 2.1s). The
+    // envelope bounds are the TRIMMED min/max (BenchProtocol: with >= 4
+    // entries the extreme entry at each end is dropped), so a single bad
+    // historical point cannot widen the flag boundary.
     val driftAll = results.filter(_.ok).flatMap { r =>
       history.get(r.name).filter(_.nonEmpty).flatMap { h =>
-        if ((r.median > RetryFloorSec || h.max > RetryFloorSec) &&
-            (r.median < h.min / DriftSlack || r.median > h.max * DriftSlack))
+        if (BenchProtocol.isDrift(r.median, h)) {
+          val (lo, hi) = BenchProtocol.envelopeBounds(h)
           Some(r.median -> ("\"" + r.name +
-            s"""":{"median":${r3(r.median)},"hist_min":${r3(h.min)},"hist_max":${r3(h.max)}}"""))
-        else None
+            s"""":{"median":${r3(r.median)},"hist_min":${r3(lo)},"hist_max":${r3(hi)}}"""))
+        } else None
       }
     }
+    val driftNames: Set[String] = results.filter(_.ok).collect {
+      case r if history.get(r.name).exists(h =>
+        h.nonEmpty && BenchProtocol.isDrift(r.median, h)) => r.name
+    }.toSet
+    val contendedNames: Set[String] =
+      results.collect { case r if r.contended => r.name }.toSet
     // the headline rides a ~2000-byte stdout tail: keep the 12 most
     // expensive drifters inline, count the rest
     val drift = driftAll.sortBy(-_._1).take(12).map(_._2)
@@ -378,40 +427,54 @@ object Bench {
       (if (driftAll.size > 12) s""","drift_more":${driftAll.size - 12}"""
        else "")
     // quiet = the WINDOW WE ENTERED was quiet (pre-flight enforced);
-    // load_end is dominated by the benchmark's own 32-thread work (a
-    // full run leaves the 1-min average near the core count), so gating
-    // on it would make quiet_run unsatisfiable by construction —
-    // load_end stays stamped for visibility only
+    // load_end is dominated by the benchmark's own 32-thread work on top
+    // of any external load, so gating the RUN on it would make quiet_run
+    // unsatisfiable — per-gate attribution is the contendedNames set
+    // (window load above gateLoadThreshold, calibrated above self-load).
+    // History append (round 15 quarantine, BenchProtocol.mergeHistory):
+    // requires a quiet start, and per gate (a) a drift-flagged median is
+    // HELD PENDING, becoming baseline only when a later quiet run
+    // confirms the same level — r14's first catch (span_strip 31.8s vs a
+    // 1.9-2.1s envelope) was appended into the very envelope that caught
+    // it, so a future 20x regression would have passed — and (b) a
+    // contended-window gate (flagged or not) carries everything forward
+    // unchanged.
     val quietRun = loadStart <= loadGate
     if (quietRun) {
       try {
         def jq(s: String): String = "\"" + s + "\""
-        val mergedSf = (history.keySet ++ results.filter(_.ok).map(_.name))
-          .toSeq.sorted.map { name =>
-            val h = history.getOrElse(name, Seq.empty) ++
-              results.find(r => r.name == name && r.ok).map(_.median)
-            jq(name) + ":" +
-              h.takeRight(HistoryDepth).map(r3).mkString("[", ",", "]")
+        val (merged2, nextPending) = BenchProtocol.mergeHistory(
+          history, pendingLevels,
+          results.collect { case r if r.ok => r.name -> r.median }.toMap,
+          driftNames, contendedNames)
+        def section(gates: Map[String, Seq[Double]]): String =
+          gates.toSeq.sortBy(_._1).map { case (name, h) =>
+            jq(name) + ":" + h.map(r3).mkString("[", ",", "]")
           }.mkString("{", ",", "}")
-        val merged = (fullHistory - sfDir).toSeq.sortBy(_._1).map {
-          case (sf, gates) => jq(sf) + ":" + gates.toSeq.sortBy(_._1).map {
-            case (g, hs) => jq(g) + ":" + hs.map(r3).mkString("[", ",", "]")
-          }.mkString("{", ",", "}")
-        } :+ (jq(sfDir) + ":" + mergedSf)
+        val otherSections = (fullHistory - sfDir - pendingKey).toSeq
+          .sortBy(_._1).map { case (sf, gates) => jq(sf) + ":" + section(gates) }
+        val newSections = Seq(jq(sfDir) + ":" + section(merged2)) ++
+          (if (nextPending.nonEmpty)
+             Seq(jq(pendingKey) + ":" +
+               section(nextPending.map { case (g, v) => g -> Seq(v) }))
+           else Seq.empty)
         java.nio.file.Files.writeString(
           java.nio.file.Paths.get(histPath),
-          merged.mkString("{", ",", "}"))
+          (otherSections ++ newSections).mkString("{", ",", "}"))
       } catch {
         case scala.util.control.NonFatal(e) =>
           System.err.println(s"[bench] history write failed: $e")
       }
     }
 
+    val contendedJson = contendedNames.toSeq.sorted
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     val loadF = s""""load_start":${r2(loadStart)},"load_end":${r2(loadEnd)}""" +
-      s""","load_wait_s":$waitedS,"quiet_run":$quietRun"""
+      s""","load_wait_s":$waitedS,"quiet_run":$quietRun""" +
+      s""","contended_gates":${contendedNames.size}"""
     val lines = Seq(
       s"""{"metric":"stage_metrics","stage_metrics":$sh,"sf":"$sfDir"}""",
-      s"""{"metric":"bench_detail","reps":$reps,"median":${jmap(_.median)},"cold":${jmap(_.cold)},"min":${jmap(_.min)},"max":${jmap(_.max)},"stddev":${jmap(_.stddev)},"build":$buildQ,"retried":$retriedQ,"retried_medians":$retriedM,"drift":$drift,$loadF,"sf":"$sfDir"}""",
+      s"""{"metric":"bench_detail","reps":$reps,"median":${jmap(_.median)},"cold":${jmap(_.cold)},"min":${jmap(_.min)},"max":${jmap(_.max)},"stddev":${jmap(_.stddev)},"load":${jmap(_.loadWindow)},"contended":$contendedJson,"build":$buildQ,"retried":$retriedQ,"retried_medians":$retriedM,"drift":$drift,$loadF,"sf":"$sfDir"}""",
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.length},"queries":$topQ,"queries_note":"top-$TopNHeadline medians by cost; full map on bench_detail","failed":$failed,"reps":$reps,"cold_total":${r3(coldTotal)},"build":$buildQ,"retried":$retriedQ,"drift":$drift,$loadF,"sf":"$sfDir"}""")
     // full machine-readable artifact for the repo/COVERAGE trend notes.
     // A failed artifact write must not cost the round its stdout output.
