@@ -56,10 +56,20 @@ final case class SweepRecord(eps: Double, nClusters: Long, nNoise: Long,
 object Dbscan {
 
   /** Above this many clusters the kernel noise-assign's component-decode
-    * literal array would bloat the plan, so [[run]] and
-    * [[sweepRecordsBatched]] fall back to the broadcast-join argmin
-    * (a regime that really wants an IVF-pruned assign anyway). */
+    * literal array would bloat the plan (and its exhaustive O(k) per-row
+    * scan starts to bite), so [[run]] and [[sweepRecordsBatched]] switch
+    * to the pruned-exact argmin ([[withPrunedNearest]]) up to
+    * [[MaxAssignCentroids]], and to the broadcast-join argmin beyond. */
   private[graft] val KernelAssignMaxClusters = 8192
+
+  /** Ceiling for the driver-collected centroid matrix behind the pruned
+    * assign (the matrix rides the plan as one reference object: at dim 8
+    * this cap is ~72 MB of doubles — the largest single object worth
+    * shipping per stage). Above it the noise assign degrades to the
+    * broadcast-join argmin, which never collects: correct at any k, but
+    * it shuffles rows x k candidates — a fit that big should be consumed
+    * through its assignments table, not point-wise model scoring. */
+  private[graft] val MaxAssignCentroids = 1 << 20
 
   /** Adds (`ccName`, `dName`) = (nearest centroid's component id, its L1
     * distance) via the [[graft.functions.VecKernels.nearest_centroids]]
@@ -83,6 +93,22 @@ object Dbscan {
       .withColumn(dName, col("__nc.d"))
       .drop("__nc")
   }
+
+  /** [[withKernelNearest]]'s >8k-cluster sibling: same columns, same
+    * labels and bit-equal distances, via the triangle-inequality-pruned
+    * exact argmin ([[graft.functions.VecKernels.pruned_nearest]]) —
+    * per-row cost O(√k·dim) expected instead of O(k·dim), component ids
+    * carried inside the index reference object so the plan stays O(1) in
+    * k (no decode-literal array). `sorted` MUST be ascending by
+    * component id. A null vector yields null in both columns. */
+  private[graft] def withPrunedNearest(df: DataFrame, qiCol: String,
+                                sorted: IndexedSeq[(Long, Array[Double])],
+                                ccName: String, dName: String): DataFrame =
+    df.withColumn("__pn",
+        graft.functions.VecKernels.pruned_nearest(col(qiCol), sorted))
+      .withColumn(ccName, col("__pn.component"))
+      .withColumn(dName, col("__pn.d"))
+      .drop("__pn")
 
   /** Run DBSCAN over points identified by a unique Long `idCol` with
     * `array<double>` coordinates `qiCol`.
@@ -188,8 +214,10 @@ object Dbscan {
     // (kernel ties → lowest index = lowest component id, same tiebreak as
     // the min-struct form) and an_qi is re-joined by component, exactly
     // like the members' path. Past ~8k clusters the component-decode
-    // literal would bloat the plan, so the broadcast-join form survives as
-    // the fallback (that regime really wants an IVF-pruned assign anyway).
+    // literal would bloat the plan, so the pruned-exact kernel takes over
+    // (same labels, bit-equal distances, probe-bounded per row) up to
+    // [[MaxAssignCentroids]]; only beyond THAT does the broadcast-join
+    // form survive, because it alone never collects the matrix.
     val (noiseAssigned, noiseError) =
       if (nClusters == 0) {
         val na = noise.select(col("id"), col("qi"), col("component"),
@@ -198,15 +226,17 @@ object Dbscan {
         (na, if (nNoise == 0) 0.0 else Double.PositiveInfinity)
       } else {
         val na =
-          if (nClusters <= KernelAssignMaxClusters) {
+          if (nClusters <= MaxAssignCentroids) {
+            val sorted = centroids.select(col("component"), col("centroid"))
+              .collect()
+              .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+              .sortBy(_._1).toIndexedSeq
             // LEFT join: a null qi yields a null kernel result and must
             // keep its row, with null an_qi/an_err
-            withKernelNearest(noise,
-                "qi", centroids.select(col("component"), col("centroid"))
-                  .collect()
-                  .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-                  .sortBy(_._1).toIndexedSeq,
-                "cc", "an_err")
+            (if (nClusters <= KernelAssignMaxClusters)
+               withKernelNearest(noise, "qi", sorted, "cc", "an_err")
+             else
+               withPrunedNearest(noise, "qi", sorted, "cc", "an_err"))
               .select(col("id"), col("qi"), col("cc"), col("an_err"))
               .join(broadcast(centroids
                 .select(col("component").as("cc"), col("centroid"))),
@@ -497,11 +527,12 @@ object Dbscan {
       // noise assign, the argmin is the shared kernel helper per ε-block
       // (each block has its own centroid matrix), all blocks unioned into
       // ONE aggregation job over the cached noise rows — not a join that
-      // explodes |noise|·|centroids| candidate rows. Falls back to the
-      // broadcast join when the total centroid count is too large to ride
-      // as literals.
+      // explodes |noise|·|centroids| candidate rows. Past the kernel cap
+      // each ε-block's argmin runs through the pruned-exact index (same
+      // labels, bit-equal distances); only past [[MaxAssignCentroids]]
+      // does the collect-free broadcast join take over.
       val totalClusters = nClustersByEi.values.sum
-      val noiseStatsByEi = (if (totalClusters > 0 && totalClusters <= KernelAssignMaxClusters) {
+      val noiseStatsByEi = (if (totalClusters > 0 && totalClusters <= MaxAssignCentroids) {
         // real component ids, ascending — withKernelNearest's documented
         // precondition (collect order is arbitrary; sorting also makes
         // the decoded component meaningful, and equal-distance ties break
@@ -513,9 +544,14 @@ object Dbscan {
             ei -> rows.map(r => (r.getLong(1), r.getSeq[Double](2).toArray))
               .sortBy(_._1).toIndexedSeq
           }
+        val useKernel = totalClusters <= KernelAssignMaxClusters
         centsByEi.toSeq.map { case (ei, sorted) =>
-          withKernelNearest(noise.where(col("ei") === ei), "qi", sorted,
-            "__cc", "d")
+          (if (useKernel)
+             withKernelNearest(noise.where(col("ei") === ei), "qi", sorted,
+               "__cc", "d")
+           else
+             withPrunedNearest(noise.where(col("ei") === ei), "qi", sorted,
+               "__cc", "d"))
             .select(lit(ei).as("ei"), col("d"))
         }.reduce(_ unionByName _)
           .groupBy("ei").agg(sum("d").as("e"))

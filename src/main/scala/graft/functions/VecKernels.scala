@@ -202,6 +202,33 @@ object VecKernels {
     ColumnBridge.column(NearestCentroidsExpr(ColumnBridge.expression(vec),
       ids, flat, dim, cosine, k))
   }
+
+  // ------------------------------------------- pruned exact argmin kernel
+
+  /** `struct<component,d>` of the single nearest centroid (L1, ties to
+    * the lowest component id) — EXACT like the exhaustive
+    * [[nearest_centroids]] kernel (same per-member summation order, so
+    * distances are bit-equal), but probe-bounded per row via
+    * triangle-inequality pruning over coarse groups
+    * ([[PrunedCentroidIndex]]). This is the >8k-cluster assign regime:
+    * the exhaustive kernel's O(k) per-row scan (and the old broadcast
+    * crossJoin fallback's rows x k candidate shuffle) stop scaling right
+    * where a 100 TB DBSCAN's component count lives. `sorted` must be
+    * ascending by component id. */
+  def pruned_nearest(vec: Column,
+                     sorted: IndexedSeq[(Long, Array[Double])]): Column = {
+    require(sorted.nonEmpty, "pruned_nearest: empty centroid set")
+    val ids = sorted.map(_._1).toArray
+    val dim = sorted.head._2.length
+    val flat = new Array[Double](ids.length * dim)
+    var c = 0
+    while (c < ids.length) {
+      System.arraycopy(sorted(c)._2, 0, flat, c * dim, dim)
+      c += 1
+    }
+    ColumnBridge.column(PrunedNearestExpr(ColumnBridge.expression(vec),
+      new PrunedCentroidIndex(ids, flat, dim)))
+  }
 }
 
 case class L1DistExpr(left: Expression, right: Expression) extends BinaryExpression {
@@ -305,6 +332,204 @@ case class NearestCentroidsExpr(child: Expression, ids: Array[Int],
     val flatRef = ctx.addReferenceObj("centroidFlat", flat, "double[]")
     defineCodeGen(ctx, ev, v =>
       s"graft.functions.VecKernels.topCentroids($v, $idsRef, $flatRef, $dim, $cosine, $k)")
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** Exact L1 nearest-centroid index with triangle-inequality pruning.
+  *
+  * The k centroids are partitioned into m ≈ √k coarse groups by a short
+  * deterministic Lloyd refinement of a strided init over the id-sorted
+  * matrix; each group stores its mean center and radius (max L1 from the
+  * center to a member). Per query: distances to the m centers (O(m·dim)),
+  * then the most promising group is scanned first and every other group
+  * is skipped when its lower bound `d(x, center) − radius > best` — the
+  * triangle inequality makes the skip EXACT, so labels and distances are
+  * identical to the exhaustive scan (ties to the lowest component id,
+  * same accumulation order ⇒ bit-equal d). Expected per-row work is
+  * O(√k·dim) on clustered centroid sets, worst case O(k·dim).
+  *
+  * The grouping is built lazily on first use and is `@transient`: the
+  * shipped plan carries only the raw (ids, flat) matrix, and each
+  * executor rebuilds the deterministic grouping once. */
+final class PrunedCentroidIndex(val ids: Array[Long], val flat: Array[Double],
+                                val dim: Int) extends Serializable {
+  import PrunedCentroidIndex._
+  require(ids.length > 0 && flat.length == ids.length * dim,
+    s"PrunedCentroidIndex: ${ids.length} ids, ${flat.length} values, dim $dim")
+
+  @transient private lazy val built: Built = build()
+
+  private def build(): Built = {
+    val k = ids.length
+    val m = math.min(math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt), MaxGroups)
+    // strided deterministic init over the id-sorted matrix
+    val centers = Array.tabulate(m) { j =>
+      val src = (j.toLong * k / m).toInt
+      java.util.Arrays.copyOfRange(flat, src * dim, src * dim + dim)
+    }
+    val assign = new Array[Int](k)
+    var iter = 0
+    while (iter <= LloydIters) {
+      var c = 0
+      while (c < k) {
+        var best = 0; var bestD = Double.MaxValue
+        var j = 0
+        while (j < m) {
+          val cj = centers(j)
+          var d = 0.0; var i = 0
+          while (i < dim) { d += math.abs(flat(c * dim + i) - cj(i)); i += 1 }
+          if (d < bestD) { bestD = d; best = j }
+          j += 1
+        }
+        assign(c) = best
+        c += 1
+      }
+      if (iter < LloydIters) {
+        // recompute means; an empty group keeps its center
+        val sums = Array.ofDim[Double](m, dim)
+        val counts = new Array[Int](m)
+        var c2 = 0
+        while (c2 < k) {
+          val g = assign(c2); counts(g) += 1
+          var i = 0
+          while (i < dim) { sums(g)(i) += flat(c2 * dim + i); i += 1 }
+          c2 += 1
+        }
+        var j = 0
+        while (j < m) {
+          if (counts(j) > 0) {
+            var i = 0
+            while (i < dim) { sums(j)(i) /= counts(j); i += 1 }
+            centers(j) = sums(j)
+          }
+          j += 1
+        }
+      }
+      iter += 1
+    }
+    // group-contiguous reorder, stable by index (= ascending component id
+    // within a group, so a sequential scan meets lower ids first)
+    val counts = new Array[Int](m)
+    var c = 0
+    while (c < k) { counts(assign(c)) += 1; c += 1 }
+    val start = new Array[Int](m + 1)
+    var j = 0
+    while (j < m) { start(j + 1) = start(j) + counts(j); j += 1 }
+    val cursor = start.clone()
+    val order = new Array[Int](k)
+    c = 0
+    while (c < k) { val g = assign(c); order(cursor(g)) = c; cursor(g) += 1; c += 1 }
+    val gFlat = new Array[Double](m * dim)
+    j = 0
+    while (j < m) { System.arraycopy(centers(j), 0, gFlat, j * dim, dim); j += 1 }
+    val radii = new Array[Double](m)
+    var g = 0
+    while (g < m) {
+      var r = 0.0
+      var p = start(g)
+      while (p < start(g + 1)) {
+        val c0 = order(p)
+        var d = 0.0; var i = 0
+        while (i < dim) { d += math.abs(flat(c0 * dim + i) - gFlat(g * dim + i)); i += 1 }
+        if (d > r) r = d
+        p += 1
+      }
+      radii(g) = r
+      g += 1
+    }
+    Built(m, start, order, gFlat, radii)
+  }
+
+  /** (nearest component id, L1 distance) as an InternalRow — bit-equal
+    * to the exhaustive kernel's top-1. Called from generated code. */
+  def nearest(vec: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
+    val b = built
+    val m = b.m
+    val x = new Array[Double](dim)
+    var i = 0
+    while (i < dim) { x(i) = vec.getDouble(i); i += 1 }
+    val dg = new Array[Double](m)
+    var gBest = 0; var gBestD = Double.MaxValue
+    var g = 0
+    while (g < m) {
+      var d = 0.0; i = 0
+      while (i < dim) { d += math.abs(x(i) - b.gFlat(g * dim + i)); i += 1 }
+      dg(g) = d
+      if (d < gBestD) { gBestD = d; gBest = g }
+      g += 1
+    }
+    var bestD = Double.MaxValue
+    var bestId = Long.MaxValue
+    def scanGroup(grp: Int): Unit = {
+      var p = b.start(grp)
+      val end = b.start(grp + 1)
+      while (p < end) {
+        val c0 = b.order(p)
+        var d = 0.0; var i2 = 0
+        while (i2 < dim) { d += math.abs(x(i2) - flat(c0 * dim + i2)); i2 += 1 }
+        val cid = ids(c0)
+        if (d < bestD || (d == bestD && cid < bestId)) { bestD = d; bestId = cid }
+        p += 1
+      }
+    }
+    // most promising group first tightens `best` before the prune pass;
+    // skip is EXACT only when the bound strictly exceeds best (an equal
+    // bound can still hide an equal-distance lower component id)
+    scanGroup(gBest)
+    g = 0
+    while (g < m) {
+      if (g != gBest && dg(g) - b.radii(g) <= bestD) scanGroup(g)
+      g += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bestId, bestD))
+  }
+}
+
+object PrunedCentroidIndex {
+  private final case class Built(m: Int, start: Array[Int], order: Array[Int],
+                                 gFlat: Array[Double], radii: Array[Double])
+
+  /** Coarse-group count ceiling: √k capped so the per-row center scan
+    * stays bounded even at extreme k. */
+  val MaxGroups = 4096
+  /** Lloyd refinement passes over the strided init — enough to give the
+    * groups spatial locality (what the radii/pruning feed on) without a
+    * meaningful build cost. */
+  val LloydIters = 2
+}
+
+/** Top-1 pruned-exact nearest centroid; see
+  * [[VecKernels.pruned_nearest]] and [[PrunedCentroidIndex]]. Equality
+  * and hashCode compare the index's array CONTENTS (reference equality
+  * would defeat `semanticEquals`/`ReuseExchange` across analyzer-cloned
+  * instances — same reasoning as [[NearestCentroidsExpr]]). */
+case class PrunedNearestExpr(child: Expression, index: PrunedCentroidIndex)
+    extends UnaryExpression {
+  override def equals(other: Any): Boolean = other match {
+    case o: PrunedNearestExpr =>
+      child == o.child && index.dim == o.index.dim &&
+        java.util.Arrays.equals(index.ids, o.index.ids) &&
+        java.util.Arrays.equals(index.flat, o.index.flat)
+    case _ => false
+  }
+  override def hashCode(): Int = {
+    var h = child.hashCode()
+    h = h * 31 + java.util.Arrays.hashCode(index.ids)
+    h = h * 31 + java.util.Arrays.hashCode(index.flat)
+    h * 31 + index.dim
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("component", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("d", DoubleType, nullable = false)))
+  override def toString: String = s"pruned_nearest($child, ${index.ids.length})"
+  protected override def nullSafeEval(v: Any): Any =
+    index.nearest(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val idxRef = ctx.addReferenceObj("prunedCentroidIndex", index,
+      classOf[PrunedCentroidIndex].getName)
+    defineCodeGen(ctx, ev, v => s"$idxRef.nearest($v)")
   }
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }

@@ -148,6 +148,13 @@ class GraftDbscan(override val uid: String)
   def setMinPts(v: Int): this.type = set(minPts, v)
   def setKAnon(v: Int): this.type = set(kAnon, v)
 
+  /** Ceiling on the fitted components the model object will hold: the
+    * centroid matrix is collected to the driver and ships with every
+    * transform plan, so it must be BOUNDED, not best-effort (a 100 TB
+    * DBSCAN fit can produce millions of components). Overridable by
+    * specs to force the failure at test scale. */
+  private[graft] var maxModelClusters: Int = Dbscan.MaxAssignCentroids
+
   override def fit(dataset: Dataset[_]): GraftDbscanModel = {
     transformSchema(dataset.schema)
     val df = dataset.toDF()
@@ -155,6 +162,16 @@ class GraftDbscan(override val uid: String)
       featuresAsArray(df.schema).as("qi"))
     val k = if (isSet(kAnon)) $(kAnon) else $(minPts)
     val m = Dbscan.run(pts, "id", "qi", $(eps), $(minPts), k)
+    if (m.nClusters > maxModelClusters) {
+      m.unpersist()
+      throw new IllegalArgumentException(
+        s"GraftDbscan.fit produced ${m.nClusters} clusters, above the " +
+          s"$maxModelClusters the model object can hold (the centroid " +
+          "matrix is driver-collected and ships with every transform " +
+          "plan). A fit this fragmented should be consumed through " +
+          "Dbscan.run(...).assignments directly, or refit with a larger " +
+          "eps / kAnon so fewer, bigger clusters survive.")
+    }
     val model = new GraftDbscanModel(uid,
       m.assignments.select(col("id"), col("component")),
       m.centroids.select(col("component"), col("centroid"))
@@ -205,35 +222,18 @@ class GraftDbscanModel private[ml] (override val uid: String,
       in(($(idCol))).cast("long") === asg("__fit_id"), "left")
     // same regime split as the engine's noise assign: the kernel path's
     // component-decode literal array bloats the plan past ~8k clusters,
-    // so the broadcast-join min-struct argmin takes over there (that
-    // regime really wants an IVF-pruned assign anyway)
+    // so the triangle-inequality-pruned exact argmin takes over there —
+    // identical labels, probe-bounded O(√k·dim) per row instead of the
+    // old broadcast-crossJoin's rows x k candidate blow-up
     val withNearest =
       if (centroids.isEmpty)
         joined.withColumn("__nn_comp", lit(null).cast("long"))
       else if (centroids.size <= kernelCap)
         Dbscan.withKernelNearest(joined, "__qi", centroids,
           "__nn_comp", "__nn_d")
-      else {
-        val spark = df.sparkSession
-        import spark.implicits._
-        val cents = broadcast(centroids.map { case (c, arr) => (c, arr.toSeq) }
-          .toDF("__cc", "__cent"))
-        // only the UNSEEN rows need the argmin; id is unique by the
-        // transform contract, so the group-min is keyed on it alone.
-        // A null __qi leaves every d null and min() keeps a
-        // (null, lowest-cc) struct — masked back to a null component.
-        val nn = joined.where(col("__fit_id").isNull)
-          .select(col($(idCol)).cast("long").as("__rid"), col("__qi"))
-          .crossJoin(cents)
-          .select(col("__rid"), struct(
-            graft.functions.Distances.l1(col("__qi"), col("__cent")).as("d"),
-            col("__cc")).as("__s"))
-          .groupBy("__rid").agg(min("__s").as("__s"))
-          .select(col("__rid"),
-            when(col("__s.d").isNotNull, col("__s.__cc")).as("__nn_comp"))
-        joined.join(nn, joined(($(idCol))).cast("long") === nn("__rid"),
-          "left").drop("__rid")
-      }
+      else
+        Dbscan.withPrunedNearest(joined, "__qi", centroids,
+          "__nn_comp", "__nn_d")
     withNearest
       .withColumn($(predictionCol),
         when(col("__fit_id").isNotNull, col("__fit_comp"))
@@ -339,11 +339,18 @@ class GraftKMeans(override val uid: String)
       featuresAsArray(df.schema).as("qi"))
     val m = ConstrainedKMeans.fit(pts, "id", "qi", $(k), $(kAnon), $(seed),
       $(maxLloyd), $(maxRepair))
-    val model = new GraftKMeansModel(uid,
-      Some(m.assignment.select(col("id"), col("cluster"))),
-      m.centroids.toIndexedSeq.sortBy(_._1), m.cost, m.lloydIters)
-    model.assignmentOpt.foreach { a => a.cache(); a.count() }
+    // Materialize the wrapper's (id, cluster) view into its OWN eager
+    // localCheckpoint BEFORE releasing the engine model: the engine
+    // assignment is itself localCheckpoint'd, so a cache over a select of
+    // it has the engine's checkpoint blocks as its only lineage leaf —
+    // releasing those made any later cached-partition loss (or release())
+    // an unrecoverable missing-checkpoint-block failure. The checkpoint
+    // also replaces the old cache+count materialization, so fit holds ONE
+    // narrow (id, cluster) copy instead of cache + engine blocks.
+    val asg = m.assignment.select(col("id"), col("cluster")).localCheckpoint()
     m.unpersist()
+    val model = new GraftKMeansModel(uid, Some(asg),
+      m.centroids.toIndexedSeq.sortBy(_._1), m.cost, m.lloydIters)
     copyValues(model).setParent(this)
   }
 
@@ -373,12 +380,24 @@ class GraftKMeansModel private[ml] (override val uid: String,
   def this(uid: String, centroids: IndexedSeq[(Int, Array[Double])]) =
     this(uid, None, centroids, 0.0, 0)
 
+  /** Set when [[release]] freed checkpoint-backed assignment storage —
+    * terminal, since local-checkpoint blocks have no recomputable
+    * lineage. Stays false for disk-loaded (parquet-backed) models. */
+  @transient private var releasedTerminal = false
+
+  private[ml] def requireLive(op: String): Unit =
+    if (releasedTerminal) throw new IllegalStateException(
+      s"GraftKMeansModel $uid was release()d: its fitted assignment was " +
+        s"localCheckpoint storage with no recomputable lineage, so $op is " +
+        "no longer possible. save() the model before release(), or re-fit.")
+
   private def nearest(qi: Column): Column =
     element_at(graft.functions.VecKernels.nearest_centroids(
       qi, centroids, 1, cosine = false), 1).getField("cluster")
 
   override def transform(dataset: Dataset[_]): DataFrame = {
     transformSchema(dataset.schema)
+    requireLive("transform")
     val df = dataset.toDF()
     val in = df.withColumn("__qi", featuresAsArray(df.schema))
     assignmentOpt match {
@@ -395,16 +414,30 @@ class GraftKMeansModel private[ml] (override val uid: String,
     }
   }
 
-  /** Release the cached fitted-assignment blocks (mirrors the engine
-    * models' unpersist). */
-  def release(): Unit = assignmentOpt.foreach(_.unpersist())
+  /** Release the model's assignment storage. TERMINAL for a fitted
+    * model: the assignment is eager localCheckpoint storage (deliberately
+    * independent of the engine model, which fit already released), so a
+    * later transform/save throws a clear [[IllegalStateException]]
+    * instead of a missing-checkpoint-block error from inside the
+    * scheduler. For a disk-loaded model the assignment is parquet-backed:
+    * release() is a harmless no-op and transform keeps recomputing from
+    * storage. Stateless (centroid-only) models are unaffected. */
+  def release(): Unit = assignmentOpt.foreach { a =>
+    if (graft.core.LineageCut.backingRdd(a).isDefined) releasedTerminal = true
+    graft.core.LineageCut.release(a)
+  }
 
   override def transformSchema(schema: StructType): StructType =
     validateAndTransformSchema(schema, IntegerType)
 
-  override def copy(extra: ParamMap): GraftKMeansModel =
-    copyValues(new GraftKMeansModel(uid, assignmentOpt, centroids, cost,
-      lloydIters), extra).setParent(parent)
+  override def copy(extra: ParamMap): GraftKMeansModel = {
+    val c = copyValues(new GraftKMeansModel(uid, assignmentOpt, centroids,
+      cost, lloydIters), extra).setParent(parent)
+    // copies share the same assignment blocks, so a released original
+    // makes the copy's transform just as impossible — carry the flag
+    c.releasedTerminal = releasedTerminal
+    c
+  }
 
   override def write: MLWriter = new GraftKMeansModel.Writer(this)
 }
@@ -414,6 +447,7 @@ object GraftKMeansModel extends MLReadable[GraftKMeansModel] {
 
   private[ml] class Writer(instance: GraftKMeansModel) extends MLWriter {
     override protected def saveImpl(path: String): Unit = {
+      instance.requireLive("save")
       ModelIO.writeMetadata(path, sparkSession, instance.uid,
         classOf[GraftKMeansModel].getName,
         Map("featuresCol" -> JString(instance.getFeaturesCol),

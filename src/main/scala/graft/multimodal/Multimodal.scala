@@ -59,14 +59,35 @@ object Multimodal {
     import java.io.{ByteArrayInputStream, ByteArrayOutputStream,
       DataInputStream, DataOutputStream}
     import javax.imageio.ImageIO
+    import javax.imageio.stream.{MemoryCacheImageInputStream,
+      MemoryCacheImageOutputStream}
     import javax.sound.sampled.{AudioFileFormat, AudioFormat,
       AudioInputStream, AudioSystem}
 
     // ImageIO defaults to a DISK-backed stream cache per read/write —
     // ~4x the cost of the codec itself on small in-memory media
     // (measured: 1667 encode+decodes 616 ms cached vs 158 ms direct).
-    // Payloads here are byte arrays; cache off at classload, per JVM.
-    ImageIO.setUseCache(false)
+    // The in-memory fast path is scoped per call with explicit
+    // MemoryCacheImage{In,Out}putStreams rather than the JVM-global
+    // ImageIO.setUseCache(false), which would silently change disk-cache
+    // behavior for every unrelated ImageIO user in the same executor.
+
+    private def writeImage(img: BufferedImage, format: String): Array[Byte] = {
+      val bos = new ByteArrayOutputStream()
+      val ios = new MemoryCacheImageOutputStream(bos)
+      try require(ImageIO.write(img, format, ios),
+        s"writeImage: no $format writer")
+      finally ios.close() // flushes the memory cache into bos
+      bos.toByteArray
+    }
+
+    private def readImage(payload: Array[Byte]): BufferedImage = {
+      // ImageIO.read(ImageInputStream) closes the stream itself
+      val img = ImageIO.read(
+        new MemoryCacheImageInputStream(new ByteArrayInputStream(payload)))
+      require(img != null, "readImage: undecodable image payload")
+      img
+    }
 
     /** Encode row-major 8-bit gray pixels as a PNG. */
     def encodePng(pixels: Array[Byte], width: Int, height: Int): Array[Byte] = {
@@ -74,16 +95,13 @@ object Multimodal {
         s"encodePng: ${pixels.length} bytes != ${width}x$height")
       val img = new BufferedImage(width, height, BufferedImage.TYPE_BYTE_GRAY)
       img.getRaster.setDataElements(0, 0, width, height, pixels)
-      val bos = new ByteArrayOutputStream()
-      ImageIO.write(img, "png", bos)
-      bos.toByteArray
+      writeImage(img, "png")
     }
 
     /** Decode a PNG to (width, height, row-major pixel grid of 0..255
       * gray samples). Multi-channel inputs read band 0. */
     def decodePng(payload: Array[Byte]): (Int, Int, Array[Array[Int]]) = {
-      val img = ImageIO.read(new ByteArrayInputStream(payload))
-      require(img != null, "decodePng: undecodable image payload")
+      val img = readImage(payload)
       val w = img.getWidth
       val h = img.getHeight
       val raster = img.getRaster

@@ -154,17 +154,24 @@ class MLPipelineSpec extends GraftSuite {
       st.getOrDefault(st.minPts) == MinPts)
   }
 
-  test("dbscan transform: broadcast-join fallback == kernel path label-for-label") {
+  test("dbscan transform: pruned-argmin fallback == kernel path label-for-label") {
     // past the engine's 8192-cluster cap the component-decode literal
-    // would bloat the plan, so transform switches to the broadcast-join
-    // min-struct argmin — force it at test scale and require equality
+    // would bloat the plan, so transform switches to the triangle-
+    // inequality-pruned exact argmin — force it at test scale and
+    // require label equality plus a plan with NO rows x k join
     val model = new GraftDbscan().setIdCol("id").setFeaturesCol("features")
       .setEps(Eps).setMinPts(MinPts).fit(assembled)
     assert(model.centroids.nonEmpty)
     val viaKernel = model.transform(assembled)
       .select("id", "prediction").as[(Long, Option[Long])].collect().toSet
     model.kernelCap = 0 // every size now exceeds the "cap"
-    val viaJoin = model.transform(assembled)
+    val pruned = model.transform(assembled)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"pruned path still materializes rows x k:\n$plan")
+    assert(plan.contains("pruned_nearest"), "pruned kernel not in the plan")
+    val viaJoin = pruned
       .select("id", "prediction").as[(Long, Option[Long])].collect().toSet
     assert(viaJoin == viaKernel, "fallback argmin diverged from the kernel")
     // the fallback really scores unseen rows too (nearest-centroid)
@@ -202,5 +209,55 @@ class MLPipelineSpec extends GraftSuite {
       km.transform(points.withColumn("features", lit("nope")))
     }
     assert(bad.getMessage.contains("featuresCol"))
+  }
+
+  test("dbscan fit refuses to build a model above the cluster cap, cleanly") {
+    val est = new GraftDbscan().setIdCol("id").setFeaturesCol("features")
+      .setEps(Eps).setMinPts(MinPts)
+    est.maxModelClusters = 0 // any fit now exceeds the "cap"
+    val e = intercept[IllegalArgumentException] { est.fit(assembled) }
+    assert(e.getMessage.contains("assignments") &&
+      e.getMessage.contains("clusters"), s"unhelpful error: ${e.getMessage}")
+  }
+
+  test("kmeans model storage is independent of the released engine model") {
+    // fit releases the engine's localCheckpoint blocks; the wrapper's
+    // assignment must be its OWN checkpoint leaf (not a select whose only
+    // lineage leaf is the engine's freed blocks) so transform survives
+    val km = new GraftKMeans().setIdCol("id").setFeaturesCol("features")
+      .setK(8).setKAnon(4).setSeed(7L).setMaxLloyd(5).fit(assembled)
+    assert(graft.core.LineageCut.backingRdd(km.assignmentOpt.get).isDefined,
+      "fitted assignment is not checkpoint-leaf-backed")
+    assert(km.transform(assembled).where(col("prediction").isNotNull)
+      .count() > 0)
+    km.release()
+  }
+
+  test("release() is terminal for a fitted kmeans model, with a clear error") {
+    val km = new GraftKMeans().setIdCol("id").setFeaturesCol("features")
+      .setK(8).setKAnon(4).setSeed(7L).setMaxLloyd(5).fit(assembled)
+    km.release()
+    val e = intercept[IllegalStateException] { km.transform(assembled) }
+    assert(e.getMessage.contains("release()d") &&
+      e.getMessage.contains("re-fit"), s"unhelpful error: ${e.getMessage}")
+    val e2 = intercept[IllegalStateException] {
+      km.write.overwrite().save(tmpDir("graft-km-released"))
+    }
+    assert(e2.getMessage.contains("save"))
+  }
+
+  test("release() on a disk-loaded kmeans model is a no-op, not terminal") {
+    val km = new GraftKMeans().setIdCol("id").setFeaturesCol("features")
+      .setK(8).setKAnon(4).setSeed(7L).setMaxLloyd(5).fit(assembled)
+    val path = tmpDir("graft-km-reload")
+    km.write.overwrite().save(path)
+    km.release()
+    val loaded = GraftKMeansModel.load(path)
+    val before = loaded.transform(assembled)
+      .select("id", "prediction").as[(Long, Int)].collect().toSet
+    loaded.release() // parquet-backed: harmless
+    val after = loaded.transform(assembled)
+      .select("id", "prediction").as[(Long, Int)].collect().toSet
+    assert(before == after && before.nonEmpty)
   }
 }

@@ -248,6 +248,46 @@ class PropertySpec extends GraftSuite {
     }
   }
 
+  test("pruned nearest-centroid equals the exhaustive scan on random matrices (property)") {
+    // the >8k-cluster assign regime: triangle-inequality pruning must be
+    // EXACT — same component id AND bit-equal distance as a full scan —
+    // for any k (including k < 4 where no real grouping exists), any
+    // dim, clustered or uniform centroids, and duplicate centroids
+    // (ties must break to the lowest component id in both forms)
+    val gen = for {
+      k <- Gen.oneOf(1, 2, 3, 7, 64, 300)
+      dims <- Gen.choose(1, 8)
+      clustered <- Gen.oneOf(true, false)
+      seed <- Gen.choose(0L, 9999L)
+    } yield (k, dims, clustered, seed)
+    samples(gen, 10).foreach { case (k, dims, clustered, seed) =>
+      val rnd = new scala.util.Random(seed)
+      def vec(): Array[Double] =
+        if (clustered) {
+          val c = rnd.nextInt(5) * 50.0
+          Array.fill(dims)(c + rnd.nextDouble() * 4)
+        } else Array.fill(dims)(rnd.nextDouble() * 200 - 100)
+      val base = IndexedSeq.tabulate(k)(i => (i * 3L + 1) -> vec())
+      // plant a duplicate centroid under a HIGHER id: the lower id must win
+      val cents = if (k > 1) base :+ ((k * 3L + 100) -> base(k / 2)._2.clone())
+                  else base
+      val sorted = cents.sortBy(_._1)
+      val idx = new graft.functions.PrunedCentroidIndex(
+        sorted.map(_._1).toArray, sorted.flatMap(_._2).toArray, dims)
+      (0 until 40).foreach { _ =>
+        val x = vec()
+        val exp = sorted.map { case (id, c) =>
+          (c.indices.map(i => math.abs(x(i) - c(i))).sum, id)
+        }.min
+        val got = idx.nearest(
+          org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(x))
+        assert(got.getLong(0) == exp._2 && got.getDouble(1) == exp._1,
+          s"pruned (${got.getLong(0)}, ${got.getDouble(1)}) != exhaustive " +
+            s"$exp at k=$k dims=$dims clustered=$clustered seed=$seed")
+      }
+    }
+  }
+
   test("blockedSelfPairs equals the plain pair join on random skewed groups (property)") {
     // the semdedup hot-bucket guard: exact triangle blocking must emit
     // each unordered within-group pair EXACTLY once for any group-size
