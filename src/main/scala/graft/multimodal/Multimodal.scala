@@ -114,6 +114,67 @@ object Multimodal {
       (w, h, px)
     }
 
+    /** Encode interleaved RGB triples (pixel p = bytes 3p..3p+2 as
+      * R,G,B) as a 3-channel PNG — lossless, so per-channel decode is
+      * value-exact like the gray path. Channels address raster BANDS
+      * (band 0 = red) so the BGR byte layout of the backing buffer never
+      * leaks into the contract. */
+    def encodeRgbPng(rgb: Array[Byte], width: Int, height: Int): Array[Byte] = {
+      require(width > 0 && height > 0 && rgb.length == width * height * 3,
+        s"encodeRgbPng: ${rgb.length} bytes != ${width}x${height}x3")
+      val img = new BufferedImage(width, height, BufferedImage.TYPE_3BYTE_BGR)
+      val raster = img.getRaster
+      val row = new Array[Int](width)
+      var c = 0
+      while (c < 3) {
+        var y = 0
+        while (y < height) {
+          var x = 0
+          while (x < width) {
+            row(x) = java.lang.Byte.toUnsignedInt(rgb((y * width + x) * 3 + c))
+            x += 1
+          }
+          raster.setSamples(0, y, width, 1, c, row)
+          y += 1
+        }
+        c += 1
+      }
+      writeImage(img, "png")
+    }
+
+    /** Decode ANY ImageIO-readable payload to (width, height,
+      * per-band pixel grids px(band)(y)(x)) — the all-channel sibling of
+      * [[decodePng]]'s band-0 read. */
+    def decodeImageBands(payload: Array[Byte]): (Int, Int, Array[Array[Array[Int]]]) = {
+      val img = readImage(payload)
+      val w = img.getWidth
+      val h = img.getHeight
+      val raster = img.getRaster
+      val bands = raster.getNumBands
+      val px = Array.ofDim[Int](bands, h, w)
+      var c = 0
+      while (c < bands) {
+        var y = 0
+        while (y < h) {
+          raster.getSamples(0, y, w, 1, c, px(c)(y))
+          y += 1
+        }
+        c += 1
+      }
+      (w, h, px)
+    }
+
+    /** Encode row-major 8-bit gray pixels as a JPEG (default quality).
+      * LOSSY — decoded samples are approximations, so JPEG gates pin
+      * dimensions and bounded invariants, never exact values. */
+    def encodeJpegGray(pixels: Array[Byte], width: Int, height: Int): Array[Byte] = {
+      require(width > 0 && height > 0 && pixels.length == width * height,
+        s"encodeJpegGray: ${pixels.length} bytes != ${width}x$height")
+      val img = new BufferedImage(width, height, BufferedImage.TYPE_BYTE_GRAY)
+      img.getRaster.setDataElements(0, 0, width, height, pixels)
+      writeImage(img, "jpg")
+    }
+
     /** Encode 8-bit unsigned PCM mono samples as a WAV file. */
     def encodeWav(samples: Array[Byte], sampleRate: Int): Array[Byte] = {
       require(samples.nonEmpty, "encodeWav: empty sample array")
@@ -262,6 +323,116 @@ object Multimodal {
           }
         }
       }
+  }
+
+  /** Deterministic 3-channel corpus from the SAME documents: pixel p's
+    * (R,G,B) are the doc's byte triples (3p, 3p+1, 3p+2), encoded as a
+    * real RGB PNG — [[ImageWidth]] wide, `n_chars / 48` tall. Every doc
+    * long enough for one RGB scanline participates (no doc_id % 3 split:
+    * this corpus exists to exercise multi-band decode, which the
+    * all-gray main corpus cannot). Sub-scanline docs are dropped, the
+    * same row-dropping rule the SQL oracle applies. */
+  def syntheticRgbMedia(spark: SparkSession, sfDir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("bytes"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, b) =>
+          val height = b.length / (ImageWidth * 3)
+          if (height >= 1)
+            Some(MediaRow(id, "rgb",
+              JdkCodec.encodeRgbPng(b.take(ImageWidth * height * 3),
+                ImageWidth, height),
+              ImageWidth, height, SampleRate))
+          else None
+        }
+      }
+  }
+
+  /** Decoded RGB image: dims + per-channel means. */
+  case class DecodedRgb(media_id: Long, width: Int, height: Int,
+                        channels: Int, mean_r: Double, mean_g: Double,
+                        mean_b: Double)
+
+  /** Batch all-band decode via mapPartitions: every channel is read
+    * (lifting the gray path's band-0 contract), dims and band count are
+    * cross-checked against the corpus contract, and the per-channel
+    * means stay SQL-exact because PNG is lossless. */
+  def decodeRgbImages(media: Dataset[MediaRow]): Dataset[DecodedRgb] = {
+    import media.sparkSession.implicits._
+    media.filter(r => r.kind == "rgb" && r.payload.nonEmpty).mapPartitions { rows =>
+      rows.map { r =>
+        val (w, h, px) = JdkCodec.decodeImageBands(r.payload)
+        require(w == r.width && h == r.height,
+          s"media_id=${r.media_id}: decoded ${w}x$h != sidecar ${r.width}x${r.height}")
+        require(px.length == 3,
+          s"media_id=${r.media_id}: ${px.length} bands != 3")
+        val n = (w * h).toDouble
+        def mean(c: Int): Double = px(c).map(_.sum.toDouble).sum / n
+        DecodedRgb(r.media_id, w, h, 3, mean(0), mean(1), mean(2))
+      }
+    }
+  }
+
+  /** Max |decoded JPEG mean − exact source mean| accepted by
+    * [[jpegProbe]]. JPEG's per-pixel error on high-frequency text bytes
+    * can reach the quantization step, but the IMAGE mean is dominated by
+    * the DC coefficients and lands well under 1 intensity level in
+    * practice; 3.0 leaves margin without accepting a broken codec. */
+  val JpegMeanTolerance = 3.0
+
+  /** JPEG probe row: decoded dims (JPEG preserves them exactly) + the
+    * bounded-mean invariant — the honest oracle surface for a LOSSY
+    * codec (exact per-pixel values are not a contract JPEG can sign). */
+  case class JpegProbe(media_id: Long, width: Int, height: Int,
+                       mean_ok: Boolean)
+
+  /** JPEG corpus row: the encoded payload plus the EXACT source mean as
+    * a sidecar (the lossless ground truth the lossy decode is probed
+    * against). */
+  case class JpegRow(media_id: Long, payload: Array[Byte], width: Int,
+                     height: Int, src_mean: Double)
+
+  /** Encode the gray image corpus' docs as real JPEGs (same selection as
+    * the PNG corpus: doc_id % 3 = 0, ≥ one scanline — so the oracle
+    * shares [[mediaStats]]'s dims shape), carrying the exact source mean
+    * alongside. */
+  def syntheticJpegMedia(spark: SparkSession, sfDir: String): Dataset[JpegRow] = {
+    import spark.implicits._
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .where(col("doc_id") % 3 === 0)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("bytes"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, b) =>
+          val height = b.length / ImageWidth
+          if (height < 1) None
+          else {
+            val src = b.take(ImageWidth * height)
+            var srcSum = 0L
+            src.foreach(v => srcSum += java.lang.Byte.toUnsignedInt(v))
+            Some(JpegRow(id, JdkCodec.encodeJpegGray(src, ImageWidth, height),
+              ImageWidth, height, srcSum.toDouble / src.length))
+          }
+        }
+      }
+  }
+
+  /** Decode the JPEG corpus and pin what a lossy codec CAN promise:
+    * exact dimensions and the bounded-mean invariant. */
+  def jpegProbe(media: Dataset[JpegRow]): Dataset[JpegProbe] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val (w, h, px) = JdkCodec.decodePng(r.payload)
+        var decSum = 0L
+        px.foreach(_.foreach(decSum += _))
+        val decMean = decSum.toDouble / (w * h)
+        JpegProbe(r.media_id, w, h,
+          math.abs(decMean - r.src_mean) <= JpegMeanTolerance)
+      }
+    }
   }
 
   /** Batch PNG decode + feature-extract via mapPartitions: one codec init

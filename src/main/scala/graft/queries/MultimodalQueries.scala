@@ -29,6 +29,24 @@ object MultimodalQueries {
     }.as[Multimodal.MediaRow]
   }
 
+  private[graft] val RgbKey = "media.rgb"
+  private def sharedRgbMedia(s: SparkSession, dir: String)
+  : org.apache.spark.sql.Dataset[Multimodal.MediaRow] = {
+    import s.implicits._
+    graft.core.QueryCache.shared(RgbKey, s, dir) {
+      Multimodal.syntheticRgbMedia(s, dir).toDF().localCheckpoint()
+    }.as[Multimodal.MediaRow]
+  }
+
+  private[graft] val JpegKey = "media.jpeg"
+  private def sharedJpegMedia(s: SparkSession, dir: String)
+  : org.apache.spark.sql.Dataset[Multimodal.JpegRow] = {
+    import s.implicits._
+    graft.core.QueryCache.shared(JpegKey, s, dir) {
+      Multimodal.syntheticJpegMedia(s, dir).toDF().localCheckpoint()
+    }.as[Multimodal.JpegRow]
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // decode + feature plumbing: per image, dims + mean intensity
     "media_stats" -> ((s, dir) => {
@@ -65,6 +83,30 @@ object MultimodalQueries {
       Multimodal.audioFeatures(sharedMedia(s, dir))
         .toDF().select(col("media_id"), col("n_samples"),
           round(col("rms"), 4).as("rms"), col("mean_crossings"))
+        .orderBy("media_id")
+    }),
+
+    // multi-channel decode: per RGB PNG, dims + per-channel means — the
+    // all-band read the gray corpus cannot exercise (PNG is lossless, so
+    // every channel mean is SQL-exact over the doc's byte triples)
+    "media_rgb_stats" -> ((s, dir) => {
+      Multimodal.decodeRgbImages(sharedRgbMedia(s, dir))
+        .toDF().select(col("media_id"), col("width"), col("height"),
+          col("channels"),
+          round(col("mean_r"), 4).as("mean_r"),
+          round(col("mean_g"), 4).as("mean_g"),
+          round(col("mean_b"), 4).as("mean_b"))
+        .orderBy("media_id")
+    }),
+
+    // lossy-codec probe: real JPEG encode/decode; the decode pins what
+    // JPEG CAN promise — exact dimensions and an image mean within
+    // JpegMeanTolerance of the lossless source mean (per-pixel exactness
+    // is not a contract a lossy codec can sign)
+    "media_jpeg" -> ((s, dir) => {
+      Multimodal.jpegProbe(sharedJpegMedia(s, dir))
+        .toDF().select(col("media_id"), col("width"), col("height"),
+          col("mean_ok"))
         .orderBy("media_id")
     }),
 
@@ -158,6 +200,30 @@ object MultimodalQueries {
         |    i -> (sm[CAST(i - 1 AS INT)] < mn) <> (sm[CAST(i AS INT)] < mn)))
         |    AS BIGINT) AS mean_crossings
         |FROM f ORDER BY media_id""".stripMargin,
+    // RGB: pixel p's channel c is doc byte 3p+c (0-based), so the
+    // channel mean is an exact integer sum over every third byte
+    "media_rgb_stats" ->
+      """SELECT doc_id AS media_id, 16 AS width,
+        |  CAST(n_chars // 48 AS INT) AS height, 3 AS channels,
+        |  round(CAST(list_sum(list_transform(
+        |      range(0, 16 * CAST(n_chars // 48 AS INT)),
+        |      p -> ord(substr(text, CAST(3 * p + 1 AS INT), 1))))
+        |    AS DOUBLE) / (16 * (n_chars // 48)), 4) AS mean_r,
+        |  round(CAST(list_sum(list_transform(
+        |      range(0, 16 * CAST(n_chars // 48 AS INT)),
+        |      p -> ord(substr(text, CAST(3 * p + 2 AS INT), 1))))
+        |    AS DOUBLE) / (16 * (n_chars // 48)), 4) AS mean_g,
+        |  round(CAST(list_sum(list_transform(
+        |      range(0, 16 * CAST(n_chars // 48 AS INT)),
+        |      p -> ord(substr(text, CAST(3 * p + 3 AS INT), 1))))
+        |    AS DOUBLE) / (16 * (n_chars // 48)), 4) AS mean_b
+        |FROM documents WHERE n_chars >= 48 ORDER BY media_id""".stripMargin,
+    // JPEG preserves dims exactly; the mean invariant must always hold
+    "media_jpeg" ->
+      """SELECT doc_id AS media_id, 16 AS width,
+        |  CAST(n_chars // 16 AS INT) AS height, TRUE AS mean_ok
+        |FROM documents WHERE doc_id % 3 = 0 AND n_chars >= 16
+        |ORDER BY media_id""".stripMargin,
     "media_frames" ->
       """SELECT doc_id AS media_id,
         |  CAST(floor((ceil(n_chars / 32.0) - 1) / 2) + 1 AS BIGINT)

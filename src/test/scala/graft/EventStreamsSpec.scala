@@ -397,4 +397,64 @@ class MultimodalSpec extends GraftSuite {
       assert(math.abs(a.mean_amplitude - expect.map(_.toDouble).sum / expect.length) < 1e-9)
     }
   }
+
+  test("JdkCodec: RGB PNG round-trips every channel exactly, band 0 = red") {
+    // pixel p's (R,G,B) are bytes 3p..3p+2 — decode must give them back
+    // per band, not just band 0 (the gray path's old contract)
+    val bytes = Array.tabulate(16 * 2 * 3)(i => (i * 7 % 256).toByte)
+    val png = Multimodal.JdkCodec.encodeRgbPng(bytes, 16, 2)
+    assert(png.take(4).toSeq == Seq(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte))
+    val (w, h, px) = Multimodal.JdkCodec.decodeImageBands(png)
+    assert(w == 16 && h == 2 && px.length == 3)
+    for (c <- 0 until 3; y <- 0 until 2; x <- 0 until 16)
+      assert(px(c)(y)(x) ==
+        java.lang.Byte.toUnsignedInt(bytes((y * 16 + x) * 3 + c)),
+        s"channel $c pixel ($x,$y) diverged")
+    // the gray band-0 read on an RGB payload sees the RED channel
+    val (_, _, band0) = Multimodal.JdkCodec.decodePng(png)
+    assert(band0.map(_.toSeq).toSeq == px(0).map(_.toSeq).toSeq)
+  }
+
+  test("rgb corpus decode reproduces the per-channel text-byte formulas") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    val got = Multimodal.decodeRgbImages(
+      Multimodal.syntheticRgbMedia(spark, sf0001)).take(5)
+    assert(got.nonEmpty)
+    got.foreach { d =>
+      val b = docs(d.media_id).getBytes("UTF-8")
+      val npix = 16 * (b.length / 48)
+      assert(d.width == 16 && d.height == b.length / 48 && d.channels == 3)
+      def mean(c: Int): Double =
+        (0 until npix).map(p => java.lang.Byte.toUnsignedInt(b(3 * p + c))
+          .toDouble).sum / npix
+      assert(math.abs(d.mean_r - mean(0)) < 1e-9 &&
+        math.abs(d.mean_g - mean(1)) < 1e-9 &&
+        math.abs(d.mean_b - mean(2)) < 1e-9, s"media_id=${d.media_id}")
+    }
+  }
+
+  test("JPEG probe: real lossy payloads, exact dims, mean within tolerance") {
+    val probes = Multimodal.jpegProbe(
+      Multimodal.syntheticJpegMedia(spark, sf0001))
+    val rows = probes.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.mean_ok),
+      s"${rows.count(!_.mean_ok)} clips exceeded JpegMeanTolerance=" +
+        s"${Multimodal.JpegMeanTolerance}")
+    // the payloads really are JPEG (SOI marker) and really are lossy:
+    // at least one clip must decode to different bytes than its source
+    val media = Multimodal.syntheticJpegMedia(spark, sf0001).take(10)
+    assert(media.forall(r => (r.payload(0) & 0xff) == 0xd8 ||
+      (r.payload(1) & 0xff) == 0xd8), "payload lacks the JPEG SOI marker")
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    val anyLossy = media.exists { r =>
+      val src = docs(r.media_id).getBytes("UTF-8").take(r.width * r.height)
+        .map(java.lang.Byte.toUnsignedInt(_))
+      val (_, _, px) = Multimodal.JdkCodec.decodePng(r.payload)
+      px.flatten.toSeq != src.toSeq
+    }
+    assert(anyLossy, "JPEG decode was byte-exact — probe is vacuous")
+  }
 }
