@@ -202,6 +202,61 @@ object Multimodal {
       } finally ais.close()
     }
 
+    /** Encode signed 16-bit PCM STEREO samples as a WAV file
+      * (little-endian, interleaved L,R) — the sample shape real
+      * lakehouse audio actually has, vs the corpus' 8-bit mono. */
+    def encodeWav16Stereo(left: Array[Int], right: Array[Int],
+                          sampleRate: Int): Array[Byte] = {
+      require(left.nonEmpty && left.length == right.length,
+        s"encodeWav16Stereo: ${left.length} L vs ${right.length} R samples")
+      val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+        sampleRate.toFloat, 16, 2, 4, sampleRate.toFloat, false)
+      val data = new Array[Byte](left.length * 4)
+      var i = 0
+      while (i < left.length) {
+        val l = left(i); val r = right(i)
+        require(l >= Short.MinValue && l <= Short.MaxValue &&
+          r >= Short.MinValue && r <= Short.MaxValue,
+          s"encodeWav16Stereo: sample $i ($l, $r) out of 16-bit range")
+        data(4 * i) = (l & 0xff).toByte
+        data(4 * i + 1) = ((l >> 8) & 0xff).toByte
+        data(4 * i + 2) = (r & 0xff).toByte
+        data(4 * i + 3) = ((r >> 8) & 0xff).toByte
+        i += 1
+      }
+      val ais = new AudioInputStream(
+        new ByteArrayInputStream(data), fmt, left.length.toLong)
+      val bos = new ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+
+    /** Decode a 16-bit signed PCM stereo WAV to (sampleRate, left
+      * samples, right samples) — exact; anything but the 16-bit stereo
+      * little-endian format fails loudly. */
+    def decodeWav16Stereo(payload: Array[Byte]): (Int, Array[Int], Array[Int]) = {
+      val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(payload))
+      try {
+        val fmt = ais.getFormat
+        require(fmt.getEncoding == AudioFormat.Encoding.PCM_SIGNED &&
+          fmt.getSampleSizeInBits == 16 && fmt.getChannels == 2 &&
+          !fmt.isBigEndian,
+          s"decodeWav16Stereo: unsupported format $fmt " +
+            "(want 16-bit signed PCM stereo little-endian)")
+        val bytes = ais.readAllBytes()
+        val n = bytes.length / 4
+        val l = new Array[Int](n)
+        val r = new Array[Int](n)
+        var i = 0
+        while (i < n) {
+          l(i) = (bytes(4 * i) & 0xff) | (bytes(4 * i + 1).toInt << 8)
+          r(i) = (bytes(4 * i + 2) & 0xff) | (bytes(4 * i + 3).toInt << 8)
+          i += 1
+        }
+        (fmt.getSampleRate.toInt, l, r)
+      } finally ais.close()
+    }
+
     /** Pack frames (each a row of gray pixels) into the video container:
       * repeated [int32 length][PNG of the frame as a len×1 image]. */
     def encodeFrameContainer(frames: Iterator[Array[Byte]]): Array[Byte] = {
@@ -433,6 +488,60 @@ object Multimodal {
           math.abs(decMean - r.src_mean) <= JpegMeanTolerance)
       }
     }
+  }
+
+  /** Deterministic 16-bit stereo corpus from the audio docs: sample i's
+    * (L, R) are the doc's byte QUADS — L from big-endian pair (4i, 4i+1)
+    * recentered to signed 16-bit, R from (4i+2, 4i+3) — so decoded
+    * values stay `ord(substr(...))`-reproducible in SQL while the wire
+    * format is genuine 16-bit signed PCM stereo. Docs shorter than one
+    * quad are dropped (the oracle's row rule). */
+  def syntheticStereoMedia(spark: SparkSession, sfDir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .where(col("doc_id") % 3 === 1)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("bytes"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, b) =>
+          val n = b.length / 4
+          if (n < 1) None
+          else {
+            def s16(hi: Byte, lo: Byte): Int =
+              ((java.lang.Byte.toUnsignedInt(hi) << 8) |
+                java.lang.Byte.toUnsignedInt(lo)) - 32768
+            val l = Array.tabulate(n)(i => s16(b(4 * i), b(4 * i + 1)))
+            val r = Array.tabulate(n)(i => s16(b(4 * i + 2), b(4 * i + 3)))
+            Some(MediaRow(id, "stereo",
+              JdkCodec.encodeWav16Stereo(l, r, SampleRate),
+              0, 0, SampleRate))
+          }
+        }
+      }
+  }
+
+  /** Decoded stereo clip: per-channel exact means. */
+  case class DecodedStereo(media_id: Long, n_samples: Long, mean_l: Double,
+                           mean_r: Double)
+
+  /** Batch 16-bit stereo decode via mapPartitions — the multi-channel
+    * audio sibling of [[decodeRgbImages]]: both channels read exactly
+    * (PCM is lossless), rate cross-checked against the sidecar. */
+  def decodeStereo(media: Dataset[MediaRow]): Dataset[DecodedStereo] = {
+    import media.sparkSession.implicits._
+    media.filter(r => r.kind == "stereo" && r.payload.nonEmpty)
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val (rate, l, rr) = JdkCodec.decodeWav16Stereo(r.payload)
+          require(rate == r.sample_rate,
+            s"media_id=${r.media_id}: decoded rate $rate != sidecar ${r.sample_rate}")
+          var sl = 0L; var sr = 0L
+          var i = 0
+          while (i < l.length) { sl += l(i); sr += rr(i); i += 1 }
+          DecodedStereo(r.media_id, l.length.toLong,
+            sl.toDouble / l.length, sr.toDouble / l.length)
+        }
+      }
   }
 
   /** Batch PNG decode + feature-extract via mapPartitions: one codec init

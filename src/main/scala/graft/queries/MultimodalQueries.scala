@@ -38,6 +38,15 @@ object MultimodalQueries {
     }.as[Multimodal.MediaRow]
   }
 
+  private[graft] val StereoKey = "media.stereo"
+  private def sharedStereoMedia(s: SparkSession, dir: String)
+  : org.apache.spark.sql.Dataset[Multimodal.MediaRow] = {
+    import s.implicits._
+    graft.core.QueryCache.shared(StereoKey, s, dir) {
+      Multimodal.syntheticStereoMedia(s, dir).toDF().localCheckpoint()
+    }.as[Multimodal.MediaRow]
+  }
+
   private[graft] val JpegKey = "media.jpeg"
   private def sharedJpegMedia(s: SparkSession, dir: String)
   : org.apache.spark.sql.Dataset[Multimodal.JpegRow] = {
@@ -96,6 +105,17 @@ object MultimodalQueries {
           round(col("mean_r"), 4).as("mean_r"),
           round(col("mean_g"), 4).as("mean_g"),
           round(col("mean_b"), 4).as("mean_b"))
+        .orderBy("media_id")
+    }),
+
+    // 16-bit stereo decode: per clip, sample count + exact per-channel
+    // means — signed 16-bit PCM is lossless, so both channels stay
+    // SQL-exact over the doc's byte quads
+    "media_stereo" -> ((s, dir) => {
+      Multimodal.decodeStereo(sharedStereoMedia(s, dir))
+        .toDF().select(col("media_id"), col("n_samples"),
+          round(col("mean_l"), 4).as("mean_l"),
+          round(col("mean_r"), 4).as("mean_r"))
         .orderBy("media_id")
     }),
 
@@ -218,6 +238,21 @@ object MultimodalQueries {
         |      p -> ord(substr(text, CAST(3 * p + 3 AS INT), 1))))
         |    AS DOUBLE) / (16 * (n_chars // 48)), 4) AS mean_b
         |FROM documents WHERE n_chars >= 48 ORDER BY media_id""".stripMargin,
+    // stereo: sample i's L is the recentered big-endian pair (4i,4i+1),
+    // R the pair (4i+2,4i+3) — exact integer sums per channel
+    "media_stereo" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(n_chars // 4 AS BIGINT) AS n_samples,
+        |  round(CAST(list_sum(list_transform(range(0, CAST(n_chars // 4 AS INT)),
+        |      i -> ord(substr(text, CAST(4 * i + 1 AS INT), 1)) * 256
+        |        + ord(substr(text, CAST(4 * i + 2 AS INT), 1)) - 32768))
+        |    AS DOUBLE) / (n_chars // 4), 4) AS mean_l,
+        |  round(CAST(list_sum(list_transform(range(0, CAST(n_chars // 4 AS INT)),
+        |      i -> ord(substr(text, CAST(4 * i + 3 AS INT), 1)) * 256
+        |        + ord(substr(text, CAST(4 * i + 4 AS INT), 1)) - 32768))
+        |    AS DOUBLE) / (n_chars // 4), 4) AS mean_r
+        |FROM documents WHERE doc_id % 3 = 1 AND n_chars >= 4
+        |ORDER BY media_id""".stripMargin,
     // JPEG preserves dims exactly; the mean invariant must always hold
     "media_jpeg" ->
       """SELECT doc_id AS media_id, 16 AS width,

@@ -434,6 +434,40 @@ class MultimodalSpec extends GraftSuite {
     }
   }
 
+  test("JdkCodec: 16-bit stereo WAV round-trips both channels exactly") {
+    val l = Array.tabulate(200)(i => i * 321 - 32000) // spans negatives
+    val r = Array.tabulate(200)(i => 32700 - i * 123)
+    val wav = Multimodal.JdkCodec.encodeWav16Stereo(l, r, 16000)
+    assert(new String(wav.take(4), "US-ASCII") == "RIFF")
+    val (rate, gotL, gotR) = Multimodal.JdkCodec.decodeWav16Stereo(wav)
+    assert(rate == 16000 && gotL.toSeq == l.toSeq && gotR.toSeq == r.toSeq)
+    // the 8-bit mono decoder refuses the stereo format loudly
+    intercept[IllegalArgumentException] {
+      Multimodal.JdkCodec.decodeWav(wav)
+    }
+  }
+
+  test("stereo corpus decode reproduces the byte-quad formulas exactly") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    val got = Multimodal.decodeStereo(
+      Multimodal.syntheticStereoMedia(spark, sf0001)).take(5)
+    assert(got.nonEmpty)
+    got.foreach { d =>
+      val b = docs(d.media_id).getBytes("UTF-8")
+      val n = b.length / 4
+      def u(i: Int): Int = java.lang.Byte.toUnsignedInt(b(i))
+      val ml = (0 until n).map(i => (u(4 * i) << 8 | u(4 * i + 1)) - 32768)
+        .map(_.toDouble).sum / n
+      val mr = (0 until n).map(i => (u(4 * i + 2) << 8 | u(4 * i + 3)) - 32768)
+        .map(_.toDouble).sum / n
+      assert(d.n_samples == n && math.abs(d.mean_l - ml) < 1e-9 &&
+        math.abs(d.mean_r - mr) < 1e-9, s"media_id=${d.media_id}")
+      assert(d.mean_l < 0 || d.mean_r < 0 || d.mean_l != d.mean_r,
+        "channels identical and non-negative — stereo test may be vacuous")
+    }
+  }
+
   test("JPEG probe: real lossy payloads, exact dims, mean within tolerance") {
     val probes = Multimodal.jpegProbe(
       Multimodal.syntheticJpegMedia(spark, sf0001))
