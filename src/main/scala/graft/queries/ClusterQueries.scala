@@ -713,6 +713,23 @@ object ClusterQueries {
         .orderBy("eps")
     }),
 
+    // The PRUNED-exact argmin (the >8k-cluster assign regime's kernel)
+    // under the oracle, over a deterministic 1024-centroid grid big
+    // enough that the triangle-inequality pruning actually engages
+    // (32 coarse groups): same membership/cost contract as
+    // kmeans_assign, so a pruning bug that returns any non-nearest
+    // centroid hash-fails here, not just in PropertySpec.
+    "assign_pruned" -> ((s, dir) => {
+      val grid: IndexedSeq[(Long, Array[Double])] =
+        (0 until 1024).map(j => j.toLong ->
+          Array((j % 32).toDouble * 2, 900.0 + (j / 32).toDouble * 4))
+      graft.dbscan.Dbscan.withPrunedNearest(pts(s, dir), "qi", grid,
+          "cluster", "d")
+        .groupBy("cluster")
+        .agg(count(lit(1)).as("n_members"), round(sum("d"), 2).as("cost"))
+        .orderBy("cluster")
+    }),
+
     // The assignment kernel of every iterative fit, isolated under the
     // oracle: fixed frozen centroids → NearestCentroidsExpr → per-cluster
     // membership and L1 cost. Non-iterative, so SQL-expressible exactly.
@@ -1289,6 +1306,25 @@ object ClusterQueries {
       """SELECT CAST(count(*) AS BIGINT) AS n_assigned,
         |  CAST(8 AS BIGINT) AS n_clusters,
         |  CAST(1 AS INT) AS labels_valid FROM part""".stripMargin,
+    // pruned-exact argmin over the deterministic 1024-centroid grid —
+    // identical contract to kmeans_assign's oracle; the grid is
+    // generated from the same integer formulas on both sides so the
+    // doubles are bit-equal
+    "assign_pruned" ->
+      """WITH pts AS (SELECT p_partkey AS id, CAST(p_size AS DOUBLE) AS x0,
+        |    p_retailprice AS x1 FROM part),
+        |cents AS (SELECT CAST(j AS BIGINT) AS cluster,
+        |    CAST(j % 32 AS DOUBLE) * 2 AS c0,
+        |    900.0 + CAST(j // 32 AS DOUBLE) * 4 AS c1
+        |  FROM range(0, 1024) t(j)),
+        |asg AS (SELECT p.id, c.cluster,
+        |    abs(p.x0 - c.c0) + abs(p.x1 - c.c1) AS d,
+        |    row_number() OVER (PARTITION BY p.id
+        |      ORDER BY abs(p.x0 - c.c0) + abs(p.x1 - c.c1), c.cluster)
+        |      AS rn
+        |  FROM pts p CROSS JOIN cents c)
+        |SELECT cluster, count(*) AS n_members, round(sum(d), 2) AS cost
+        |FROM asg WHERE rn = 1 GROUP BY cluster ORDER BY cluster""".stripMargin,
     // assignment = argmin L1 distance, ties to the lowest cluster id —
     // the row_number tiebreak mirrors the kernel's (d, cluster) order;
     // the distance expression is written in the kernel's summation order
