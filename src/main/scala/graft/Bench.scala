@@ -409,20 +409,19 @@ object Bench {
       history.get(r.name).filter(_.nonEmpty).flatMap { h =>
         if (BenchProtocol.isDrift(r.median, h)) {
           val (lo, hi) = BenchProtocol.envelopeBounds(h)
-          Some(r.median -> ("\"" + r.name +
+          Some((r.name, r.median, "\"" + r.name +
             s"""":{"median":${r3(r.median)},"hist_min":${r3(lo)},"hist_max":${r3(hi)}}"""))
         } else None
       }
     }
-    val driftNames: Set[String] = results.filter(_.ok).collect {
-      case r if history.get(r.name).exists(h =>
-        h.nonEmpty && BenchProtocol.isDrift(r.median, h)) => r.name
-    }.toSet
+    // derived from driftAll, not re-evaluated — the flag set and the
+    // reported set cannot diverge under a future edit to one of them
+    val driftNames: Set[String] = driftAll.map(_._1).toSet
     val contendedNames: Set[String] =
       results.collect { case r if r.contended => r.name }.toSet
     // the headline rides a ~2000-byte stdout tail: keep the 12 most
     // expensive drifters inline, count the rest
-    val drift = driftAll.sortBy(-_._1).take(12).map(_._2)
+    val drift = driftAll.sortBy(-_._2).take(12).map(_._3)
       .mkString("{", ",", "}") +
       (if (driftAll.size > 12) s""","drift_more":${driftAll.size - 12}"""
        else "")

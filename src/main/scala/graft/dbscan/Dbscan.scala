@@ -59,17 +59,26 @@ object Dbscan {
     * literal array would bloat the plan (and its exhaustive O(k) per-row
     * scan starts to bite), so [[run]] and [[sweepRecordsBatched]] switch
     * to the pruned-exact argmin ([[withPrunedNearest]]) up to
-    * [[MaxAssignCentroids]], and to the broadcast-join argmin beyond. */
+    * the [[MaxAssignElements]] budget, and to the broadcast-join argmin
+    * beyond. */
   private[graft] val KernelAssignMaxClusters = 8192
 
-  /** Ceiling for the driver-collected centroid matrix behind the pruned
-    * assign (the matrix rides the plan as one reference object: at dim 8
-    * this cap is ~72 MB of doubles — the largest single object worth
-    * shipping per stage). Above it the noise assign degrades to the
-    * broadcast-join argmin, which never collects: correct at any k, but
-    * it shuffles rows x k candidates — a fit that big should be consumed
-    * through its assignments table, not point-wise model scoring. */
-  private[graft] val MaxAssignCentroids = 1 << 20
+  /** Element budget for the driver-collected centroid matrix behind the
+    * pruned assign (the matrix rides the plan as one reference object).
+    * The bound is on CENTROIDS × DIM, not centroid count alone — the
+    * collect and the per-stage reference object scale with both, so a
+    * count-only cap would let a high-dim fit (e.g. 128-dim embeddings)
+    * ship a multi-GB matrix. 2^23 doubles is 64 MB flat: at dim 8 that
+    * is the old 2^20-centroid ceiling exactly. Above budget the noise
+    * assign degrades to the broadcast-join argmin, which never collects:
+    * correct at any k, but it shuffles rows x k candidates — a fit that
+    * big should be consumed through its assignments table, not
+    * point-wise model scoring. */
+  private[graft] val MaxAssignElements: Long = 1L << 23
+  /** [[MaxAssignElements]] expressed as a centroid-count ceiling at a
+    * given dimensionality. */
+  private[graft] def maxAssignCentroids(dim: Int): Long =
+    MaxAssignElements / math.max(1, dim)
 
   /** Adds (`ccName`, `dName`) = (nearest centroid's component id, its L1
     * distance) via the [[graft.functions.VecKernels.nearest_centroids]]
@@ -215,9 +224,9 @@ object Dbscan {
     // the min-struct form) and an_qi is re-joined by component, exactly
     // like the members' path. Past ~8k clusters the component-decode
     // literal would bloat the plan, so the pruned-exact kernel takes over
-    // (same labels, bit-equal distances, probe-bounded per row) up to
-    // [[MaxAssignCentroids]]; only beyond THAT does the broadcast-join
-    // form survive, because it alone never collects the matrix.
+    // (same labels, bit-equal distances, probe-bounded per row) up to the
+    // [[MaxAssignElements]] budget; only beyond THAT does the
+    // broadcast-join form survive, because it alone never collects.
     val (noiseAssigned, noiseError) =
       if (nClusters == 0) {
         val na = noise.select(col("id"), col("qi"), col("component"),
@@ -226,7 +235,7 @@ object Dbscan {
         (na, if (nNoise == 0) 0.0 else Double.PositiveInfinity)
       } else {
         val na =
-          if (nClusters <= MaxAssignCentroids) {
+          if (nClusters <= maxAssignCentroids(dim)) {
             val sorted = centroids.select(col("component"), col("centroid"))
               .collect()
               .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
@@ -529,10 +538,11 @@ object Dbscan {
       // ONE aggregation job over the cached noise rows — not a join that
       // explodes |noise|·|centroids| candidate rows. Past the kernel cap
       // each ε-block's argmin runs through the pruned-exact index (same
-      // labels, bit-equal distances); only past [[MaxAssignCentroids]]
-      // does the collect-free broadcast join take over.
+      // labels, bit-equal distances); only past the [[MaxAssignElements]]
+      // budget does the collect-free broadcast join take over.
       val totalClusters = nClustersByEi.values.sum
-      val noiseStatsByEi = (if (totalClusters > 0 && totalClusters <= MaxAssignCentroids) {
+      val noiseStatsByEi = (if (totalClusters > 0 &&
+          totalClusters <= maxAssignCentroids(dim)) {
         // real component ids, ascending — withKernelNearest's documented
         // precondition (collect order is arbitrary; sorting also makes
         // the decoded component meaningful, and equal-distance ties break

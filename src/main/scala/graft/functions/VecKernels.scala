@@ -349,18 +349,42 @@ case class NearestCentroidsExpr(child: Expression, ids: Array[Int],
   * same accumulation order ⇒ bit-equal d). Expected per-row work is
   * O(√k·dim) on clustered centroid sets, worst case O(k·dim).
   *
+  * Ragged inputs follow the exhaustive kernel exactly: a query shorter
+  * than `dim` is compared over its own length only (the centroid tail is
+  * ignored, [[VecKernels.topCentroids]]'s `n = min(numElements, dim)`).
+  * The group radii are computed over the FULL dim, so they over-estimate
+  * the truncated-subspace radius and the triangle skip stays exact —
+  * pruning just engages less. A NaN anywhere (query or centroid matrix)
+  * breaks every pruning comparison, so those rows/matrices take a
+  * matrix-order exhaustive fallback that replicates the kernel's
+  * insertion semantics bit for bit (an all-NaN distance row yields the
+  * FIRST centroid, like the kernel's unconditional first insert).
+  *
   * The grouping is built lazily on first use and is `@transient`: the
-  * shipped plan carries only the raw (ids, flat) matrix, and each
-  * executor rebuilds the deterministic grouping once. */
+  * shipped plan carries only the raw (ids, flat) matrix. Spark
+  * deserializes the task binary (and this object with it) once per TASK,
+  * so the deterministic build is shared through a per-JVM content-keyed
+  * cache — one build per distinct matrix per executor, not per task. */
 final class PrunedCentroidIndex(val ids: Array[Long], val flat: Array[Double],
                                 val dim: Int) extends Serializable {
   import PrunedCentroidIndex._
   require(ids.length > 0 && flat.length == ids.length * dim,
     s"PrunedCentroidIndex: ${ids.length} ids, ${flat.length} values, dim $dim")
 
-  @transient private lazy val built: Built = build()
+  @transient private lazy val built: Built = cachedBuild(this)
+  /** Spec hook: the per-JVM cache must hand content-equal instances the
+    * SAME build (reference equality) without a per-instance rebuild. */
+  private[graft] def builtRef: AnyRef = built
 
-  private def build(): Built = {
+  private[functions] def build(): Built = {
+    BuildCount.incrementAndGet()
+    var nan = false
+    var ni = 0
+    while (ni < flat.length && !nan) { if (flat(ni) != flat(ni)) nan = true; ni += 1 }
+    if (nan) // groups would be NaN-centered and unprunable; nearest()
+      return Built(0, Array(0), Array.emptyIntArray,   // falls back to the
+        Array.emptyDoubleArray, Array.emptyDoubleArray, // matrix-order scan
+        degenerate = true)
     val k = ids.length
     val m = math.min(math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt), MaxGroups)
     // strided deterministic init over the id-sorted matrix
@@ -438,7 +462,7 @@ final class PrunedCentroidIndex(val ids: Array[Long], val flat: Array[Double],
       radii(g) = r
       g += 1
     }
-    Built(m, start, order, gFlat, radii)
+    Built(m, start, order, gFlat, radii, degenerate = false)
   }
 
   /** (nearest component id, L1 distance) as an InternalRow — bit-equal
@@ -446,15 +470,24 @@ final class PrunedCentroidIndex(val ids: Array[Long], val flat: Array[Double],
   def nearest(vec: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
     val b = built
     val m = b.m
-    val x = new Array[Double](dim)
+    // the exhaustive kernel compares over min(numElements, dim) — a
+    // ragged (short) query ignores the centroid tail; match it exactly
+    val n = math.min(vec.numElements(), dim)
+    val x = new Array[Double](n)
+    var qNaN = false
     var i = 0
-    while (i < dim) { x(i) = vec.getDouble(i); i += 1 }
+    while (i < n) {
+      val xi = vec.getDouble(i); x(i) = xi
+      if (xi != xi) qNaN = true
+      i += 1
+    }
+    if (qNaN || b.degenerate) return exhaustive(x, n)
     val dg = new Array[Double](m)
     var gBest = 0; var gBestD = Double.MaxValue
     var g = 0
     while (g < m) {
       var d = 0.0; i = 0
-      while (i < dim) { d += math.abs(x(i) - b.gFlat(g * dim + i)); i += 1 }
+      while (i < n) { d += math.abs(x(i) - b.gFlat(g * dim + i)); i += 1 }
       dg(g) = d
       if (d < gBestD) { gBestD = d; gBest = g }
       g += 1
@@ -467,7 +500,7 @@ final class PrunedCentroidIndex(val ids: Array[Long], val flat: Array[Double],
       while (p < end) {
         val c0 = b.order(p)
         var d = 0.0; var i2 = 0
-        while (i2 < dim) { d += math.abs(x(i2) - flat(c0 * dim + i2)); i2 += 1 }
+        while (i2 < n) { d += math.abs(x(i2) - flat(c0 * dim + i2)); i2 += 1 }
         val cid = ids(c0)
         if (d < bestD || (d == bestD && cid < bestId)) { bestD = d; bestId = cid }
         p += 1
@@ -475,7 +508,9 @@ final class PrunedCentroidIndex(val ids: Array[Long], val flat: Array[Double],
     }
     // most promising group first tightens `best` before the prune pass;
     // skip is EXACT only when the bound strictly exceeds best (an equal
-    // bound can still hide an equal-distance lower component id)
+    // bound can still hide an equal-distance lower component id). The
+    // radii are full-dim, so for a ragged query (n < dim) the bound only
+    // widens — never prunes a truncated-subspace survivor.
     scanGroup(gBest)
     g = 0
     while (g < m) {
@@ -485,11 +520,34 @@ final class PrunedCentroidIndex(val ids: Array[Long], val flat: Array[Double],
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
       Array[Any](bestId, bestD))
   }
+
+  /** Matrix-order exhaustive scan replicating [[VecKernels.topCentroids]]
+    * at k=1 bit for bit, including its NaN quirk: the first centroid is
+    * seeded unconditionally, later ones win only on a strict (d, id)
+    * improvement — NaN comparisons are false, so an all-NaN row keeps
+    * centroid 0 exactly like the kernel's unconditional first insert. */
+  private def exhaustive(x: Array[Double], n: Int)
+      : org.apache.spark.sql.catalyst.InternalRow = {
+    var bestD = 0.0; var bestId = 0L
+    var c = 0
+    while (c < ids.length) {
+      var d = 0.0; var i = 0
+      while (i < n) { d += math.abs(x(i) - flat(c * dim + i)); i += 1 }
+      val cid = ids(c)
+      if (c == 0 || d < bestD || (d == bestD && cid < bestId)) {
+        bestD = d; bestId = cid
+      }
+      c += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bestId, bestD))
+  }
 }
 
 object PrunedCentroidIndex {
-  private final case class Built(m: Int, start: Array[Int], order: Array[Int],
-                                 gFlat: Array[Double], radii: Array[Double])
+  private[functions] final case class Built(
+      m: Int, start: Array[Int], order: Array[Int],
+      gFlat: Array[Double], radii: Array[Double], degenerate: Boolean)
 
   /** Coarse-group count ceiling: √k capped so the per-row center scan
     * stays bounded even at extreme k. */
@@ -498,6 +556,37 @@ object PrunedCentroidIndex {
     * groups spatial locality (what the radii/pruning feed on) without a
     * meaningful build cost. */
   val LloydIters = 2
+
+  /** Per-JVM build cache. Each TASK deserializes its own copy of the
+    * index (the task binary carries the plan's reference objects), so
+    * without sharing the O(LloydIters·k·√k·dim) build would rerun per
+    * partition — at the top of the regime that is more work than the
+    * scan it accelerates. The key fingerprints the matrix CONTENT
+    * (lengths + both array hashes + value sum), so deserialized copies
+    * of the same matrix share one deterministic build while distinct
+    * matrices (several concurrent models) coexist. Bounded: a cache
+    * past [[CacheMax]] entries is cleared before insert — builds are
+    * recomputable, this only bounds retained memory. */
+  private final case class Key(k: Int, dim: Int, idsHash: Int,
+                               flatHash: Int, flatSum: Double)
+  private val buildCache =
+    new java.util.concurrent.ConcurrentHashMap[Key, Built]()
+  private val CacheMax = 32
+  /** Total build() executions in this JVM — spec hook for the
+    * build-once-per-content contract. */
+  private[graft] val BuildCount =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
+  private def cachedBuild(idx: PrunedCentroidIndex): Built = {
+    var s = 0.0
+    var i = 0
+    while (i < idx.flat.length) { s += idx.flat(i); i += 1 }
+    val key = Key(idx.ids.length, idx.dim,
+      java.util.Arrays.hashCode(idx.ids),
+      java.util.Arrays.hashCode(idx.flat), s)
+    if (buildCache.size > CacheMax) buildCache.clear()
+    buildCache.computeIfAbsent(key, _ => idx.build())
+  }
 }
 
 /** Top-1 pruned-exact nearest centroid; see

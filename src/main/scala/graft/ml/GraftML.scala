@@ -148,12 +148,15 @@ class GraftDbscan(override val uid: String)
   def setMinPts(v: Int): this.type = set(minPts, v)
   def setKAnon(v: Int): this.type = set(kAnon, v)
 
-  /** Ceiling on the fitted components the model object will hold: the
-    * centroid matrix is collected to the driver and ships with every
-    * transform plan, so it must be BOUNDED, not best-effort (a 100 TB
-    * DBSCAN fit can produce millions of components). Overridable by
-    * specs to force the failure at test scale. */
-  private[graft] var maxModelClusters: Int = Dbscan.MaxAssignCentroids
+  /** Spec hook tightening the fitted-component ceiling below the real
+    * bound. The real bound is [[Dbscan.MaxAssignElements]] — components
+    * × DIM, since the centroid matrix is collected to the driver and
+    * ships with every transform plan, and both costs scale with the
+    * element count, not the component count alone (a 128-dim fit holds
+    * 16× fewer components than a dim-8 one at the same budget). It must
+    * be BOUNDED, not best-effort: a 100 TB DBSCAN fit can produce
+    * millions of components. */
+  private[graft] var maxModelClusters: Int = Int.MaxValue
 
   override def fit(dataset: Dataset[_]): GraftDbscanModel = {
     transformSchema(dataset.schema)
@@ -162,15 +165,19 @@ class GraftDbscan(override val uid: String)
       featuresAsArray(df.schema).as("qi"))
     val k = if (isSet(kAnon)) $(kAnon) else $(minPts)
     val m = Dbscan.run(pts, "id", "qi", $(eps), $(minPts), k)
-    if (m.nClusters > maxModelClusters) {
+    val dim = if (m.nClusters == 0) 1
+      else m.centroids.select(size(col("centroid"))).head().getInt(0)
+    val cap = math.min(maxModelClusters.toLong, Dbscan.maxAssignCentroids(dim))
+    if (m.nClusters > cap) {
       m.unpersist()
       throw new IllegalArgumentException(
-        s"GraftDbscan.fit produced ${m.nClusters} clusters, above the " +
-          s"$maxModelClusters the model object can hold (the centroid " +
+        s"GraftDbscan.fit produced ${m.nClusters} clusters of dim $dim, " +
+          s"above the $cap the model object can hold (the centroid " +
           "matrix is driver-collected and ships with every transform " +
-          "plan). A fit this fragmented should be consumed through " +
-          "Dbscan.run(...).assignments directly, or refit with a larger " +
-          "eps / kAnon so fewer, bigger clusters survive.")
+          s"plan; the budget is ${Dbscan.MaxAssignElements} elements = " +
+          "components x dim). A fit this fragmented should be consumed " +
+          "through Dbscan.run(...).assignments directly, or refit with " +
+          "a larger eps / kAnon so fewer, bigger clusters survive.")
     }
     val model = new GraftDbscanModel(uid,
       m.assignments.select(col("id"), col("component")),
@@ -382,11 +389,25 @@ class GraftKMeansModel private[ml] (override val uid: String,
 
   /** Set when [[release]] freed checkpoint-backed assignment storage —
     * terminal, since local-checkpoint blocks have no recomputable
-    * lineage. Stays false for disk-loaded (parquet-backed) models. */
-  @transient private var releasedTerminal = false
+    * lineage. Stays false for disk-loaded (parquet-backed) models. The
+    * flag is a SHARED AtomicBoolean, not a per-instance var: [[copy]]
+    * hands the same cell to the copy, because copies share the same
+    * checkpoint blocks — releasing either sibling (Pipeline /
+    * CrossValidator call copy() routinely) must flip every holder to
+    * the clear error, not leave the others to die on a scheduler-level
+    * missing-block failure. */
+  @transient private var releasedState =
+    new java.util.concurrent.atomic.AtomicBoolean(false)
+  private def released: java.util.concurrent.atomic.AtomicBoolean = {
+    // @transient: a Java-deserialized instance re-seeds a live (false)
+    // cell, matching the old boolean's default
+    if (releasedState == null)
+      releasedState = new java.util.concurrent.atomic.AtomicBoolean(false)
+    releasedState
+  }
 
   private[ml] def requireLive(op: String): Unit =
-    if (releasedTerminal) throw new IllegalStateException(
+    if (released.get) throw new IllegalStateException(
       s"GraftKMeansModel $uid was release()d: its fitted assignment was " +
         s"localCheckpoint storage with no recomputable lineage, so $op is " +
         "no longer possible. save() the model before release(), or re-fit.")
@@ -423,7 +444,7 @@ class GraftKMeansModel private[ml] (override val uid: String,
     * release() is a harmless no-op and transform keeps recomputing from
     * storage. Stateless (centroid-only) models are unaffected. */
   def release(): Unit = assignmentOpt.foreach { a =>
-    if (graft.core.LineageCut.backingRdd(a).isDefined) releasedTerminal = true
+    if (graft.core.LineageCut.backingRdd(a).isDefined) released.set(true)
     graft.core.LineageCut.release(a)
   }
 
@@ -433,9 +454,10 @@ class GraftKMeansModel private[ml] (override val uid: String,
   override def copy(extra: ParamMap): GraftKMeansModel = {
     val c = copyValues(new GraftKMeansModel(uid, assignmentOpt, centroids,
       cost, lloydIters), extra).setParent(parent)
-    // copies share the same assignment blocks, so a released original
-    // makes the copy's transform just as impossible — carry the flag
-    c.releasedTerminal = releasedTerminal
+    // copies share the same assignment blocks, so releasing ANY sibling
+    // makes every sibling's transform impossible — share the cell itself
+    // (a copy-time snapshot would go stale on the un-released sibling)
+    c.releasedState = released
     c
   }
 

@@ -260,4 +260,27 @@ class MLPipelineSpec extends GraftSuite {
       .select("id", "prediction").as[(Long, Int)].collect().toSet
     assert(before == after && before.nonEmpty)
   }
+
+  test("release() through a copy() reaches every sibling, both directions") {
+    // copies share the fitted assignment's checkpoint blocks, so the
+    // terminal flag must be SHARED state: releasing either sibling has
+    // to turn the other's transform into the clear IllegalStateException
+    // (not a scheduler-level missing-block failure). Pipeline and
+    // CrossValidator call copy() routinely, so a stale snapshot here
+    // resurfaces the exact bug the flag was introduced to prevent.
+    val km = new GraftKMeans().setIdCol("id").setFeaturesCol("features")
+      .setK(8).setKAnon(4).setSeed(7L).setMaxLloyd(5).fit(assembled)
+    val sibling = km.copy(org.apache.spark.ml.param.ParamMap.empty)
+    km.release()
+    val e = intercept[IllegalStateException] { sibling.transform(assembled) }
+    assert(e.getMessage.contains("release()d"),
+      s"copy missed the original's release: ${e.getMessage}")
+    // and the reverse order: a copy's release must flag the original
+    val km2 = new GraftKMeans().setIdCol("id").setFeaturesCol("features")
+      .setK(8).setKAnon(4).setSeed(7L).setMaxLloyd(5).fit(assembled)
+    km2.copy(org.apache.spark.ml.param.ParamMap.empty).release()
+    val e2 = intercept[IllegalStateException] { km2.transform(assembled) }
+    assert(e2.getMessage.contains("release()d"),
+      s"original missed the copy's release: ${e2.getMessage}")
+  }
 }

@@ -288,6 +288,82 @@ class PropertySpec extends GraftSuite {
     }
   }
 
+  test("pruned nearest matches the kernel bit-for-bit on ragged and NaN input") {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    // the two assign regimes (kernel <=8k clusters, pruned above) must
+    // agree on EVERY input the kernel accepts, including the edges:
+    //  - ragged queries (shorter than dim): the kernel compares over
+    //    min(numElements, dim) and ignores the centroid tail
+    //  - NaN in the query: every comparison is false, so the kernel's
+    //    unconditional first insert wins — the pruned path must not
+    //    fabricate a sentinel id
+    //  - NaN in the CENTROID MATRIX: a NaN-distance first centroid
+    //    blocks all later inserts in the kernel; the pruned groups would
+    //    be NaN-centered and unprunable, so the index must detect the
+    //    degenerate matrix and fall back to the kernel's scan order
+    def assertParity(ids: Array[Long], flat: Array[Double], dim: Int,
+                     x: Array[Double], label: String): Unit = {
+      val idx = new graft.functions.PrunedCentroidIndex(ids, flat, dim)
+      val kern = graft.functions.VecKernels.topCentroids(
+        ArrayData.toArrayData(x), ids.map(_.toInt), flat, dim,
+        cosine = false, k = 1).getStruct(0, 2)
+      val got = idx.nearest(ArrayData.toArrayData(x))
+      assert(got.getLong(0) == kern.getInt(0).toLong,
+        s"$label: pruned id ${got.getLong(0)} != kernel ${kern.getInt(0)}")
+      assert(java.lang.Double.doubleToLongBits(got.getDouble(1)) ==
+          java.lang.Double.doubleToLongBits(kern.getDouble(1)),
+        s"$label: pruned d ${got.getDouble(1)} != kernel ${kern.getDouble(1)}")
+    }
+    val rnd = new scala.util.Random(11)
+    val dim = 6
+    def matrix(k: Int): (Array[Long], Array[Double]) = {
+      val ids = Array.tabulate(k)(i => i * 3L + 1)
+      val flat = Array.fill(k * dim)(rnd.nextInt(5) * 50.0 + rnd.nextDouble() * 4)
+      (ids, flat)
+    }
+    val (ids, flat) = matrix(64)
+    // ragged: every truncation length incl. the empty query (all-ties)
+    Seq(0, 1, 3, dim - 1, dim).foreach { n =>
+      (0 until 20).foreach { i =>
+        assertParity(ids, flat,
+          dim, Array.fill(n)(rnd.nextDouble() * 200), s"ragged n=$n #$i")
+      }
+    }
+    // NaN in the query, at each position, full-length and ragged
+    (0 until dim).foreach { p =>
+      val x = Array.fill(dim)(rnd.nextDouble() * 200); x(p) = Double.NaN
+      assertParity(ids, flat, dim, x, s"query NaN at $p")
+      if (p < 3) assertParity(ids, flat, dim, x.take(3), s"ragged NaN at $p")
+    }
+    // NaN in the matrix: first centroid (kernel keeps it forever) and a
+    // later one (kernel never admits it)
+    Seq(0, 17, 63).foreach { c =>
+      val poisoned = flat.clone(); poisoned(c * dim + 2) = Double.NaN
+      (0 until 20).foreach { i =>
+        assertParity(ids, poisoned, dim,
+          Array.fill(dim)(rnd.nextDouble() * 200), s"centroid NaN c=$c #$i")
+      }
+    }
+  }
+
+  test("pruned index build is shared per JVM across content-equal copies") {
+    // each task deserializes its own index instance, so the Lloyd build
+    // must be cached by matrix CONTENT — content-equal instances get the
+    // same Built (reference equality), distinct matrices get their own
+    val rnd = new scala.util.Random(23)
+    val flat = Array.fill(32 * 4)(rnd.nextDouble() * 100)
+    val ids = Array.tabulate(32)(_.toLong)
+    val a = new graft.functions.PrunedCentroidIndex(ids, flat, 4)
+    val b = new graft.functions.PrunedCentroidIndex(
+      ids.clone(), flat.clone(), 4)
+    assert(a.builtRef eq b.builtRef,
+      "content-equal indexes did not share one build")
+    val other = new graft.functions.PrunedCentroidIndex(
+      ids, flat.map(_ + 1.0), 4)
+    assert(!(a.builtRef eq other.builtRef),
+      "distinct matrices shared a build")
+  }
+
   test("blockedSelfPairs equals the plain pair join on random skewed groups (property)") {
     // the semdedup hot-bucket guard: exact triangle blocking must emit
     // each unordered within-group pair EXACTLY once for any group-size
