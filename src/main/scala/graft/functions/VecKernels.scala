@@ -568,7 +568,7 @@ object PrunedCentroidIndex {
     * past [[CacheMax]] entries is cleared before insert — builds are
     * recomputable, this only bounds retained memory. */
   private final case class Key(k: Int, dim: Int, idsHash: Int,
-                               flatHash: Int, flatSum: Double)
+                               flatHash: Int, flatSumBits: Long)
   private val buildCache =
     new java.util.concurrent.ConcurrentHashMap[Key, Built]()
   private val CacheMax = 32
@@ -581,9 +581,13 @@ object PrunedCentroidIndex {
     var s = 0.0
     var i = 0
     while (i < idx.flat.length) { s += idx.flat(i); i += 1 }
+    // sum as bits: a NaN-bearing (degenerate) matrix must still key
+    // consistently — primitive NaN == NaN is false and would dodge the
+    // cache on every lookup
     val key = Key(idx.ids.length, idx.dim,
       java.util.Arrays.hashCode(idx.ids),
-      java.util.Arrays.hashCode(idx.flat), s)
+      java.util.Arrays.hashCode(idx.flat),
+      java.lang.Double.doubleToLongBits(s))
     if (buildCache.size > CacheMax) buildCache.clear()
     buildCache.computeIfAbsent(key, _ => idx.build())
   }

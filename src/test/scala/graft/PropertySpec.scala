@@ -362,6 +362,15 @@ class PropertySpec extends GraftSuite {
       ids, flat.map(_ + 1.0), 4)
     assert(!(a.builtRef eq other.builtRef),
       "distinct matrices shared a build")
+    // a NaN-bearing (degenerate) matrix must key consistently too: the
+    // content sum is NaN, and primitive NaN equality would dodge the
+    // cache on every lookup
+    val poisoned = flat.clone(); poisoned(5) = Double.NaN
+    val d1 = new graft.functions.PrunedCentroidIndex(ids, poisoned, 4)
+    val d2 = new graft.functions.PrunedCentroidIndex(
+      ids.clone(), poisoned.clone(), 4)
+    assert(d1.builtRef eq d2.builtRef,
+      "content-equal degenerate matrices did not share one build")
   }
 
   test("blockedSelfPairs equals the plain pair join on random skewed groups (property)") {
