@@ -70,15 +70,20 @@ object Dbscan {
     * count-only cap would let a high-dim fit (e.g. 128-dim embeddings)
     * ship a multi-GB matrix. 2^23 doubles is 64 MB flat: at dim 8 that
     * is the old 2^20-centroid ceiling exactly. Above budget the noise
-    * assign degrades to the broadcast-join argmin, which never collects:
-    * correct at any k, but it shuffles rows x k candidates — a fit that
-    * big should be consumed through its assignments table, not
-    * point-wise model scoring. */
+    * assign switches to [[graft.operators.CentroidJoin.assignExact]] —
+    * the collect-free coarse-bucket probe join: the centroid table stays
+    * distributed, only its O(√k·dim) coarse summary rides the plan, and
+    * per-row work is probe-bounded instead of the old broadcast
+    * crossJoin's rows × k candidate shuffle. Same min-struct semantics
+    * at any k. */
   private[graft] val MaxAssignElements: Long = 1L << 23
-  /** [[MaxAssignElements]] expressed as a centroid-count ceiling at a
+  /** Spec hook: lowers the element budget so the join-based regime
+    * engages at test scale ([[MaxAssignElements]] otherwise). */
+  private[graft] var assignElementBudget: Long = MaxAssignElements
+  /** The element budget expressed as a centroid-count ceiling at a
     * given dimensionality. */
   private[graft] def maxAssignCentroids(dim: Int): Long =
-    MaxAssignElements / math.max(1, dim)
+    assignElementBudget / math.max(1, dim)
 
   /** Adds (`ccName`, `dName`) = (nearest centroid's component id, its L1
     * distance) via the [[graft.functions.VecKernels.nearest_centroids]]
@@ -254,17 +259,19 @@ object Dbscan {
                 lit(null).cast("long").as("component"),
                 col("centroid").as("an_qi"), col("an_err"))
           } else {
-            val cand = noise.crossJoin(
-              broadcast(centroids.select(col("component").as("cc"), col("centroid"))))
+            // past the element budget nothing may collect OR broadcast:
+            // the coarse-bucket probe join keeps the centroid table
+            // distributed and ships only its √k summary — identical
+            // min-struct semantics (ties → lowest component, null qi →
+            // null outputs) to the old broadcast crossJoin it replaces,
+            // without the rows × k candidate shuffle
+            graft.operators.CentroidJoin.assignExact(
+                noise.select(col("id"), col("qi")), "id", "qi",
+                centroids.select(col("component"), col("centroid")),
+                "component", "centroid", "__cc", "an_qi", "an_err")
               .select(col("id"), col("qi"),
-                struct(Distances.l1(col("qi"), col("centroid")).as("d"),
-                  col("cc"), col("centroid")).as("s"))
-            // null qi ⇒ every d is null and min() keeps a (null, lowest-cc)
-            // struct — mask the centroid so both paths emit null an_qi
-            cand.groupBy("id", "qi").agg(min("s").as("s"))
-              .select(col("id"), col("qi"), lit(null).cast("long").as("component"),
-                when(col("s.d").isNotNull, col("s.centroid")).as("an_qi"),
-                col("s.d").as("an_err"))
+                lit(null).cast("long").as("component"),
+                col("an_qi"), col("an_err"))
           }
         val err =
           if (nNoise == 0) 0.0
@@ -538,11 +545,15 @@ object Dbscan {
       // ONE aggregation job over the cached noise rows — not a join that
       // explodes |noise|·|centroids| candidate rows. Past the kernel cap
       // each ε-block's argmin runs through the pruned-exact index (same
-      // labels, bit-equal distances); only past the [[MaxAssignElements]]
-      // budget does the collect-free broadcast join take over.
+      // labels, bit-equal distances); only past the element budget does
+      // the collect-free coarse-bucket probe join take over.
       val totalClusters = nClustersByEi.values.sum
-      val noiseStatsByEi = (if (totalClusters > 0 &&
-          totalClusters <= maxAssignCentroids(dim)) {
+      val noiseStatsByEi = (if (totalClusters == 0) {
+        // no block has clusters: every record is the ∞ empty record and
+        // no noise error is needed
+        points.sparkSession.emptyDataFrame
+          .select(lit(0).as("ei"), lit(0.0).as("e"))
+      } else if (totalClusters <= maxAssignCentroids(dim)) {
         // real component ids, ascending — withKernelNearest's documented
         // precondition (collect order is arbitrary; sorting also makes
         // the decoded component meaningful, and equal-distance ties break
@@ -566,11 +577,21 @@ object Dbscan {
         }.reduce(_ unionByName _)
           .groupBy("ei").agg(sum("d").as("e"))
       } else {
-        noise
-          .join(broadcast(centroids.select(col("ei"), col("centroid"))), Seq("ei"))
-          .select(col("ei"), col("id"),
-            Distances.l1(col("qi"), col("centroid")).as("d"))
-          .groupBy("ei", "id").agg(min("d").as("d"))
+        // past the element budget nothing may collect or broadcast (the
+        // flattened centroid table alone would exceed 64 MB): each
+        // ε-block's argmin runs through the coarse-bucket probe join —
+        // per-block jobs instead of one batched job, acceptable in a
+        // regime whose fits "should be consumed through the assignments
+        // table" anyway, and never a rows × k candidate shuffle
+        nClustersByEi.keys.toSeq.sorted.map { ei =>
+          graft.operators.CentroidJoin.assignExact(
+              noise.where(col("ei") === ei).select(col("id"), col("qi")),
+              "id", "qi",
+              centroids.where(col("ei") === ei)
+                .select(col("component"), col("centroid")),
+              "component", "centroid", "__cc", "__cent", "d")
+            .select(lit(ei).as("ei"), col("d"))
+        }.reduce(_ unionByName _)
           .groupBy("ei").agg(sum("d").as("e"))
       }).collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
       val nNoiseByEi = noise.groupBy("ei").agg(count(lit(1)).as("nn"))

@@ -229,6 +229,17 @@ object VecKernels {
     ColumnBridge.column(PrunedNearestExpr(ColumnBridge.expression(vec),
       new PrunedCentroidIndex(ids, flat, dim)))
   }
+
+  // ------------------------------------ distributed-assign bucket probe
+
+  /** `array<int>` of the coarse-bucket ids a query must scan for its
+    * EXACT nearest centroid ([[BucketProbeIndex]]) — the probe side of
+    * the collect-free assign join ([[graft.operators.CentroidJoin]]):
+    * only the m ≈ √k coarse centers + radii ride the plan; the full
+    * centroid matrix stays a distributed table the caller equi-joins on
+    * the emitted bucket ids. */
+  def bucket_probe(vec: Column, index: BucketProbeIndex): Column =
+    ColumnBridge.column(BucketProbeExpr(ColumnBridge.expression(vec), index))
 }
 
 case class L1DistExpr(left: Expression, right: Expression) extends BinaryExpression {
@@ -623,6 +634,117 @@ case class PrunedNearestExpr(child: Expression, index: PrunedCentroidIndex)
     val idxRef = ctx.addReferenceObj("prunedCentroidIndex", index,
       classOf[PrunedCentroidIndex].getName)
     defineCodeGen(ctx, ev, v => s"$idxRef.nearest($v)")
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** Coarse-bucket probe table for the DISTRIBUTED-exact nearest-centroid
+  * assign join ([[graft.operators.CentroidJoin.assignExact]]): m coarse
+  * centers (flat, row-major, every row exactly `dim` long) with the L1
+  * radius of each bucket (max member distance to its center; `live(g)`
+  * false marks a bucket that received no centroids and must never be
+  * probed). Unlike [[PrunedCentroidIndex]] this holds only the O(√k·dim)
+  * COARSE summary — the k-row centroid matrix itself stays distributed.
+  *
+  * Exactness (L1, zip-to-common-prefix semantics): for a query q with
+  * effective length n = min(|q|, dim) and any centroid c of length dim in
+  * bucket g, dₙ(q,c) ≥ dₙ(q,center_g) − d_dim(c,center_g) ≥ dg − radius_g,
+  * and the bucket's nearest member satisfies dₙ(q,member) ≤ dg + radius_g.
+  * So ub = min over live g of (dg + radius_g) bounds the true minimum from
+  * above, and every bucket whose lower bound does not PROVABLY exceed ub
+  * (NaN comparisons are false, so NaN-poisoned centers/radii stay probed,
+  * and a NaN-bearing query probes every live bucket) is emitted — the
+  * downstream min-struct over the probed members is therefore the exact
+  * global argmin with the broadcast-crossJoin branch's tie semantics.
+  * Radii are computed over the full dim, so for a ragged (short) query
+  * they over-estimate the truncated-subspace radius and the skip stays
+  * exact — pruning just engages less (same argument as
+  * [[PrunedCentroidIndex]]). Centroids MUST be uniformly `dim` long —
+  * [[graft.operators.CentroidJoin]] enforces that loudly, because a
+  * centroid SHORTER than the query would flip the bound's direction. */
+final class BucketProbeIndex(val flat: Array[Double], val radii: Array[Double],
+                             val live: Array[Boolean], val dim: Int)
+    extends Serializable {
+  val m: Int = radii.length
+  require(m > 0 && flat.length == m * dim && live.length == m,
+    s"BucketProbeIndex: ${radii.length} radii, ${live.length} live flags, " +
+      s"${flat.length} values, dim $dim")
+
+  /** Candidate bucket ids for `vec`, ascending. Called from generated
+    * code. Never empty for a NaN-free query: the ub-defining bucket's own
+    * lower bound is dg − r ≤ dg + r = ub. */
+  def probe(vec: ArrayData): ArrayData = {
+    val n = math.min(vec.numElements(), dim)
+    val x = new Array[Double](n)
+    var qNaN = false
+    var i = 0
+    while (i < n) {
+      val xi = vec.getDouble(i); x(i) = xi
+      if (xi != xi) qNaN = true
+      i += 1
+    }
+    val out = Array.newBuilder[Int]
+    if (qNaN) {
+      // every distance is NaN: the min-struct answer is the lowest
+      // component id overall, which can live in any bucket
+      var g = 0
+      while (g < m) { if (live(g)) out += g; g += 1 }
+    } else {
+      val dg = new Array[Double](m)
+      var ub = Double.PositiveInfinity
+      var g = 0
+      while (g < m) {
+        if (live(g)) {
+          var d = 0.0; var i2 = 0
+          while (i2 < n) { d += math.abs(x(i2) - flat(g * dim + i2)); i2 += 1 }
+          dg(g) = d
+          val cand = d + radii(g)
+          if (cand < ub) ub = cand // NaN cand fails the <, never tightens
+        }
+        g += 1
+      }
+      g = 0
+      while (g < m) {
+        // keep unless the bound PROVABLY exceeds ub — equality keeps the
+        // bucket (an equal bound can hide an equal-distance lower id),
+        // NaN bounds compare false and stay probed
+        if (live(g) && !(dg(g) - radii(g) > ub)) out += g
+        g += 1
+      }
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out.result())
+  }
+}
+
+/** Candidate-bucket probe; see [[VecKernels.bucket_probe]] and
+  * [[BucketProbeIndex]]. Equality/hashCode compare the index's array
+  * CONTENTS (reference equality would defeat `semanticEquals` across
+  * analyzer-cloned instances — same reasoning as [[PrunedNearestExpr]]). */
+case class BucketProbeExpr(child: Expression, index: BucketProbeIndex)
+    extends UnaryExpression {
+  override def equals(other: Any): Boolean = other match {
+    case o: BucketProbeExpr =>
+      child == o.child && index.dim == o.index.dim &&
+        java.util.Arrays.equals(index.flat, o.index.flat) &&
+        java.util.Arrays.equals(index.radii, o.index.radii) &&
+        java.util.Arrays.equals(index.live, o.index.live)
+    case _ => false
+  }
+  override def hashCode(): Int = {
+    var h = child.hashCode()
+    h = h * 31 + java.util.Arrays.hashCode(index.flat)
+    h = h * 31 + java.util.Arrays.hashCode(index.radii)
+    h * 31 + index.dim
+  }
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def toString: String = s"bucket_probe($child, ${index.m})"
+  protected override def nullSafeEval(v: Any): Any =
+    index.probe(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val idxRef = ctx.addReferenceObj("bucketProbeIndex", index,
+      classOf[BucketProbeIndex].getName)
+    defineCodeGen(ctx, ev, v => s"$idxRef.probe($v)")
   }
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }

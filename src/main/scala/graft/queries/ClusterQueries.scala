@@ -730,6 +730,24 @@ object ClusterQueries {
         .orderBy("cluster")
     }),
 
+    // The DISTRIBUTED-exact assign regime past the element budget
+    // (CentroidJoin: coarse-bucket probe + equi-join + min-struct — the
+    // path a 100 TB fit's millions of components take, where nothing may
+    // collect or broadcast) under the SAME row_number-argmin oracle and
+    // grid as assign_pruned: a probe that drops any true-nearest bucket,
+    // or a tiebreak drift in the min-struct, hash-fails here end to end.
+    "assign_joined" -> ((s, dir) => {
+      import s.implicits._
+      val cents = (0 until 1024).map(j => (j.toLong,
+        Array((j % 32).toDouble * 2, 900.0 + (j / 32).toDouble * 4)))
+        .toDF("cluster", "centroid")
+      graft.operators.CentroidJoin.assignExact(pts(s, dir), "id", "qi",
+          cents, "cluster", "centroid", "cluster", "__cent", "d")
+        .groupBy("cluster")
+        .agg(count(lit(1)).as("n_members"), round(sum("d"), 2).as("cost"))
+        .orderBy("cluster")
+    }),
+
     // The assignment kernel of every iterative fit, isolated under the
     // oracle: fixed frozen centroids → NearestCentroidsExpr → per-cluster
     // membership and L1 cost. Non-iterative, so SQL-expressible exactly.
@@ -1311,6 +1329,22 @@ object ClusterQueries {
     // generated from the same integer formulas on both sides so the
     // doubles are bit-equal
     "assign_pruned" ->
+      """WITH pts AS (SELECT p_partkey AS id, CAST(p_size AS DOUBLE) AS x0,
+        |    p_retailprice AS x1 FROM part),
+        |cents AS (SELECT CAST(j AS BIGINT) AS cluster,
+        |    CAST(j % 32 AS DOUBLE) * 2 AS c0,
+        |    900.0 + CAST(j // 32 AS DOUBLE) * 4 AS c1
+        |  FROM range(0, 1024) t(j)),
+        |asg AS (SELECT p.id, c.cluster,
+        |    abs(p.x0 - c.c0) + abs(p.x1 - c.c1) AS d,
+        |    row_number() OVER (PARTITION BY p.id
+        |      ORDER BY abs(p.x0 - c.c0) + abs(p.x1 - c.c1), c.cluster)
+        |      AS rn
+        |  FROM pts p CROSS JOIN cents c)
+        |SELECT cluster, count(*) AS n_members, round(sum(d), 2) AS cost
+        |FROM asg WHERE rn = 1 GROUP BY cluster ORDER BY cluster""".stripMargin,
+    // identical argmin contract through the distributed probe join
+    "assign_joined" ->
       """WITH pts AS (SELECT p_partkey AS id, CAST(p_size AS DOUBLE) AS x0,
         |    p_retailprice AS x1 FROM part),
         |cents AS (SELECT CAST(j AS BIGINT) AS cluster,
