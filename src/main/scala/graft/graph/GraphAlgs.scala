@@ -12,9 +12,26 @@ import org.apache.spark.sql.functions.{coalesce, col}
   */
 object GraphAlgs {
 
-  private def toEdgeRdd(edges: DataFrame) =
-    edges.selectExpr("CAST(src AS LONG)", "CAST(dst AS LONG)")
-      .rdd.map(r => Edge(r.getLong(0), r.getLong(1), 1))
+  /** Rows per GraphX edge partition. Pregel pays per-partition,
+    * per-iteration fixed costs (task scheduling, vertex/edge co-location
+    * joins), so the edge RDD is sized by DATA VOLUME, not by whatever
+    * partitioning the upstream DataFrame happened to have: a gate-scale
+    * edge list collapses to one partition (each Pregel round one task
+    * instead of 32 near-empty ones), while a 100 TB graph still gets
+    * thousands of ~2M-row partitions. The count that sizes it is one
+    * cheap job over the (usually memoized) edge frame; `coalesce` keeps
+    * it shuffle-free. Results are partitioning-independent (component =
+    * min vertex id), cross-checked in ConnectedComponentsSpec. */
+  private val EdgeRowsPerPartition = 2000000L
+
+  private def toEdgeRdd(edges: DataFrame) = {
+    val rows = edges.selectExpr("CAST(src AS LONG)", "CAST(dst AS LONG)")
+    val n = rows.count()
+    val parts = math.max(1L, (n + EdgeRowsPerPartition - 1) / EdgeRowsPerPartition)
+      .min(Int.MaxValue.toLong).toInt
+    val rdd = rows.rdd.map(r => Edge(r.getLong(0), r.getLong(1), 1))
+    if (rdd.getNumPartitions > parts) rdd.coalesce(parts) else rdd
+  }
 
   /** Undirected connected components; returns (id, component) for vertices
     * present in `edges`. Component ids are GraphX's (min vertex id). */

@@ -36,47 +36,65 @@ object Traversals {
   /** Multi-source BFS: minimum hop count from any vertex of `sources` to
     * every reachable vertex, treating `edges` as undirected.
     *
-    * Each round schedules ONE job: the new frontier (current frontier
-    * joined to the adjacency, deduped, anti-joined against the visited
-    * set) is unioned into a lazily checkpointed visited set whose `count`
-    * both materializes the checkpoint and detects the fixpoint (no growth
-    * → done), the same fused-action idiom as [[ConnectedComponents]]'s
-    * checksum. Superseded checkpoint blocks are released eagerly via
-    * [[LineageCut]]. Every per-round shuffle is keyed by vertex id —
-    * frontier·adjacency join, distinct, anti-join — so rounds scale with
-    * the frontier, not the graph, and nothing collects to the driver.
+    * Each round schedules ONE job, and — round 15 — checkpoints ONLY the
+    * round's NEW LAYER, not the cumulative visited set: the layer (current
+    * frontier joined to the adjacency, deduped, anti-joined against the
+    * union of all previous layers) is lazily checkpointed and its `count`
+    * both materializes it and detects the fixpoint (empty layer → done).
+    * The old form union-rechecked the whole visited set per round —
+    * O(V·diameter) checkpoint bytes over the run — while the layers sum
+    * to O(V) exactly once; the anti-join still reads every prior layer,
+    * but reading materialized blocks is the cheap half. Every per-round
+    * shuffle is keyed by vertex id — frontier·adjacency join, distinct,
+    * anti-join — so rounds scale with the frontier, not the graph, and
+    * nothing collects to the driver.
     *
     * @return (id, hops) for every vertex reachable within `maxHops`;
     *         `hops` is Int. Sources themselves report 0.
     */
   def bfsHops(edges: DataFrame, sources: DataFrame, maxHops: Int = 32): DataFrame = {
     val sym = symmetrize(edges).localCheckpoint(eager = false)
+    val out = bfsHopsSym(sym, sources, maxHops)
+    LineageCut.release(sym)
+    out
+  }
 
-    var visited = sources.select(col("id").cast("long").as("id")).distinct()
+  /** [[bfsHops]] over an ALREADY symmetrized simple edge view (two
+    * directed rows per undirected edge, self-loops dropped) — callers
+    * that sweep the same graph repeatedly (graph_diameter's double
+    * sweep) symmetrize + checkpoint once and share it; the caller owns
+    * `sym`'s lifecycle. */
+  private[graft] def bfsHopsSym(sym: DataFrame, sources: DataFrame,
+                                maxHops: Int): DataFrame = {
+    var layer = sources.select(col("id").cast("long").as("id")).distinct()
       .withColumn("hops", lit(0))
       .localCheckpoint(eager = false)
-    var visCount = visited.count()
-
+    var layerCount = layer.count()
+    var layers = List(layer)
+    var visited = layer.select(col("id"))
     var hop = 0
-    var done = visCount == 0
-    while (!done && hop < maxHops) {
+    while (layerCount > 0 && hop < maxHops) {
       hop += 1
-      val frontier = visited.where(col("hops") === hop - 1)
-      val next = frontier
-        .join(sym, frontier("id") === sym("src"))
+      val next = layer
+        .join(sym, layer("id") === sym("src"))
         .select(sym("dst").as("id"))
         .distinct()
         .join(visited, Seq("id"), "left_anti")
         .withColumn("hops", lit(hop))
-      val grown = visited.union(next).localCheckpoint(eager = false)
-      val newCount = grown.count() // materializes the round's checkpoint
-      done = newCount == visCount
-      visCount = newCount
-      LineageCut.release(visited)
-      visited = grown
+        .localCheckpoint(eager = false)
+      layerCount = next.count() // materializes ONLY the new layer
+      if (layerCount > 0) {
+        layers ::= next
+        visited = visited.union(next.select(col("id")))
+      } else {
+        // the terminal empty layer is not part of the result — release
+        // its (empty) checkpoint instead of stranding it until GC
+        LineageCut.release(next)
+      }
+      layer = next
     }
-    LineageCut.release(sym)
-    visited.select(col("id"), col("hops").cast("int").as("hops"))
+    layers.reduce(_ union _)
+      .select(col("id"), col("hops").cast("int").as("hops"))
   }
 
   /** Per-seed BFS distances: like [[bfsHops]] but the visited state is
@@ -92,33 +110,38 @@ object Traversals {
                  maxHops: Int = 32): DataFrame = {
     val sym = symmetrize(edges).localCheckpoint(eager = false)
 
-    var visited = seeds.select(col("id").cast("long").as("seed"))
+    // layered form (round 15, as in [[bfsHopsSym]]): checkpoint + count
+    // only each round's new (seed, id) layer; the visited set for the
+    // anti-join is the union of the materialized layers
+    var layer = seeds.select(col("id").cast("long").as("seed"))
       .distinct()
       .withColumn("id", col("seed"))
       .withColumn("hops", lit(0))
       .localCheckpoint(eager = false)
-    var visCount = visited.count()
-
+    var layerCount = layer.count()
+    var layers = List(layer)
+    var visited = layer.select(col("seed"), col("id"))
     var hop = 0
-    var done = visCount == 0
-    while (!done && hop < maxHops) {
+    while (layerCount > 0 && hop < maxHops) {
       hop += 1
-      val frontier = visited.where(col("hops") === hop - 1)
-      val next = frontier
-        .join(sym, frontier("id") === sym("src"))
+      val next = layer
+        .join(sym, layer("id") === sym("src"))
         .select(col("seed"), sym("dst").as("id"))
         .distinct()
         .join(visited, Seq("seed", "id"), "left_anti")
         .withColumn("hops", lit(hop))
-      val grown = visited.union(next).localCheckpoint(eager = false)
-      val newCount = grown.count()
-      done = newCount == visCount
-      visCount = newCount
-      LineageCut.release(visited)
-      visited = grown
+        .localCheckpoint(eager = false)
+      layerCount = next.count()
+      if (layerCount > 0) {
+        layers ::= next
+        visited = visited.union(next.select(col("seed"), col("id")))
+      } else {
+        LineageCut.release(next) // terminal empty layer — not in the result
+      }
+      layer = next
     }
     LineageCut.release(sym)
-    visited
+    layers.reduce(_ union _)
   }
 
   /** Per-seed shortest-path COUNTS — Brandes' σ recursion (Brandes 2001,
@@ -138,31 +161,41 @@ object Traversals {
   def seededSigma(edges: DataFrame, seeds: DataFrame,
                   maxHops: Int): DataFrame = {
     val sym = symmetrize(edges).localCheckpoint(eager = false)
-    var visited = seeds.select(col("id").cast("long").as("seed"))
+    // layered form (round 15, as in [[bfsHopsSym]]): checkpoint + count
+    // only each round's new σ layer, and stop early once a layer comes
+    // back empty — σ_sv sums only over the previous BFS layer, so the
+    // per-layer recursion is unchanged by the restructuring
+    var layer = seeds.select(col("id").cast("long").as("seed"))
       .distinct()
       .withColumn("id", col("seed"))
       .withColumn("hops", lit(0))
       .withColumn("sigma", lit(1L))
       .localCheckpoint(eager = false)
-    visited.count()
+    var layerCount = layer.count()
+    var layers = List(layer)
+    var visited = layer.select(col("seed"), col("id"))
     var hop = 0
-    while (hop < maxHops) {
+    while (layerCount > 0 && hop < maxHops) {
       hop += 1
-      val frontier = visited.where(col("hops") === hop - 1)
-      val next = frontier
-        .join(sym, frontier("id") === sym("src"))
+      val next = layer
+        .join(sym, layer("id") === sym("src"))
         .groupBy(col("seed"), sym("dst").as("id"))
         .agg(sum("sigma").as("sigma"))
         .join(visited, Seq("seed", "id"), "left_anti")
         .withColumn("hops", lit(hop))
         .select("seed", "id", "hops", "sigma")
-      val grown = visited.union(next).localCheckpoint(eager = false)
-      grown.count()
-      LineageCut.release(visited)
-      visited = grown
+        .localCheckpoint(eager = false)
+      layerCount = next.count()
+      if (layerCount > 0) {
+        layers ::= next
+        visited = visited.union(next.select(col("seed"), col("id")))
+      } else {
+        LineageCut.release(next) // terminal empty layer — not in the result
+      }
+      layer = next
     }
     LineageCut.release(sym)
-    visited
+    layers.reduce(_ union _)
   }
 
   /** Harmonic centrality of every vertex with respect to a seed set

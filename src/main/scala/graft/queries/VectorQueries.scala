@@ -315,12 +315,19 @@ object VectorQueries {
       val top = comp.groupBy("component").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("component")).limit(1).head()
       val (root, nv) = (top.getLong(0), top.getLong(1))
-      val b1 = graft.graph.Traversals.bfsHops(e, Seq(root).toDF("id"),
+      // symmetrize + checkpoint the simple edge view ONCE for both
+      // sweeps (round 15) — the second BFS walks the same graph, so
+      // re-deriving the adjacency per sweep was a full extra
+      // shuffle+materialization of the edge set
+      val sym = graft.graph.Traversals.symmetrize(e)
+        .localCheckpoint(eager = false)
+      val b1 = graft.graph.Traversals.bfsHopsSym(sym, Seq(root).toDF("id"),
         maxHops = DiamMaxHops)
       val far1 = b1.orderBy(col("hops").desc, col("id")).limit(1).head()
       val (farId, eccStart) = (far1.getLong(0), far1.getInt(1))
-      val b2 = graft.graph.Traversals.bfsHops(e, Seq(farId).toDF("id"),
+      val b2 = graft.graph.Traversals.bfsHopsSym(sym, Seq(farId).toDF("id"),
         maxHops = DiamMaxHops)
+      graft.core.LineageCut.release(sym)
       b2.agg(max("hops").as("diameter_lb"))
         .select(lit(root).as("component"), lit(nv).as("n_vertices"),
           lit(eccStart).as("ecc_start"), lit(farId).as("far_id"),

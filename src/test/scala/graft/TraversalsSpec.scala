@@ -101,14 +101,22 @@ class TraversalsSpec extends GraftSuite {
     assert(seeds == Set(1L, 5L))
   }
 
-  test("per-round checkpoints are released eagerly") {
+  test("live checkpoints are exactly the result's layers, nothing superseded") {
     val sc = spark.sparkContext
     val before = sc.getPersistentRDDs.keySet
     val got = hops((0L until 40L).map(i => (i, i + 1)), Seq(0L), maxHops = 64)
     assert(got.size == 41 && got(40L) == 40)
     val leaked = sc.getPersistentRDDs.keySet -- before
-    // only the final visited set (which backs the result) may live
-    assert(leaked.size <= 1, s"per-round checkpoints leaked: $leaked")
+    // Layered form (round 15): each BFS level is checkpointed ONCE and
+    // backs the result directly — total checkpoint bytes are O(V), not
+    // the old form's O(V·diameter) of superseded cumulative snapshots.
+    // What may live afterwards is exactly one checkpoint per level of
+    // the result (41 here); the symmetrized edge view and the terminal
+    // empty layer must have been released.
+    val levels = got.values.max + 1
+    assert(leaked.size <= levels,
+      s"more live checkpoints (${leaked.size}) than result levels " +
+        s"($levels) — a superseded or terminal frame leaked: $leaked")
   }
 
   test("triangles of K4 plus a pendant edge") {
