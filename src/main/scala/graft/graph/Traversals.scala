@@ -461,7 +461,12 @@ object Traversals {
     * with eager release. Returns (id, label).
     */
   def labelPropagation(edges: DataFrame, iters: Int = 3): DataFrame = {
-    val sym = symmetrize(edges).localCheckpoint(eager = false)
+    // STATIONARY src-keyed adjacency (round 15, as in [[pageRank]]):
+    // each round's neighbor-label delivery join reads the edge set in
+    // place — only the O(|V|) label vector is exchanged per round, and
+    // the initial vertex extraction below runs inside the same src
+    // exchange that built the table.
+    val sym = symmetrizeStationary(edges)
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("lab", col("id"))
       .localCheckpoint(eager = false)
@@ -500,15 +505,22 @@ object Traversals {
     *         peel, with their degree in the surviving subgraph.
     */
   def kCore(edges: DataFrame, k: Int, rounds: Int = 6): DataFrame = {
-    var e = symmetrize(edges).localCheckpoint(eager = false)
+    // STATIONARY src-keyed start (round 15): round 1's degree count and
+    // src semi-join run with no edge-set exchange. Later rounds read
+    // plain per-round checkpoints (re-partitioning the shrinking edge
+    // set every round would cost the exchange it saves); the dst
+    // semi-join runs BEFORE the src one so that at scale — where both
+    // plan as shuffle joins — the round's output lands hash(src)-
+    // partitioned for the next degree count.
+    var e = symmetrizeStationary(edges)
     e.count()
     var r = 0
     while (r < rounds) {
       val keep = e.groupBy("src").agg(count(lit(1)).as("dg"))
         .where(col("dg") >= k).select(col("src").as("id"))
       val next = e
-        .join(keep.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
         .join(keep.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
+        .join(keep.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
         .select(col("src"), col("dst"))
         .localCheckpoint(eager = false)
       next.count()
@@ -730,7 +742,12 @@ object Traversals {
     *         max-normalized double (callers round for gates).
     */
   def eigenCentrality(edges: DataFrame, iters: Int = 3): DataFrame = {
-    val sym = symmetrize(edges).localCheckpoint(eager = false)
+    // STATIONARY src-keyed adjacency (round 15): each round's x-delivery
+    // join reads the edge set in place — only the O(|V|) walk-count
+    // vector moves; the message groupBy(dst) is the round's one
+    // inherent exchange. The start vector's distinct also runs inside
+    // the build exchange.
+    val sym = symmetrizeStationary(edges)
     var x = sym.select(col("src").as("id")).distinct()
       .withColumn("w", lit(1L))
     var it = 0
@@ -823,22 +840,29 @@ object Traversals {
     *         exact, scores max-normalized doubles (callers round).
     */
   def hits(edges: DataFrame, iters: Int = 2): DataFrame = {
-    val e = edges
+    // Round 15: the alternating rounds join the edge list on src (a-step)
+    // and on dst (h-step), so TWO stationary copies are kept — one per
+    // key — each built with a single exchange; every round then reads
+    // the edge set in place and exchanges only the O(|V|) walk vectors.
+    // eDst is derived from the materialized eSrc, not from the source,
+    // so the base projection runs once. The vertex table is stationary
+    // id-keyed for the per-round left joins re-adding sink/source
+    // vertices.
+    val eSrc = stationaryByKey(edges
       .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
-      .where(col("src") =!= col("dst"))
-      .localCheckpoint(eager = false)
-    val verts = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id"))).distinct()
-      .localCheckpoint(eager = false)
+      .where(col("src") =!= col("dst")), "src")
+    val eDst = stationaryByKey(eSrc, "dst")
+    val verts = stationaryByKey(eSrc.select(col("src").as("id"))
+      .union(eSrc.select(col("dst").as("id"))).distinct(), "id")
     var h = verts.withColumn("hw", lit(1L))
     var a = verts.withColumn("aw", lit(0L))
     var it = 0
     while (it < iters) {
-      val ain = e.join(h.withColumnRenamed("id", "src"), "src")
+      val ain = eSrc.join(h.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id")).agg(sum("hw").as("w"))
       a = verts.join(ain, Seq("id"), "left")
         .select(col("id"), coalesce(col("w"), lit(0L)).as("aw"))
-      val hout = e.join(a.withColumnRenamed("id", "dst"), "dst")
+      val hout = eDst.join(a.withColumnRenamed("id", "dst"), "dst")
         .groupBy(col("src").as("id")).agg(sum("aw").as("w"))
       h = verts.join(hout, Seq("id"), "left")
         .select(col("id"), coalesce(col("w"), lit(0L)).as("hw"))

@@ -71,7 +71,11 @@ class ShuffleBudgetSpec extends GraftSuite {
     // near-linear — a blown budget here means the degree orientation
     // broke); pagerank 370,864 (one stationary contribution-edge
     // exchange + 5 rank-vector-only rounds, down from 645,479);
-    // lpa_communities 479,119; kcore 218,831; span_dedup 407,827
+    // lpa_communities 355,191 (round 15: stationary src-keyed adjacency
+    // — rounds exchange only the label vector, down from 479,119);
+    // kcore 231,125 (round 15: stationary start — round 1's degree
+    // count and src semi-join run in place; the build exchange replaces
+    // the old distinct's, +5% locally, was 218,831); span_dedup 407,827
     // (5-gram inventory groupBy + keyed mark join); tfidf_topk 297,221.
     // span_strip is NOT pinned: its work is a projection count()
     // prunes away.
@@ -155,7 +159,9 @@ class ShuffleBudgetSpec extends GraftSuite {
     // round-9 continuation pins — measured: winnow_pairs 687,973 (the
     // fingerprint inverted-index join + pair groupBy; a blown budget
     // means winnowing stopped sampling and the join sees all shingles);
-    // modularity 515,135 (LPA rounds + the two label joins);
+    // modularity 482,022 (round 15: LPA rounds + the two label joins;
+    // the symmetrized view's three src-keyed consumers now share ONE
+    // pinned-count exchange via ReusedExchange, was 515,135);
     // containment_pairs 232,264 (A-prefix × full-index candidate join +
     // merge-intersect verify, measured with the shared shingle-set memo
     // warm); skipgram_pairs 18,222 (map-side-combined pair groupBy +
@@ -319,9 +325,11 @@ class ShuffleBudgetSpec extends GraftSuite {
     // dedup_rate 448 (the label join over the memoized components +
     // the tiny-key source agg)
     "dedup_rate" -> (140L, 700L),
-    // eigencentrality 186,719 (3 integer walk-count rounds — one
-    // edge-keyed join + map-side-combined sum each — over the memoized
-    // ε-edge checkpoint; the max normalizer is a 1-row broadcast);
+    // eigencentrality 185,338 (round 15: 3 integer walk-count rounds —
+    // one edge-keyed join + map-side-combined sum each — over the now
+    // STATIONARY src-keyed adjacency (byte-flat locally where AQE
+    // already broadcast the walk vector; at scale the edge set stops
+    // moving per round); the max normalizer is a 1-row broadcast);
     // ndcg_eval 35,829 (filtered postings groupBy + the two k-bounded
     // top-k aggs — a blown budget means the partial top-k regressed to a
     // full per-term sort); phrase_match 215 (three filtered positional
@@ -456,13 +464,17 @@ class ShuffleBudgetSpec extends GraftSuite {
     "kcenter_coreset" -> (70L, 1100L),
     "mix_temperature" -> (160L, 750L),
     "group_quantiles" -> (150L, 710L),
-    // hits_scores 24,824 (2 rounds × two edge-keyed joins + two
-    // map-side-combined sums over the memoized ε-edges; the max
-    // normalizers are a 1-row broadcast — a blown budget means a
-    // vertex-keyed left join started exchanging the edge list);
+    // hits_scores 63,330 (round 15: the src- and dst-keyed STATIONARY
+    // edge copies and the id-keyed vertex table are each built with one
+    // up-front exchange — that build IS most of this budget; the
+    // 2 rounds' joins then read the edge set in place and exchange only
+    // the O(|V|) walk vectors. At scale this trades 2·iters per-round
+    // edge shuffles for 2 builds; locally it reads as +38 KB over the
+    // old AQE-broadcast rounds. A blown budget means a round started
+    // exchanging an edge copy again);
     // k_anon_audit 279 (≤|QI-domain|-key groupBy + 5-key rollup);
     // kendall_tau 435 (one source agg; the 190-pair join broadcasts)
-    "hits_scores" -> (8000L, 38000L),
+    "hits_scores" -> (21000L, 95000L),
     "k_anon_audit" -> (90L, 450L),
     "kendall_tau" -> (140L, 660L),
     // equidepth_hist 1,799 (boundary agg partials + final (group,
