@@ -24,62 +24,6 @@ object Traversals {
     e.union(e.select(col("dst").as("src"), col("src").as("dst"))).distinct()
   }
 
-  /** Run `f` with AQE disabled at PLAN-COMPILE time. A lazily
-    * checkpointed Dataset records its physical plan's outputPartitioning
-    * and outputOrdering on the LogicalRDD it becomes — but under AQE the
-    * top plan node is an unexecuted AdaptiveSparkPlanExec, which reports
-    * UnknownPartitioning, so the checkpoint FORGETS how it is partitioned
-    * and every later join/aggregation on the key re-shuffles it
-    * (measured: tools/ProbeStationary (g)/(h) — AQE-off checkpoint keeps
-    * hashpartitioning and a downstream groupBy runs with zero Exchange).
-    * Only the frames created inside `f` compile without AQE; queries
-    * that READ them still run fully adaptive. */
-  private def withAqeOff[T](spark: org.apache.spark.sql.SparkSession)(f: => T): T = {
-    val key = "spark.sql.adaptive.enabled"
-    val prev = spark.conf.get(key)
-    spark.conf.set(key, "false")
-    try f finally spark.conf.set(key, prev)
-  }
-
-  /** STATIONARY-side checkpoint (round 15, guide §2.4 "two operations
-    * keyed the same way share one exchange"): lazily checkpoint `df`
-    * hash-partitioned by `key` on the session's shuffle-partition count
-    * and sorted by `key` within partitions, with the partitioning and
-    * ordering PRESERVED on the LogicalRDD (see [[withAqeOff]]). A
-    * fixpoint's per-round join or aggregation keyed by `key` then reads
-    * this side in place — only the frontier / rank vector is exchanged
-    * each round, never the edge set. The partition count comes from
-    * `spark.sql.shuffle.partitions`, the cluster-level scale knob, not a
-    * local constant. */
-  private[graft] def stationaryByKey(df: DataFrame, key: String): DataFrame = {
-    val spark = df.sparkSession
-    val n = spark.sessionState.conf.numShufflePartitions
-    withAqeOff(spark) {
-      df.repartition(n, col(key)).sortWithinPartitions(key)
-        .localCheckpoint(eager = false)
-    }
-  }
-
-  /** [[symmetrize]] checkpointed as a STATIONARY src-keyed table: the
-    * dedup runs inside the same src-keyed exchange that partitions it
-    * (hashpartitioning(src) clusters (src, dst), so dropDuplicates adds
-    * no second shuffle — ProbeStationary (e)), one full-edge-set shuffle
-    * total, after which frontier fixpoints never move the adjacency
-    * again. */
-  private[graft] def symmetrizeStationary(edges: DataFrame): DataFrame = {
-    val e = edges
-      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
-      .where(col("src") =!= col("dst"))
-    val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
-    val spark = edges.sparkSession
-    val n = spark.sessionState.conf.numShufflePartitions
-    withAqeOff(spark) {
-      sym.repartition(n, col("src")).dropDuplicates("src", "dst")
-        .sortWithinPartitions("src")
-        .localCheckpoint(eager = false)
-    }
-  }
-
   /** Seed set for [[bfsHops]]: vertices that are a local minimum of the
     * undirected graph (every neighbor id is larger). Each component's
     * global minimum always qualifies, so every vertex is within finite
@@ -109,7 +53,7 @@ object Traversals {
     *         `hops` is Int. Sources themselves report 0.
     */
   def bfsHops(edges: DataFrame, sources: DataFrame, maxHops: Int = 32): DataFrame = {
-    val sym = symmetrizeStationary(edges)
+    val sym = symmetrize(edges).localCheckpoint(eager = false)
     val out = bfsHopsSym(sym, sources, maxHops)
     LineageCut.release(sym)
     out
@@ -127,35 +71,26 @@ object Traversals {
       .localCheckpoint(eager = false)
     var layerCount = layer.count()
     var layers = List(layer)
-    var prev: DataFrame = null // layer k−1 (null on the first round)
+    var visited = layer.select(col("id"))
     var hop = 0
     while (layerCount > 0 && hop < maxHops) {
       hop += 1
-      // BFS level property: a neighbor of a layer-k vertex has distance
-      // in {k−1, k, k+1}, so the only already-visited ids the candidate
-      // set can contain live in layers k−1 and k — the anti-join needs
-      // exactly TWO materialized frames, not the whole history (the
-      // whole-history union made per-round plan size and analyzer cost
-      // grow with the round number: harmonic_centrality regressed
-      // 3.9 → 4.8 s under it, measured round 15).
-      val seen = if (prev == null) layer.select(col("id"))
-        else prev.select(col("id")).union(layer.select(col("id")))
       val next = layer
         .join(sym, layer("id") === sym("src"))
         .select(sym("dst").as("id"))
         .distinct()
-        .join(seen, Seq("id"), "left_anti")
+        .join(visited, Seq("id"), "left_anti")
         .withColumn("hops", lit(hop))
         .localCheckpoint(eager = false)
       layerCount = next.count() // materializes ONLY the new layer
       if (layerCount > 0) {
         layers ::= next
+        visited = visited.union(next.select(col("id")))
       } else {
         // the terminal empty layer is not part of the result — release
         // its (empty) checkpoint instead of stranding it until GC
         LineageCut.release(next)
       }
-      prev = layer
       layer = next
     }
     layers.reduce(_ union _)
@@ -173,11 +108,11 @@ object Traversals {
     */
   def seededHops(edges: DataFrame, seeds: DataFrame,
                  maxHops: Int = 32): DataFrame = {
-    val sym = symmetrizeStationary(edges)
+    val sym = symmetrize(edges).localCheckpoint(eager = false)
 
     // layered form (round 15, as in [[bfsHopsSym]]): checkpoint + count
-    // only each round's new (seed, id) layer; the per-seed BFS level
-    // property bounds the anti-join to layers k−1 and k (see bfsHopsSym)
+    // only each round's new (seed, id) layer; the visited set for the
+    // anti-join is the union of the materialized layers
     var layer = seeds.select(col("id").cast("long").as("seed"))
       .distinct()
       .withColumn("id", col("seed"))
@@ -185,27 +120,24 @@ object Traversals {
       .localCheckpoint(eager = false)
     var layerCount = layer.count()
     var layers = List(layer)
-    var prev: DataFrame = null
+    var visited = layer.select(col("seed"), col("id"))
     var hop = 0
     while (layerCount > 0 && hop < maxHops) {
       hop += 1
-      val seen = if (prev == null) layer.select(col("seed"), col("id"))
-        else prev.select(col("seed"), col("id"))
-          .union(layer.select(col("seed"), col("id")))
       val next = layer
         .join(sym, layer("id") === sym("src"))
         .select(col("seed"), sym("dst").as("id"))
         .distinct()
-        .join(seen, Seq("seed", "id"), "left_anti")
+        .join(visited, Seq("seed", "id"), "left_anti")
         .withColumn("hops", lit(hop))
         .localCheckpoint(eager = false)
       layerCount = next.count()
       if (layerCount > 0) {
         layers ::= next
+        visited = visited.union(next.select(col("seed"), col("id")))
       } else {
         LineageCut.release(next) // terminal empty layer — not in the result
       }
-      prev = layer
       layer = next
     }
     LineageCut.release(sym)
@@ -228,13 +160,11 @@ object Traversals {
     */
   def seededSigma(edges: DataFrame, seeds: DataFrame,
                   maxHops: Int): DataFrame = {
-    val sym = symmetrizeStationary(edges)
+    val sym = symmetrize(edges).localCheckpoint(eager = false)
     // layered form (round 15, as in [[bfsHopsSym]]): checkpoint + count
     // only each round's new σ layer, and stop early once a layer comes
     // back empty — σ_sv sums only over the previous BFS layer, so the
-    // per-layer recursion is unchanged by the restructuring; the
-    // per-seed BFS level property bounds the anti-join to layers k−1
-    // and k exactly as in bfsHopsSym
+    // per-layer recursion is unchanged by the restructuring
     var layer = seeds.select(col("id").cast("long").as("seed"))
       .distinct()
       .withColumn("id", col("seed"))
@@ -243,28 +173,25 @@ object Traversals {
       .localCheckpoint(eager = false)
     var layerCount = layer.count()
     var layers = List(layer)
-    var prev: DataFrame = null
+    var visited = layer.select(col("seed"), col("id"))
     var hop = 0
     while (layerCount > 0 && hop < maxHops) {
       hop += 1
-      val seen = if (prev == null) layer.select(col("seed"), col("id"))
-        else prev.select(col("seed"), col("id"))
-          .union(layer.select(col("seed"), col("id")))
       val next = layer
         .join(sym, layer("id") === sym("src"))
         .groupBy(col("seed"), sym("dst").as("id"))
         .agg(sum("sigma").as("sigma"))
-        .join(seen, Seq("seed", "id"), "left_anti")
+        .join(visited, Seq("seed", "id"), "left_anti")
         .withColumn("hops", lit(hop))
         .select("seed", "id", "hops", "sigma")
         .localCheckpoint(eager = false)
       layerCount = next.count()
       if (layerCount > 0) {
         layers ::= next
+        visited = visited.union(next.select(col("seed"), col("id")))
       } else {
         LineageCut.release(next) // terminal empty layer — not in the result
       }
-      prev = layer
       layer = next
     }
     LineageCut.release(sym)
@@ -314,42 +241,35 @@ object Traversals {
       .where(col("src") =!= col("dst"))
       .distinct()
       .localCheckpoint(eager = false)
-    val outdeg = ce.groupBy("src").agg(count(lit(1)).cast("double").as("c"))
-    // Round 15 (guide §2.4): the vertex table is STATIONARY id-keyed and
-    // carries the dangling flag as a COLUMN (vertices with no out-edge
-    // leak their mass to everyone) — the per-round dangling mass becomes
-    // a filter+sum over the rank vector instead of a per-round semi-join
-    // against a second table, and the per-round left join re-adding
-    // contribution-less vertices reads verts in place.
-    val verts = stationaryByKey(
-      ce.select(col("src").as("id")).union(ce.select(col("dst").as("id")))
-        .distinct()
-        .join(outdeg.select(col("src").as("id"), lit(true).as("has_out")),
-          Seq("id"), "left")
-        .select(col("id"), coalesce(col("has_out"), lit(false)).as("has_out")),
-      "id")
+    val verts = ce.select(col("src").as("id"))
+      .union(ce.select(col("dst").as("id"))).distinct()
+      .localCheckpoint(eager = false)
     val n = verts.count() // materializes ce + verts
-    if (n == 0) return verts.select(col("id")).withColumn("pr", lit(0.0))
+    if (n == 0) return verts.withColumn("pr", lit(0.0))
 
-    // STATIONARY src-keyed contribution edges: each round's rank join
-    // exchanges only the rank vector; the edge set never moves again.
-    val contribEdges = stationaryByKey(ce.join(outdeg, "src"), "src")
-    contribEdges.count() // materialized before its parent is dropped
+    val outdeg = ce.groupBy("src").agg(count(lit(1)).cast("double").as("c"))
+    val contribEdges = ce.join(outdeg, "src").localCheckpoint(eager = false)
+    // vertices with no out-edge leak their mass to everyone
+    val dangling = verts
+      .join(outdeg.select(col("src").as("id")), Seq("id"), "left_anti")
+      .localCheckpoint(eager = false)
+    contribEdges.count()
+    dangling.count() // both materialized before their parent is dropped
     LineageCut.release(ce)
 
     var ranks = verts.withColumn("pr", lit(1.0 / n))
       .localCheckpoint(eager = false)
     var it = 0
     while (it < iters) {
-      val dang = ranks.where(!col("has_out"))
+      val dang = ranks.join(dangling, Seq("id"), "left_semi")
         .agg(coalesce(sum("pr"), lit(0.0)).as("dm"))
       val contrib = contribEdges
-        .join(ranks.select(col("id").as("src"), col("pr")), "src")
+        .join(ranks.withColumnRenamed("id", "src"), "src")
         .select(col("dst").as("id"), (col("pr") / col("c")).as("w"))
         .groupBy("id").agg(sum("w").as("contrib"))
       val next = verts.join(contrib, Seq("id"), "left")
         .crossJoin(broadcast(dang))
-        .select(col("id"), col("has_out"),
+        .select(col("id"),
           (lit((1.0 - damping) / n) + lit(damping) *
             (coalesce(col("contrib"), lit(0.0)) + col("dm") / n)).as("pr"))
         .localCheckpoint(eager = false)
@@ -359,11 +279,12 @@ object Traversals {
       it += 1
     }
     LineageCut.release(contribEdges)
+    LineageCut.release(dangling)
     // the final ranks checkpoint was materialized by the last round's
     // count, so its verts parent is releasable — but only if a round
     // actually ran (at iters=0 the returned frame still reads verts)
     if (iters > 0) LineageCut.release(verts)
-    ranks.select(col("id"), col("pr"))
+    ranks
   }
 
   /** Personalized PageRank / random walk with restart (Jeh & Widom
@@ -389,49 +310,45 @@ object Traversals {
       .where(col("src") =!= col("dst"))
       .distinct()
       .localCheckpoint(eager = false)
-    val outdeg = ce.groupBy("src").agg(count(lit(1)).cast("double").as("c"))
-    // STATIONARY id-keyed vertex table carrying BOTH flags (round 15, as
-    // in [[pageRank]]): seed membership and the dangling flag ride the
-    // rank vector, so a round needs no semi-join and the left join back
-    // reads sflag in place.
-    val sflag = stationaryByKey(
-      ce.select(col("src").as("id")).union(ce.select(col("dst").as("id")))
-        .distinct()
-        .join(seeds.select(col("id").cast("long").as("id")).distinct()
-          .withColumn("s", lit(1)), Seq("id"), "left")
-        .join(outdeg.select(col("src").as("id"), lit(true).as("has_out")),
-          Seq("id"), "left")
-        .select(col("id"), coalesce(col("s"), lit(0)).as("s"),
-          coalesce(col("has_out"), lit(false)).as("has_out")),
-      "id")
+    val verts = ce.select(col("src").as("id"))
+      .union(ce.select(col("dst").as("id"))).distinct()
+    val sflag = verts
+      .join(seeds.select(col("id").cast("long").as("id")).distinct()
+        .withColumn("s", lit(1)), Seq("id"), "left")
+      .select(col("id"), coalesce(col("s"), lit(0)).as("s"))
+      .localCheckpoint(eager = false)
     val ns = sflag.where(col("s") === 1).count() // materializes ce + sflag
     if (ns == 0) {
       LineageCut.release(ce)
       return sflag.select(col("id"), lit(0.0).as("pr"))
     }
 
-    // STATIONARY src-keyed contribution edges, as in [[pageRank]].
-    val contribEdges = stationaryByKey(ce.join(outdeg, "src"), "src")
+    val outdeg = ce.groupBy("src").agg(count(lit(1)).cast("double").as("c"))
+    val contribEdges = ce.join(outdeg, "src").localCheckpoint(eager = false)
+    val dangling = sflag.select("id")
+      .join(outdeg.select(col("src").as("id")), Seq("id"), "left_anti")
+      .localCheckpoint(eager = false)
     contribEdges.count()
+    dangling.count()
     LineageCut.release(ce)
 
     val base = when(col("s") === 1, lit((1.0 - damping) / ns))
       .otherwise(lit(0.0))
     var ranks = sflag
-      .select(col("id"), col("s"), col("has_out"),
+      .select(col("id"),
         when(col("s") === 1, lit(1.0 / ns)).otherwise(lit(0.0)).as("pr"))
       .localCheckpoint(eager = false)
     var it = 0
     while (it < iters) {
-      val dang = ranks.where(!col("has_out"))
+      val dang = ranks.join(dangling, Seq("id"), "left_semi")
         .agg(coalesce(sum("pr"), lit(0.0)).as("dm"))
       val contrib = contribEdges
-        .join(ranks.select(col("id").as("src"), col("pr")), "src")
+        .join(ranks.withColumnRenamed("id", "src"), "src")
         .select(col("dst").as("id"), (col("pr") / col("c")).as("w"))
         .groupBy("id").agg(sum("w").as("contrib"))
       val next = sflag.join(contrib, Seq("id"), "left")
         .crossJoin(broadcast(dang))
-        .select(col("id"), col("s"), col("has_out"),
+        .select(col("id"),
           (base + lit(damping) * (coalesce(col("contrib"), lit(0.0)) +
             when(col("s") === 1, col("dm") / ns).otherwise(lit(0.0))))
             .as("pr"))
@@ -442,8 +359,9 @@ object Traversals {
       it += 1
     }
     LineageCut.release(contribEdges)
+    LineageCut.release(dangling)
     if (iters > 0) LineageCut.release(sflag)
-    ranks.select(col("id"), col("pr"))
+    ranks
   }
 
   /** Synchronous label propagation (Raghavan et al. 2007), the
@@ -461,12 +379,7 @@ object Traversals {
     * with eager release. Returns (id, label).
     */
   def labelPropagation(edges: DataFrame, iters: Int = 3): DataFrame = {
-    // STATIONARY src-keyed adjacency (round 15, as in [[pageRank]]):
-    // each round's neighbor-label delivery join reads the edge set in
-    // place — only the O(|V|) label vector is exchanged per round, and
-    // the initial vertex extraction below runs inside the same src
-    // exchange that built the table.
-    val sym = symmetrizeStationary(edges)
+    val sym = symmetrize(edges).localCheckpoint(eager = false)
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("lab", col("id"))
       .localCheckpoint(eager = false)
@@ -505,22 +418,15 @@ object Traversals {
     *         peel, with their degree in the surviving subgraph.
     */
   def kCore(edges: DataFrame, k: Int, rounds: Int = 6): DataFrame = {
-    // STATIONARY src-keyed start (round 15): round 1's degree count and
-    // src semi-join run with no edge-set exchange. Later rounds read
-    // plain per-round checkpoints (re-partitioning the shrinking edge
-    // set every round would cost the exchange it saves); the dst
-    // semi-join runs BEFORE the src one so that at scale — where both
-    // plan as shuffle joins — the round's output lands hash(src)-
-    // partitioned for the next degree count.
-    var e = symmetrizeStationary(edges)
+    var e = symmetrize(edges).localCheckpoint(eager = false)
     e.count()
     var r = 0
     while (r < rounds) {
       val keep = e.groupBy("src").agg(count(lit(1)).as("dg"))
         .where(col("dg") >= k).select(col("src").as("id"))
       val next = e
-        .join(keep.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
         .join(keep.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
+        .join(keep.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
         .select(col("src"), col("dst"))
         .localCheckpoint(eager = false)
       next.count()
@@ -742,12 +648,7 @@ object Traversals {
     *         max-normalized double (callers round for gates).
     */
   def eigenCentrality(edges: DataFrame, iters: Int = 3): DataFrame = {
-    // STATIONARY src-keyed adjacency (round 15): each round's x-delivery
-    // join reads the edge set in place — only the O(|V|) walk-count
-    // vector moves; the message groupBy(dst) is the round's one
-    // inherent exchange. The start vector's distinct also runs inside
-    // the build exchange.
-    val sym = symmetrizeStationary(edges)
+    val sym = symmetrize(edges).localCheckpoint(eager = false)
     var x = sym.select(col("src").as("id")).distinct()
       .withColumn("w", lit(1L))
     var it = 0
@@ -840,29 +741,22 @@ object Traversals {
     *         exact, scores max-normalized doubles (callers round).
     */
   def hits(edges: DataFrame, iters: Int = 2): DataFrame = {
-    // Round 15: the alternating rounds join the edge list on src (a-step)
-    // and on dst (h-step), so TWO stationary copies are kept — one per
-    // key — each built with a single exchange; every round then reads
-    // the edge set in place and exchanges only the O(|V|) walk vectors.
-    // eDst is derived from the materialized eSrc, not from the source,
-    // so the base projection runs once. The vertex table is stationary
-    // id-keyed for the per-round left joins re-adding sink/source
-    // vertices.
-    val eSrc = stationaryByKey(edges
+    val e = edges
       .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
-      .where(col("src") =!= col("dst")), "src")
-    val eDst = stationaryByKey(eSrc, "dst")
-    val verts = stationaryByKey(eSrc.select(col("src").as("id"))
-      .union(eSrc.select(col("dst").as("id"))).distinct(), "id")
+      .where(col("src") =!= col("dst"))
+      .localCheckpoint(eager = false)
+    val verts = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+      .localCheckpoint(eager = false)
     var h = verts.withColumn("hw", lit(1L))
     var a = verts.withColumn("aw", lit(0L))
     var it = 0
     while (it < iters) {
-      val ain = eSrc.join(h.withColumnRenamed("id", "src"), "src")
+      val ain = e.join(h.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id")).agg(sum("hw").as("w"))
       a = verts.join(ain, Seq("id"), "left")
         .select(col("id"), coalesce(col("w"), lit(0L)).as("aw"))
-      val hout = eDst.join(a.withColumnRenamed("id", "dst"), "dst")
+      val hout = e.join(a.withColumnRenamed("id", "dst"), "dst")
         .groupBy(col("src").as("id")).agg(sum("aw").as("w"))
       h = verts.join(hout, Seq("id"), "left")
         .select(col("id"), coalesce(col("w"), lit(0L)).as("hw"))

@@ -1083,15 +1083,7 @@ object ClusterQueries {
     // edge list; every shuffle keyed, the global edge count a 1-row
     // broadcast.
     "modularity" -> ((s, dir) => {
-      // Round 15 (guide §2.4): the symmetrized edge view feeds THREE
-      // src-keyed consumers (the global count, the intra join, the
-      // degree groupBy). One explicit src exchange with a pinned
-      // partition count makes the three subtrees canonically identical,
-      // so the planner emits ONE Exchange + two ReusedExchange reads
-      // and the degree groupBy needs no exchange of its own.
-      val nsp = s.sessionState.conf.numShufflePartitions
       val sym = Traversals.symmetrize(epsEdges(s, dir))
-        .repartition(nsp, col("src"))
       val lab = sharedLpa(s, dir).select(col("id"), col("label"))
       val m2df = sym.agg(count(lit(1)).as("two_m"))
       val intra = sym

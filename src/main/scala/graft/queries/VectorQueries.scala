@@ -318,10 +318,9 @@ object VectorQueries {
       // symmetrize + checkpoint the simple edge view ONCE for both
       // sweeps (round 15) — the second BFS walks the same graph, so
       // re-deriving the adjacency per sweep was a full extra
-      // shuffle+materialization of the edge set; STATIONARY src-keyed
-      // (batch 2) so every BFS round of both sweeps reads the adjacency
-      // in place and exchanges only the frontier
-      val sym = graft.graph.Traversals.symmetrizeStationary(e)
+      // shuffle+materialization of the edge set
+      val sym = graft.graph.Traversals.symmetrize(e)
+        .localCheckpoint(eager = false)
       val b1 = graft.graph.Traversals.bfsHopsSym(sym, Seq(root).toDF("id"),
         maxHops = DiamMaxHops)
       val far1 = b1.orderBy(col("hops").desc, col("id")).limit(1).head()

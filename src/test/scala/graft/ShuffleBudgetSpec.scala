@@ -64,24 +64,16 @@ class ShuffleBudgetSpec extends GraftSuite {
     "ann_ivf_clustered" -> (4500L, 21000L),
     "bm25_adhoc" -> (11000L, 52000L),
     // round-9 pins (tools/ShuffleMeasure, same session shape) —
-    // re-measured round 15 after the stationary-side batch: bfs_hops
-    // 167,128 (one symmetrize exchange + per-round layer joins — the
-    // two-layer anti-join and the stationary adjacency cut the old
-    // 529,644 to a third); triangles 38,945 (wedge join stays
-    // near-linear — a blown budget here means the degree orientation
-    // broke); pagerank 370,864 (one stationary contribution-edge
-    // exchange + 5 rank-vector-only rounds, down from 645,479);
-    // lpa_communities 355,191 (round 15: stationary src-keyed adjacency
-    // — rounds exchange only the label vector, down from 479,119);
-    // kcore 231,125 (round 15: stationary start — round 1's degree
-    // count and src semi-join run in place; the build exchange replaces
-    // the old distinct's, +5% locally, was 218,831); span_dedup 407,827
-    // (5-gram inventory groupBy + keyed mark join); tfidf_topk 297,221.
-    // span_strip is NOT pinned: its work is a projection count()
-    // prunes away.
-    "bfs_hops" -> (55000L, 250000L),
+    // measured: bfs_hops 529,644 (per-round frontier join + anti-join);
+    // triangles 38,945 (wedge join stays near-linear — a blown budget
+    // here means the degree orientation broke); pagerank 645,479
+    // (5 rounds × contribution join); lpa_communities 479,119;
+    // kcore 218,831; span_dedup 407,827 (5-gram inventory groupBy +
+    // keyed mark join); tfidf_topk 297,221. span_strip is NOT pinned:
+    // its work is a projection count() prunes away.
+    "bfs_hops" -> (175000L, 800000L),
     "triangles" -> (13000L, 59000L),
-    "pagerank" -> (123000L, 560000L),
+    "pagerank" -> (215000L, 970000L),
     "lpa_communities" -> (160000L, 720000L),
     "kcore" -> (73000L, 330000L),
     "span_dedup" -> (135000L, 615000L),
@@ -159,9 +151,7 @@ class ShuffleBudgetSpec extends GraftSuite {
     // round-9 continuation pins — measured: winnow_pairs 687,973 (the
     // fingerprint inverted-index join + pair groupBy; a blown budget
     // means winnowing stopped sampling and the join sees all shingles);
-    // modularity 482,022 (round 15: LPA rounds + the two label joins;
-    // the symmetrized view's three src-keyed consumers now share ONE
-    // pinned-count exchange via ReusedExchange, was 515,135);
+    // modularity 515,135 (LPA rounds + the two label joins);
     // containment_pairs 232,264 (A-prefix × full-index candidate join +
     // merge-intersect verify, measured with the shared shingle-set memo
     // warm); skipgram_pairs 18,222 (map-side-combined pair groupBy +
@@ -209,11 +199,9 @@ class ShuffleBudgetSpec extends GraftSuite {
     // sum + the two 256-row bucket-count aggs; the weight table and the
     // lang attach ride as broadcasts, selection is TakeOrdered)
     "dsir_weights" -> (36000L, 170000L),
-    // ppr_scores 311,308 (round 15: one stationary contribution-edge
-    // exchange + 5 rank-vector-only rounds, same shape as pagerank;
-    // the seed and dangling flags ride the vertex table — down from
-    // 595,658 when the edge set re-shuffled per round)
-    "ppr_scores" -> (103000L, 470000L),
+    // ppr_scores 595,658 (5 rounds x contribution join over the ε-graph,
+    // same shape as pagerank; the seed flag rides the vertex table)
+    "ppr_scores" -> (195000L, 900000L),
     // bool_retrieval 13,530 (the isin-filtered postings groupBy — one
     // keyed agg, no per-term scans); quantile_norm 17,825 (source-keyed
     // rank window + PrefixScan range partition + the grank equi-join)
@@ -325,11 +313,9 @@ class ShuffleBudgetSpec extends GraftSuite {
     // dedup_rate 448 (the label join over the memoized components +
     // the tiny-key source agg)
     "dedup_rate" -> (140L, 700L),
-    // eigencentrality 185,338 (round 15: 3 integer walk-count rounds —
-    // one edge-keyed join + map-side-combined sum each — over the now
-    // STATIONARY src-keyed adjacency (byte-flat locally where AQE
-    // already broadcast the walk vector; at scale the edge set stops
-    // moving per round); the max normalizer is a 1-row broadcast);
+    // eigencentrality 186,719 (3 integer walk-count rounds — one
+    // edge-keyed join + map-side-combined sum each — over the memoized
+    // ε-edge checkpoint; the max normalizer is a 1-row broadcast);
     // ndcg_eval 35,829 (filtered postings groupBy + the two k-bounded
     // top-k aggs — a blown budget means the partial top-k regressed to a
     // full per-term sort); phrase_match 215 (three filtered positional
@@ -383,12 +369,11 @@ class ShuffleBudgetSpec extends GraftSuite {
     // join is a broadcast — a blown budget means a zone map stopped
     // combining map-side)
     "skip_stats" -> (1300L, 6200L),
-    // harmonic_centrality 139,027 (round 15: per-(seed, id) BFS state
-    // over the radius-8 fixpoint rounds — k·V bounded by the 16-seed
-    // cap and the radius bound; the stationary adjacency + two-layer
-    // anti-join cut the old 478,509 to a third. A blown budget means a
-    // cap stopped applying or a layer stopped anti-joining)
-    "harmonic_centrality" -> (46000L, 210000L),
+    // harmonic_centrality 478,509 (the per-(seed, id) BFS state over
+    // the radius-8 fixpoint rounds — k·V bounded by the 16-seed cap
+    // and the radius bound; a blown budget means a cap stopped
+    // applying or a frontier stopped anti-joining against visited)
+    "harmonic_centrality" -> (150000L, 720000L),
     // avg_precision 444 (one packed PrefixScan range partition of
     // (rank, Σpos) plus the per-(partition, group) totals); reciprocity
     // 41,700 (the distinct edge set + the reversed-edge semi-join over
@@ -464,17 +449,13 @@ class ShuffleBudgetSpec extends GraftSuite {
     "kcenter_coreset" -> (70L, 1100L),
     "mix_temperature" -> (160L, 750L),
     "group_quantiles" -> (150L, 710L),
-    // hits_scores 63,330 (round 15: the src- and dst-keyed STATIONARY
-    // edge copies and the id-keyed vertex table are each built with one
-    // up-front exchange — that build IS most of this budget; the
-    // 2 rounds' joins then read the edge set in place and exchange only
-    // the O(|V|) walk vectors. At scale this trades 2·iters per-round
-    // edge shuffles for 2 builds; locally it reads as +38 KB over the
-    // old AQE-broadcast rounds. A blown budget means a round started
-    // exchanging an edge copy again);
+    // hits_scores 24,824 (2 rounds × two edge-keyed joins + two
+    // map-side-combined sums over the memoized ε-edges; the max
+    // normalizers are a 1-row broadcast — a blown budget means a
+    // vertex-keyed left join started exchanging the edge list);
     // k_anon_audit 279 (≤|QI-domain|-key groupBy + 5-key rollup);
     // kendall_tau 435 (one source agg; the 190-pair join broadcasts)
-    "hits_scores" -> (21000L, 95000L),
+    "hits_scores" -> (8000L, 38000L),
     "k_anon_audit" -> (90L, 450L),
     "kendall_tau" -> (140L, 660L),
     // equidepth_hist 1,799 (boundary agg partials + final (group,
@@ -485,24 +466,22 @@ class ShuffleBudgetSpec extends GraftSuite {
     // triangle enumerations + edge-keyed support counts; the second
     // round runs on the peeled set — a blown budget means the
     // orientation broke or peeling stopped shrinking the input);
-    // graph_diameter 19,983 (round 15: CC rollup over the memoized
-    // near-dup components + two short frontier-BFS sweeps sharing ONE
-    // symmetrized stationary edge view — per-round volume is
+    // graph_diameter 24,783 (CC rollup over the memoized near-dup
+    // components + two short frontier-BFS sweeps — per-round volume is
     // frontier-sized, bounded by the component diameter being measured);
     // nbr_pool 23,482 (the id-keyed code join + (id, dim)-keyed sum +
     // id rollup — fan-out bounded at KnnK·dim by construction)
     "ktruss" -> (72000L, 325000L),
-    "graph_diameter" -> (6600L, 30000L),
+    "graph_diameter" -> (8000L, 38000L),
     "nbr_pool" -> (7800L, 36000L),
-    // stress_centrality 221,660 (round 15: 3 σ-BFS rounds — per-(seed,
-    // id) sum + two-layer anti-join over the stationary adjacency, all
-    // keyed — plus the id-keyed σ self-join; the seed-pair distance
-    // table broadcasts. A blown budget means the radius/seed caps
-    // stopped bounding the σ state or the middle join's fan-out);
-    // kn_counts 19,747 (unigram + bigram + the two type-count
-    // groupBys — the count tables join onto the broadcast 50-row top
-    // list, so a blowup means that direction flipped)
-    "stress_centrality" -> (74000L, 330000L),
+    // stress_centrality 312,880 (3 σ-BFS rounds — per-(seed, id) sum +
+    // anti-join, all keyed — plus the id-keyed σ self-join; the
+    // seed-pair distance table broadcasts. A blown budget means the
+    // radius/seed caps stopped bounding the σ state or the middle
+    // join's fan-out); kn_counts 19,747 (unigram + bigram + the two
+    // type-count groupBys — the count tables join onto the broadcast
+    // 50-row top list, so a blowup means that direction flipped)
+    "stress_centrality" -> (104000L, 470000L),
     "kn_counts" -> (6500L, 30000L),
     // core_distance 64,473 (ONE ε-ball-bounded rank-window exchange over
     // the memoized pair set — a blown budget means the window went
