@@ -43,8 +43,8 @@ object Traversals {
     * both materializes it and detects the fixpoint (empty layer → done).
     * The old form union-rechecked the whole visited set per round —
     * O(V·diameter) checkpoint bytes over the run — while the layers sum
-    * to O(V) exactly once; the anti-join still reads every prior layer,
-    * but reading materialized blocks is the cheap half. Every per-round
+    * to O(V) exactly once; the dedup anti-join reads only the previous
+    * TWO layers (BFS level property). Every per-round
     * shuffle is keyed by vertex id — frontier·adjacency join, distinct,
     * anti-join — so rounds scale with the frontier, not the graph, and
     * nothing collects to the driver.
@@ -71,26 +71,34 @@ object Traversals {
       .localCheckpoint(eager = false)
     var layerCount = layer.count()
     var layers = List(layer)
-    var visited = layer.select(col("id"))
+    // BFS level property (round 15): a candidate expanded from layer k−1
+    // sits at distance k−2, k−1 or k, so the dedup anti-join only needs
+    // the previous TWO layers, not the whole visited union — the
+    // per-round plan stays constant-size instead of growing with the
+    // round number (the growth was measured as a real per-round analyzer
+    // + scan cost on long-diameter graphs).
+    var prev: DataFrame = null
     var hop = 0
     while (layerCount > 0 && hop < maxHops) {
       hop += 1
+      val anti = if (prev == null) layer.select(col("id"))
+        else prev.select(col("id")).union(layer.select(col("id")))
       val next = layer
         .join(sym, layer("id") === sym("src"))
         .select(sym("dst").as("id"))
         .distinct()
-        .join(visited, Seq("id"), "left_anti")
+        .join(anti, Seq("id"), "left_anti")
         .withColumn("hops", lit(hop))
         .localCheckpoint(eager = false)
       layerCount = next.count() // materializes ONLY the new layer
       if (layerCount > 0) {
         layers ::= next
-        visited = visited.union(next.select(col("id")))
       } else {
         // the terminal empty layer is not part of the result — release
         // its (empty) checkpoint instead of stranding it until GC
         LineageCut.release(next)
       }
+      prev = layer
       layer = next
     }
     layers.reduce(_ union _)
@@ -120,24 +128,30 @@ object Traversals {
       .localCheckpoint(eager = false)
     var layerCount = layer.count()
     var layers = List(layer)
-    var visited = layer.select(col("seed"), col("id"))
+    // two-layer anti-join (round 15): per seed, the BFS level property
+    // bounds a candidate's distance to k−2..k, so only the previous two
+    // layers can collide — constant-size per-round plan (see bfsHopsSym)
+    var prev: DataFrame = null
     var hop = 0
     while (layerCount > 0 && hop < maxHops) {
       hop += 1
+      val anti = if (prev == null) layer.select(col("seed"), col("id"))
+        else prev.select(col("seed"), col("id"))
+          .union(layer.select(col("seed"), col("id")))
       val next = layer
         .join(sym, layer("id") === sym("src"))
         .select(col("seed"), sym("dst").as("id"))
         .distinct()
-        .join(visited, Seq("seed", "id"), "left_anti")
+        .join(anti, Seq("seed", "id"), "left_anti")
         .withColumn("hops", lit(hop))
         .localCheckpoint(eager = false)
       layerCount = next.count()
       if (layerCount > 0) {
         layers ::= next
-        visited = visited.union(next.select(col("seed"), col("id")))
       } else {
         LineageCut.release(next) // terminal empty layer — not in the result
       }
+      prev = layer
       layer = next
     }
     LineageCut.release(sym)
@@ -173,25 +187,30 @@ object Traversals {
       .localCheckpoint(eager = false)
     var layerCount = layer.count()
     var layers = List(layer)
-    var visited = layer.select(col("seed"), col("id"))
+    // two-layer anti-join — see seededHops; σ sums only over the previous
+    // layer, so the recursion is untouched by the narrower dedup
+    var prev: DataFrame = null
     var hop = 0
     while (layerCount > 0 && hop < maxHops) {
       hop += 1
+      val anti = if (prev == null) layer.select(col("seed"), col("id"))
+        else prev.select(col("seed"), col("id"))
+          .union(layer.select(col("seed"), col("id")))
       val next = layer
         .join(sym, layer("id") === sym("src"))
         .groupBy(col("seed"), sym("dst").as("id"))
         .agg(sum("sigma").as("sigma"))
-        .join(visited, Seq("seed", "id"), "left_anti")
+        .join(anti, Seq("seed", "id"), "left_anti")
         .withColumn("hops", lit(hop))
         .select("seed", "id", "hops", "sigma")
         .localCheckpoint(eager = false)
       layerCount = next.count()
       if (layerCount > 0) {
         layers ::= next
-        visited = visited.union(next.select(col("seed"), col("id")))
       } else {
         LineageCut.release(next) // terminal empty layer — not in the result
       }
+      prev = layer
       layer = next
     }
     LineageCut.release(sym)
@@ -249,27 +268,34 @@ object Traversals {
 
     val outdeg = ce.groupBy("src").agg(count(lit(1)).cast("double").as("c"))
     val contribEdges = ce.join(outdeg, "src").localCheckpoint(eager = false)
-    // vertices with no out-edge leak their mass to everyone
-    val dangling = verts
-      .join(outdeg.select(col("src").as("id")), Seq("id"), "left_anti")
-      .localCheckpoint(eager = false)
     contribEdges.count()
-    dangling.count() // both materialized before their parent is dropped
-    LineageCut.release(ce)
 
-    var ranks = verts.withColumn("pr", lit(1.0 / n))
+    // Round 15: the dangling flag rides ON the rank vector (ho = has an
+    // out-edge) instead of living in a separate table — the per-round
+    // dangling mass becomes a filter+sum over the vector the round reads
+    // anyway, and the per-round left join reads the previous vector (which
+    // covers every vertex) instead of a third verts table. Same
+    // arithmetic, two fewer per-round join inputs.
+    var ranks = verts
+      .join(outdeg.select(col("src").as("id"), lit(1).as("ho")),
+        Seq("id"), "left")
+      .select(col("id"), coalesce(col("ho"), lit(0)).as("ho"),
+        lit(1.0 / n).as("pr"))
       .localCheckpoint(eager = false)
+    ranks.count() // materialized while its ce-rooted lineage is still live
+    LineageCut.release(ce)
     var it = 0
     while (it < iters) {
-      val dang = ranks.join(dangling, Seq("id"), "left_semi")
+      val dang = ranks.where(col("ho") === 0)
         .agg(coalesce(sum("pr"), lit(0.0)).as("dm"))
       val contrib = contribEdges
-        .join(ranks.withColumnRenamed("id", "src"), "src")
+        .join(ranks.select(col("id").as("src"), col("pr")), "src")
         .select(col("dst").as("id"), (col("pr") / col("c")).as("w"))
         .groupBy("id").agg(sum("w").as("contrib"))
-      val next = verts.join(contrib, Seq("id"), "left")
+      val next = ranks.select(col("id"), col("ho"))
+        .join(contrib, Seq("id"), "left")
         .crossJoin(broadcast(dang))
-        .select(col("id"),
+        .select(col("id"), col("ho"),
           (lit((1.0 - damping) / n) + lit(damping) *
             (coalesce(col("contrib"), lit(0.0)) + col("dm") / n)).as("pr"))
         .localCheckpoint(eager = false)
@@ -279,12 +305,11 @@ object Traversals {
       it += 1
     }
     LineageCut.release(contribEdges)
-    LineageCut.release(dangling)
     // the final ranks checkpoint was materialized by the last round's
     // count, so its verts parent is releasable — but only if a round
     // actually ran (at iters=0 the returned frame still reads verts)
     if (iters > 0) LineageCut.release(verts)
-    ranks
+    ranks.select(col("id"), col("pr"))
   }
 
   /** Personalized PageRank / random walk with restart (Jeh & Widom
@@ -325,30 +350,33 @@ object Traversals {
 
     val outdeg = ce.groupBy("src").agg(count(lit(1)).cast("double").as("c"))
     val contribEdges = ce.join(outdeg, "src").localCheckpoint(eager = false)
-    val dangling = sflag.select("id")
-      .join(outdeg.select(col("src").as("id")), Seq("id"), "left_anti")
-      .localCheckpoint(eager = false)
     contribEdges.count()
-    dangling.count()
-    LineageCut.release(ce)
 
+    // seed flag AND dangling flag ride on the rank vector (see pageRank):
+    // the per-round dangling mass is a filter+sum, the per-round left join
+    // reads the previous vector — no separate dangling/sflag join inputs
     val base = when(col("s") === 1, lit((1.0 - damping) / ns))
       .otherwise(lit(0.0))
     var ranks = sflag
-      .select(col("id"),
+      .join(outdeg.select(col("src").as("id"), lit(1).as("ho")),
+        Seq("id"), "left")
+      .select(col("id"), col("s"), coalesce(col("ho"), lit(0)).as("ho"),
         when(col("s") === 1, lit(1.0 / ns)).otherwise(lit(0.0)).as("pr"))
       .localCheckpoint(eager = false)
+    ranks.count() // materialized while its ce-rooted lineage is still live
+    LineageCut.release(ce)
     var it = 0
     while (it < iters) {
-      val dang = ranks.join(dangling, Seq("id"), "left_semi")
+      val dang = ranks.where(col("ho") === 0)
         .agg(coalesce(sum("pr"), lit(0.0)).as("dm"))
       val contrib = contribEdges
-        .join(ranks.withColumnRenamed("id", "src"), "src")
+        .join(ranks.select(col("id").as("src"), col("pr")), "src")
         .select(col("dst").as("id"), (col("pr") / col("c")).as("w"))
         .groupBy("id").agg(sum("w").as("contrib"))
-      val next = sflag.join(contrib, Seq("id"), "left")
+      val next = ranks.select(col("id"), col("s"), col("ho"))
+        .join(contrib, Seq("id"), "left")
         .crossJoin(broadcast(dang))
-        .select(col("id"),
+        .select(col("id"), col("s"), col("ho"),
           (base + lit(damping) * (coalesce(col("contrib"), lit(0.0)) +
             when(col("s") === 1, col("dm") / ns).otherwise(lit(0.0))))
             .as("pr"))
@@ -359,9 +387,8 @@ object Traversals {
       it += 1
     }
     LineageCut.release(contribEdges)
-    LineageCut.release(dangling)
     if (iters > 0) LineageCut.release(sflag)
-    ranks
+    ranks.select(col("id"), col("pr"))
   }
 
   /** Synchronous label propagation (Raghavan et al. 2007), the
@@ -478,22 +505,28 @@ object Traversals {
     * the degree-ordered wedge scheme of [[triangles]], factored so
     * [[kTruss]]'s per-round support counts reuse it. `deg` must be the
     * degree table of `canon`'s vertices. */
-  private def enumTriangles(canon: DataFrame, deg: DataFrame): DataFrame = {
-    // (u, v) with ord(u) < ord(v), carrying v's (deg, id) order key for
-    // the wedge inequality below
+  private def enumTriangles(canon: DataFrame, deg: DataFrame): DataFrame =
+    wedgeClose(orientByDegree(canon, deg))
+
+  /** (u, v) with ord(u) < ord(v) under the (deg, id) order, carrying v's
+    * order key for the wedge inequality in [[wedgeClose]]. */
+  private def orientByDegree(canon: DataFrame, deg: DataFrame): DataFrame = {
     val withDeg = canon
       .join(deg.select(col("id").as("a"), col("deg").as("da")), "a")
       .join(deg.select(col("id").as("b"), col("deg").as("db")), "b")
-    val oriented = withDeg.select(
+    withDeg.select(
       when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
         struct(col("a").as("u"), col("b").as("v"), col("db").as("dv")))
         .otherwise(struct(col("b").as("u"), col("a").as("v"), col("da").as("dv")))
         .as("e"))
       .select(col("e.u").as("u"), col("e.v").as("v"), col("e.dv").as("dv"))
+  }
 
-    // Wedges (u, v, w) with ord(v) < ord(w): both closing edges of a
-    // triangle leave the wedge tips in orientation order, so a single
-    // (v, w) equi-join detects closure without double counting.
+  /** Each triangle of the degree-oriented edge view exactly once.
+    * Wedges (u, v, w) with ord(v) < ord(w): both closing edges of a
+    * triangle leave the wedge tips in orientation order, so a single
+    * (v, w) equi-join detects closure without double counting. */
+  private def wedgeClose(oriented: DataFrame): DataFrame = {
     val o1 = oriented.select(col("u"), col("v").as("x"), col("dv").as("dx"))
     val o2 = oriented.select(col("u"), col("v").as("y"), col("dv").as("dy"))
     val wedges = o1.join(o2, "u")

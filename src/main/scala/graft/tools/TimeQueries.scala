@@ -20,8 +20,17 @@ object TimeQueries {
 
     names.foreach { name =>
       val t0 = System.nanoTime()
+      // GRAFT_TIME_NOOP=1 switches to the bench's noop-sink protocol
+      // (§1.4: count() lets Catalyst prune output columns, so the two
+      // can time very different plans — use noop when chasing a bench
+      // number)
+      val useNoop = sys.env.get("GRAFT_TIME_NOOP").contains("1")
       val fut = scala.concurrent.Future {
-        graft.SparkEntry.queries(name)(spark, sfDir).count()
+        if (useNoop) {
+          graft.SparkEntry.queries(name)(spark, sfDir)
+            .write.format("noop").mode("overwrite").save()
+          -1L
+        } else graft.SparkEntry.queries(name)(spark, sfDir).count()
       }(scala.concurrent.ExecutionContext.global)
       try {
         val n = scala.concurrent.Await.result(fut,

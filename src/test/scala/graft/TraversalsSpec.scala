@@ -21,6 +21,27 @@ class TraversalsSpec extends GraftSuite {
     assert(got == Map(1L -> 0, 2L -> 1, 3L -> 1, 4L -> 0))
   }
 
+  test("cyclic graphs: two-layer dedup equals visited-set semantics") {
+    // The round-15 anti-join keeps only the previous TWO layers; cycles
+    // are where candidates actually collide with layers k-1 and k-2.
+    // Odd cycle 0-1-2-3-4-0: layer1 {1,4}, layer2 {2,3}, then layer-2
+    // candidates {1,4} (k-2) and {2,3} (k-1) must all be deduped away.
+    val odd = hops(Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 0L)), Seq(0L))
+    assert(odd == Map(0L -> 0, 1L -> 1, 4L -> 1, 2L -> 2, 3L -> 2))
+    // Even cycle plus a chord back to the seed: every vertex re-reaches
+    // the seed (distance k-2 collision at every step).
+    val chord = hops(Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L), (2L, 0L)), Seq(0L))
+    assert(chord == Map(0L -> 0, 1L -> 1, 3L -> 1, 2L -> 1))
+    // seeded variant on the odd cycle: per-seed layers, same property
+    val sh = Traversals.seededHops(
+      Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 0L)).toDF("src", "dst"),
+      Seq(0L, 2L).toDF("id"))
+      .as[(Long, Long, Int)].collect().toSet
+    assert(sh == Set((0L, 0L, 0), (0L, 1L, 1), (0L, 4L, 1), (0L, 2L, 2),
+      (0L, 3L, 2), (2L, 2L, 0), (2L, 1L, 1), (2L, 3L, 1), (2L, 0L, 2),
+      (2L, 4L, 2)))
+  }
+
   test("seeded hops track each seed separately; harmonic sums exact ppm") {
     // path 1-2-3-4 plus isolated pair 10-11; seeds 1 and 4
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
