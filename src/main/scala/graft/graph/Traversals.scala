@@ -746,7 +746,13 @@ object Traversals {
       val stayed = f.join(broadcast(outVerts),
           col("f.id") === outVerts("src"), "left_anti")
         .select(col("f.walk").as("walk"), col("f.id").as("id"))
-      cur = moved.unionByName(stayed)
+      // Round 15: each step references the previous state TWICE (moved +
+      // stayed), so without a cut the final union's logical tree holds
+      // O(2^steps) copies of the base subtree — real analyzer cost even
+      // at steps=4. A lazy checkpoint makes each step a LogicalRDD leaf;
+      // the caller's single action materializes the chain (no extra
+      // jobs), and the blocks are O(|seeds|) per step, like BFS layers.
+      cur = moved.unionByName(stayed).localCheckpoint(eager = false)
       legs += cur.select(col("walk"), lit(t).as("step"), col("id"))
       t += 1
     }
