@@ -719,7 +719,6 @@ object Traversals {
     */
   def deterministicWalks(edges: DataFrame, seeds: DataFrame,
                          steps: Int): DataFrame = {
-    import graft.functions.PolyHash.poly_hash
     val e = edges
       .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
       .where(col("src") =!= col("dst"))
@@ -732,31 +731,43 @@ object Traversals {
     legs += cur.select(col("walk"), lit(0).as("step"), col("id"))
     var t = 1
     while (t <= steps) {
-      // the frontier is |seeds| rows — broadcast it so the edge list is
-      // never shuffled; the per-walk argmin partials combine map-side
-      val f = broadcast(cur).alias("f")
-      val moved = f.join(e.alias("e"), col("f.id") === col("e.src"))
-        .select(col("f.walk").as("walk"),
-          struct(
-            poly_hash(concat_ws(":", col("f.id"), col("e.dst"), lit(t)))
-              .as("h"),
-            col("e.dst").as("dst")).as("hd"))
-        .groupBy("walk").agg(min("hd").as("m"))
-        .select(col("walk"), col("m.dst").as("id"))
-      val stayed = f.join(broadcast(outVerts),
-          col("f.id") === outVerts("src"), "left_anti")
-        .select(col("f.walk").as("walk"), col("f.id").as("id"))
       // Round 15: each step references the previous state TWICE (moved +
       // stayed), so without a cut the final union's logical tree holds
       // O(2^steps) copies of the base subtree — real analyzer cost even
       // at steps=4. A lazy checkpoint makes each step a LogicalRDD leaf;
       // the caller's single action materializes the chain (no extra
       // jobs), and the blocks are O(|seeds|) per step, like BFS layers.
-      cur = moved.unionByName(stayed).localCheckpoint(eager = false)
+      // (The checkpoint also hides the step joins from the GATE's final
+      // plan, so PlanHygieneSpec pins the broadcast shape on walkStep
+      // itself.)
+      cur = walkStep(cur, e, outVerts, t).localCheckpoint(eager = false)
       legs += cur.select(col("walk"), lit(t).as("step"), col("id"))
       t += 1
     }
     legs.result().reduce(_ unionByName _)
+  }
+
+  /** One walk transition of [[deterministicWalks]]: the frontier is
+    * |seeds| rows — broadcast it so the edge list is never shuffled; the
+    * per-walk argmin partials combine map-side. Factored out so the plan
+    * shape stays testable now that the step is checkpointed away from
+    * the gate's final plan. */
+  private[graft] def walkStep(cur: DataFrame, e: DataFrame,
+                              outVerts: DataFrame, t: Int): DataFrame = {
+    import graft.functions.PolyHash.poly_hash
+    val f = broadcast(cur).alias("f")
+    val moved = f.join(e.alias("e"), col("f.id") === col("e.src"))
+      .select(col("f.walk").as("walk"),
+        struct(
+          poly_hash(concat_ws(":", col("f.id"), col("e.dst"), lit(t)))
+            .as("h"),
+          col("e.dst").as("dst")).as("hd"))
+      .groupBy("walk").agg(min("hd").as("m"))
+      .select(col("walk"), col("m.dst").as("id"))
+    val stayed = f.join(broadcast(outVerts),
+        col("f.id") === outVerts("src"), "left_anti")
+      .select(col("f.walk").as("walk"), col("f.id").as("id"))
+    moved.unionByName(stayed)
   }
 
   /** HITS hubs and authorities (Kleinberg, JACM 1999) on a DIRECTED edge

@@ -395,9 +395,25 @@ class PlanHygieneSpec extends GraftSuite {
   }
 
   test("rand_walks frontier joins broadcast — the edge list never shuffles") {
+    // The per-step lazy checkpoints (round 15) hide the walk joins from
+    // the gate's FINAL plan, so the broadcast shape is pinned on the
+    // production step builder itself…
+    import spark.implicits._
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val outVerts = e.select("src").distinct()
+    val cur = Seq((1L, 1L)).toDF("walk", "id")
+    val sp = graft.graph.Traversals.walkStep(cur, e, outVerts, 1)
+      .queryExecution.executedPlan.toString
+    assert(sp.contains("BroadcastHashJoin"),
+      s"walk step joins must broadcast the frontier:\n${sp.take(800)}")
+    assert(!sp.contains("SortMergeJoin"),
+      "no walk step may sort-merge the edge list")
+    // …and the gate plan must stay the checkpointed-leg union: shallow
+    // ExistingRDD leaves, no join (a join here means a step leaked back
+    // into the final plan) and no sort-merge anywhere.
     val p = plan("rand_walks")
-    assert(p.contains("BroadcastHashJoin"),
-      s"walk step joins must broadcast the frontier:\n${p.take(800)}")
+    assert(p.contains("ExistingRDD"),
+      s"walk legs should be checkpointed LogicalRDD leaves:\n${p.take(800)}")
     assert(!p.contains("SortMergeJoin"),
       "no walk step may sort-merge the edge list")
   }
